@@ -1,0 +1,9 @@
+from .catalog import Warehouse, load_testdata, register_testdata_views
+from .delta_snapshot import read_delta_snapshot
+
+__all__ = [
+    "Warehouse",
+    "load_testdata",
+    "register_testdata_views",
+    "read_delta_snapshot",
+]
