@@ -172,14 +172,20 @@ def scd1_upsert(
         combined, keys, order_col, tiebreak=["data_source"] + extra
     )
 
-    # F4: CASE-preserved audit columns (CustomerInfDataClean.scala:55,58)
+    # F4: CASE-preserved audit columns (CustomerInfDataClean.scala:55,58).
+    # BOTH times are conditional: rows that survived from DWD are unchanged
+    # data, so insert_time AND modify_time keep their stored values; ODS rows
+    # are new/updated, so both get the run timestamp.
     is_ods = F.col("data_source") == "ods"
     out = (
         deduped.withColumn(
             f"{layer}_insert_time",
             F.when(is_ods, F.col("__op_ts")).otherwise(F.col(f"{layer}_insert_time")),
         )
-        .withColumn(f"{layer}_modify_time", F.col("__op_ts"))
+        .withColumn(
+            f"{layer}_modify_time",
+            F.when(is_ods, F.col("__op_ts")).otherwise(F.col(f"{layer}_modify_time")),
+        )
         .withColumn(f"{layer}_modify_user", F.lit(user))
         .drop("data_source", "__op_ts")
     )

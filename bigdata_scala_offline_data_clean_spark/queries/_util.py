@@ -1,0 +1,94 @@
+"""Shared helpers for driver-checked queries.
+
+Oracle-parity rules (the driver compares Spark output against DuckDB by
+row count + schema + order-insensitive value hash, columns sorted by name):
+
+- **Timestamps.** The driver testdata stores times as parquet
+  ``TIMESTAMP(NANOS)``, which Spark cannot read natively
+  ([PARQUET_TYPE_ILLEGAL]); DuckDB reads them as microsecond timestamps.
+  ``load_table`` sets ``spark.sql.legacy.parquet.nanosAsLong`` and converts
+  ``ns-long div 1000 -> timestamp_micros`` (integer division -- exact,
+  matching DuckDB's ns->us truncation).  Query *outputs* always format
+  timestamps as strings so both engines hash identically.
+- **Session timezone** is pinned to UTC at query time (the driver's session
+  may differ; ``date_format`` would otherwise shift).
+- **Float aggregates.** ``SUM(double)`` is order-dependent in the last bits;
+  queries sum through ``DECIMAL(18,2)`` (exact) and cast the final value to
+  double, which is deterministic and identical across engines.
+- **Ties.** Every window/top-k query carries a total-order tie-break so both
+  engines pick the same row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# tables whose time columns arrive as ns-long under nanosAsLong
+TS_NS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+FMT = "yyyy-MM-dd HH:mm:ss"  # canonical output format (DuckDB: %Y-%m-%d %H:%M:%S)
+DAY = "yyyyMMdd"  # etl_date partition format (DuckDB: %Y%m%d)
+
+
+def _pin_session(spark: SparkSession) -> None:
+    """Runtime confs every query depends on (driver session is not ours)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table with time columns normalized to timestamps."""
+    _pin_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    dtypes = dict(df.dtypes)
+    for c in TS_NS_COLS.get(table, ()):
+        if dtypes.get(c) == "bigint":  # ns since epoch -> exact us truncation
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (S11) for spark.sql."""
+    for t in TESTDATA_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def ts_str(c: Column | str) -> Column:
+    """Canonical timestamp -> string for hash-stable output."""
+    return F.date_format(c, FMT)
+
+
+def day_str(c: Column | str) -> Column:
+    """Timestamp -> yyyyMMdd partition string (the reference's etl_date)."""
+    return F.date_format(c, DAY)
+
+
+def dsum(col: str) -> Column:
+    """Order-independent SUM for doubles: exact decimal sum, cast back.
+
+    ``SUM(CAST(x AS DECIMAL(18,2)))`` is exact integer arithmetic -> the
+    final double is bit-identical regardless of partitioning, and matches
+    DuckDB's ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    """
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")

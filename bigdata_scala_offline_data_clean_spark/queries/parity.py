@@ -1,0 +1,409 @@
+"""Parity queries: one driver-checked query per SURVEY.md §2 operator row.
+
+Each entry exercises the reference operator on the driver testdata and ships
+an ANSI-SQL twin for the DuckDB oracle (SURVEY.md §5 mapping table).
+Reference sites are cited per query; column aliases match the oracle exactly
+(the driver hashes values under name-sorted columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.etl import (
+    dedup_latest,
+    merge_full_outer,
+    rename_prefix,
+    scd1_upsert,
+    stamp_audit,
+    star_denormalize,
+)
+from . import QuerySpec
+from ._util import day_str, load_table, register_views, ts_str
+
+PIN_TS = "2022-10-01 00:00:00"  # pinned run timestamp (reference regex date
+# 20221001, OrderMasterDataClean.scala:30; fixed so oracle hashes match)
+OLD_TS = "2022-09-30 00:00:00"
+
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+# ---------------------------------------------------------------------------
+# q01 -- A2 + P6 + S1: latest-partition scan via uncorrelated scalar subquery
+#        (OrderMasterDataClean.scala:70-71: WHERE etl_date = (SELECT max(...)))
+# ---------------------------------------------------------------------------
+
+
+def q01_latest_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority,
+               date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate,
+               date_format(o_orderdate, 'yyyyMMdd') AS etl_date
+        FROM orders
+        WHERE date_format(o_orderdate, 'yyyyMMdd') =
+              (SELECT max(date_format(o_orderdate, 'yyyyMMdd')) FROM orders)
+        """
+    )
+
+
+Q01_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderpriority,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       strftime(o_orderdate, '%Y%m%d') AS etl_date
+FROM orders
+WHERE strftime(o_orderdate, '%Y%m%d') =
+      (SELECT max(strftime(o_orderdate, '%Y%m%d')) FROM orders)
+"""
+
+# ---------------------------------------------------------------------------
+# q02 -- P3/P4 + F1/F2 + A1/S12: audit-stamped append clean (archetype A,
+#        SimpleDataCleanUtils.scala:19-30) with pinned run timestamp
+# ---------------------------------------------------------------------------
+
+
+def q02_audit_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # A1/S12: driver-side scalar fetch of the latest "partition"
+    latest = li.agg(F.max(day_str("l_shipdate"))).first()[0]
+    part = li.where(day_str("l_shipdate") == latest).withColumn(
+        "l_shipdate", ts_str("l_shipdate")
+    )
+    return stamp_audit(part, user="user1", ts=F.lit(PIN_TS), etl_date=latest)
+
+
+Q02_SQL = f"""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate,
+       'user1' AS dwd_insert_user, '{PIN_TS}' AS dwd_insert_time,
+       'user1' AS dwd_modify_user, '{PIN_TS}' AS dwd_modify_time,
+       strftime(l_shipdate, '%Y%m%d') AS etl_date
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y%m%d') =
+      (SELECT max(strftime(l_shipdate, '%Y%m%d')) FROM lineitem)
+"""
+
+# ---------------------------------------------------------------------------
+# q03 -- P2/S2: rename projection (SELECT c AS hive_c ...,
+#        OrderMasterDataClean.scala:42-73)
+# ---------------------------------------------------------------------------
+
+
+def q03_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", ts_str("o_orderdate")
+    )
+    return rename_prefix(o, "hive_")
+
+
+Q03_SQL = """
+SELECT o_orderkey AS hive_o_orderkey, o_custkey AS hive_o_custkey,
+       o_orderstatus AS hive_o_orderstatus, o_totalprice AS hive_o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS hive_o_orderdate,
+       o_orderpriority AS hive_o_orderpriority
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# q04 -- W1 + P7 + P5: SCD-1 window dedup, newest event per user
+#        (CustomerInfDataClean.scala:41-45) with deterministic tie-break (Q3)
+# ---------------------------------------------------------------------------
+
+
+def q04_scd1_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_latest(ev, "user_id", "ts", tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id", "event_type", "value", "props", ts_str("ts").alias("ts")
+    )
+
+
+Q04_SQL = """
+SELECT user_id, event_id, event_type, value, props,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+# ---------------------------------------------------------------------------
+# q05 -- U1 + P3: unionByName of differently-ordered projections
+#        (CustomerInfDataClean.scala:32-37)
+# ---------------------------------------------------------------------------
+
+
+def q05_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    neg = c.where(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_acctbal", "c_name"
+    ).withColumn("data_source", F.lit("neg"))
+    pos = c.where(F.col("c_acctbal") >= 0).select(
+        "c_name", "c_custkey", "c_acctbal"
+    ).withColumn("data_source", F.lit("pos"))
+    return neg.unionByName(pos)
+
+
+Q05_SQL = """
+SELECT c_custkey, c_acctbal, c_name, 'neg' AS data_source
+FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT c_custkey, c_acctbal, c_name, 'pos' AS data_source
+FROM customer WHERE c_acctbal >= 0
+"""
+
+# ---------------------------------------------------------------------------
+# q06 -- J1 + J3 + F3: full-outer join + per-column coalesce merge
+#        (OrderMasterDataClean.scala:157-180; Q1 fixed -- key coalesced too)
+# ---------------------------------------------------------------------------
+
+
+def q06_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", ts_str("o_orderdate")
+    )
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    delta = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderpriority", F.lit("DELTA-SUPPLEMENT"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    return merge_full_outer(base, delta, "o_orderkey", prefer="base")
+
+
+Q06_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 <> 0
+), delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         'DELTA-SUPPLEMENT' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(b.o_orderkey, d.o_orderkey)           AS o_orderkey,
+       COALESCE(b.o_custkey, d.o_custkey)             AS o_custkey,
+       COALESCE(b.o_orderstatus, d.o_orderstatus)     AS o_orderstatus,
+       COALESCE(b.o_totalprice, d.o_totalprice)       AS o_totalprice,
+       COALESCE(b.o_orderdate, d.o_orderdate)         AS o_orderdate,
+       COALESCE(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority
+FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# q07 -- J2: star denormalisation via chained left joins, dims broadcast
+#        (CustomerAddrLevelAggrDataClean.scala:28-30)
+# ---------------------------------------------------------------------------
+
+
+def q07_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    r = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    out = star_denormalize(c, [(n, "c_nationkey"), (r, "n_regionkey")])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name", "r_name"
+    )
+
+
+Q07_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment, n.n_name, r.r_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+# ---------------------------------------------------------------------------
+# q08 -- U1 + W1 + F4 composite: full SCD-1 upsert with CASE-preserved audit
+#        times (archetype B, CustomerInfDataClean.scala:27-61)
+# ---------------------------------------------------------------------------
+
+
+def q08_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    old_ts = F.lit(OLD_TS).cast("timestamp")
+    ods = dedup_latest(
+        ev.where(F.col("event_id") % 2 == 1), "user_id", "ts", tiebreak="event_id"
+    )
+    dwd = (
+        dedup_latest(
+            ev.where(F.col("event_id") % 2 == 0), "user_id", "ts", tiebreak="event_id"
+        )
+        .withColumn("dwd_insert_user", F.lit("user1"))
+        .withColumn("dwd_insert_time", old_ts)
+        .withColumn("dwd_modify_user", F.lit("user1"))
+        .withColumn("dwd_modify_time", old_ts)
+    )
+    out = scd1_upsert(
+        ods,
+        dwd,
+        key="user_id",
+        order_col="ts",
+        user="user1",
+        ts=F.lit(PIN_TS).cast("timestamp"),
+        etl_date="20221001",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+        ts_str("ts").alias("ts"),
+        "dwd_insert_user",
+        ts_str("dwd_insert_time").alias("dwd_insert_time"),
+        "dwd_modify_user",
+        ts_str("dwd_modify_time").alias("dwd_modify_time"),
+        "etl_date",
+    )
+
+
+Q08_SQL = f"""
+WITH ods AS (
+  SELECT * FROM events WHERE event_id % 2 = 1
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+), dwd AS (
+  SELECT * FROM events WHERE event_id % 2 = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+), combined AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         'ods' AS data_source,
+         CAST(NULL AS TIMESTAMP) AS dwd_insert_time,
+         CAST(NULL AS TIMESTAMP) AS dwd_modify_time
+  FROM ods
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value, props,
+         'dwd' AS data_source,
+         TIMESTAMP '{OLD_TS}' AS dwd_insert_time,
+         TIMESTAMP '{OLD_TS}' AS dwd_modify_time
+  FROM dwd
+), merged AS (
+  SELECT * FROM combined
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, data_source DESC, event_id DESC) = 1
+)
+SELECT user_id, event_id, event_type, value, props,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       'user1' AS dwd_insert_user,
+       strftime(CASE WHEN data_source = 'ods' THEN TIMESTAMP '{PIN_TS}'
+                     ELSE dwd_insert_time END, '%Y-%m-%d %H:%M:%S') AS dwd_insert_time,
+       'user1' AS dwd_modify_user,
+       strftime(CASE WHEN data_source = 'ods' THEN TIMESTAMP '{PIN_TS}'
+                     ELSE dwd_modify_time END, '%Y-%m-%d %H:%M:%S') AS dwd_modify_time,
+       '20221001' AS etl_date
+FROM merged
+"""
+
+# ---------------------------------------------------------------------------
+# q09 -- P8/S5: regex predicate (rowkey RowFilter stand-in,
+#        OrderMasterDataClean.scala:29-30,80-82)
+# ---------------------------------------------------------------------------
+
+
+def q09_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("props").rlike("7}$")).select(
+        "event_id", "user_id", "event_type", "value", "props", ts_str("ts").alias("ts")
+    )
+
+
+Q09_SQL = """
+SELECT event_id, user_id, event_type, value, props,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM events WHERE regexp_matches(props, '7}$')
+"""
+
+# ---------------------------------------------------------------------------
+# q10 -- S1 + P1 + P6: single-partition star scan via equality filter
+# ---------------------------------------------------------------------------
+
+
+def q10_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type", "value", "props", ts_str("ts").alias("ts")
+    )
+
+
+Q10_SQL = """
+SELECT event_id, user_id, event_type, value, props,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM events WHERE event_type = 'click'
+"""
+
+# ---------------------------------------------------------------------------
+# q11 -- A1/S12: scalar MAX aggregates (SimpleDataCleanUtils.scala:19)
+# ---------------------------------------------------------------------------
+
+
+def q11_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.max(day_str("o_orderdate")).alias("max_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q11_SQL = """
+SELECT max(o_totalprice) AS max_totalprice,
+       max(strftime(o_orderdate, '%Y%m%d')) AS max_day,
+       count(*) AS n_orders
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# q12 -- P9 + F4: selectExpr projection with CASE WHEN
+#        (CustomerInfDataClean.scala:46-61)
+# ---------------------------------------------------------------------------
+
+
+def q12_selectexpr_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'good' END AS bal_flag",
+        "'user1' AS dwd_insert_user",
+    )
+
+
+Q12_SQL = """
+SELECT c_custkey, c_name, c_acctbal,
+       CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'good' END AS bal_flag,
+       'user1' AS dwd_insert_user
+FROM customer
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
+    "q02_audit_stamp": QuerySpec(q02_audit_stamp, Q02_SQL),
+    "q03_rename_projection": QuerySpec(q03_rename_projection, Q03_SQL),
+    "q04_scd1_dedup": QuerySpec(q04_scd1_dedup, Q04_SQL),
+    "q05_union_by_name": QuerySpec(q05_union_by_name, Q05_SQL),
+    "q06_full_outer_coalesce": QuerySpec(q06_full_outer_coalesce, Q06_SQL),
+    "q07_star_join": QuerySpec(q07_star_join, Q07_SQL),
+    "q08_scd1_upsert": QuerySpec(q08_scd1_upsert, Q08_SQL),
+    "q09_regex_filter": QuerySpec(q09_regex_filter, Q09_SQL),
+    "q10_partition_scan": QuerySpec(q10_partition_scan, Q10_SQL),
+    "q11_scalar_max": QuerySpec(q11_scalar_max, Q11_SQL),
+    "q12_selectexpr_case": QuerySpec(q12_selectexpr_case, Q12_SQL),
+}

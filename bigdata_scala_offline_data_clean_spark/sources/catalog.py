@@ -76,8 +76,19 @@ class Warehouse:
     def path(self, layer: str, table: str) -> str:
         return os.path.join(self.root, layer, table)
 
+    # -- filesystem (Hadoop FS API -- works for file:/, hdfs:/, s3a:/ roots,
+    #    unlike os.listdir which silently breaks off the driver-local disk) --
+
+    def _fs_and_path(self, path: str):
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return fs, hpath
+
     def exists(self, layer: str, table: str) -> bool:
-        return os.path.isdir(self.path(layer, table))
+        fs, hpath = self._fs_and_path(self.path(layer, table))
+        return bool(fs.exists(hpath))
 
     # -- reads ------------------------------------------------------------
 
@@ -92,19 +103,31 @@ class Warehouse:
     def latest_partition(self, layer: str, table: str) -> str | None:
         """A1/S12: latest etl_date.
 
-        Metadata-only -- reads the partition directory names, not the data
-        (the reference's ``SELECT MAX(etl_date)`` + ``.collect()(0)(0)``
-        scans rows; SimpleDataCleanUtils.scala:19).
+        Metadata-only -- lists partition directory names through the Hadoop
+        FileSystem API (so HDFS/S3 warehouse roots work, not just the driver
+        disk), never scanning data.  The reference's ``SELECT MAX(etl_date)``
+        + ``.collect()(0)(0)`` (SimpleDataCleanUtils.scala:19) reads rows;
+        at 100 TB that touches every partition's footer -- this touches none.
+        Falls back to ``max(etl_date)`` over the DataFrame if the listing is
+        unavailable (e.g. object stores without directory semantics).
         """
-        base = self.path(layer, table)
-        if not os.path.isdir(base):
+        try:
+            fs, hpath = self._fs_and_path(self.path(layer, table))
+            if not fs.exists(hpath):
+                return None
+            parts = []
+            for status in fs.listStatus(hpath):
+                name = status.getPath().getName()
+                if name.startswith("etl_date="):
+                    parts.append(name.split("=", 1)[1])
+            if parts:
+                return max(parts)
             return None
-        parts = [
-            d.split("=", 1)[1]
-            for d in os.listdir(base)
-            if d.startswith("etl_date=")
-        ]
-        return max(parts) if parts else None
+        except Exception:
+            if not self.exists(layer, table):
+                return None
+            row = self.table(layer, table).agg(F.max("etl_date")).first()
+            return row[0] if row else None
 
     def latest(self, layer: str, table: str) -> DataFrame:
         """Latest-partition scan (the reference's two-step fetch, fused)."""
@@ -127,9 +150,9 @@ class Warehouse:
         present in ``df`` (session conf partitionOverwriteMode=dynamic
         mirrors hive.exec.dynamic.partition, SparkSessionBuilder.scala:15-16).
         """
-        df.write.mode("overwrite").partitionBy("etl_date").parquet(
-            self.path(layer, table)
-        )
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("etl_date").parquet(self.path(layer, table))
 
     def overwrite_table(self, df: DataFrame, layer: str, table: str) -> None:
         """S10: create-or-replace whole table
