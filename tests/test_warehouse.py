@@ -1,0 +1,102 @@
+"""Warehouse sink/source contracts (S8-S10, latest-partition discovery)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
+from bigdata_scala_offline_data_clean_spark.sources.delta_snapshot import (
+    read_delta_snapshot,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path))
+
+
+def _part(spark, etl_date, rows):
+    return spark.createDataFrame(
+        [(k, v, etl_date) for k, v in rows], ["k", "v", "etl_date"]
+    )
+
+
+def test_append_accumulates(spark, wh):
+    wh.append(_part(spark, "20220101", [(1, "a")]), "dwd", "t")
+    wh.append(_part(spark, "20220101", [(2, "b")]), "dwd", "t")
+    assert wh.table("dwd", "t").count() == 2
+
+
+def test_dynamic_overwrite_replaces_only_present_partitions(spark, wh):
+    wh.append(_part(spark, "20220101", [(1, "keep")]), "dwd", "t")
+    wh.append(_part(spark, "20220102", [(2, "old")]), "dwd", "t")
+    wh.overwrite_partitions(_part(spark, "20220102", [(3, "new")]), "dwd", "t")
+    got = {
+        (r.k, r.v, str(r.etl_date)) for r in wh.table("dwd", "t").collect()
+    }
+    assert got == {(1, "keep", "20220101"), (3, "new", "20220102")}
+
+
+def test_overwrite_table_truncates(spark, wh):
+    wh.append(_part(spark, "20220101", [(1, "a")]), "dwd", "t")
+    wh.overwrite_table(_part(spark, "20220102", [(2, "b")]), "dwd", "t")
+    rows = wh.table("dwd", "t").collect()
+    assert len(rows) == 1 and rows[0].k == 2
+
+
+def test_latest_partition_listing_and_exists(spark, wh):
+    assert wh.exists("dwd", "t") is False
+    assert wh.latest_partition("dwd", "t") is None
+    wh.append(_part(spark, "20220101", [(1, "a")]), "dwd", "t")
+    wh.append(_part(spark, "20220103", [(2, "b")]), "dwd", "t")
+    wh.append(_part(spark, "20220102", [(3, "c")]), "dwd", "t")
+    assert wh.exists("dwd", "t") is True
+    assert wh.latest_partition("dwd", "t") == "20220103"
+    latest = wh.latest("dwd", "t").collect()
+    assert [r.k for r in latest] == [2]
+
+
+def test_latest_partition_uses_hadoop_fs_not_os(spark, wh, monkeypatch):
+    """The listing must go through the Hadoop FS API (HDFS/S3-safe), never
+    os.listdir on the warehouse root (VERDICT scale-killer #1)."""
+    import os as _os
+
+    wh.append(_part(spark, "20220101", [(1, "a")]), "dwd", "t")
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("os.listdir called for warehouse listing")
+
+    monkeypatch.setattr(_os, "listdir", boom)
+    assert wh.latest_partition("dwd", "t") == "20220101"
+
+
+def test_partition_scan_prunes(spark, wh):
+    wh.append(_part(spark, "20220101", [(1, "a")]), "dwd", "t")
+    wh.append(_part(spark, "20220102", [(2, "b")]), "dwd", "t")
+    df = wh.partition("dwd", "t", "20220102")
+    assert [r.k for r in df.collect()] == [2]
+    # partition filter must prune at planning time (no data-column filter)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_delta_snapshot_rowkey_regex(spark, tmp_path):
+    path = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [("20221001_0001", 1), ("20220930_0002", 2), ("x20221001y", 3)],
+        ["row_key", "v"],
+    ).write.parquet(path)
+    df = read_delta_snapshot(spark, path, rowkey_pattern=".*20221001.*")
+    assert sorted(r.v for r in df.collect()) == [1, 3]
+
+
+def test_delta_snapshot_decoders(spark, tmp_path):
+    path = str(tmp_path / "delta2")
+    spark.createDataFrame([("k1", "42")], ["row_key", "amount"]).write.parquet(path)
+    df = read_delta_snapshot(
+        spark, path, decoders={"amount": lambda c: c.cast("int")}
+    )
+    assert df.schema["amount"].dataType.simpleString() == "int"
+    assert df.first().amount == 42
