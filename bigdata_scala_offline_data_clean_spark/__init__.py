@@ -13,11 +13,11 @@ as an idiomatic PySpark library:
 - ``operators``  -- the operator library: audit stamping, SCD-1 window dedup,
                     full-outer coalesce merge, star denormalisation, plus
                     large-scale training-data ops (dedup, similarity, text)
-- ``plans``      -- the four pipeline archetypes (A: append-clean, B: SCD-1
+- ``pipelines``  -- the four pipeline archetypes (A: append-clean, B: SCD-1
                     merge, C: delta merge, D: star aggregate) as parametrised
-                    functions driven by per-table configs
-- ``streaming``  -- Structured Streaming counterparts (the reference declares
-                    spark-streaming in pom.xml:26-29 but never uses it)
+                    functions + the 12 reference jobs as ``JOBS`` configs
+- ``queries``    -- the driver-checked query registry (PySpark + DuckDB
+                    oracle pairs feeding ``__spark_entry__.py``)
 
 Everything here is stock DataFrame/SQL -- no RDDs, no custom Catalyst rules --
 so Catalyst/Tungsten/AQE provide pushdown, pruning, join selection, codegen
