@@ -6,12 +6,49 @@ from .etl import (
     stamp_audit,
     star_denormalize,
 )
+from .dedup import (
+    candidate_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_bands,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from .similarity import cosine_topk, lsh_ann_topk
+from .text import (
+    doc_fingerprint,
+    language_id,
+    shingle_fingerprint,
+    token_count_bpe,
+    with_text_stats,
+)
 
 __all__ = [
+    "candidate_pairs",
+    "cosine_topk",
     "dedup_latest",
+    "doc_fingerprint",
+    "exact_dedup",
+    "exact_dedup_groups",
+    "jaccard_verify",
+    "language_id",
+    "lsh_ann_topk",
+    "lsh_bands",
     "merge_full_outer",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
     "rename_prefix",
     "scd1_upsert",
+    "shingle_fingerprint",
+    "shingles",
+    "simhash",
     "stamp_audit",
     "star_denormalize",
+    "token_count_bpe",
+    "with_text_stats",
 ]

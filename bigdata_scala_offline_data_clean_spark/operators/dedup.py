@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB shape: every algorithm is shuffle-bounded by
+*buckets* (hash digests, LSH bands, shared shingles), never by all-pairs
+comparison.  Hash functions are md5-based so the DuckDB oracle reproduces
+identical values; on a production cluster swap ``_hash`` for ``xxhash64``
+(cheaper, JVM-intrinsic) -- the plan shape is unchanged.
+
+Pipeline:  shingle -> signature (ONE groupBy, k min-aggregates -- no k-times
+row blowup) -> band -> bucket-join -> verified Jaccard on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash(seed: int, col: Column) -> Column:
+    """Portable keyed hash: md5 over the seeded value (hex strings order
+    like 128-bit integers, so MIN() is a valid min-hash)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), col))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical texts by digest: one shuffle on the 16-byte digest,
+    never on the document body."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("rep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative row (smallest id) per distinct text."""
+    from .etl import dedup_latest
+
+    with_hash = df.withColumn("__h", F.md5(F.col(text_col)))
+    # keep the smallest id: order by id asc == negate desc ordering
+    w = with_hash.withColumn("__neg", -F.col(id_col))
+    return dedup_latest(w, "__h", "__neg").drop("__h", "__neg")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, gram) rows."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return df.select(id_col, F.explode(grams).alias("gram"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document from a (id, gram) shingle frame.
+
+    ONE groupBy with ``num_hashes`` min-aggregates -- the shuffle moves each
+    shingle row once, not ``num_hashes`` times (the naive seed-explode
+    multiplies shuffle volume 16x).
+    """
+    aggs = [
+        F.min(_hash(i, F.col("gram"))).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Fold a signature into ``bands`` bucket keys: (id, band_id, band_sig).
+
+    Docs agreeing on ALL rows of any band land in the same bucket;
+    P(candidate) = 1-(1-j^r)^b for Jaccard j, r = num_hashes/bands.
+    """
+    rows = num_hashes // bands
+    pieces = []
+    for b in range(bands):
+        sig = F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows + i}") for i in range(rows)])
+        )
+        pieces.append(F.struct(F.lit(b).alias("band_id"), sig.alias("band_sig")))
+    return sigs.select(
+        id_col, F.explode(F.array(*pieces)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_sig")
+
+
+def candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (a, b) a<b pairs sharing any LSH bucket -- the bucket join.
+
+    Shuffles on (band_id, band_sig); bucket sizes are the skew knob (a
+    degenerate bucket means near-identical mass -- AQE skew split handles
+    moderate cases; pathological buckets should be counted and capped
+    upstream)."""
+    left = bands_df.select(
+        F.col(id_col).alias("a"), "band_id", "band_sig"
+    )
+    right = bands_df.select(
+        F.col(id_col).alias("b"), "band_id", "band_sig"
+    )
+    return (
+        left.join(right, ["band_id", "band_sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (never all-pairs).
+
+    intersection via gram join restricted to candidates; union from per-doc
+    distinct-gram counts.  Output: (a, b, jaccard) with exact int/int
+    division -> bit-identical double across engines.
+    """
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    sa = sh.select(F.col(id_col).alias("a"), "gram")
+    sb = sh.select(F.col(id_col).alias("b"), "gram")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "gram"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("a"), F.col("n_grams").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(ca, "a").join(cb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: pairs with Jaccard >= threshold."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = candidate_pairs(lsh_bands(sigs, id_col, num_hashes, bands), id_col)
+    return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (no LSH: candidates = docs sharing a gram)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Jaccard similarity join via the shared-gram inverted index.
+
+    Candidate generation = self-join on gram (docs sharing >=1 gram); exact
+    at any scale where gram frequencies are bounded -- pair high-frequency
+    grams with a stopword-gram cap upstream if needed.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    a = sh.select(F.col(id_col).alias("a"), "gram")
+    b = sh.select(F.col(id_col).alias("b"), "gram")
+    pairs = (
+        a.join(b, "gram").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return jaccard_verify(pairs, sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble based -- engine-portable integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _nibble_val(nib: Column) -> Column:
+    """Hex nibble char -> 0..15 via ascii arithmetic (portable to ANSI SQL)."""
+    a = F.ascii(nib)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash fingerprint over word unigrams.
+
+    Bit ``i`` of a token's hash = bit (i%4) of md5 hex nibble (i//4); the
+    fingerprint sets bit i when the +/-1 vote sum over tokens is >= 0.
+    Integer-exact and reproducible in ANSI SQL (the oracle mirrors the
+    nibble/shift arithmetic).  Near-dup candidates = equal fingerprints
+    (hamming 0) or banded fingerprint pieces for hamming <= k.
+    """
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    votes = []
+    for i in range(bits):
+        val = _nibble_val(F.substring(h, i // 4 + 1, 1))
+        bit = F.shiftright(val, i % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"v_{i}"))
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"v_{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("bigint").alias("simhash"))

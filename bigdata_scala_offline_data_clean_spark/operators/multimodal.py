@@ -1,0 +1,125 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested -- binary columns, Arrow-batched
+``mapInPandas`` with explicit output schemas, partition-stable processing.
+The actual media *decoding* is stubbed: the image/audio libraries are not in
+this container, so ``decode_image`` raises ``NotImplementedError`` unless a
+decoder is injected, and ``fake_feature_extract`` provides a deterministic
+stand-in the tests and oracle can verify (byte length, md5, fixed-shape
+pseudo-features).
+
+At 100 TB the pattern is: keep payloads in parquet binary columns (or
+pointers to object-store blobs), ``repartition`` to bound batch memory,
+``mapInPandas`` with a schema-typed generator, and never collect payloads to
+the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str = "text", out_col: str = "payload"
+) -> DataFrame:
+    """Materialize a binary column (testdata stand-in: utf-8 bytes of a
+    string column; production: parquet binary / object-store fetch)."""
+    return df.withColumn(out_col, F.encode(F.col(source_col), "utf-8"))
+
+
+def extract_binary_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Typed metadata per payload via Arrow-batched ``mapInPandas``.
+
+    Python is unavoidable for real codecs, so this is the sanctioned slow
+    path: Arrow batches in, vectorized pandas ops, typed batches out.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "payload_md5": pdf[payload_col].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, META_SCHEMA)
+
+
+def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
+    """Decode an image payload.  STUB: no imaging library ships in this
+    environment -- inject ``decoder`` (e.g. PIL.Image.open) in production."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decoding requires an injected decoder (e.g. PIL); "
+            "this environment ships none"
+        )
+    return decoder(payload)
+
+
+def fake_feature_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_features: int = 4,
+) -> DataFrame:
+    """Deterministic stand-in for a media feature extractor (embedding /
+    spectrogram / frame stats): fixed-shape features derived from the
+    payload digest.  Exercises the exact batch shape a real extractor uses.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [
+                    int(hashlib.md5(bytes(b) + bytes([i])).hexdigest()[:8], 16)
+                    / 0xFFFFFFFF
+                    for i in range(n_features)
+                ]
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": pdf[payload_col].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, FEATURE_SCHEMA)

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k -- the correctness baseline.
+  The query set is broadcast; candidates never shuffle until the final
+  per-query top-k window (shuffle keyed on query id, k rows per query
+  after AQE partial top-k).
+- ``lsh_ann_topk``: the scale path -- random-hyperplane LSH buckets shrink
+  the candidate set from |corpus| to |bucket|; recall is tunable with
+  ``planes``/``probes``.
+
+Dot products run JVM-side via ``aggregate``/``zip_with`` over the array
+column (sequential fold -> deterministic double, reproducible by the
+DuckDB oracle's ordered list_reduce).  No Python row path anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> Column:
+    return df.withColumn(out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (q_id, n_id, cosine, rank).
+
+    ``queries`` is broadcast (a query batch is small next to the corpus);
+    the corpus is scanned once, map-side.  ``round_digits`` quantizes the
+    score before ranking so rank order is stable across engines/platforms;
+    ties break on neighbor id ascending.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("__c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__q_vec"), F.col("__c_vec"))
+            / (_norm(F.col("__q_vec")) * _norm(F.col("__c_vec"))),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for a vector under fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join, exact cosine inside
+    the bucket.  Corpus shuffles once on the bucket id (vs. a full
+    crossjoin in brute force); recall rises with fewer planes (bigger
+    buckets) or multi-probe (flip one bit -- not implemented here).
+    """
+    from pyspark.sql import Window
+
+    hp = hyperplanes(dim, planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__c_vec"),
+        lsh_bucket(F.col(vec_col), hp).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        lsh_bucket(F.col(vec_col), hp).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__q_vec"), F.col("__c_vec"))
+                / (_norm(F.col("__q_vec")) * _norm(F.col("__c_vec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

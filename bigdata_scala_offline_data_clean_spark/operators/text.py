@@ -1,0 +1,115 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions -- JVM-side, inside
+whole-stage codegen, no UDFs -- so a 100 TB ``documents`` scan stays a single
+narrow projection pass.  Hashes are md5 (portable across engines: the DuckDB
+oracle computes the identical digests), arithmetic is integer-exact.
+
+The reference has no text ops (it is a warehouse ETL suite); these extend it
+into the training-data domain per the rebuild brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word-piece pattern: letter runs, digit runs, single punctuation
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# small marker-word lists for the language-ID heuristic (stopword overlap)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "en", "que", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "den"),
+}
+
+
+def _tokens(text_col: str | Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, distinct ratio, token
+    length stats.  One projection, zero shuffles."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    return (
+        df.withColumn("n_chars_calc", F.length(text_col))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_uniq_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            # chars minus separators, over token count; integer-exact inputs
+            (F.length(text_col) - (n_tokens - F.lit(1))) / n_tokens,
+        )
+    )
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count via a word-piece regex (letters / digits /
+    punctuation runs) -- the cheap proxy for tokenizer cost estimation."""
+    return df.withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language heuristic.
+
+    Scores each language by distinct-marker overlap with the document's
+    token set; picks the highest with a fixed tie order (en > es > fr > de,
+    i.e. earlier wins ties).  Deterministic, engine-portable (the DuckDB
+    oracle uses the same CASE chain).
+    """
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))),
+        )
+    langs = list(LANG_MARKERS)
+    pred = F.lit(None).cast("string")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def doc_fingerprint(df: DataFrame, cols: list[str], sep: str = "|") -> DataFrame:
+    """Whole-document fingerprint: md5 over a delimited concat of columns.
+
+    ``sep`` guards against boundary collisions (("ab","c") vs ("a","bc"));
+    keep it in sync with the oracle SQL."""
+    return df.withColumn(
+        "fingerprint", F.md5(F.concat_ws(sep, *[F.col(c) for c in cols]))
+    )
+
+
+def shingle_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Rolling-window content fingerprint: the minimum md5 over word
+    ``n``-gram shingles (winnowing-style min-hash of the content stream).
+
+    Robust to small edits anywhere except the minimal window; one explode +
+    one groupBy (shuffle on the doc id only).
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col)
+        .agg(F.min(F.md5("gram")).alias("shingle_fingerprint"))
+    )

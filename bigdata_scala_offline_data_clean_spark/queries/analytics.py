@@ -101,8 +101,338 @@ GROUP BY md5(text)
 """
 
 
+# ---------------------------------------------------------------------------
+# a04 -- BPE-ish token counting (regex word-pieces)
+# ---------------------------------------------------------------------------
+
+
+def a04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_count_bpe(d).select("doc_id", "n_bpe_tokens")
+
+
+A04_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# a05 -- language-ID heuristic (marker-stopword overlap, fixed tie order)
+# ---------------------------------------------------------------------------
+
+
+def a05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "predicted_lang"
+    )
+
+
+def _a05_sql() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    scores = ",\n       ".join(
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+        f"{[*LANG_MARKERS[lang]]})) AS score_{lang}"
+        for lang in langs
+    )
+    case = "CASE\n"
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        case += f"  WHEN {conds} THEN '{lang}'\n"
+    case += "END AS predicted_lang"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de, {case}
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# a06 -- document fingerprinting: whole-doc md5 + rolling-window (winnowing)
+# min-shingle fingerprint
+# ---------------------------------------------------------------------------
+
+
+def a06_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import doc_fingerprint, shingle_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    whole = doc_fingerprint(d, ["lang", "source", "text"]).select(
+        "doc_id", "fingerprint"
+    )
+    rolling = shingle_fingerprint(d, n=5)
+    return whole.join(rolling, "doc_id")
+
+
+A06_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+                               i -> array_to_string(t[i:i+4], ' '))) AS gram
+  FROM toks
+)
+SELECT d.doc_id,
+       md5(concat_ws('|', lang, source, text)) AS fingerprint,
+       g.shingle_fingerprint
+FROM documents d
+JOIN (SELECT doc_id, min(md5(gram)) AS shingle_fingerprint
+      FROM grams GROUP BY doc_id) g USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# a07 -- MinHash + banded LSH near-dedup (16 hashes, 4 bands, word bigram
+# shingles) with exact Jaccard verification of candidates
+# ---------------------------------------------------------------------------
+
+_MH_N, _MH_BANDS, _MH_SHINGLE, _MH_THRESHOLD = 16, 4, 2, 0.4
+
+
+def a07_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d,
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+
+
+def _a07_sql() -> str:
+    rows = _MH_N // _MH_BANDS
+    mins = ",\n         ".join(
+        f"min(md5(concat('{i}|', gram))) AS mh_{i}" for i in range(_MH_N)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + i}" for i in range(rows))
+        + ")) AS band_sig FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_MH_SHINGLE - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_MH_SHINGLE - 1}], ' ')))) AS gram
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b
+)
+SELECT * FROM (
+  SELECT i.a, i.b, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+) WHERE jaccard >= {_MH_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# a08 -- n-gram Jaccard similarity join (inverted-index candidates)
+# ---------------------------------------------------------------------------
+
+_NJ_N, _NJ_THRESHOLD = 3, 0.2
+
+
+def a08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=_NJ_N, threshold=_NJ_THRESHOLD)
+
+
+def _a08_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_NJ_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_NJ_N - 1}], ' ')))) AS gram
+  FROM toks
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b
+)
+SELECT * FROM (
+  SELECT i.a, i.b, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+) WHERE jaccard >= {_NJ_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# a09 -- SimHash fingerprints (16-bit, md5-nibble votes)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 16
+
+
+def a09_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, bits=_SH_BITS)
+
+
+def _a09_sql() -> str:
+    votes = []
+    for i in range(_SH_BITS):
+        pos, shift = i // 4 + 1, i % 4
+        nib = f"ascii(substr(h, {pos}, 1))"
+        val = f"(CASE WHEN {nib} >= 97 THEN {nib} - 87 ELSE {nib} - 48 END)"
+        votes.append(f"SUM((({val} >> {shift}) & 1) * 2 - 1) AS v_{i}")
+    votes_sql = ",\n         ".join(votes)
+    fp = " + ".join(
+        f"(CASE WHEN v_{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(_SH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes_sql}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+# ---------------------------------------------------------------------------
+# a10 -- brute-force cosine top-k over the embedding column (exact ANN
+# baseline; deterministic fold => bit-identical doubles across engines)
+# ---------------------------------------------------------------------------
+
+_TOPK_K, _TOPK_NQ = 5, 5
+
+
+def a10_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _TOPK_NQ)
+    return cosine_topk(e, q, k=_TOPK_K)
+
+
+def _a10_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
+    )
+    qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
+    qc = dot.format(a="qv", b="cv")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {_TOPK_NQ}
+), c AS (
+  SELECT vec_id AS n_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT q_id, n_id,
+         round({qc} / (sqrt({qq}) * sqrt({cc})), 6) AS cosine
+  FROM c, q WHERE q_id <> n_id
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# a11 -- LSH-bucketed approximate NN (the 100 TB scale path; hyperplane
+# floats are impractical to mirror in SQL -> rows-only check; recall vs the
+# exact baseline is asserted in tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+
+
+def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _TOPK_NQ)
+    dim = len(e.select("embedding").first()[0])
+    return lsh_ann_topk(e, q, dim=dim, k=_TOPK_K, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# a12 -- multimodal binary plumbing: payload -> Arrow-batched mapInPandas
+# metadata extraction (byte length + digest), oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def a12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, extract_binary_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_binary_meta(attach_binary_payload(d))
+
+
+A12_SQL = """
+SELECT doc_id, strlen(text) AS byte_len, md5(text) AS payload_md5
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a02_text_stats": QuerySpec(a02_text_stats, A02_SQL),
     "a03_exact_dedup": QuerySpec(a03_exact_dedup, A03_SQL),
+    "a04_token_count": QuerySpec(a04_token_count, A04_SQL),
+    "a05_lang_id": QuerySpec(a05_lang_id, _a05_sql()),
+    "a06_doc_fingerprint": QuerySpec(a06_doc_fingerprint, A06_SQL),
+    "a07_minhash_lsh_dedup": QuerySpec(a07_minhash_lsh_dedup, _a07_sql()),
+    "a08_ngram_jaccard": QuerySpec(a08_ngram_jaccard, _a08_sql()),
+    "a09_simhash": QuerySpec(a09_simhash, _a09_sql()),
+    "a10_embedding_topk": QuerySpec(a10_embedding_topk, _a10_sql()),
+    "a11_embedding_lsh_ann": QuerySpec(a11_embedding_lsh_ann, None),
+    "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

@@ -1,0 +1,154 @@
+"""LLM-training-data operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_binary_meta,
+    fake_feature_extract,
+)
+from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from bigdata_scala_offline_data_clean_spark.operators.text import (
+    language_id,
+    token_count_bpe,
+    with_text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    neardup = base.replace("today", "tonight")  # one word differs
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, neardup),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "el la de y en que los otros mas aqui"),  # spanish-ish markers
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats(spark, docs):
+    r = {x.doc_id: x for x in with_text_stats(docs).collect()}
+    assert r[0].n_tokens == 14
+    assert r[0].n_uniq_tokens == 12  # 'the' x3 dedupes
+    assert r[0].n_chars_calc == len(docs.where(F.col("doc_id") == 0).first().text)
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame([(0, "ab 12 x?!")], ["doc_id", "text"])
+    # pieces: ab | 12 | x | ? | !
+    assert token_count_bpe(df).first().n_bpe_tokens == 5
+
+
+def test_language_id_markers_and_tie_order(spark, docs):
+    r = {x.doc_id: x.predicted_lang for x in language_id(docs).collect()}
+    assert r[4] == "es"  # spanish markers dominate
+    assert r[0] == "en"  # 'the' x3
+    # all-zero scores tie -> earliest lang in fixed order wins
+    zero = spark.createDataFrame([(9, "zzz qqq")], ["doc_id", "text"])
+    assert language_id(zero).first().predicted_lang == "en"
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r.text_hash: r for r in exact_dedup_groups(docs).collect()}
+    counts = sorted(g.dup_count for g in groups.values())
+    assert counts == [1, 1, 1, 2]
+    kept = exact_dedup(docs)
+    assert kept.count() == 4
+    # representative of the dup group is the smallest doc_id
+    assert {r.doc_id for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_dedup_pairs(docs, shingle_n=2, threshold=0.4).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in found  # exact dup always collides (jaccard 1.0)
+    j = {(r.a, r.b): r.jaccard for r in pairs}
+    assert j[(0, 1)] == 1.0
+    # near-dup pair should be found with high jaccard
+    assert (0, 2) in found and j[(0, 2)] > 0.7
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs  # unrelated docs don't pair
+
+
+def test_simhash_equal_for_identical_distinct_tokens(spark, docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]  # identical text
+    assert 0 <= fp[0] < 2**16
+    # near-dup fingerprints are close in hamming distance
+    ham = bin(fp[0] ^ fp[2]).count("1")
+    assert ham <= 4
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 50 = scaled copy of vec 0 -> cosine 1.0
+    rows.append((50, [x * 2.0 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    top = cosine_topk(vectors, q, k=3).collect()
+    assert [r.rank for r in top] == [1, 2, 3]
+    assert top[0].n_id == 50 and top[0].cosine == 1.0  # the scaled copy
+
+
+def test_lsh_ann_recall(spark, vectors):
+    q = vectors.where(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(vectors, q, k=3).collect()}
+    approx = {(r.q_id, r.n_id) for r in lsh_ann_topk(vectors, q, dim=8, k=3, planes=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # bucketed search trades recall for candidates
+    # scaled copy shares the bucket of its original (same signs)
+    assert (0, 50) in approx
+
+
+def test_multimodal_meta_and_features(spark, docs):
+    with_bin = attach_binary_payload(docs)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    meta = {r.doc_id: r for r in extract_binary_meta(with_bin).collect()}
+    t0 = docs.where(F.col("doc_id") == 0).first().text
+    assert meta[0].byte_len == len(t0.encode())
+    assert meta[0].payload_md5 == hashlib.md5(t0.encode()).hexdigest()
+
+    feats = {r.doc_id: r for r in fake_feature_extract(with_bin, n_features=4).collect()}
+    assert len(feats[0].features) == 4
+    assert feats[0].features == feats[1].features  # deterministic on same bytes
+    assert all(0.0 <= x <= 1.0 for x in feats[0].features)
+
+
+def test_decode_image_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
