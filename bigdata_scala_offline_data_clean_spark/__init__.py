@@ -18,6 +18,10 @@ as an idiomatic PySpark library:
                     functions + the 12 reference jobs as ``JOBS`` configs
 - ``queries``    -- the driver-checked query registry (PySpark + DuckDB
                     oracle pairs feeding ``__spark_entry__.py``)
+- ``streaming``  -- Structured Streaming counterparts: incremental append-
+                    clean, watermarked dedup, tumbling-window rollups (the
+                    reference declares spark-streaming in pom.xml:26-29 but
+                    never uses it)
 
 Everything here is stock DataFrame/SQL -- no RDDs, no custom Catalyst rules --
 so Catalyst/Tungsten/AQE provide pushdown, pruning, join selection, codegen

@@ -26,10 +26,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import analytics, cleaning, parity
+    from . import analytics, cleaning, parity, streaming_q
 
     out: dict[str, QuerySpec] = {}
-    for mod in (parity, analytics, cleaning):
+    for mod in (parity, analytics, cleaning, streaming_q):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,92 @@
+"""Streaming queries: Structured Streaming run over the testdata with an
+``availableNow`` trigger -- identical semantics to a continuous run, bounded
+execution, so the DuckDB oracle can check the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ._util import load_table, ts_str
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ns->timestamp handling.
+
+    The file stream source requires a *directory*; the testdata ships single
+    files, so a scratch dir with a symlink stands in for the drop directory
+    a production stream would watch.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    batch = load_table(spark, sf_dir, "events")  # pins nanosAsLong + UTC
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    drop_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(drop_dir, exist_ok=True)
+    link = os.path.join(drop_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(raw_schema).parquet(drop_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.select(*batch.columns)
+
+
+# ---------------------------------------------------------------------------
+# s01 -- watermarked tumbling-window aggregation (the canonical streaming
+# rollup; availableNow => all data in-window, matching the batch GROUP BY)
+# ---------------------------------------------------------------------------
+
+
+def s01_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_windowed_counts
+
+    ev = _events_stream(spark, sf_dir)
+    counts = stream_windowed_counts(ev, "ts", "event_type", "1 hour", "1 hour")
+    out = run_available_now(counts, spark)
+    return out.select(
+        ts_str("window_start").alias("window_start"),
+        ts_str("window_end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+S01_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# s02 -- streaming dedup (watermarked dropDuplicates).  Which row survives
+# per key is arrival-order-dependent, so only the key set is checked.
+# ---------------------------------------------------------------------------
+
+
+def s02_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_dedup
+
+    ev = _events_stream(spark, sf_dir)
+    deduped = stream_dedup(ev, "user_id", "ts", "1 hour")
+    return run_available_now(deduped, spark).select("user_id")
+
+
+S02_SQL = "SELECT DISTINCT user_id FROM events"
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
+    "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
+}

@@ -1,0 +1,107 @@
+"""Structured Streaming counterparts of the batch archetypes.
+
+The reference declares spark-streaming (pom.xml:26-29) but ships no
+streaming code; these are the Spark-native incremental versions of its
+batch semantics, for sources that arrive continuously:
+
+- ``stream_append_clean``  -- archetype A as an incremental pipeline:
+  every new file in the ODS drop directory is stamped and appended.
+- ``stream_dedup``         -- W1 as streaming dedup: watermarked
+  ``dropDuplicates`` on the business key.
+- ``stream_windowed_counts`` -- watermark + tumbling-window aggregation
+  (the canonical late-data-tolerant rollup).
+
+All return lazily-started ``DataStreamWriter``-ready frames; callers pick
+sink/trigger.  ``run_available_now`` drives any of them over the data
+already present (used by tests and the driver contract -- identical
+semantics to a continuous run, bounded execution).
+
+Scale notes: file-source streaming lists the input directory
+incrementally (``maxFilesPerTrigger`` bounds batch size); state for the
+dedup/window operators is keyed and pruned by the watermark, so state
+size is O(keys in the watermark horizon), not O(history).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.etl import stamp_audit
+
+
+def stream_append_clean(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    user: str = "user1",
+    ts: Column | None = None,
+    etl_date: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Archetype A, incremental: parquet-directory stream -> audit stamp."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return stamp_audit(df, user=user, ts=ts, etl_date=etl_date)
+
+
+def stream_dedup(
+    df: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """W1 streaming analog: keep the first arrival per business key within
+    the watermark horizon (state pruned beyond it)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts: the late-data-tolerant rollup.
+
+    Output: (window_start, window_end, <group_col>, n_events) -- window
+    bounds surfaced as flat columns for sink-friendliness.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n_events",
+        )
+    )
+
+
+def run_available_now(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming frame over all currently-available input and
+    return the materialized result as a batch DataFrame (memory sink,
+    ``availableNow`` trigger)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not _has_aggregate(streaming_df) else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

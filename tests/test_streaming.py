@@ -1,0 +1,78 @@
+"""Structured Streaming jobs: incremental archetype A, dedup, windowed agg."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.streaming.jobs import (
+    run_available_now,
+    stream_append_clean,
+    stream_dedup,
+    stream_windowed_counts,
+)
+
+
+def _write_batch(spark, path, rows):
+    from datetime import datetime
+
+    typed = [(k, datetime.fromisoformat(ts), v) for k, ts, v in rows]
+    spark.createDataFrame(
+        typed, "k int, ts timestamp, v string"
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_append_clean(spark, tmp_path):
+    src = str(tmp_path / "drop")
+    _write_batch(spark, src, [(1, "2022-10-01 00:00:00", "a")])
+    schema = spark.read.parquet(src).schema
+    stamped = stream_append_clean(
+        spark, src, schema, ts=F.lit("2022-10-01 12:00:00"), etl_date="20221001"
+    )
+    assert stamped.isStreaming
+    out = run_available_now(stamped, spark)
+    row = out.first()
+    assert row.dwd_insert_user == "user1"
+    assert row.etl_date == "20221001"
+    assert out.columns[-1] == "etl_date"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "2022-10-01 00:00:00", "first"),
+            (1, "2022-10-01 00:30:00", "dup"),
+            (2, "2022-10-01 00:10:00", "only"),
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = run_available_now(stream_dedup(stream, "k", "ts"), spark)
+    assert out.count() == 2
+    assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "win_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "2022-10-01 00:05:00", "x"),
+            (2, "2022-10-01 00:55:00", "x"),
+            (3, "2022-10-01 01:05:00", "x"),
+            (4, "2022-10-01 01:06:00", "y"),
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = stream_windowed_counts(stream, "ts", "v", "1 hour", "1 hour")
+    out = run_available_now(counts, spark)
+    got = {
+        (str(r.window_start), r.v): r.n_events for r in out.collect()
+    }
+    assert got[("2022-10-01 00:00:00", "x")] == 2
+    assert got[("2022-10-01 01:00:00", "x")] == 1
+    assert got[("2022-10-01 01:00:00", "y")] == 1
