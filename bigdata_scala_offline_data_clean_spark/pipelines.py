@@ -117,6 +117,7 @@ def run_delta_merge(
     user: str = "user1",
     ts: Column | None = None,
     delta_broadcast_rows: int = 5_000_000,
+    decoders: dict | None = None,
 ) -> str:
     """Latest ODS partition FULL-OUTER-merged with the offline delta snapshot
     (the HBase side-channel, S4/S5), base value preferred per column (J3),
@@ -135,7 +136,9 @@ def run_delta_merge(
     if latest is None:
         raise FileNotFoundError(f"ods.{ods_table} has no partitions")
     base = wh.partition("ods", ods_table, latest).drop("etl_date")
-    delta = read_delta_snapshot(wh.spark, delta_path, rowkey_pattern=rowkey_regex)
+    delta = read_delta_snapshot(
+        wh.spark, delta_path, rowkey_pattern=rowkey_regex, decoders=decoders
+    )
     delta = delta.drop("row_key").drop("snapshot_date")
 
     missing = [c for c in base.columns if c not in delta.columns]

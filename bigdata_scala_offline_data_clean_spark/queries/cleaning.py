@@ -80,6 +80,103 @@ FROM o WHERE o_orderkey % 5 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# c02 -- archetype C end-to-end: ODS base partition + delta snapshot with
+# rowkey regex (S4/S5) and a decoder hook (S6), merged full-outer with
+# base-wins coalesce (J1/J3), audit-stamped (pinned ts), appended, read back.
+# The oracle restates the whole pipeline in SQL.
+# ---------------------------------------------------------------------------
+
+PIN_TS = "2022-10-01 00:00:00"
+
+
+def c02_delta_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import run_delta_merge  # noqa: F401 (used below)
+    from ..sources.catalog import Warehouse
+
+    o = _orders_str(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c02_")
+    try:
+        wh = Warehouse(spark, scratch)
+        # ODS base: odd keys as the 20221001 partition
+        base = o.where(F.col("o_orderkey") % 2 == 1).withColumn(
+            "etl_date", F.lit("20221001")
+        )
+        wh.append(base, "ods", "order_master")
+        # delta snapshot: keys %3==0, supplement rows; rowkey embeds a date,
+        # amount arrives as a string for the decoder hook (S6)
+        delta = (
+            o.where(F.col("o_orderkey") % 3 == 0)
+            .withColumn(
+                "row_key",
+                F.concat(
+                    F.when(F.col("o_orderkey") % 6 == 0, F.lit("rk_20221001_"))
+                    .otherwise(F.lit("rk_20220930_")),
+                    F.col("o_orderkey").cast("string"),
+                ),
+            )
+            .withColumn("o_orderpriority", F.lit("OFFLINE-SUPPLEMENT"))
+            .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        )
+        delta.write.parquet(f"{scratch}/delta/order_master_offline")
+
+        run_delta_merge(
+            wh,
+            "order_master",
+            "fact_order_master",
+            f"{scratch}/delta/order_master_offline",
+            "o_orderkey",
+            rowkey_regex=".*20221001.*",
+            ts=F.lit(PIN_TS),
+            decoders={"o_totalprice": lambda c: c.cast("double")},
+        )
+        back = wh.table("dwd", "fact_order_master").withColumn(
+            "etl_date", F.col("etl_date").cast("string")
+        )
+        out = back.select(
+            *ORDER_SEL,
+            "o_orderdate",
+            "dwd_insert_user",
+            "dwd_insert_time",
+            "dwd_modify_user",
+            "dwd_modify_time",
+            "etl_date",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C02_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+  FROM orders
+), base AS (
+  SELECT * FROM o WHERE o_orderkey % 2 = 1
+), delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         'OFFLINE-SUPPLEMENT' AS o_orderpriority, o_orderdate
+  FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 = 0
+), merged AS (
+  SELECT COALESCE(b.o_orderkey, d.o_orderkey)           AS o_orderkey,
+         COALESCE(b.o_custkey, d.o_custkey)             AS o_custkey,
+         COALESCE(b.o_orderstatus, d.o_orderstatus)     AS o_orderstatus,
+         COALESCE(b.o_totalprice, d.o_totalprice)       AS o_totalprice,
+         COALESCE(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+         COALESCE(b.o_orderdate, d.o_orderdate)         AS o_orderdate
+  FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+       o_orderdate,
+       'user1' AS dwd_insert_user, '{PIN_TS}' AS dwd_insert_time,
+       'user1' AS dwd_modify_user, '{PIN_TS}' AS dwd_modify_time,
+       '20221001' AS etl_date
+FROM merged
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
+    "c02_delta_merge_pipeline": QuerySpec(c02_delta_merge_pipeline, C02_SQL),
 }
