@@ -21,6 +21,7 @@ from bigdata_scala_offline_data_clean_spark.session import build_session
 
 HEADLINE = [
     "a01_pricing_summary",
+    "a13_revenue_by_region",
     "q01_latest_day_orders",
     "q04_scd1_dedup",
     "q06_full_outer_coalesce",
@@ -28,6 +29,8 @@ HEADLINE = [
     "q08_scd1_upsert",
     "a02_text_stats",
     "a03_exact_dedup",
+    "a07_minhash_lsh_dedup",
+    "a10_embedding_topk",
 ]
 
 

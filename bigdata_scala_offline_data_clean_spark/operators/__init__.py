@@ -19,6 +19,7 @@ from .dedup import (
     simhash,
 )
 from .similarity import cosine_topk, lsh_ann_topk
+from .skew import salted_aggregate, salted_join
 from .text import (
     doc_fingerprint,
     language_id,
@@ -43,6 +44,8 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "rename_prefix",
+    "salted_aggregate",
+    "salted_join",
     "scd1_upsert",
     "shingle_fingerprint",
     "shingles",

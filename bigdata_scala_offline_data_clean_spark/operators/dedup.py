@@ -171,9 +171,21 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: pairs with Jaccard >= threshold."""
+    """Full MinHash-LSH near-dup pipeline: pairs with Jaccard >= threshold.
+
+    The shingle frame feeds three consumers (signatures + both sides of the
+    Jaccard verify).  At test scale recomputing the explode is as cheap as
+    caching it (measured: persist ~= no-persist once the JVM is warm), so
+    the default avoids the cache-memory footprint; for corpora where
+    shingling is expensive (large docs, char shingles), pass
+    ``persist_shingles=True`` -- or at 100 TB, checkpoint the shingle frame
+    to parquet and reuse it across the signature and verify stages.
+    """
     sh = shingles(df, id_col, text_col, shingle_n)
+    if persist_shingles:
+        sh = sh.persist()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = candidate_pairs(lsh_bands(sigs, id_col, num_hashes, bands), id_col)
     return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)

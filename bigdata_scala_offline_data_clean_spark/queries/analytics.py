@@ -422,8 +422,128 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# a13 -- multi-join star aggregate (TPC-H Q5 shape): revenue by region.
+# Decimal-exact revenue arithmetic -> bit-identical double across engines.
+# ---------------------------------------------------------------------------
+
+
+def a13_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name")
+    )
+
+
+A13_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# a14 -- fact ⋈ two dims (part broadcast, supplier broadcast): brand stats
+# ---------------------------------------------------------------------------
+
+
+def a14_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("s_nationkey").alias("n_supp_nations"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+A14_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items,
+       count(DISTINCT s_nationkey) AS n_supp_nations
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# a15 -- document quality scoring (training-data filter features):
+# uniqueness ratio + length band, integer-exact arithmetic
+# ---------------------------------------------------------------------------
+
+
+def a15_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_text_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = with_text_stats(d)
+    uniq_ratio = F.col("n_uniq_tokens") / F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        uniq_ratio.alias("uniq_ratio"),
+        F.when(F.col("n_tokens") < 20, F.lit("short"))
+        .when(F.col("n_tokens") > 80, F.lit("long"))
+        .otherwise(F.lit("medium"))
+        .alias("length_band"),
+        (uniq_ratio >= 0.5).alias("passes_uniq_filter"),
+    )
+
+
+A15_SQL = """
+WITH stats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_uniq_tokens,
+       CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+       CASE WHEN n_tokens < 20 THEN 'short'
+            WHEN n_tokens > 80 THEN 'long'
+            ELSE 'medium' END AS length_band,
+       (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) >= 0.5 AS passes_uniq_filter
+FROM stats
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
+    "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
+    "a14_brand_volume": QuerySpec(a14_brand_volume, A14_SQL),
+    "a15_quality_score": QuerySpec(a15_quality_score, A15_SQL),
     "a02_text_stats": QuerySpec(a02_text_stats, A02_SQL),
     "a03_exact_dedup": QuerySpec(a03_exact_dedup, A03_SQL),
     "a04_token_count": QuerySpec(a04_token_count, A04_SQL),
