@@ -28,4 +28,16 @@ so Catalyst/Tungsten/AQE provide pushdown, pruning, join selection, codegen
 and skew handling for free at cluster scale.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .session import build_session, stop_session  # noqa: E402,F401
+from .sources.catalog import Warehouse  # noqa: E402,F401
+from .pipelines import JOBS, run_job  # noqa: E402,F401
+
+__all__ = [
+    "JOBS",
+    "Warehouse",
+    "build_session",
+    "run_job",
+    "stop_session",
+]

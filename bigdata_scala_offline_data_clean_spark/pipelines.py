@@ -195,9 +195,22 @@ def run_star_aggregate(
     """
     etl = etl_date or yesterday_yyyymmdd()
     fact = wh.table(*anchor).drop("etl_date")
-    dim_frames = [
-        (wh.table(layer, tbl).drop("etl_date"), col) for layer, tbl, col in dims
-    ]
+    # Disambiguate dim columns that collide with the anchor or earlier dims
+    # (every reference dim carries modified_time + audit cols): non-key
+    # duplicates become <table>_<col>, keeping the denormalized row wide and
+    # unambiguous.  Join keys keep their names (USING-join semantics).
+    seen = set(fact.columns)
+    dim_frames = []
+    for layer, tbl, col in dims:
+        dim = wh.table(layer, tbl).drop("etl_date")
+        keys = {col} if isinstance(col, str) else set(col)
+        renames = {
+            c: f"{tbl}_{c}" for c in dim.columns if c in seen and c not in keys
+        }
+        for old, new in renames.items():
+            dim = dim.withColumnRenamed(old, new)
+        seen |= set(dim.columns)
+        dim_frames.append((dim, col))
     joined = star_denormalize(fact, dim_frames)
     out = stamp_audit(joined, user=user, layer="dws", ts=ts, etl_date=etl)
     wh.overwrite_table(out, "dws", dws_table)
