@@ -18,7 +18,7 @@ from .dedup import (
     shingles,
     simhash,
 )
-from .similarity import cosine_topk, lsh_ann_topk
+from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk, train_ivf_centroids
 from .skew import salted_aggregate, salted_join
 from .text import (
     doc_fingerprint,
@@ -35,6 +35,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup",
     "exact_dedup_groups",
+    "ivf_ann_topk",
     "jaccard_verify",
     "language_id",
     "lsh_ann_topk",
@@ -52,6 +53,7 @@ __all__ = [
     "simhash",
     "stamp_audit",
     "star_denormalize",
+    "train_ivf_centroids",
     "token_count_bpe",
     "with_text_stats",
 ]

@@ -103,6 +103,118 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse k-means quantizer trained on a bounded driver-side sample.
+
+    The sample (not the corpus) crosses to the driver -- at 100 TB you
+    sample a few thousand vectors, never the table.  numpy Lloyd iterations
+    with a fixed seed => deterministic centroids.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(vec_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    return centroids.tolist()
+
+
+def _ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based index of the nearest centroid (squared L2), ties -> first."""
+    dists = []
+    for c in centroids:
+        cvec = F.array(*[F.lit(float(v)) for v in c])
+        diff = F.zip_with(
+            vec, cvec, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        )
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    arr = F.array(*dists)
+    return F.array_position(arr, F.array_min(arr))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to coarse clusters, probe
+    each query's ``n_probes`` nearest clusters, exact cosine inside.
+
+    The corpus shuffles once on the cluster id; per query the candidate set
+    is ~``n_probes/n_clusters`` of the corpus.  Recall rises with
+    ``n_probes`` (= exact search at ``n_probes = n_clusters``).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_clusters=n_clusters, seed=seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__c_vec"),
+        _ivf_bucket(F.col(vec_col), centroids).alias("bucket"),
+    )
+    # probe assignment for the (small) query set: driver-side numpy
+    cent = np.asarray(centroids)
+    q_rows = queries.select(id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        order = (((cent - v) ** 2).sum(1)).argsort()[:n_probes]
+        probes.extend((r[0], int(b) + 1) for b in order)  # 1-based buckets
+    q_probe = corpus.sparkSession.createDataFrame(
+        probes, ["q_id", "bucket"]
+    ).join(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q_vec")
+        ),
+        "q_id",
+    )
+    scored = (
+        c.join(F.broadcast(q_probe), "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__q_vec"), F.col("__c_vec"))
+                / (_norm(F.col("__q_vec")) * _norm(F.col("__c_vec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -409,6 +409,16 @@ def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only: k-means centroids are float-iterative,
+    impractical to mirror in SQL; recall vs brute force asserted in tests)."""
+    from ..operators.similarity import ivf_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _TOPK_NQ)
+    return ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=2)
+
+
 def a12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_binary_payload, extract_binary_meta
 
@@ -554,5 +564,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a09_simhash": QuerySpec(a09_simhash, _a09_sql()),
     "a10_embedding_topk": QuerySpec(a10_embedding_topk, _a10_sql()),
     "a11_embedding_lsh_ann": QuerySpec(a11_embedding_lsh_ann, None),
+    "a16_embedding_ivf_ann": QuerySpec(a16_embedding_ivf_ann, None),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

@@ -1,6 +1,7 @@
 from .jobs import (
     stream_append_clean,
     stream_dedup,
+    stream_stateful_counter,
     stream_windowed_counts,
     run_available_now,
 )
@@ -9,5 +10,6 @@ __all__ = [
     "run_available_now",
     "stream_append_clean",
     "stream_dedup",
+    "stream_stateful_counter",
     "stream_windowed_counts",
 ]

@@ -87,21 +87,86 @@ def stream_windowed_counts(
     )
 
 
-def run_available_now(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+def stream_stateful_counter(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running totals that survive across micro-batches.
+
+    The canonical pattern for operators Spark's built-ins can't express
+    (session models, custom decay, fraud counters): state is a per-key
+    struct updated with each Arrow batch, pruned by the watermark.
+    Output per batch: (key, n_events, total) reflecting ALL data seen for
+    that key so far.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("sum", DoubleType())]
+    )
+
+    def update(key, batches, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    streaming_df: DataFrame, spark: SparkSession, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming frame over all currently-available input and
     return the materialized result as a batch DataFrame (memory sink,
-    ``availableNow`` trigger)."""
+    ``availableNow`` trigger).  ``output_mode`` defaults by plan shape:
+    complete for aggregates, update for custom stateful ops, else append."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    if output_mode is None:
+        plan = streaming_df._jdf.queryExecution().analyzed().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            output_mode = "update"
+        elif "Aggregate" in plan:
+            output_mode = "complete"
+        else:
+            output_mode = "append"
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if not _has_aggregate(streaming_df) else "complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
-
-
-def _has_aggregate(df: DataFrame) -> bool:
-    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -152,3 +152,24 @@ def test_decode_image_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
+
+
+def test_ivf_ann_recall(spark, vectors):
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        ivf_ann_topk,
+    )
+
+    q = vectors.where(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(vectors, q, k=3).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in ivf_ann_topk(vectors, q, k=3, n_clusters=4, n_probes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    # full probe == exact search
+    full = {
+        (r.q_id, r.n_id)
+        for r in ivf_ann_topk(vectors, q, k=3, n_clusters=4, n_probes=4).collect()
+    }
+    assert full == exact

@@ -76,3 +76,30 @@ def test_stream_windowed_counts(spark, tmp_path):
     assert got[("2022-10-01 00:00:00", "x")] == 2
     assert got[("2022-10-01 01:00:00", "x")] == 1
     assert got[("2022-10-01 01:00:00", "y")] == 1
+
+
+def test_stream_stateful_counter(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.streaming.jobs import (
+        stream_stateful_counter,
+    )
+
+    src = str(tmp_path / "state_src")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "2022-10-01 00:00:00", "a"),
+            (1, "2022-10-01 00:10:00", "b"),
+            (2, "2022-10-01 00:20:00", "c"),
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("amount", F.col("k") * 10.0)
+    )
+    counted = stream_stateful_counter(stream, "k", "amount", "ts")
+    out = {r.key: r for r in run_available_now(counted, spark).collect()}
+    assert out[1].n_events == 2 and out[1].total == 20.0
+    assert out[2].n_events == 1 and out[2].total == 20.0
