@@ -1,0 +1,132 @@
+"""Property-based differential tests: operators vs brute-force Python models.
+
+Hypothesis generates small random frames; each Spark operator must agree
+with a dict/set-based reference implementation of its documented semantics.
+Catches tie-break drift, null handling, and schema-shape regressions that
+fixed fixtures miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+    jaccard_verify,
+    shingles,
+)
+from bigdata_scala_offline_data_clean_spark.operators.etl import (
+    dedup_latest,
+    merge_full_outer,
+    scd1_upsert,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row = st.tuples(
+    st.integers(0, 4),  # key
+    st.integers(0, 3),  # version (order col)
+    st.text(alphabet="abc", min_size=1, max_size=3),  # payload / tiebreak
+)
+rows = st.lists(row, min_size=1, max_size=12)
+
+
+@pytest.mark.usefixtures("spark")
+class TestDedupLatest:
+    @SETTINGS
+    @given(data=rows)
+    def test_matches_model(self, spark, data):
+        df = spark.createDataFrame(data, ["k", "ver", "v"])
+        got = {
+            (r.k, r.ver, r.v) for r in dedup_latest(df, "k", "ver", tiebreak="v").collect()
+        }
+        model = {}
+        for k, ver, v in data:
+            if k not in model or (ver, v) > (model[k][1], model[k][2]):
+                model[k] = (k, ver, v)
+        assert got == set(model.values())
+
+
+@pytest.mark.usefixtures("spark")
+class TestScd1Upsert:
+    @SETTINGS
+    @given(ods=rows, dwd=rows)
+    def test_matches_model(self, spark, ods, dwd):
+        ods_df = spark.createDataFrame(ods, ["k", "ver", "v"])
+        dwd_df = (
+            spark.createDataFrame(dwd, ["k", "ver", "v"])
+            .withColumn("dwd_insert_user", F.lit("user1"))
+            .withColumn("dwd_insert_time", F.lit("2022-09-30 00:00:00").cast("timestamp"))
+            .withColumn("dwd_modify_user", F.lit("user1"))
+            .withColumn("dwd_modify_time", F.lit("2022-09-30 00:00:00").cast("timestamp"))
+        )
+        out = scd1_upsert(
+            ods_df, dwd_df, key="k", order_col="ver",
+            ts=F.lit("2022-10-01 00:00:00").cast("timestamp"), tiebreak="v",
+        )
+        got = {(r.k, r.ver, r.v, str(r.dwd_insert_time)) for r in out.collect()}
+
+        # model: per key pick max (ver, source_rank, v); source 'ods' beats
+        # 'dwd' ('o' > 'd' lexicographically, matching data_source desc)
+        cand = [(k, ver, v, "ods") for k, ver, v in ods] + [
+            (k, ver, v, "dwd") for k, ver, v in dwd
+        ]
+        best = {}
+        for k, ver, v, src in cand:
+            rank = (ver, src, v)  # 'ods' > 'dwd' string order
+            if k not in best or rank > best[k][0]:
+                best[k] = (rank, (k, ver, v, src))
+        expect = set()
+        for _, (k, ver, v, src) in best.values():
+            ins = "2022-10-01 00:00:00" if src == "ods" else "2022-09-30 00:00:00"
+            expect.add((k, ver, v, ins))
+        assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+class TestMergeFullOuter:
+    @SETTINGS
+    @given(
+        base=st.dictionaries(st.integers(0, 5), st.text("xy", min_size=1, max_size=2), max_size=6),
+        delta=st.dictionaries(st.integers(0, 5), st.text("xy", min_size=1, max_size=2), max_size=6),
+    )
+    def test_matches_model(self, spark, base, delta):
+        if not base or not delta:
+            return
+        base_df = spark.createDataFrame(list(base.items()), ["k", "v"])
+        delta_df = spark.createDataFrame(list(delta.items()), ["k", "v"])
+        got = {r.k: r.v for r in merge_full_outer(base_df, delta_df, "k").collect()}
+        expect = {**delta, **base}  # base wins, delta fills
+        assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+class TestJaccard:
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from("abcde"), min_size=1, max_size=8).map(" ".join),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_jaccard_matches_set_model(self, spark, texts):
+        docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        sh = shingles(docs, n=1)
+        ids = list(range(len(texts)))
+        pairs_py = [(a, b) for a in ids for b in ids if a < b]
+        pairs_df = spark.createDataFrame(pairs_py, ["a", "b"])
+        got = {(r.a, r.b): r.jaccard for r in jaccard_verify(pairs_df, sh).collect()}
+        for a, b in pairs_py:
+            sa, sb = set(texts[a].split(" ")), set(texts[b].split(" "))
+            inter = len(sa & sb)
+            if inter == 0:
+                assert (a, b) not in got  # inner gram join drops empty overlaps
+            else:
+                assert got[(a, b)] == inter / len(sa | sb)
