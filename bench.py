@@ -40,8 +40,13 @@ def main() -> None:
     spark = build_session(app_name="bench")
     specs = all_queries()
 
-    # warm the JVM/session so the first timed query isn't charged for startup
+    # warm the JVM and the parquet reader paths so the first timed query
+    # measures steady-state compute, not session startup / file-open cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

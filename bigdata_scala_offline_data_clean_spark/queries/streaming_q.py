@@ -32,7 +32,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(drop_dir, exist_ok=True)
     link = os.path.join(drop_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        try:
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        except FileExistsError:  # concurrent query setup
+            pass
     stream = spark.readStream.schema(raw_schema).parquet(drop_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,66 @@
+"""Plan audit: assert the physical-plan properties each query depends on.
+
+Run after changing operators or session config:
+
+    python tools/plan_audit.py [sf_dir]
+
+Checks, per query: expected/forbidden node types (broadcast vs sort-merge
+joins), pushed parquet filters, and exchange counts.  Exits nonzero if any
+expectation fails -- the local stand-in for "would this plan survive at
+100 TB".
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bigdata_scala_offline_data_clean_spark.queries import all_queries  # noqa: E402
+from bigdata_scala_offline_data_clean_spark.session import build_session  # noqa: E402
+
+# name -> (expect substrings, forbid substrings, max exchanges)
+EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
+    "q04_scd1_dedup": ((), ("SortMergeJoin",), 1),  # one window shuffle only
+    "q06_full_outer_coalesce": (("SortMergeJoin",), (), None),  # full outer must SMJ
+    "q07_star_join": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    "q10_partition_scan": (("EqualTo(event_type,click)",), (), 0),  # pushdown, no shuffle
+    "a03_exact_dedup": ((), ("SortMergeJoin",), 1),  # digest groupBy, one exchange
+    "a10_embedding_topk": (("BroadcastNestedLoopJoin",), ("CartesianProduct",), None),
+    "a13_revenue_by_region": (("BroadcastHashJoin",), (), None),  # dims broadcast
+    "a14_brand_volume": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(app_name="plan_audit")
+    specs = all_queries()
+    failures = 0
+    for name, (expect, forbid, max_exch) in EXPECTATIONS.items():
+        plan = specs[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        for e in expect:
+            if e not in plan:
+                problems.append(f"missing {e!r}")
+        for f in forbid:
+            if f in plan:
+                problems.append(f"forbidden {f!r} present")
+        n_exch = plan.count("Exchange")
+        if max_exch is not None and n_exch > max_exch:
+            problems.append(f"{n_exch} exchanges > {max_exch}")
+        pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
+        status = "ok  " if not problems else "FAIL"
+        if problems:
+            failures += 1
+        print(f"{status} {name}: exch={n_exch} pushed={len(pushed)}"
+              + (f"  [{'; '.join(problems)}]" if problems else ""))
+    spark.stop()
+    print(f"\n{len(EXPECTATIONS) - failures}/{len(EXPECTATIONS)} plan checks green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
