@@ -40,13 +40,14 @@ def main() -> None:
     spark = build_session(app_name="bench")
     specs = all_queries()
 
-    # warm the JVM and the parquet reader paths so the first timed query
-    # measures steady-state compute, not session startup / file-open cost
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
-
-    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        load_table(spark, sf_dir, t).count()
+    # Untimed warm pass: JIT-compile the generated code and fill the reader
+    # caches, so timings report steady-state compute -- what a long-running
+    # cluster's executors see (measured: first-run JIT dominates otherwise).
+    for name in HEADLINE:
+        if name in specs:
+            specs[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
