@@ -409,6 +409,66 @@ def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def a17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based; both engines implement
+    the same linear interpolation -> bit-comparable doubles)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A17_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def a18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A18_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def a19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user by event type (fixed column set)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+A19_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY user_id
+"""
+
+
 def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: k-means centroids are float-iterative,
     impractical to mirror in SQL; recall vs brute force asserted in tests)."""
@@ -565,5 +625,8 @@ QUERIES: dict[str, QuerySpec] = {
     "a10_embedding_topk": QuerySpec(a10_embedding_topk, _a10_sql()),
     "a11_embedding_lsh_ann": QuerySpec(a11_embedding_lsh_ann, None),
     "a16_embedding_ivf_ann": QuerySpec(a16_embedding_ivf_ann, None),
+    "a17_percentiles": QuerySpec(a17_percentiles, A17_SQL),
+    "a18_rollup": QuerySpec(a18_rollup, A18_SQL),
+    "a19_pivot": QuerySpec(a19_pivot, A19_SQL),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

@@ -176,7 +176,48 @@ FROM merged
 """
 
 
+# ---------------------------------------------------------------------------
+# c03 -- string standardization (the day-to-day of data cleaning): trim,
+# whitespace collapse, case-fold, null-vs-empty normalization
+# ---------------------------------------------------------------------------
+
+
+def c03_standardize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    messy = c.select(
+        "c_custkey",
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("   extra  ")).alias("raw_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("raw_segment"),
+    )
+    return messy.select(
+        "c_custkey",
+        F.regexp_replace(F.trim(F.col("raw_name")), " +", " ").alias("clean_name"),
+        F.upper(
+            F.when(F.col("raw_segment") == "", F.lit(None)).otherwise(
+                F.col("raw_segment")
+            )
+        ).alias("clean_segment"),
+    )
+
+
+C03_SQL = """
+WITH messy AS (
+  SELECT c_custkey,
+         concat('  ', c_name, '   extra  ') AS raw_name,
+         CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_mktsegment END AS raw_segment
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(trim(raw_name), ' +', ' ', 'g') AS clean_name,
+       upper(CASE WHEN raw_segment = '' THEN NULL ELSE raw_segment END) AS clean_segment
+FROM messy
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c02_delta_merge_pipeline": QuerySpec(c02_delta_merge_pipeline, C02_SQL),
+    "c03_standardize_strings": QuerySpec(c03_standardize_strings, C03_SQL),
 }

@@ -393,8 +393,36 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# q13 -- semi/anti joins (beyond the reference's join set: the existence
+# queries every warehouse needs)
+# ---------------------------------------------------------------------------
+
+
+def q13_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    buyers = c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name").withColumn("has_orders", F.lit(True))
+    lurkers = c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name").withColumn("has_orders", F.lit(False))
+    return buyers.unionByName(lurkers)
+
+
+Q13_SQL = """
+SELECT c_custkey, c_name, TRUE AS has_orders
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, FALSE AS has_orders
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
+    "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, Q13_SQL),
     "q02_audit_stamp": QuerySpec(q02_audit_stamp, Q02_SQL),
     "q03_rename_projection": QuerySpec(q03_rename_projection, Q03_SQL),
     "q04_scd1_dedup": QuerySpec(q04_scd1_dedup, Q04_SQL),
