@@ -20,6 +20,7 @@ from .dedup import (
 )
 from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk, train_ivf_centroids
 from .skew import salted_aggregate, salted_join
+from .temporal import asof_join, range_join_bucketed
 from .text import (
     doc_fingerprint,
     language_id,
@@ -29,6 +30,7 @@ from .text import (
 )
 
 __all__ = [
+    "asof_join",
     "candidate_pairs",
     "cosine_topk",
     "dedup_latest",
@@ -44,6 +46,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "range_join_bucketed",
     "rename_prefix",
     "salted_aggregate",
     "salted_join",

@@ -420,9 +420,107 @@ FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c
 """
 
 
+# ---------------------------------------------------------------------------
+# q14 -- as-of join (custom operator: union-window composition, one shuffle;
+# oracle = DuckDB's native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+
+def q14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_event_id", "click_ts", "click_value"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts"),
+        "value",
+        "click_event_id",
+        ts_str("click_ts").alias("click_ts"),
+        "click_value",
+    )
+
+
+Q14_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+       c.event_id AS click_event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+# ---------------------------------------------------------------------------
+# q15 -- range (interval-containment) join via coarse time buckets
+# ---------------------------------------------------------------------------
+
+
+def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    out = range_join_bucketed(
+        errors,
+        windows,
+        on="user_id",
+        left_ts="ts",
+        range_start="win_start",
+        range_end="win_end",
+        payload=["purchase_event_id"],
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id", "event_id", ts_str("ts").alias("ts"), "purchase_event_id"
+    )
+
+
+Q15_SQL = """
+SELECT e.user_id, e.event_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       p.event_id AS purchase_event_id
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
     "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, Q13_SQL),
+    "q14_asof_join": QuerySpec(q14_asof_join, Q14_SQL),
+    "q15_range_join": QuerySpec(q15_range_join, Q15_SQL),
     "q02_audit_stamp": QuerySpec(q02_audit_stamp, Q02_SQL),
     "q03_rename_projection": QuerySpec(q03_rename_projection, Q03_SQL),
     "q04_scd1_dedup": QuerySpec(q04_scd1_dedup, Q04_SQL),
