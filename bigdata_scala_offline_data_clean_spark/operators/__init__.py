@@ -20,6 +20,7 @@ from .dedup import (
 )
 from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk, train_ivf_centroids
 from .skew import salted_aggregate, salted_join
+from .sessionize import session_stats, sessionize
 from .temporal import asof_join, range_join_bucketed
 from .text import (
     doc_fingerprint,
@@ -51,6 +52,8 @@ __all__ = [
     "salted_aggregate",
     "salted_join",
     "scd1_upsert",
+    "session_stats",
+    "sessionize",
     "shingle_fingerprint",
     "shingles",
     "simhash",

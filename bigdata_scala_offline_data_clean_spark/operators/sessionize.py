@@ -1,0 +1,63 @@
+"""Gap-based sessionization: assign events to sessions per key.
+
+A session breaks when the gap to the previous event exceeds ``gap_seconds``.
+Batch implementation is the lag + running-sum-of-breaks composition -- two
+window passes over ONE hash exchange on the key (the second window reuses
+the first's partitioning; Catalyst plans a single Exchange).  The streaming
+counterpart is ``F.session_window`` (see streaming/jobs.py rollups).
+
+Engine-portable: integer epoch arithmetic only, so the DuckDB oracle
+reproduces session ids exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Add ``session_id`` (key-scoped, 0-based) and ``is_session_start``.
+
+    Rows ordered by ``ts_col`` within each key; a new session starts when
+    the previous event is more than ``gap_seconds`` older (or absent).
+    Deterministic for distinct (key, ts) pairs; ties order by ts only --
+    pass pre-deduplicated input for exact tie control.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    is_start = F.when(
+        prev.isNull() | (F.unix_timestamp(F.col(ts_col)) - prev > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = df.withColumn("is_session_start", is_start)
+    return out.withColumn(
+        "session_id",
+        F.sum("is_session_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.lit(1),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup: bounds, event count, duration seconds."""
+    s = sessionize(df, key, ts_col, gap_seconds)
+    return s.groupBy(key, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_sec"),
+    )

@@ -469,6 +469,49 @@ FROM events GROUP BY user_id
 """
 
 
+def a20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session stats per user (30-min gap)."""
+    from ..operators.sessionize import session_stats
+    from ._util import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_id",
+        ts_str("session_start").alias("session_start"),
+        ts_str("session_end").alias("session_end"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+A20_SQL = """
+WITH marked AS (
+  -- floor(epoch) matches Spark's whole-second unix_timestamp truncation
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, es,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       max(es) - min(es) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: k-means centroids are float-iterative,
     impractical to mirror in SQL; recall vs brute force asserted in tests)."""
@@ -628,5 +671,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a17_percentiles": QuerySpec(a17_percentiles, A17_SQL),
     "a18_rollup": QuerySpec(a18_rollup, A18_SQL),
     "a19_pivot": QuerySpec(a19_pivot, A19_SQL),
+    "a20_sessionize": QuerySpec(a20_sessionize, A20_SQL),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

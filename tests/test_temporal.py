@@ -113,3 +113,39 @@ def test_range_join_interval_spanning_buckets(spark):
         ).count()
         == 0
     )
+
+
+def test_sessionize_gap_semantics(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2022-10-01 10:00:00")),
+            (1, _ts("2022-10-01 10:30:00")),  # exactly 1800s gap -> SAME session
+            (1, _ts("2022-10-01 11:00:01")),  # 1801s -> new session
+            (2, _ts("2022-10-01 10:00:00")),
+        ],
+        ["user_id", "ts"],
+    )
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    got = sorted((r.user_id, str(r.ts), r.session_id) for r in s.collect())
+    assert got == [
+        (1, "2022-10-01 10:00:00", 0),
+        (1, "2022-10-01 10:30:00", 0),
+        (1, "2022-10-01 11:00:01", 1),
+        (2, "2022-10-01 10:00:00", 0),
+    ]
+    stats = {(r.user_id, r.session_id): r for r in session_stats(ev, "user_id", "ts", 1800).collect()}
+    assert stats[(1, 0)].n_events == 2 and stats[(1, 0)].duration_sec == 1800
+    assert stats[(1, 1)].n_events == 1 and stats[(1, 1)].duration_sec == 0
+
+
+def test_sessionize_single_exchange(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.sessionize import sessionize
+
+    ev = spark.createDataFrame([(1, _ts("2022-10-01 10:00:00"))], ["user_id", "ts"])
+    plan = sessionize(ev, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # both windows share one partitioning
