@@ -93,6 +93,58 @@ def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = Non
     return decoder(payload)
 
 
+def resize_image(
+    payload: bytes,
+    size: tuple[int, int],
+    decoder=None,
+    resizer=None,
+):
+    """Resize an image payload.  STUB: inject ``decoder``/``resizer``
+    (e.g. PIL) in production; no imaging library ships here."""
+    img = decode_image(payload, decoder)
+    if resizer is None:
+        raise NotImplementedError("resize requires an injected resizer")
+    return resizer(img, size)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 3,
+) -> DataFrame:
+    """Deterministic frame sampling plumbing for video payloads.
+
+    Real codecs are injected in production; the stand-in slices the payload
+    into ``n_frames`` evenly-spaced byte windows, exercising the exact
+    explode shape (one output row per sampled frame) a real sampler uses.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, offsets = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(raw) - 1, 0))
+                    ids.append(doc_id)
+                    offsets.append(off)
+                    frames.append(raw[off : off + step])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_offset": offsets, "frame": frames}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_offset", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(gen, schema)
+
+
 def fake_feature_extract(
     df: DataFrame,
     id_col: str = "doc_id",

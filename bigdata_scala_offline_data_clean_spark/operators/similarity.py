@@ -87,6 +87,40 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
+    cosine >= threshold.
+
+    With ``planes`` given, candidates come from hyperplane-LSH buckets (the
+    100 TB path: the self-join is keyed on the bucket id and high-cosine
+    pairs almost always share sign patterns); without, the exact all-pairs
+    comparison runs (correctness baseline -- quadratic, small corpora only).
+    """
+    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    if planes is not None:
+        a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
+        b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
+        pairs = a.join(b, "__bucket").where(F.col("a") < F.col("b"))
+    else:
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+            6,
+        ),
+    )
+    return scored.where(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
 def hyperplanes(dim: int, planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side constants)."""
     rng = random.Random(seed)

@@ -522,6 +522,35 @@ def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=2)
 
 
+_ND_THRESHOLD = 0.3
+
+
+def a21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the correctness baseline;
+    the LSH-bucketed variant of the same operator is the a11 scale path)."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=_ND_THRESHOLD)
+
+
+def _a21_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len({x})), "
+        "i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (s, v) -> s + v)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT * FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round({dot.format(x='a.embedding', y='b.embedding')}
+               / (sqrt({dot.format(x='a.embedding', y='a.embedding')})
+                * sqrt({dot.format(x='b.embedding', y='b.embedding')})), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine >= {_ND_THRESHOLD}
+"""
+
+
 def a12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_binary_payload, extract_binary_meta
 
@@ -672,5 +701,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a18_rollup": QuerySpec(a18_rollup, A18_SQL),
     "a19_pivot": QuerySpec(a19_pivot, A19_SQL),
     "a20_sessionize": QuerySpec(a20_sessionize, A20_SQL),
+    "a21_embedding_neardup": QuerySpec(a21_embedding_neardup, _a21_sql()),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

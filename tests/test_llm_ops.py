@@ -173,3 +173,38 @@ def test_ivf_ann_recall(spark, vectors):
         for r in ivf_ann_topk(vectors, q, k=3, n_clusters=4, n_probes=4).collect()
     }
     assert full == exact
+
+
+def test_embedding_neardup_exact_and_lsh(spark, vectors):
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        hyperplanes,
+    )
+
+    exact = {(r.a, r.b) for r in embedding_neardup_pairs(vectors, threshold=0.99).collect()}
+    assert (0, 50) in exact  # the scaled copy pair
+    hp = hyperplanes(8, planes=4)
+    bucketed = {
+        (r.a, r.b)
+        for r in embedding_neardup_pairs(vectors, threshold=0.99, planes=hp).collect()
+    }
+    assert (0, 50) in bucketed  # identical directions share every sign bit
+    assert bucketed <= exact  # LSH never invents pairs
+
+
+def test_frame_sample_plumbing(spark, docs):
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        frame_sample,
+        resize_image,
+    )
+
+    with_bin = attach_binary_payload(docs)
+    frames = frame_sample(with_bin, n_frames=3)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)
+    one = frames.where((F.col("doc_id") == 0) & (F.col("frame_offset") == 0)).first()
+    t0 = docs.where(F.col("doc_id") == 0).first().text.encode()
+    assert bytes(one.frame) == t0[: len(bytes(one.frame))]
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"payload", (8, 8), decoder=lambda b: b)
