@@ -18,7 +18,13 @@ from .dedup import (
     shingles,
     simhash,
 )
-from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk, train_ivf_centroids
+from .similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    train_ivf_centroids,
+)
 from .skew import salted_aggregate, salted_join
 from .sessionize import session_stats, sessionize
 from .temporal import asof_join, range_join_bucketed
@@ -36,6 +42,7 @@ __all__ = [
     "cosine_topk",
     "dedup_latest",
     "doc_fingerprint",
+    "embedding_neardup_pairs",
     "exact_dedup",
     "exact_dedup_groups",
     "ivf_ann_topk",

@@ -522,6 +522,43 @@ def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=2)
 
 
+def a22_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family over orders per customer:
+    lead/lag, rank, dense_rank, ntile, percent_rank (exact rational ->
+    engine-identical doubles)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+A22_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 _ND_THRESHOLD = 0.3
 
 
@@ -702,5 +739,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a19_pivot": QuerySpec(a19_pivot, A19_SQL),
     "a20_sessionize": QuerySpec(a20_sessionize, A20_SQL),
     "a21_embedding_neardup": QuerySpec(a21_embedding_neardup, _a21_sql()),
+    "a22_window_functions": QuerySpec(a22_window_functions, A22_SQL),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

@@ -130,3 +130,36 @@ class TestJaccard:
                 assert (a, b) not in got  # inner gram join drops empty overlaps
             else:
                 assert got[(a, b)] == inter / len(sa | sb)
+
+
+@pytest.mark.usefixtures("spark")
+class TestAsofJoin:
+    @SETTINGS
+    @given(
+        lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=8),
+        rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=8),
+    )
+    def test_matches_model(self, spark, lefts, rights):
+        from datetime import datetime, timedelta
+
+        from bigdata_scala_offline_data_clean_spark.operators.temporal import asof_join
+
+        base = datetime(2022, 10, 1)
+        # unique right (key, ts) so tie-break is irrelevant (mirrors real
+        # event streams; ties are covered by the fixed-fixture tests)
+        rights = list({(k, t) for k, t in rights})
+        l_rows = [(k, base + timedelta(minutes=t), i) for i, (k, t) in enumerate(lefts)]
+        r_rows = [(k, base + timedelta(minutes=t), f"p{k}_{t}") for k, t in rights]
+        left = spark.createDataFrame(l_rows, ["k", "ts", "lid"])
+        right = spark.createDataFrame(r_rows, ["k", "qts", "pay"])
+        out = {
+            r.lid: r.pay
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="qts", payload=["pay"]
+            ).collect()
+        }
+        model = {}
+        for i, (k, t) in enumerate(lefts):
+            cands = [(rt, f"p{rk}_{rt}") for rk, rt in rights if rk == k and rt <= t]
+            model[i] = max(cands)[1] if cands else None
+        assert out == model
