@@ -588,6 +588,61 @@ SELECT * FROM (
 """
 
 
+def a23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column + typed cast."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10 == 0).alias("k_decimal_round"),
+    )
+
+
+A23_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0 AS k_decimal_round
+FROM events
+"""
+
+
+def a24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar functions over a data time column (the reference carries
+    times as strings and never computes on them; a real engine must)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),  # 1=Sunday
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2026-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_until_2026"
+        ),
+    )
+
+
+A24_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,  -- duckdb: 0=Sunday
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER)
+           AS days_until_2026
+FROM orders
+"""
+
+
 def a12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_binary_payload, extract_binary_meta
 
@@ -740,5 +795,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a20_sessionize": QuerySpec(a20_sessionize, A20_SQL),
     "a21_embedding_neardup": QuerySpec(a21_embedding_neardup, _a21_sql()),
     "a22_window_functions": QuerySpec(a22_window_functions, A22_SQL),
+    "a23_json_extract": QuerySpec(a23_json_extract, A23_SQL),
+    "a24_date_functions": QuerySpec(a24_date_functions, A24_SQL),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
 }

@@ -516,11 +516,40 @@ WHERE e.event_type = 'error'
 """
 
 
+# ---------------------------------------------------------------------------
+# q16 -- set operations: INTERSECT / EXCEPT (distinct semantics)
+# ---------------------------------------------------------------------------
+
+
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    buyers = o.select(F.col("o_custkey").alias("custkey"))
+    rich = c.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = rich.intersect(buyers).withColumn("set_op", F.lit("rich_buyer"))
+    only_rich = rich.exceptAll(buyers.distinct()).withColumn(
+        "set_op", F.lit("rich_no_orders")
+    )
+    return both.unionByName(only_rich)
+
+
+Q16_SQL = """
+WITH buyers AS (SELECT o_custkey AS custkey FROM orders),
+     rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+SELECT custkey, 'rich_buyer' AS set_op FROM (SELECT custkey FROM rich INTERSECT SELECT custkey FROM buyers)
+UNION ALL
+SELECT custkey, 'rich_no_orders' AS set_op FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
     "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, Q13_SQL),
     "q14_asof_join": QuerySpec(q14_asof_join, Q14_SQL),
     "q15_range_join": QuerySpec(q15_range_join, Q15_SQL),
+    "q16_set_ops": QuerySpec(q16_set_ops, Q16_SQL),
     "q02_audit_stamp": QuerySpec(q02_audit_stamp, Q02_SQL),
     "q03_rename_projection": QuerySpec(q03_rename_projection, Q03_SQL),
     "q04_scd1_dedup": QuerySpec(q04_scd1_dedup, Q04_SQL),

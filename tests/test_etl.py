@@ -185,3 +185,25 @@ def test_star_denormalize_broadcasts_dims(spark):
     dim = spark.createDataFrame([(10, "ten")], ["dim_id", "name"])
     plan = star_denormalize(fact, [(dim, "dim_id")])._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_dedup_latest_null_keys_group_together(spark):
+    """Window partitionBy groups NULL keys into one partition -- null-key
+    rows dedup among themselves (documented semantics)."""
+    df = spark.createDataFrame(
+        [(None, "2022-01-02", "newest-null"), (None, "2022-01-01", "old-null"),
+         (1, "2022-01-01", "keyed")],
+        "k int, t string, v string",
+    )
+    out = {r.v for r in dedup_latest(df, "k", "t").collect()}
+    assert out == {"newest-null", "keyed"}
+
+
+def test_merge_full_outer_null_keys_never_match(spark):
+    """Equi-join null keys never match -- null-key rows from BOTH sides
+    survive as distinct unmatched rows (standard SQL semantics)."""
+    base = spark.createDataFrame([(None, "base-null"), (1, "b1")], "k int, v string")
+    delta = spark.createDataFrame([(None, "delta-null"), (1, "d1")], "k int, v string")
+    rows = merge_full_outer(base, delta, "k").collect()
+    vals = sorted(r.v for r in rows)
+    assert vals == ["b1", "base-null", "delta-null"]
