@@ -26,6 +26,7 @@ from .similarity import (
     train_ivf_centroids,
 )
 from .skew import salted_aggregate, salted_join
+from .quality import orphan_rows, profile_columns, uniqueness_violations
 from .sessionize import session_stats, sessionize
 from .temporal import asof_join, range_join_bucketed
 from .text import (
@@ -54,6 +55,8 @@ __all__ = [
     "minhash_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "orphan_rows",
+    "profile_columns",
     "range_join_bucketed",
     "rename_prefix",
     "salted_aggregate",
@@ -66,7 +69,8 @@ __all__ = [
     "simhash",
     "stamp_audit",
     "star_denormalize",
-    "train_ivf_centroids",
     "token_count_bpe",
+    "train_ivf_centroids",
+    "uniqueness_violations",
     "with_text_stats",
 ]

@@ -1,0 +1,58 @@
+"""Data-quality operators: profiling, uniqueness, referential integrity.
+
+The reference "checks" data with show(false) and an eyeball
+(CustomerInfDataClean.scala:63-64); these are the programmatic equivalents a
+warehouse actually needs, each a single aggregation pass (profiling) or a
+broadcast/hash anti-join (integrity) -- shapes that hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile in ONE aggregation pass over the table:
+    row count, null count, distinct count, min/max (as strings).
+
+    Output: one row per column (unpivoted driver-side from the single-row
+    aggregate -- the data is scanned exactly once).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__distinct_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = [
+        (c, row["__n"], row[f"__nulls_{c}"], row[f"__distinct_{c}"],
+         row[f"__min_{c}"], row[f"__max_{c}"])
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "col_name string, n_rows bigint, n_nulls bigint, "
+        "n_distinct bigint, min_str string, max_str string"
+    )
+
+
+def orphan_rows(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Referential-integrity violations: fact rows whose key has no match in
+    the dimension (anti-join; dimension side broadcast when small)."""
+    return fact.join(
+        dim.select(F.col(dim_key).alias(fact_key)), on=fact_key, how="left_anti"
+    )
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key groups appearing more than once: (keys..., dup_count)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )

@@ -216,8 +216,74 @@ FROM messy
 """
 
 
+# ---------------------------------------------------------------------------
+# c04 -- data profiling: one-pass per-column stats (null/distinct/min/max)
+# ---------------------------------------------------------------------------
+
+
+def c04_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import profile_columns
+
+    c = load_table(spark, sf_dir, "customer")
+    return profile_columns(c, ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+
+C04_SQL = """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nu_k,
+         count(DISTINCT c_custkey) AS d_k,
+         min(CAST(c_custkey AS VARCHAR)) AS mn_k, max(CAST(c_custkey AS VARCHAR)) AS mx_k,
+         sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nu_n,
+         count(DISTINCT c_name) AS d_n,
+         min(CAST(c_name AS VARCHAR)) AS mn_n, max(CAST(c_name AS VARCHAR)) AS mx_n,
+         sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nu_na,
+         count(DISTINCT c_nationkey) AS d_na,
+         min(CAST(c_nationkey AS VARCHAR)) AS mn_na, max(CAST(c_nationkey AS VARCHAR)) AS mx_na,
+         sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nu_a,
+         count(DISTINCT c_acctbal) AS d_a,
+         min(CAST(c_acctbal AS VARCHAR)) AS mn_a, max(CAST(c_acctbal AS VARCHAR)) AS mx_a
+  FROM customer
+)
+SELECT 'c_custkey' AS col_name, n AS n_rows, nu_k AS n_nulls, d_k AS n_distinct,
+       mn_k AS min_str, mx_k AS max_str FROM s
+UNION ALL
+SELECT 'c_name', n, nu_n, d_n, mn_n, mx_n FROM s
+UNION ALL
+SELECT 'c_nationkey', n, nu_na, d_na, mn_na, mx_na FROM s
+UNION ALL
+SELECT 'c_acctbal', n, nu_a, d_a, mn_a, mx_a FROM s
+"""
+
+# ---------------------------------------------------------------------------
+# c05 -- referential integrity: lineitems referencing missing parts
+# (synthetically orphaned by excluding a slice of the dimension)
+# ---------------------------------------------------------------------------
+
+
+def c05_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import orphan_rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 10 != 0)
+    orphans = orphan_rows(li, part, "l_partkey", "p_partkey")
+    return orphans.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orphan_rows"))
+
+
+C05_SQL = """
+SELECT l_partkey, count(*) AS n_orphan_rows
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p WHERE p.p_partkey % 10 <> 0 AND p.p_partkey = l.l_partkey
+)
+GROUP BY l_partkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c02_delta_merge_pipeline": QuerySpec(c02_delta_merge_pipeline, C02_SQL),
     "c03_standardize_strings": QuerySpec(c03_standardize_strings, C03_SQL),
+    "c04_profile": QuerySpec(c04_profile, C04_SQL),
+    "c05_referential_integrity": QuerySpec(c05_referential_integrity, C05_SQL),
 }

@@ -100,3 +100,26 @@ def test_delta_snapshot_decoders(spark, tmp_path):
     )
     assert df.schema["amount"].dataType.simpleString() == "int"
     assert df.first().amount == 42
+
+
+def test_quality_operators(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.quality import (
+        orphan_rows,
+        profile_columns,
+        uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (3, "c")], "k int, v string"
+    )
+    prof = {r.col_name: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0 and prof["k"].n_distinct == 3
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 3
+    assert prof["k"].min_str == "1" and prof["k"].max_str == "3"
+
+    dups = uniqueness_violations(df, ["k"]).collect()
+    assert [(r.k, r.dup_count) for r in dups] == [(1, 2)]
+
+    dim = spark.createDataFrame([(1,), (2,)], ["k"])
+    orphans = orphan_rows(df, dim, "k", "k")
+    assert [r.k for r in orphans.collect()] == [3]
