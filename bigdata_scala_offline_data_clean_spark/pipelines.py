@@ -307,6 +307,42 @@ JOBS: dict[str, JobConfig] = {
 }
 
 
+def training_data_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_uniq_ratio: float = 0.3,
+    neardup_threshold: float = 0.6,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """The composed LLM-training-data cleaning pipeline:
+
+    quality filter (token count + uniqueness ratio) -> exact dedup (digest
+    groupBy, keep smallest id) -> near-dedup (MinHash-LSH pairs; the larger
+    id of each verified pair is dropped).
+
+    Every stage is one of this package's operators; the whole chain is
+    lazy -- one shuffle per stage, no driver round-trips.
+    """
+    from .operators.dedup import exact_dedup, minhash_dedup_pairs
+    from .operators.text import with_text_stats
+
+    stats = with_text_stats(docs, text_col)
+    kept = stats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_uniq_tokens") / F.col("n_tokens") >= min_uniq_ratio)
+    ).select(*docs.columns)
+
+    exact = exact_dedup(kept, id_col, text_col)
+
+    pairs = minhash_dedup_pairs(
+        exact, id_col, text_col, shingle_n=shingle_n, threshold=neardup_threshold
+    )
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return exact.join(drop, on=id_col, how="left_anti")
+
+
 def run_job(
     wh: Warehouse,
     job: str | JobConfig,

@@ -280,8 +280,90 @@ GROUP BY l_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# c06 -- the composed training-data pipeline: quality filter -> exact dedup
+# -> MinHash-LSH near-dedup.  The oracle restates every stage in SQL.
+# ---------------------------------------------------------------------------
+
+_TP_MIN_TOKENS, _TP_MIN_UNIQ, _TP_THRESHOLD, _TP_SHINGLE = 10, 0.3, 0.6, 2
+
+
+def c06_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import training_data_pipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    out = training_data_pipeline(
+        d,
+        min_tokens=_TP_MIN_TOKENS,
+        min_uniq_ratio=_TP_MIN_UNIQ,
+        neardup_threshold=_TP_THRESHOLD,
+        shingle_n=_TP_SHINGLE,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _c06_sql() -> str:
+    n = _TP_SHINGLE
+    mins = ",\n         ".join(
+        f"min(md5(concat('{i}|', gram))) AS mh_{i}" for i in range(16)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * 4 + i}" for i in range(4))
+        + ")) AS band_sig FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH stats AS (
+  SELECT *, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, lang, source, n_chars FROM stats
+  WHERE n_tokens >= {_TP_MIN_TOKENS}
+    AND CAST(n_uniq AS DOUBLE) / n_tokens >= {_TP_MIN_UNIQ}
+), exact AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM exact
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {n - 1}, 1)),
+                   i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS gram
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id
+), verified AS (
+  SELECT c.a, c.b,
+         CAST(count(*) AS DOUBLE) / (ca.ng + cb.ng - count(*)) AS jac
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  JOIN counts ca ON ca.doc_id = c.a
+  JOIN counts cb ON cb.doc_id = c.b
+  GROUP BY c.a, c.b, ca.ng, cb.ng
+), dropped AS (
+  SELECT DISTINCT b AS doc_id FROM verified WHERE jac >= {_TP_THRESHOLD}
+)
+SELECT e.doc_id, e.lang, e.source, e.n_chars
+FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
+    "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
     "c02_delta_merge_pipeline": QuerySpec(c02_delta_merge_pipeline, C02_SQL),
     "c03_standardize_strings": QuerySpec(c03_standardize_strings, C03_SQL),
     "c04_profile": QuerySpec(c04_profile, C04_SQL),

@@ -144,3 +144,22 @@ def test_jobs_registry_complete():
     assert len(by_type["B"]) == 3
     assert len(by_type["C"]) == 3
     assert len(by_type["D"]) == 1
+
+
+def test_training_data_pipeline(spark):
+    from bigdata_scala_offline_data_clean_spark.pipelines import training_data_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),                                   # keeper (rep of dup group)
+        (1, base),                                   # exact dup -> dropped
+        (2, base.replace("today", "tonight")),       # near dup -> dropped
+        (3, "short text"),                           # < min_tokens -> dropped
+        (4, "spark spark spark spark spark spark spark spark spark spark spark"),  # low uniq -> dropped
+        (5, "completely different content about catalyst optimizer rules and tungsten codegen stages"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = training_data_pipeline(
+        docs, min_tokens=5, min_uniq_ratio=0.3, neardup_threshold=0.5, shingle_n=2
+    )
+    assert {r.doc_id for r in out.collect()} == {0, 5}
