@@ -89,7 +89,53 @@ def s02_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 S02_SQL = "SELECT DISTINCT user_id FROM events"
 
 
+# ---------------------------------------------------------------------------
+# s03 -- native session-window aggregation.  Spark merges events closer than
+# the gap; session_end = last event + gap.  The oracle reproduces this with
+# the batch lag+cumsum sessionizer (sub-second semantics: session_window
+# compares full-precision timestamps, so the oracle uses epoch microseconds).
+# ---------------------------------------------------------------------------
+
+
+def s03_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_session_counts
+
+    ev = _events_stream(spark, sf_dir)
+    sessions = stream_session_counts(ev, "ts", "user_id", "30 minutes", "1 hour")
+    out = run_available_now(sessions, spark)
+    return out.select(
+        "user_id",
+        ts_str("session_start").alias("session_start"),
+        ts_str("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
+S03_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
+    "s03_stream_session_counts": QuerySpec(s03_stream_session_counts, S03_SQL),
 }

@@ -1,6 +1,7 @@
 from .jobs import (
     stream_append_clean,
     stream_dedup,
+    stream_session_counts,
     stream_stateful_counter,
     stream_windowed_counts,
     run_available_now,
@@ -10,6 +11,7 @@ __all__ = [
     "run_available_now",
     "stream_append_clean",
     "stream_dedup",
+    "stream_session_counts",
     "stream_stateful_counter",
     "stream_windowed_counts",
 ]

@@ -87,6 +87,33 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session-window aggregation: events within ``gap`` of each
+    other merge into one session per key (the built-in counterpart of the
+    batch lag+cumsum sessionizer in operators/sessionize.py).
+
+    Output: (key, session_start, session_end, n_events); Spark defines
+    session_end = last event + gap.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_stateful_counter(
     df: DataFrame,
     key_col: str,
