@@ -31,6 +31,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a10_embedding_topk": (("BroadcastNestedLoopJoin",), ("CartesianProduct",), None),
     "a13_revenue_by_region": (("BroadcastHashJoin",), (), None),  # dims broadcast
     "a14_brand_volume": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    "q14_asof_join": ((), ("NestedLoop", "CartesianProduct"), 2),
+    "q15_range_join": ((), ("NestedLoop", "CartesianProduct"), None),
+    "a20_sessionize": ((), ("NestedLoop",), 2),
 }
 
 
