@@ -192,6 +192,96 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min node id.
+
+    Alternating large-star / small-star (Kiveris et al., *Connected
+    Components in MapReduce and Beyond*, SoCC'14): converges in O(log n)
+    rounds versus O(diameter) for naive label propagation, so a pathological
+    duplication chain across a 100 TB corpus still terminates in a handful
+    of shuffles.  Each round is two groupBy+join stages over the shrinking
+    edge set; ``localCheckpoint`` truncates the lineage so the plan does not
+    grow with iterations (on a cluster, use ``checkpoint`` to a reliable
+    dir instead).  Fixpoint = the edge set is a star around each component's
+    minimum; convergence is detected by edge-set equality.
+    """
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star: connect every neighbor larger than u to min(N(u) + {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("lu"), F.least(F.col("mv"), F.col("u")).alias("lv")
+            )
+            .where(F.col("lu") != F.col("lv"))
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+        )
+        # small-star: orient edges min-ward, connect all smaller neighbors
+        # (and u itself) to the minimum
+        oriented = ls.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("mv"))
+        joined = oriented.join(smins, "u")
+        e_new = (
+            joined.where(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(smins.select(F.col("u"), F.col("mv").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            e_new.count() == e.count()
+            and e_new.join(e, ["u", "v"], "left_anti").isEmpty()
+        )
+        e = e_new
+        if converged:
+            break
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        comp.select(F.col("component").alias("node")).distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return comp.union(roots)
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Cluster assignment (id, rep_id) from a near-dup pair frame.
+
+    rep_id = minimum id reachable through the pair graph (transitive
+    closure -- pairwise similarity alone under-deduplicates: a~b, b~c must
+    collapse a,b,c together even when a~c was never emitted by LSH).
+    Documents with no near-dup pair map to themselves.  The join against
+    the (tiny) component map is broadcast-eligible; AQE picks that up.
+    """
+    cc = connected_components(pairs, a, b).withColumnRenamed("node", id_col)
+    return df.select(id_col).join(cc, id_col, "left").select(
+        id_col, F.coalesce(F.col("component"), F.col(id_col)).alias("rep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard similarity join (no LSH: candidates = docs sharing a gram)
 # ---------------------------------------------------------------------------
 

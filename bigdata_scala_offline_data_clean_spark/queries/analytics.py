@@ -773,6 +773,47 @@ FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# a25 -- dedup clusters: transitive closure over MinHash-LSH near-dup pairs
+# (large-star/small-star connected components; oracle = recursive CTE)
+# ---------------------------------------------------------------------------
+
+
+def a25_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    return dedup_clusters(d, pairs)
+
+
+def _a25_sql() -> str:
+    # the a07 pair query becomes a CTE; min-reachable-id per node via
+    # recursive closure (small pair graphs at oracle scale; the Spark side
+    # uses O(log n) star-contraction instead)
+    a07 = _a07_sql().strip().rstrip("\n")
+    return f"""
+WITH RECURSIVE pairs AS (
+{a07}
+), sym AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+)
+SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -798,4 +839,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a23_json_extract": QuerySpec(a23_json_extract, A23_SQL),
     "a24_date_functions": QuerySpec(a24_date_functions, A24_SQL),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
+    "a25_dedup_clusters": QuerySpec(a25_dedup_clusters, _a25_sql()),
 }

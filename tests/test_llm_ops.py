@@ -208,3 +208,37 @@ def test_frame_sample_plumbing(spark, docs):
 
     with pytest.raises(NotImplementedError):
         resize_image(b"payload", (8, 8), decoder=lambda b: b)
+
+
+def test_connected_components_transitive_chain(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2, 2-3, 3-4 plus separate pair 10-11: transitivity must
+    # collapse the whole chain even though (1,4) was never emitted
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id", "text"]
+    )
+    rep = {r.doc_id: r.rep_id for r in dedup_clusters(docs, pairs).collect()}
+    assert rep[4] == 1 and rep[11] == 10
+    assert rep[99] == 99  # singleton maps to itself
+
+
+def test_connected_components_long_chain_converges(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 64-node path graph needs log-round contraction, not 64 iterations
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], ["a", "b"])
+    comp = connected_components(pairs, max_iter=12).collect()
+    assert {r.component for r in comp} == {0}
+    assert {r.node for r in comp} == set(range(65))
