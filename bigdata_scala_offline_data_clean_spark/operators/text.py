@@ -84,6 +84,45 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("predicted_lang", pred)
 
 
+# PII patterns kept to the regex subset shared by Java regex (Spark) and
+# RE2 (DuckDB oracle): no backreferences, no lookaround.  Order matters:
+# emails first so their digits are not half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9][0-9()\-]{6,}[0-9]", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses to typed placeholders.
+
+    Chained ``regexp_replace`` -- JVM-side, codegen'd, zero shuffles; at
+    100 TB this rides the same projection pass as the rest of the cleaning
+    stage.  Patterns are engine-portable (oracle uses identical RE2-safe
+    regexes with the 'g' flag)."""
+    col = F.col(text_col)
+    for _, pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return df.withColumn(out_col or text_col, col)
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Drop HTML/XML tags and collapse whitespace -- the boilerplate-removal
+    first pass for web-crawl corpora.  Tags go first so '<p>a</p> <b>b</b>'
+    normalizes to 'a b'; entities common in crawls are unescaped for the
+    few that matter for training text (&amp; &lt; &gt; &nbsp;)."""
+    col = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
+    for ent, repl in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">")):
+        col = F.replace(col, F.lit(ent), F.lit(repl))
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col or text_col, col)
+
+
 def doc_fingerprint(df: DataFrame, cols: list[str], sep: str = "|") -> DataFrame:
     """Whole-document fingerprint: md5 over a delimited concat of columns.
 

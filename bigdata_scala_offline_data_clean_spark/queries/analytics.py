@@ -774,6 +774,59 @@ FROM stats
 
 
 # ---------------------------------------------------------------------------
+# a26 -- corpus top-20 bigrams by document frequency (the n-gram LM /
+# boilerplate-detection primitive).  Deterministic boundary: ties broken by
+# gram; partial aggregation makes the shuffle |distinct grams|, not |rows|.
+# ---------------------------------------------------------------------------
+
+
+def a26_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=2)  # distinct per doc -> count() = document frequency
+    return (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(20)
+    )
+
+
+A26_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+1], ' ')))) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS doc_freq FROM grams
+GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# a27 -- sketch aggregates: HyperLogLog distinct + quantile sketch.  At
+# 100 TB these replace exact COUNT(DISTINCT)/percentile (whose sort/shuffle
+# cost is the bottleneck); estimates are engine-specific so the driver
+# records rows-only -- the pytest gate bounds the error vs exact instead.
+# ---------------------------------------------------------------------------
+
+
+def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_partkeys"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000
+        ).cast("array<double>").alias("price_quantiles"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # a25 -- dedup clusters: transitive closure over MinHash-LSH near-dup pairs
 # (large-star/small-star connected components; oracle = recursive CTE)
 # ---------------------------------------------------------------------------
@@ -840,4 +893,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a24_date_functions": QuerySpec(a24_date_functions, A24_SQL),
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
     "a25_dedup_clusters": QuerySpec(a25_dedup_clusters, _a25_sql()),
+    "a26_top_ngrams": QuerySpec(a26_top_ngrams, A26_SQL),
+    "a27_approx_stats": QuerySpec(a27_approx_stats, None),
 }

@@ -361,6 +361,79 @@ FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+# ---------------------------------------------------------------------------
+# c07 -- PII redaction (email / phone / IPv4 -> typed placeholders).
+# PII is synthesized deterministically from doc_id so every row exercises
+# every pattern (the corpus itself is PII-free).
+# ---------------------------------------------------------------------------
+
+
+def c07_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" via 192.168.0.1."),
+        ).alias("text"),
+    )
+    return redact_pii(synth, out_col="redacted").select("doc_id", "redacted")
+
+
+C07_SQL = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text || ' Contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+         || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' via 192.168.0.1.',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\+?[0-9][0-9()\-]{6,}[0-9]', '[PHONE]', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+    AS redacted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# c08 -- HTML boilerplate strip + entity unescape + whitespace collapse.
+# Markup wrapped around each document deterministically.
+# ---------------------------------------------------------------------------
+
+
+def c08_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import strip_html
+
+    d = load_table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><p class="b">'),
+            F.col("text"),
+            F.lit('</p>&nbsp;<a href="http://x.example">link &amp; more</a> </html>'),
+        ).alias("text"),
+    )
+    return strip_html(synth, out_col="cleaned").select("doc_id", "cleaned")
+
+
+C08_SQL = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(
+      regexp_replace(
+        '<html><p class="b">' || text
+          || '</p>&nbsp;<a href="http://x.example">link &amp; more</a> </html>',
+        '<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+    '\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -368,4 +441,6 @@ QUERIES: dict[str, QuerySpec] = {
     "c03_standardize_strings": QuerySpec(c03_standardize_strings, C03_SQL),
     "c04_profile": QuerySpec(c04_profile, C04_SQL),
     "c05_referential_integrity": QuerySpec(c05_referential_integrity, C05_SQL),
+    "c07_redact_pii": QuerySpec(c07_redact_pii, C07_SQL),
+    "c08_strip_html": QuerySpec(c08_strip_html, C08_SQL),
 }

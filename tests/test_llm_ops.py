@@ -242,3 +242,44 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(pairs, max_iter=12).collect()
     assert {r.component for r in comp} == {0}
     assert {r.node for r in comp} == set(range(65))
+
+
+def test_redact_pii_and_strip_html(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        redact_pii,
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+x@ex-y.org or call +1-555-123456 from 10.0.0.1 now")],
+        ["id", "text"],
+    )
+    out = redact_pii(df).first().text
+    assert out == "mail [EMAIL] or call [PHONE] from [IP] now"
+
+    html = spark.createDataFrame(
+        [(1, '<div id="a">Hello &amp; <b>world</b></div>\n  <br/>bye')],
+        ["id", "text"],
+    )
+    assert strip_html(html).first().text == "Hello & world bye"
+
+
+def test_approx_stats_error_bounds(spark):
+    from bigdata_scala_offline_data_clean_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    row = all_queries()["a27_approx_stats"].spark(spark, sf).first()
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    import pyspark.sql.functions as SF
+
+    exact = li.agg(
+        SF.countDistinct("l_orderkey").alias("ok"),
+        SF.countDistinct("l_partkey").alias("pk"),
+        SF.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("q"),
+    ).first()
+    assert abs(row.approx_orderkeys - exact.ok) / exact.ok < 0.05
+    assert abs(row.approx_partkeys - exact.pk) / exact.pk < 0.05
+    for approx, true in zip(row.price_quantiles, exact.q):
+        assert abs(approx - float(true)) / float(true) < 0.05
