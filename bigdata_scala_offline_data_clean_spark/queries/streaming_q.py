@@ -134,8 +134,55 @@ GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s04 -- stream-stream interval join: click attribution (clicks within 15
+# minutes after a view by the same user).  Two independent file-source
+# streams; watermarks + two-sided time bound let Spark prune join state.
+# ---------------------------------------------------------------------------
+
+
+def s04_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_stream_join
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+    )
+    joined = stream_stream_join(
+        views, clicks, "user_id", "view_ts", "click_ts", "1 hour", "15 minutes"
+    )
+    return run_available_now(joined, spark).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        ts_str("view_ts").alias("view_ts"),
+        ts_str("click_ts").alias("click_ts"),
+    )
+
+
+S04_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
     "s03_stream_session_counts": QuerySpec(s03_stream_session_counts, S03_SQL),
+    "s04_stream_attribution": QuerySpec(s04_stream_attribution, S04_SQL),
 }

@@ -114,6 +114,35 @@ def stream_session_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join bounded by an event-time range
+    (the click-attribution pattern: right events within ``within`` after
+    the matching left event).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions -- that pair is what lets Spark prune join state: each
+    side buffers only rows inside the watermark horizon, so state is
+    O(rate x horizon), not O(stream history).  Column names other than
+    ``key`` must be pre-disambiguated by the caller.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(key, "__rkey")
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop("__rkey")
+
+
 def stream_stateful_counter(
     df: DataFrame,
     key_col: str,
