@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import dsum, load_table
+from ._util import dsum, load_table, ts_str
 
 # ---------------------------------------------------------------------------
 # a01 -- flagship grouped aggregate (TPC-H Q1 shape) over lineitem.
@@ -774,6 +774,122 @@ FROM stats
 
 
 # ---------------------------------------------------------------------------
+# a28 -- shipping-priority top-k (TPC-H Q3 shape): selective filters on both
+# sides of a fact join, aggregate, global top-10.  The LIMIT after ORDER BY
+# is a TakeOrderedAndProject -- per-partition top-k then a single driver
+# merge, never a full sort of the aggregate.
+# ---------------------------------------------------------------------------
+
+_A28_CUT = "1995-03-15"
+
+
+def a28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.where(F.col("o_orderdate") < F.lit(_A28_CUT).cast("timestamp"))
+        .join(
+            li.where(F.col("l_shipdate") > F.lit(_A28_CUT).cast("timestamp")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", ts_str("o_orderdate").alias("o_orderdate"))
+        .agg(dsum("l_extendedprice").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+A28_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate < TIMESTAMP '{_A28_CUT}'
+  AND l_shipdate > TIMESTAMP '{_A28_CUT}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# a29 -- large-volume orders (TPC-H Q18 shape): HAVING on a grouped sum,
+# then enrich the survivors.  The having-filter runs map-side after partial
+# aggregation; only qualifying keys join back to orders.
+# ---------------------------------------------------------------------------
+
+_A29_MIN_QTY = 150
+
+
+def a29_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > _A29_MIN_QTY)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            ts_str("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+A29_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > {_A29_MIN_QTY}) ON o_orderkey = l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# a30 -- small-quantity outliers vs per-part average (TPC-H Q17 shape):
+# correlated scalar subquery, decorrelated by Catalyst into an aggregate +
+# equi-join -- no per-row re-scan of lineitem.
+# ---------------------------------------------------------------------------
+
+
+def a30_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS small_revenue
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
+    )
+
+
+A30_SQL = """
+SELECT l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # a26 -- corpus top-20 bigrams by document frequency (the n-gram LM /
 # boilerplate-detection primitive).  Deterministic boundary: ties broken by
 # gram; partial aggregation makes the shuffle |distinct grams|, not |rows|.
@@ -895,4 +1011,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a25_dedup_clusters": QuerySpec(a25_dedup_clusters, _a25_sql()),
     "a26_top_ngrams": QuerySpec(a26_top_ngrams, A26_SQL),
     "a27_approx_stats": QuerySpec(a27_approx_stats, None),
+    "a28_shipping_priority": QuerySpec(a28_shipping_priority, A28_SQL),
+    "a29_large_orders": QuerySpec(a29_large_orders, A29_SQL),
+    "a30_below_avg_quantity": QuerySpec(a30_below_avg_quantity, A30_SQL),
 }

@@ -34,6 +34,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "q14_asof_join": ((), ("NestedLoop", "CartesianProduct"), 2),
     "q15_range_join": ((), ("NestedLoop", "CartesianProduct"), None),
     "a20_sessionize": ((), ("NestedLoop",), 2),
+    # top-k must be per-partition take + merge, not a global sort
+    "a28_shipping_priority": (("TakeOrderedAndProject",), ("CartesianProduct",), None),
+    # correlated subquery must decorrelate to agg+join, no per-row rescan
+    "a30_below_avg_quantity": ((), ("NestedLoop", "CartesianProduct"), None),
 }
 
 
