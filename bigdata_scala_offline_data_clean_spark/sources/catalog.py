@@ -160,3 +160,54 @@ class Warehouse:
         df.write.mode("overwrite").option(
             "partitionOverwriteMode", "static"
         ).partitionBy("etl_date").parquet(self.path(layer, table))
+
+    # -- physical-layout management (the knobs that matter at 100 TB) -------
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        bucket_cols: list[str],
+        buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Write a hash-bucketed (optionally sorted) table; returns the
+        catalog name (``<layer>_<table>``).
+
+        Two tables bucketed on their join key with the same bucket count
+        join with ZERO exchanges -- the shuffle is paid once at write time
+        and amortized over every subsequent join/aggregate on that key.
+        That is the difference between re-shuffling a 100 TB fact table per
+        query and never shuffling it again.  Bucketing requires the catalog
+        (``saveAsTable``) because bucket metadata lives there, not in the
+        parquet footer; the files still land under the warehouse path.
+        """
+        name = f"{layer}_{table}"
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self.path(layer, table)).saveAsTable(name)
+        return name
+
+    def bucketed_table(self, layer: str, table: str) -> DataFrame:
+        """Read back a bucketed table through the catalog (the path-based
+        reader would drop the bucket spec and reintroduce the shuffle)."""
+        return self.spark.table(f"{layer}_{table}")
+
+    def compact_partition(
+        self, layer: str, table: str, etl_date: str, target_files: int
+    ) -> None:
+        """Rewrite one partition into ``target_files`` parquet files.
+
+        Streaming/incremental appends accumulate small files; at scale the
+        resulting per-file task overhead dominates scan cost.  Compaction =
+        read + repartition + dynamic-partition overwrite of just that
+        partition (other partitions untouched).
+        """
+        part = self.partition(layer, table, etl_date).repartition(target_files)
+        self.overwrite_partitions(part, layer, table)

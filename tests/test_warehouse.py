@@ -123,3 +123,51 @@ def test_quality_operators(spark):
     dim = spark.createDataFrame([(1,), (2,)], ["k"])
     orphans = orphan_rows(df, dim, "k", "k")
     assert [r.k for r in orphans.collect()] == [3]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    left = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS lv")
+    right = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS rv")
+    wh.write_bucketed(left, "dwd", "bleft", ["k"], buckets=8, sort_cols=["k"])
+    wh.write_bucketed(right, "dwd", "bright", ["k"], buckets=8, sort_cols=["k"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = wh.bucketed_table("dwd", "bleft").join(
+            wh.bucketed_table("dwd", "bright"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: shuffle paid at write time
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS dwd_bleft")
+        spark.sql("DROP TABLE IF EXISTS dwd_bright")
+
+
+def test_compact_partition_reduces_files(spark, tmp_path):
+    import glob
+
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = (
+        spark.range(0, 1000)
+        .selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+        .withColumn("etl_date", F.lit("20240101"))
+        .repartition(16)
+    )
+    wh.append(df, "ods", "smallfiles")
+    other = df.withColumn("etl_date", F.lit("20240102"))
+    wh.append(other, "ods", "smallfiles")
+
+    pdir = str(tmp_path / "wh" / "ods" / "smallfiles" / "etl_date=20240101")
+    assert len(glob.glob(pdir + "/*.parquet")) == 16
+    wh.compact_partition("ods", "smallfiles", "20240101", 2)
+    assert len(glob.glob(pdir + "/*.parquet")) == 2
+    # untouched partition keeps its files; data round-trips exactly
+    assert wh.partition("ods", "smallfiles", "20240101").count() == 1000
+    assert wh.partition("ods", "smallfiles", "20240102").count() == 1000
