@@ -201,6 +201,48 @@ def stream_stateful_counter(
     )
 
 
+def stream_upsert_scd1(
+    stream_df: DataFrame,
+    warehouse,
+    layer: str,
+    table: str,
+    key: str | list[str],
+    order_col: str,
+    user: str = "user1",
+    ts: Column | None = None,
+    etl_date: str | None = None,
+) -> "DataFrame":
+    """Continuous SCD-1: merge every micro-batch into the warehouse
+    dimension via ``foreachBatch`` (archetype B, incremental).
+
+    ``foreachBatch`` is the idiomatic bridge from a stream to a batch-only
+    sink semantics (MERGE): each micro-batch replays the reference's
+    union -> window-dedup -> CASE-audit flow against the current table
+    state.  The read-merge-overwrite below is the parquet-sink stand-in
+    for a transactional MERGE; at scale the same callback body targets a
+    format with real upsert support, with the merge plan unchanged.
+    Returns the started frame's writer-ready handle (caller starts it, or
+    tests drive it with an availableNow trigger).
+    """
+    from ..operators.etl import scd1_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = (
+            warehouse.table(layer, table) if warehouse.exists(layer, table) else None
+        )
+        merged = scd1_upsert(
+            batch_df, base, key, order_col, user=user, ts=ts,
+            etl_date=etl_date or "latest", layer=layer,
+        )
+        # materialize before overwriting the directory being read
+        merged = merged.localCheckpoint(eager=True)
+        warehouse.overwrite_table(merged, layer, table)
+
+    return stream_df.writeStream.foreachBatch(merge_batch)
+
+
 def run_available_now(
     streaming_df: DataFrame, spark: SparkSession, output_mode: str | None = None
 ) -> DataFrame:

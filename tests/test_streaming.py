@@ -103,3 +103,37 @@ def test_stream_stateful_counter(spark, tmp_path):
     out = {r.key: r for r in run_available_now(counted, spark).collect()}
     assert out[1].n_events == 2 and out[1].total == 20.0
     assert out[2].n_events == 1 and out[2].total == 20.0
+
+
+def test_stream_upsert_scd1_merges_micro_batches(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
+    from bigdata_scala_offline_data_clean_spark.streaming.jobs import (
+        stream_upsert_scd1,
+    )
+
+    src = str(tmp_path / "upsert_src")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _write_batch(spark, src, [(1, "2022-10-01 00:00:00", "a"),
+                              (2, "2022-10-01 00:00:00", "b")])
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        writer = stream_upsert_scd1(
+            stream, wh, "dwd", "dim", key="k", order_col="ts",
+            ts=F.to_timestamp(F.lit("2022-10-02 00:00:00")), etl_date="20221002",
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    run_once()
+    assert wh.table("dwd", "dim").count() == 2
+
+    # second drop: key 2 updated (later ts), key 3 new
+    _write_batch(spark, src, [(2, "2022-10-03 00:00:00", "b2"),
+                              (3, "2022-10-03 00:00:00", "c")])
+    run_once()
+    rows = {r.k: r for r in wh.table("dwd", "dim").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].v == "b2"  # newest wins per key
+    assert rows[1].v == "a"   # untouched key survives the merge
