@@ -434,6 +434,51 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# c09 -- incremental aggregate maintenance: the cumulative per-customer
+# rollup built by folding one year of orders at a time (the O(delta)
+# daily-update pattern), oracle = one-shot GROUP BY over everything.
+# Decimal partials make merge order irrelevant, so incremental == full.
+# ---------------------------------------------------------------------------
+
+
+def c09_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize_agg, merge_partial_aggs, partial_agg
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    years = [r[0] for r in o.select("o_year").distinct().collect()]
+    cum = None
+    for y in sorted(years):  # one "daily run" per year-partition
+        delta = partial_agg(
+            o.where(F.col("o_year") == y),
+            ["o_custkey"],
+            sum_cols=("o_totalprice",),
+            max_cols=("o_orderdate",),
+        )
+        cum = merge_partial_aggs(cum, delta, ["o_custkey"])
+    out = finalize_agg(cum, avg_of={"avg_price": "sum_o_totalprice"})
+    return out.select(
+        "o_custkey",
+        F.col("sum_o_totalprice").alias("total_price"),
+        "n_rows",
+        "avg_price",
+        ts_str("max_o_orderdate").alias("last_order"),
+    )
+
+
+C09_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_price,
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -443,4 +488,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c05_referential_integrity": QuerySpec(c05_referential_integrity, C05_SQL),
     "c07_redact_pii": QuerySpec(c07_redact_pii, C07_SQL),
     "c08_strip_html": QuerySpec(c08_strip_html, C08_SQL),
+    "c09_incremental_agg": QuerySpec(c09_incremental_agg, C09_SQL),
 }

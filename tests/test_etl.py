@@ -8,6 +8,7 @@ coalesce incl. delta-only rows (Q1), and the positional etl_date contract
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_scala_offline_data_clean_spark.operators.etl import (
@@ -207,3 +208,52 @@ def test_merge_full_outer_null_keys_never_match(spark):
     rows = merge_full_outer(base, delta, "k").collect()
     vals = sorted(r.v for r in rows)
     assert vals == ["b1", "base-null", "delta-null"]
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.incremental import (
+        finalize_agg,
+        merge_partial_aggs,
+        partial_agg,
+    )
+
+    rows = [(i % 5, float(i) + 0.25, i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, amount double, day int")
+
+    cum = None
+    for day in (0, 1, 2):  # fold one partition at a time, out of nothing
+        delta = partial_agg(
+            df.where(F.col("day") == day), ["k"],
+            sum_cols=("amount",), min_cols=("amount",), max_cols=("amount",),
+        )
+        cum = merge_partial_aggs(cum, delta, ["k"])
+    inc = {
+        r.k: r
+        for r in finalize_agg(cum, avg_of={"avg_amount": "sum_amount"}).collect()
+    }
+
+    full = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("amount").alias("s"),
+            F.min("amount").alias("mn"),
+            F.max("amount").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("amount").alias("avg"),
+        )
+        .collect()
+    }
+    for k, r in full.items():
+        assert inc[k].sum_amount == pytest.approx(r.s)
+        assert inc[k].min_amount == r.mn and inc[k].max_amount == r.mx
+        assert inc[k].n_rows == r.n
+        assert inc[k].avg_amount == pytest.approx(r.avg)
+
+    # unmergeable column name is an explicit error, not silent corruption
+    with pytest.raises(ValueError):
+        merge_partial_aggs(
+            cum.withColumnRenamed("n_rows", "oops"),
+            delta.withColumnRenamed("n_rows", "oops"),
+            ["k"],
+        )
