@@ -943,6 +943,84 @@ def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# a31 -- CUBE with grouping flags: all 4 aggregation levels in ONE pass
+# (Spark expands grouping sets before the exchange -- one shuffle, not one
+# per level; the naive union-of-GROUP-BYs scans the fact table 4x).
+# ---------------------------------------------------------------------------
+
+
+def a31_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+        )
+    )
+
+
+A31_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# a32 -- window frame aggregates: running total (rows unbounded preceding)
+# and centered moving average (rows 1 preceding .. 1 following) per
+# customer over order time.  Deterministic frame: ties broken by orderkey.
+# ---------------------------------------------------------------------------
+
+
+def a32_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-1, 1)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ts_str("o_orderdate").alias("o_orderdate"),
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        # decimal-exact 3-row sum over an int count -> portable double
+        (F.sum(price_dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov))
+        .alias("moving_avg"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+A32_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER w3 AS DOUBLE)
+         / COUNT(*) OVER w3 AS moving_avg,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # a25 -- dedup clusters: transitive closure over MinHash-LSH near-dup pairs
 # (large-star/small-star connected components; oracle = recursive CTE)
 # ---------------------------------------------------------------------------
@@ -1014,4 +1092,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a28_shipping_priority": QuerySpec(a28_shipping_priority, A28_SQL),
     "a29_large_orders": QuerySpec(a29_large_orders, A29_SQL),
     "a30_below_avg_quantity": QuerySpec(a30_below_avg_quantity, A30_SQL),
+    "a31_cube_returns": QuerySpec(a31_cube_returns, A31_SQL),
+    "a32_running_totals": QuerySpec(a32_running_totals, A32_SQL),
 }
