@@ -192,6 +192,31 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
 
 
+def incremental_ingest_dedup(
+    new_df: DataFrame,
+    corpus_hashes: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Daily-ingest exact dedup: drop incoming docs whose text already
+    exists in the historical corpus, then dedup within the batch.
+
+    ``corpus_hashes`` is a (text_hash) frame -- the persisted digest table,
+    NOT the corpus itself: the anti-join ships 16-byte digests, so checking
+    today's batch against a 100 TB history shuffles megabytes.  Typically
+    the digest side is small enough to broadcast; AQE picks that up.
+    ``None`` bootstraps (first ingest).  Append the survivors' hashes back
+    to the digest table afterwards to close the loop.
+    """
+    hashed = new_df.withColumn("text_hash", F.md5(F.col(text_col)))
+    if corpus_hashes is not None:
+        hashed = hashed.join(corpus_hashes, "text_hash", "left_anti")
+    w = hashed.withColumn("__neg", -F.col(id_col))
+    from .etl import dedup_latest
+
+    return dedup_latest(w, "text_hash", "__neg").drop("__neg")
+
+
 # ---------------------------------------------------------------------------
 # connected components: near-dup pairs -> dedup clusters
 # ---------------------------------------------------------------------------

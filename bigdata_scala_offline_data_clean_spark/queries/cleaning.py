@@ -479,6 +479,40 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# c10 -- incremental-ingest dedup: "today's batch" (odd doc_ids) deduped
+# against the "historical corpus" digest table (even doc_ids) and within
+# itself.  The anti-join moves digests, never documents.
+# ---------------------------------------------------------------------------
+
+
+def c10_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_ingest_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("text_hash")
+    ).distinct()
+    incoming = d.where(F.col("doc_id") % 2 == 1)
+    out = incremental_ingest_dedup(incoming, corpus)
+    return out.select("doc_id", "lang", "source", "text_hash")
+
+
+C10_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 0
+), incoming AS (
+  SELECT *, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1
+), fresh AS (
+  SELECT * FROM incoming WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
+)
+SELECT doc_id, lang, source, text_hash
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id)
+        AS rn FROM fresh)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -489,4 +523,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c07_redact_pii": QuerySpec(c07_redact_pii, C07_SQL),
     "c08_strip_html": QuerySpec(c08_strip_html, C08_SQL),
     "c09_incremental_agg": QuerySpec(c09_incremental_agg, C09_SQL),
+    "c10_ingest_dedup": QuerySpec(c10_ingest_dedup, C10_SQL),
 }

@@ -163,3 +163,45 @@ class TestAsofJoin:
             cands = [(rt, f"p{rk}_{rt}") for rk, rt in rights if rk == k and rt <= t]
             model[i] = max(cands)[1] if cands else None
         assert out == model
+
+
+class TestConnectedComponents:
+    @SETTINGS
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_matches_union_find(self, spark, edges):
+        from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+            connected_components,
+        )
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        out = {
+            r.node: r.component
+            for r in connected_components(
+                spark.createDataFrame(edges, ["a", "b"])
+            ).collect()
+        }
+
+        # driver-side union-find model
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        model = {n: find(n) for n in parent}
+        assert out == model
