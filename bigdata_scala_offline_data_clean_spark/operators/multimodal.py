@@ -107,6 +107,29 @@ def resize_image(
     return resizer(img, size)
 
 
+def resample_audio(
+    payload: bytes,
+    target_rate: int,
+    decoder: Callable[[bytes], object] | None = None,
+    resampler=None,
+):
+    """Resample an audio payload to ``target_rate`` Hz.  STUB: no audio
+    library ships in this environment -- inject ``decoder`` (e.g.
+    soundfile.read) and ``resampler`` (e.g. librosa.resample) in
+    production.  The Spark-side plumbing (binary column in, mapInPandas
+    batch shape, typed metadata out) is the same as the image path and is
+    covered by its tests."""
+    if decoder is None:
+        raise NotImplementedError(
+            "audio decoding requires an injected decoder; this environment "
+            "ships none"
+        )
+    audio = decoder(payload)
+    if resampler is None:
+        raise NotImplementedError("resample requires an injected resampler")
+    return resampler(audio, target_rate)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

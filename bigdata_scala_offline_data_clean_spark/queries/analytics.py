@@ -1061,6 +1061,42 @@ SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# a33 -- embedding near-dup clusters: a21's exact cosine pairs collapsed to
+# transitive clusters (same star-contraction as a25, over the embedding
+# modality; oracle = recursive closure over a21's pair SQL)
+# ---------------------------------------------------------------------------
+
+
+def a33_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=_ND_THRESHOLD)
+    return dedup_clusters(e, pairs, id_col="vec_id").withColumnRenamed(
+        "rep_id", "rep_vec_id"
+    )
+
+
+def _a33_sql() -> str:
+    a21 = _a21_sql().strip().rstrip("\n")
+    return f"""
+WITH RECURSIVE pairs AS (
+{a21}
+), sym AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+)
+SELECT node AS vec_id, min(r) AS rep_vec_id FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1094,4 +1130,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a30_below_avg_quantity": QuerySpec(a30_below_avg_quantity, A30_SQL),
     "a31_cube_returns": QuerySpec(a31_cube_returns, A31_SQL),
     "a32_running_totals": QuerySpec(a32_running_totals, A32_SQL),
+    "a33_embedding_clusters": QuerySpec(a33_embedding_clusters, _a33_sql()),
 }

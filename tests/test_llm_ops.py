@@ -283,3 +283,19 @@ def test_approx_stats_error_bounds(spark):
     assert abs(row.approx_partkeys - exact.pk) / exact.pk < 0.05
     for approx, true in zip(row.price_quantiles, exact.q):
         assert abs(approx - float(true)) / float(true) < 0.05
+
+
+def test_resample_audio_stub_contract(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        resample_audio,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resample_audio(b"wav-bytes", 16000)
+    # injected decoder+resampler flow through (the production path)
+    out = resample_audio(
+        b"wav-bytes", 16000,
+        decoder=lambda b: list(b),
+        resampler=lambda audio, rate: (len(audio), rate),
+    )
+    assert out == (9, 16000)
