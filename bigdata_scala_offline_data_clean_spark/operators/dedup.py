@@ -109,14 +109,27 @@ def lsh_bands(
 
 
 def candidate_pairs(
-    bands_df: DataFrame, id_col: str = "doc_id"
+    bands_df: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:
     """Distinct (a, b) a<b pairs sharing any LSH bucket -- the bucket join.
 
-    Shuffles on (band_id, band_sig); bucket sizes are the skew knob (a
-    degenerate bucket means near-identical mass -- AQE skew split handles
-    moderate cases; pathological buckets should be counted and capped
-    upstream)."""
+    Shuffles on (band_id, band_sig); bucket sizes are the skew knob.  AQE
+    skew-split handles moderate cases; ``max_bucket`` is the guard for
+    pathological ones (boilerplate-heavy corpora where one bucket holds a
+    million near-identical docs and the self-join goes quadratic): buckets
+    larger than the cap are dropped from candidate generation -- their
+    content is better handled by exact dedup on the full signature.  The
+    cap costs one extra aggregation over the (small) bands frame.
+    """
+    if max_bucket is not None:
+        sizes = bands_df.groupBy("band_id", "band_sig").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        bands_df = (
+            bands_df.join(sizes, ["band_id", "band_sig"])
+            .where(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
     left = bands_df.select(
         F.col(id_col).alias("a"), "band_id", "band_sig"
     )

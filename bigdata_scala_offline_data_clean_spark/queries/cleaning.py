@@ -513,6 +513,40 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# c11 -- deterministic train/val/test split (hash-bucketed, partitioning-
+# independent -- unlike randomSplit, a doc keeps its split forever).
+# ---------------------------------------------------------------------------
+
+
+def c11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+_C11_NIB = (
+    "(CASE WHEN ascii(substr(hh,{i},1)) >= 97 THEN ascii(substr(hh,{i},1))-87 "
+    "ELSE ascii(substr(hh,{i},1))-48 END)"
+)
+
+C11_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+), b AS (
+  SELECT doc_id, {_C11_NIB.format(i=1)} * 16 + {_C11_NIB.format(i=2)} AS bk
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN bk < 204.8 THEN 'train'
+            WHEN bk < 230.4 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -524,4 +558,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c08_strip_html": QuerySpec(c08_strip_html, C08_SQL),
     "c09_incremental_agg": QuerySpec(c09_incremental_agg, C09_SQL),
     "c10_ingest_dedup": QuerySpec(c10_ingest_dedup, C10_SQL),
+    "c11_hash_split": QuerySpec(c11_hash_split, C11_SQL),
 }

@@ -299,3 +299,44 @@ def test_resample_audio_stub_contract(spark):
         resampler=lambda audio, rate: (len(audio), rate),
     )
     assert out == (9, 16000)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.split import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, splits).collect()}
+    # partitioning-independent: identical assignment after a reshuffle
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(17), splits).collect()
+    }
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # independent draw under a different salt
+    c = {r.doc_id: r.split for r in hash_split(df, splits, salt="v2").collect()}
+    assert c != a
+
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5, "val": 0.1})
+
+
+def test_candidate_pairs_bucket_cap(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        candidate_pairs,
+    )
+
+    rows = [(i, 0, "hot") for i in range(10)] + [(100, 1, "cold"), (101, 1, "cold")]
+    bands = spark.createDataFrame(rows, ["doc_id", "band_id", "band_sig"])
+    uncapped = candidate_pairs(bands).count()
+    assert uncapped == 45 + 1  # C(10,2) hot + 1 cold
+    capped = candidate_pairs(bands, max_bucket=5)
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot bucket dropped, small bucket intact
