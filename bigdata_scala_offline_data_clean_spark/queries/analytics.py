@@ -1097,6 +1097,42 @@ SELECT node AS vec_id, min(r) AS rep_vec_id FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# a34 -- argmax-per-group join-back (TPC-H Q2 shape, adapted to the tables
+# here): richest customer per nation, ties -> smallest custkey, enriched
+# with the nation dimension (broadcast).
+# ---------------------------------------------------------------------------
+
+
+def a34_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    top = (
+        c.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return top.join(
+        F.broadcast(n), top["c_nationkey"] == n["n_nationkey"]
+    ).select("n_name", "c_custkey", "c_name", "c_acctbal")
+
+
+A34_SQL = """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1131,4 +1167,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a31_cube_returns": QuerySpec(a31_cube_returns, A31_SQL),
     "a32_running_totals": QuerySpec(a32_running_totals, A32_SQL),
     "a33_embedding_clusters": QuerySpec(a33_embedding_clusters, _a33_sql()),
+    "a34_top_customer_per_nation": QuerySpec(
+        a34_top_customer_per_nation, A34_SQL
+    ),
 }

@@ -547,6 +547,81 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# c12 -- median imputation: fill missing numerics with the column median
+# (every 10th customer's balance masked to NULL to make the fixture
+# deterministic).  The 1-row median aggregate broadcasts -- no collect().
+# ---------------------------------------------------------------------------
+
+
+def c12_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    masked = c.withColumn(
+        "bal",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    med = masked.agg(
+        F.expr("percentile(bal, 0.5)").alias("__median")
+    )
+    return (
+        masked.crossJoin(F.broadcast(med))
+        .select(
+            "c_custkey",
+            F.coalesce("bal", "__median").alias("acctbal_filled"),
+            F.col("bal").isNull().alias("was_imputed"),
+        )
+    )
+
+
+C12_SQL = """
+WITH masked AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+), med AS (SELECT quantile_cont(bal, 0.5) AS m FROM masked)
+SELECT c_custkey,
+       COALESCE(bal, m) AS acctbal_filled,
+       bal IS NULL AS was_imputed
+FROM masked, med
+"""
+
+
+# ---------------------------------------------------------------------------
+# c13 -- IQR outlier detection: orders beyond q3 + k*IQR of o_totalprice.
+# k=0.5 (not the textbook 1.5) because the synthetic prices are uniform --
+# a bounded distribution has no 1.5-IQR tail; the fixture must fire.
+# Exact interpolated quartiles (one pass) broadcast against the table; the
+# filter is a narrow scan, no second aggregation.
+# ---------------------------------------------------------------------------
+
+
+def c13_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .where(F.col("o_totalprice") > F.col("q3") + 0.5 * (F.col("q3") - F.col("q1")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+C13_SQL = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders, b
+WHERE o_totalprice > q3 + 0.5 * (q3 - q1)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -559,4 +634,6 @@ QUERIES: dict[str, QuerySpec] = {
     "c09_incremental_agg": QuerySpec(c09_incremental_agg, C09_SQL),
     "c10_ingest_dedup": QuerySpec(c10_ingest_dedup, C10_SQL),
     "c11_hash_split": QuerySpec(c11_hash_split, C11_SQL),
+    "c12_impute_median": QuerySpec(c12_impute_median, C12_SQL),
+    "c13_iqr_outliers": QuerySpec(c13_iqr_outliers, C13_SQL),
 }
