@@ -38,6 +38,18 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a28_shipping_priority": (("TakeOrderedAndProject",), ("CartesianProduct",), None),
     # correlated subquery must decorrelate to agg+join, no per-row rescan
     "a30_below_avg_quantity": ((), ("NestedLoop", "CartesianProduct"), None),
+    # one Expand + one agg shuffle for all 4 cube levels (+1 AQE final agg)
+    "a31_cube_returns": (("Expand",), ("SortMergeJoin",), 2),
+    # dim broadcast; argmax window is the only hash shuffle (WindowGroupLimit
+    # prunes to top-1 per key before it); 2 = 1 hash + 1 broadcast exchange
+    "a34_top_customer_per_nation": (
+        ("BroadcastHashJoin", "WindowGroupLimit"), ("SortMergeJoin",), 2,
+    ),
+    # 1-row bounds frame broadcast against the scan, never a cartesian
+    "c13_iqr_outliers": (("BroadcastNestedLoopJoin",), ("CartesianProduct",), None),
+    # digest anti-join must broadcast at this size; 3 = digest-distinct hash
+    # + broadcast + dedup-window hash
+    "c10_ingest_dedup": (("BroadcastHashJoin",), ("SortMergeJoin",), 3),
 }
 
 
