@@ -31,6 +31,11 @@ HEADLINE = [
     "a03_exact_dedup",
     "a07_minhash_lsh_dedup",
     "a10_embedding_topk",
+    "a20_sessionize",
+    "a25_dedup_clusters",
+    "a26_top_ngrams",
+    "q14_asof_join",
+    "c09_incremental_agg",
 ]
 
 

@@ -5,7 +5,13 @@ DuckDB at sf0.01, then compares row count, name-sorted schema, and
 order-insensitive values (exact equality on sorted rows -- strictly stronger
 than the driver's value hash).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` runs with a driver-like SparkSession instead of this repo's
+``build_session``: America/New_York timezone, stock configs, default
+shuffle partitions.  The external driver uses its own session, so every
+query must pass hostile too -- queries pin UTC/nanosAsLong at runtime via
+``queries/_util.load_table``.
 """
 
 from __future__ import annotations
@@ -42,8 +48,12 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -51,7 +61,17 @@ def main() -> int:
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    spark = build_session(app_name="check_correctness")
+    if hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .appName("check_correctness_hostile")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session(app_name="check_correctness")
     specs = all_queries()
     failures = []
     for name, spec in specs.items():
