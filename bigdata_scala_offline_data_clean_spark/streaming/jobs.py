@@ -62,6 +62,25 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def stream_dedup_within_watermark(
+    df: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Dedup with watermark-BOUNDED state: a key may legitimately recur
+    after the horizon passes (e.g. daily re-registrations), and its state
+    is dropped the moment the watermark clears it.
+
+    Contrast with ``stream_dedup``: plain ``dropDuplicates`` keeps every
+    key's state forever when the event-time column is not part of the key
+    -- unbounded state growth on an unbounded key space.  This variant is
+    the right default for infinite streams at scale.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_windowed_counts(
     df: DataFrame,
     ts_col: str,

@@ -137,3 +137,24 @@ def test_stream_upsert_scd1_merges_micro_batches(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[2].v == "b2"  # newest wins per key
     assert rows[1].v == "a"   # untouched key survives the merge
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.streaming.jobs import (
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "ddww_src")
+    # key 1 appears twice within the watermark (one survivor) and key 2 once
+    _write_batch(spark, src, [
+        (1, "2022-10-01 00:00:00", "a"),
+        (1, "2022-10-01 00:10:00", "dup"),
+        (2, "2022-10-01 00:20:00", "b"),
+    ])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = run_available_now(
+        stream_dedup_within_watermark(stream, "k", "ts", "1 hour"), spark
+    )
+    rows = sorted((r.k, r.v) for r in out.collect())
+    assert [k for k, _ in rows] == [1, 2]  # one row per key in-horizon
