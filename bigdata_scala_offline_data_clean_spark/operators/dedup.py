@@ -256,6 +256,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_e = e.count()
+    # right-size the iteration: near-dup edge sets are tiny relative to the
+    # corpus, and a 32-partition loop pays ~30 empty tasks per stage; size
+    # partitions to the measured edge count (they shrink every round)
+    parts = max(1, min(200, n_e // 100_000 + 1))
+    e = e.repartition(parts, "u")
     for _ in range(max_iter):
         # large-star: connect every neighbor larger than u to min(N(u) + {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
