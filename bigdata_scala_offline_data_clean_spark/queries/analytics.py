@@ -1133,6 +1133,38 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# a35 -- scalar string-function family (translate / pad / reverse / repeat /
+# split_part / levenshtein): the cleaning + fuzzy-matching primitives,
+# one narrow codegen'd projection.
+# ---------------------------------------------------------------------------
+
+
+def a35_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+        F.reverse("c_name").alias("name_rev"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 5).cast("int")).alias("stars"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("lev"),
+    )
+
+
+A35_SQL = """
+SELECT c_custkey,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+       reverse(c_name) AS name_rev,
+       repeat('*', CAST(c_custkey % 5 AS INT)) AS stars,
+       split_part(c_name, '#', 2) AS name_num,
+       levenshtein(c_name, 'Customer#000000001') AS lev
+FROM customer
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1170,4 +1202,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a34_top_customer_per_nation": QuerySpec(
         a34_top_customer_per_nation, A34_SQL
     ),
+    "a35_string_functions": QuerySpec(a35_string_functions, A35_SQL),
 }
