@@ -1165,6 +1165,93 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# a36 -- funnel analysis: view -> click-after-view -> purchase-after-click
+# per user, reported as per-stage user counts.  Each stage is an agg + a
+# key-join against the (shrinking) prior stage -- no event-level self-join
+# across the full stream.
+# ---------------------------------------------------------------------------
+
+
+def a36_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prior: DataFrame) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype).select("user_id", "ts")
+        j = e.join(prior, "user_id").where(F.col("ts") >= F.col("t0"))
+        return j.groupBy("user_id").agg(F.min("ts").alias("t0"))
+
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    clicks = first_after("click", views)
+    purchases = first_after("purchase", clicks)
+    stages = [("1_view", views), ("2_click", clicks), ("3_purchase", purchases)]
+    out = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+A36_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t0
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t0
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t0
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t0
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL SELECT '2_click', (SELECT count(*) FROM c)
+UNION ALL SELECT '3_purchase', (SELECT count(*) FROM p)
+"""
+
+
+# ---------------------------------------------------------------------------
+# a37 -- cohort retention: users bucketed by first-activity DAY, distinct
+# active users per (cohort_day, activity_day) -- day grain because the
+# synthetic event stream spans one month.  The standard retention matrix;
+# the first-activity frame joins back broadcast-size.
+# ---------------------------------------------------------------------------
+
+
+def a37_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("first_ts", "yyyy-MM-dd").alias("cohort_day"),
+            F.date_format("ts", "yyyy-MM-dd").alias("activity_day"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+A37_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT strftime(first_ts, '%Y-%m-%d') AS cohort_day,
+       strftime(e.ts, '%Y-%m-%d') AS activity_day,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1203,4 +1290,6 @@ QUERIES: dict[str, QuerySpec] = {
         a34_top_customer_per_nation, A34_SQL
     ),
     "a35_string_functions": QuerySpec(a35_string_functions, A35_SQL),
+    "a36_funnel": QuerySpec(a36_funnel, A36_SQL),
+    "a37_cohort_retention": QuerySpec(a37_cohort_retention, A37_SQL),
 }
