@@ -25,6 +25,30 @@ def _bucket(id_col: Column, salt: str) -> Column:
     return _nibble_val(F.substring(h, 1, 1)) * 16 + _nibble_val(F.substring(h, 2, 1))
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls under its stratum's fraction.
+
+    The mixture-construction primitive (e.g. 30% web, 100% books): unlike
+    ``sampleBy``, membership is a pure function of (salt, id), so the
+    sample is reproducible across runs/clusters and stable as new data
+    arrives.  Strata absent from ``fractions`` are dropped.  Zero shuffles.
+    """
+    b = _bucket(F.col(id_col), salt)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == stratum) & (b < float(frac) * 256.0)
+        )
+    return df.where(keep)
+
+
 def hash_split(
     df: DataFrame,
     splits: dict[str, float],

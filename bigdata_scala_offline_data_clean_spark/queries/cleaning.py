@@ -622,6 +622,46 @@ WHERE o_totalprice > q3 + 0.5 * (q3 - q1)
 """
 
 
+# ---------------------------------------------------------------------------
+# c14 -- deterministic stratified sampling: mixture construction over three
+# sources at different rates (the "30% web, 100% books" primitive).
+# Membership is a pure function of (salt, doc_id) -- reproducible anywhere.
+# ---------------------------------------------------------------------------
+
+_C14_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def c14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, _C14_FRACS, "source").select(
+        "doc_id", "source"
+    )
+
+
+_C14_NIB = (
+    "(CASE WHEN ascii(substr(hh,{i},1)) >= 97 THEN ascii(substr(hh,{i},1))-87 "
+    "ELSE ascii(substr(hh,{i},1))-48 END)"
+)
+
+C14_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         md5('sample|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+         {_C14_NIB.format(i=1)} * 16 + {_C14_NIB.format(i=2)} AS bk
+  FROM h
+)
+SELECT doc_id, source FROM b
+WHERE (source = 'src0' AND bk < 256.0)
+   OR (source = 'src1' AND bk < 128.0)
+   OR (source = 'src2' AND bk < 64.0)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -636,4 +676,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c11_hash_split": QuerySpec(c11_hash_split, C11_SQL),
     "c12_impute_median": QuerySpec(c12_impute_median, C12_SQL),
     "c13_iqr_outliers": QuerySpec(c13_iqr_outliers, C13_SQL),
+    "c14_stratified_sample": QuerySpec(c14_stratified_sample, C14_SQL),
 }

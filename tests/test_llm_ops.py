@@ -340,3 +340,22 @@ def test_candidate_pairs_bucket_cap(spark):
     capped = candidate_pairs(bands, max_bucket=5)
     got = {(r.a, r.b) for r in capped.collect()}
     assert got == {(100, 101)}  # hot bucket dropped, small bucket intact
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.split import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS src"
+    )
+    fracs = {"a": 1.0, "b": 0.25}
+    out = stratified_sample(df, fracs, "src")
+    counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2000  # fraction 1.0 keeps everything
+    assert abs(counts["b"] / 2000 - 0.25) < 0.05
+    # reproducible: same rows on a second evaluation
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in stratified_sample(df.repartition(9), fracs, "src").collect()}
+    assert ids1 == ids2
