@@ -544,8 +544,47 @@ SELECT custkey, 'rich_no_orders' AS set_op FROM (SELECT custkey FROM rich EXCEPT
 """
 
 
+# ---------------------------------------------------------------------------
+# q17 -- heterogeneous-schema union (U1 extended): unionByName with
+# allowMissingColumns merges entity frames whose columns only partially
+# overlap; absent columns null-fill.  The schema-evolution staple when an
+# upstream adds columns mid-history.
+# ---------------------------------------------------------------------------
+
+
+def q17_union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),  # customer side lacks this
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+Q17_SQL = """
+SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal,
+       'customer' AS kind, c_mktsegment AS mktsegment,
+       CAST(NULL AS INT) AS nationkey
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_acctbal, 'supplier', CAST(NULL AS VARCHAR),
+       s_nationkey
+FROM supplier
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
+    "q17_union_mixed_schemas": QuerySpec(q17_union_mixed_schemas, Q17_SQL),
     "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, Q13_SQL),
     "q14_asof_join": QuerySpec(q14_asof_join, Q14_SQL),
     "q15_range_join": QuerySpec(q15_range_join, Q15_SQL),
