@@ -582,9 +582,57 @@ FROM supplier
 """
 
 
+# ---------------------------------------------------------------------------
+# q18 -- null-safe equi-join (<=>): NULL keys match each other, the
+# semantics SQL '=' silently drops.  Fixture nulls every 7th segment on one
+# side and every 3rd on the other so both null-null matches and null-drop
+# differences are exercised.
+# ---------------------------------------------------------------------------
+
+
+def q18_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    left = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    ).where(F.col("c_custkey") <= 60)
+    right = (
+        c.select(
+            F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+        )
+        .where(F.col("c_custkey") <= 30)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return left.join(right, left["seg"].eqNullSafe(right["seg"])).select(
+        "c_custkey", left["seg"].alias("seg"), "n_right"
+    )
+
+
+Q18_SQL = """
+WITH l AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey <= 60
+), r AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+         count(*) AS n_right
+  FROM customer WHERE c_custkey <= 30
+  GROUP BY 1
+)
+SELECT l.c_custkey, l.seg, r.n_right
+FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
     "q17_union_mixed_schemas": QuerySpec(q17_union_mixed_schemas, Q17_SQL),
+    "q18_null_safe_join": QuerySpec(q18_null_safe_join, Q18_SQL),
     "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, Q13_SQL),
     "q14_asof_join": QuerySpec(q14_asof_join, Q14_SQL),
     "q15_range_join": QuerySpec(q15_range_join, Q15_SQL),
