@@ -1252,6 +1252,75 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# a38 -- array aggregation: the set of event types per user as a SORTED
+# array (collect_set alone is partition-order-dependent; sort_array pins
+# it), plus array functions over the result.
+# ---------------------------------------------------------------------------
+
+
+def a38_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            "types",
+            F.size("types").alias("n_types"),
+            F.array_contains("types", "purchase").alias("has_purchase"),
+            F.element_at("types", 1).alias("first_type"),
+        )
+    )
+
+
+A38_SQL = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       len(list_sort(list(DISTINCT event_type))) AS n_types,
+       list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
+       list_sort(list(DISTINCT event_type))[1] AS first_type
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# a39 -- histogram: fixed-width price buckets with explicit bounds.  Integer
+# bucket arithmetic -> portable; the classic profiling/reporting shape.
+# ---------------------------------------------------------------------------
+
+_A39_WIDTH = 50000
+
+
+def a39_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / _A39_WIDTH).cast("long")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * _A39_WIDTH).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * _A39_WIDTH).cast("double").alias("hi"),
+            "n",
+        )
+    )
+
+
+A39_SQL = f"""
+SELECT bucket,
+       CAST(bucket * {_A39_WIDTH} AS DOUBLE) AS lo,
+       CAST((bucket + 1) * {_A39_WIDTH} AS DOUBLE) AS hi,
+       n
+FROM (
+  SELECT CAST(floor(o_totalprice / {_A39_WIDTH}) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1292,4 +1361,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a35_string_functions": QuerySpec(a35_string_functions, A35_SQL),
     "a36_funnel": QuerySpec(a36_funnel, A36_SQL),
     "a37_cohort_retention": QuerySpec(a37_cohort_retention, A37_SQL),
+    "a38_array_agg": QuerySpec(a38_array_agg, A38_SQL),
+    "a39_price_histogram": QuerySpec(a39_price_histogram, A39_SQL),
 }
