@@ -171,3 +171,32 @@ def test_compact_partition_reduces_files(spark, tmp_path):
     # untouched partition keeps its files; data round-trips exactly
     assert wh.partition("ods", "smallfiles", "20240101").count() == 1000
     assert wh.partition("ods", "smallfiles", "20240102").count() == 1000
+
+
+def test_read_csv_clean_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from bigdata_scala_offline_data_clean_spark.sources.text_ingest import (
+        read_csv_clean,
+        read_json_clean,
+    )
+
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "k,v\n"
+        "1,alpha\n"
+        "not-an-int,beta\n"   # type mismatch -> corrupt
+        "3,gamma\n"
+    )
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", StringType())]
+    )
+    good, bad = read_csv_clean(spark, str(p), schema)
+    assert sorted((r.k, r.v) for r in good.collect()) == [(1, "alpha"), (3, "gamma")]
+    assert [r.raw_record for r in bad.collect()] == ["not-an-int,beta"]
+
+    j = tmp_path / "messy.jsonl"
+    j.write_text('{"k": 1, "v": "a"}\n{broken json\n{"k": 2, "v": "b"}\n')
+    good_j, bad_j = read_json_clean(spark, str(j), schema)
+    assert sorted((r.k, r.v) for r in good_j.collect()) == [(1, "a"), (2, "b")]
+    assert bad_j.count() == 1
