@@ -1321,6 +1321,52 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# a40 -- time-RANGE window frame: rolling 7-day spend per customer.  RANGE
+# (event-time) semantics differ from ROWS (a32) exactly when events are
+# irregularly spaced -- the frame is "orders in the last 7 days", however
+# many there are.  Epoch-second ordering keys make the frame arithmetic
+# integer-exact and engine-portable.
+# ---------------------------------------------------------------------------
+
+_A40_WINDOW_S = 7 * 86400
+
+
+def a40_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "ts_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_s")
+        .rangeBetween(-_A40_WINDOW_S, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ts_str("o_orderdate").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+A40_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS spend_7d,
+       COUNT(*) OVER w AS n_orders_7d
+FROM (SELECT *, epoch(o_orderdate) AS ts_s FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
+             RANGE BETWEEN {_A40_WINDOW_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1363,4 +1409,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a37_cohort_retention": QuerySpec(a37_cohort_retention, A37_SQL),
     "a38_array_agg": QuerySpec(a38_array_agg, A38_SQL),
     "a39_price_histogram": QuerySpec(a39_price_histogram, A39_SQL),
+    "a40_rolling_window": QuerySpec(a40_rolling_window, A40_SQL),
 }
