@@ -629,10 +629,46 @@ FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
 """
 
 
+# ---------------------------------------------------------------------------
+# q19 -- correlated EXISTS / NOT EXISTS in SQL form.  Catalyst rewrites
+# both to semi/anti joins (RewritePredicateSubquery) -- the q13 DataFrame
+# forms, reached from SQL.  Customers with an urgent order but no F order.
+# ---------------------------------------------------------------------------
+
+
+def q19_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F')
+        """
+    )
+
+
+Q19_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_latest_day_orders": QuerySpec(q01_latest_day_orders, Q01_SQL),
     "q17_union_mixed_schemas": QuerySpec(q17_union_mixed_schemas, Q17_SQL),
     "q18_null_safe_join": QuerySpec(q18_null_safe_join, Q18_SQL),
+    "q19_exists_subquery": QuerySpec(q19_exists_subquery, Q19_SQL),
     "q13_semi_anti_join": QuerySpec(q13_semi_anti_join, Q13_SQL),
     "q14_asof_join": QuerySpec(q14_asof_join, Q14_SQL),
     "q15_range_join": QuerySpec(q15_range_join, Q15_SQL),

@@ -359,3 +359,20 @@ def test_stratified_sample_rates_and_determinism(spark):
     ids1 = {r.doc_id for r in out.collect()}
     ids2 = {r.doc_id for r in stratified_sample(df.repartition(9), fracs, "src").collect()}
     assert ids1 == ids2
+
+
+def test_vectorized_quality_score_matches_jvm_expression(spark):
+    import math
+
+    from bigdata_scala_offline_data_clean_spark.operators.pandas_ops import (
+        vectorized_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 40, 10), (2, 100, 10), (3, 3, 0)], "id int, chars int, toks int"
+    )
+    out = df.withColumn("score", vectorized_quality_score("chars", "toks"))
+    got = {r.id: r.score for r in out.collect()}
+    for i, (c, t) in {1: (40, 10), 2: (100, 10), 3: (3, 0)}.items():
+        expected = 1.0 / (1.0 + math.exp(-(c / max(t, 1) - 5.0)))
+        assert abs(got[i] - expected) < 1e-12
