@@ -50,6 +50,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # digest anti-join must broadcast at this size; 3 = digest-distinct hash
     # + broadcast + dedup-window hash
     "c10_ingest_dedup": (("BroadcastHashJoin",), ("SortMergeJoin",), 3),
+    # EXISTS/NOT EXISTS must rewrite to semi/anti joins, never per-row
+    "q19_exists_subquery": (
+        ("LeftSemi", "LeftAnti"), ("NestedLoop", "CartesianProduct"), None,
+    ),
+    # time-range window: exactly one hash exchange on the partition key
+    "a40_rolling_window": ((), ("SortMergeJoin",), 1),
 }
 
 
