@@ -1367,6 +1367,69 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
 """
 
 
+# ---------------------------------------------------------------------------
+# a41 -- wide conditional aggregation (count_if / FILTER): per-priority
+# status breakdown in ONE pass over orders -- the hand-rolled pivot that
+# avoids a shuffle per status value.
+# ---------------------------------------------------------------------------
+
+
+def a41_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n_f = F.count_if(F.col("o_orderstatus") == "F")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            n_f.alias("n_f"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("n_o"),
+            F.count_if(F.col("o_orderstatus") == "P").alias("n_p"),
+            F.count(F.lit(1)).alias("n_total"),
+            (n_f.cast("double") / F.count(F.lit(1))).alias("pct_f"),
+        )
+    )
+
+
+A41_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / count(*)
+         AS pct_f
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# c15b (registered as a42) -- typed from_json parse: schema-on-read of the
+# props JSON into a struct (vs a23's per-field get_json_object string
+# extraction); malformed JSON yields a NULL struct, surfaced as a flag.
+# ---------------------------------------------------------------------------
+
+
+def a42_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_struct", F.from_json("props", "k INT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("props_struct.k").alias("k"),
+        F.col("props_struct").isNull().alias("malformed"),
+    ).where(F.col("k") >= 50)
+
+
+A42_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       false AS malformed
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1410,4 +1473,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a38_array_agg": QuerySpec(a38_array_agg, A38_SQL),
     "a39_price_histogram": QuerySpec(a39_price_histogram, A39_SQL),
     "a40_rolling_window": QuerySpec(a40_rolling_window, A40_SQL),
+    "a41_conditional_agg": QuerySpec(a41_conditional_agg, A41_SQL),
+    "a42_from_json_typed": QuerySpec(a42_from_json_typed, A42_SQL),
 }
