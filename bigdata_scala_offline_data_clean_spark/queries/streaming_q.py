@@ -180,9 +180,53 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+# ---------------------------------------------------------------------------
+# s05 -- SLIDING window aggregation (1h window, 30min slide): every event
+# lands in two overlapping windows.  The oracle derives each event's two
+# window starts arithmetically (floor to the slide grid, and that minus one
+# slide) and unions them.
+# ---------------------------------------------------------------------------
+
+
+def s05_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now
+
+    ev = _events_stream(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = run_available_now(counts, spark)
+    return out.select(
+        ts_str("window_start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+S05_SQL = """
+WITH starts AS (
+  SELECT event_type, to_timestamp(floor(epoch(ts) / 1800) * 1800) AS w FROM events
+  UNION ALL
+  SELECT event_type,
+         to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
     "s03_stream_session_counts": QuerySpec(s03_stream_session_counts, S03_SQL),
     "s04_stream_attribution": QuerySpec(s04_stream_attribution, S04_SQL),
+    "s05_stream_sliding_counts": QuerySpec(s05_stream_sliding_counts, S05_SQL),
 }
