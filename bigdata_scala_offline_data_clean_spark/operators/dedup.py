@@ -176,6 +176,22 @@ def jaccard_verify(
     )
 
 
+def _plan_already_cached(df: DataFrame) -> bool:
+    """True if ``df``'s logical plan is already in the CacheManager.
+
+    Repeated pipeline invocations (warm benchmark passes, a25 reusing a07's
+    shingle plan) would otherwise re-``persist`` an identical plan: Spark
+    warns ``Asked to cache already cached data`` and the persist lifecycle
+    leaks storage-memory bookkeeping.  Catalyst substitutes the cached scan
+    by plan equality anyway, so skipping the second persist loses nothing.
+    """
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+    except Exception:  # Spark Connect or API drift: persist unconditionally
+        return False
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -198,7 +214,7 @@ def minhash_dedup_pairs(
     spilling of a corpus-sized explode is slower than a columnar re-read.
     """
     sh = shingles(df, id_col, text_col, shingle_n)
-    if persist_shingles:
+    if persist_shingles and not _plan_already_cached(sh):
         sh = sh.persist()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = candidate_pairs(lsh_bands(sigs, id_col, num_hashes, bands), id_col)
@@ -236,7 +252,11 @@ def incremental_ingest_dedup(
 
 
 def connected_components(
-    edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 25,
+    max_loop_partitions: int = 200,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node id.
 
@@ -259,8 +279,10 @@ def connected_components(
     n_e = e.count()
     # right-size the iteration: near-dup edge sets are tiny relative to the
     # corpus, and a 32-partition loop pays ~30 empty tasks per stage; size
-    # partitions to the measured edge count (they shrink every round)
-    parts = max(1, min(200, n_e // 100_000 + 1))
+    # partitions to the measured edge count (they shrink every round).
+    # ``max_loop_partitions`` caps the loop width -- raise it for cluster
+    # runs where the edge set itself is huge.
+    parts = max(1, min(max_loop_partitions, n_e // 100_000 + 1))
     e = e.repartition(parts, "u")
     for _ in range(max_iter):
         # large-star: connect every neighbor larger than u to min(N(u) + {u})
@@ -290,9 +312,14 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # converged iff the (distinct) edge sets are equal: probe the
+        # symmetric difference with ONE action (limit-1 short-circuits) --
+        # the count+count+anti-join form launched three jobs per round,
+        # each a scheduler round-trip on a real cluster.
         converged = (
-            e_new.count() == e.count()
-            and e_new.join(e, ["u", "v"], "left_anti").isEmpty()
+            e_new.join(e, ["u", "v"], "left_anti")
+            .union(e.join(e_new, ["u", "v"], "left_anti"))
+            .isEmpty()
         )
         e = e_new
         if converged:

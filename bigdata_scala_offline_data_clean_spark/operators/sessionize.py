@@ -21,15 +21,19 @@ def sessionize(
     key: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Add ``session_id`` (key-scoped, 0-based) and ``is_session_start``.
 
     Rows ordered by ``ts_col`` within each key; a new session starts when
     the previous event is more than ``gap_seconds`` older (or absent).
-    Deterministic for distinct (key, ts) pairs; ties order by ts only --
-    pass pre-deduplicated input for exact tie control.
+    Session ASSIGNMENT is deterministic even under (key, ts) ties (a zero
+    gap never starts a session, so tied rows always share a session), but
+    pass ``tiebreak`` (a unique column, e.g. the event id) to pin the full
+    row order inside the window as well.
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
+    order = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
     prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
     is_start = F.when(
         prev.isNull() | (F.unix_timestamp(F.col(ts_col)) - prev > gap_seconds),
@@ -50,9 +54,10 @@ def session_stats(
     key: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Per-session rollup: bounds, event count, duration seconds."""
-    s = sessionize(df, key, ts_col, gap_seconds)
+    s = sessionize(df, key, ts_col, gap_seconds, tiebreak=tiebreak)
     return s.groupBy(key, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

@@ -80,7 +80,17 @@ def salted_join(
     Use when one join key dominates the big side and the small side is too
     large to broadcast outright.  Replication multiplies the small side
     ``buckets``x -- keep ``buckets`` modest.
+
+    Only ``inner``/``left``(-outer)/``left_semi`` are supported: with a
+    right or full outer join every unmatched small-side row would surface
+    once PER REPLICA, silently duplicating output.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+    if how.replace("_", "").lower() not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: outer "
+            "joins would emit unmatched small-side rows once per replica"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn("__salt", _salt(buckets))
     replicas = F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -13,7 +13,8 @@ Scale notes
   DWD side reads only its *latest* partition, never table history.
 - C: the delta is a daily increment and is typically tiny next to the base
   partition, so the full-outer merge broadcasts the delta when
-  ``broadcast_delta`` (default auto under ``delta_broadcast_rows``); Spark
+  ``broadcast_delta`` (default auto from the optimizer's file-size
+  estimate vs ``autoBroadcastJoinThreshold`` -- no extra action); Spark
   cannot broadcast a full outer join directly, so the small-delta path is
   decomposed into left-join + anti-join union (same semantics, no full
   shuffle of the base).
@@ -116,7 +117,7 @@ def run_delta_merge(
     rowkey_regex: str | None = None,
     user: str = "user1",
     ts: Column | None = None,
-    delta_broadcast_rows: int = 5_000_000,
+    broadcast_delta: bool | None = None,
     decoders: dict | None = None,
 ) -> str:
     """Latest ODS partition FULL-OUTER-merged with the offline delta snapshot
@@ -146,8 +147,18 @@ def run_delta_merge(
         raise ValueError(f"delta snapshot missing columns: {missing}")
     delta = delta.select(*base.columns)
 
-    n_delta = delta.count()
-    if n_delta <= delta_broadcast_rows:
+    # Route small deltas to the broadcast decomposition WITHOUT an extra
+    # action: Catalyst's file-statistics size estimate is a driver-side
+    # plan lookup, whereas the previous ``delta.count()`` launched a full
+    # scan job before the merge even started.  ``broadcast_delta`` forces
+    # the choice either way.
+    if broadcast_delta is None:
+        est = _estimated_plan_bytes(delta)
+        threshold = _parse_bytes(
+            wh.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+        broadcast_delta = est is not None and 0 < threshold and est <= threshold
+    if broadcast_delta:
         merged = _small_delta_merge(base, delta, merge_col)
     else:
         merged = merge_full_outer(base, delta, merge_col, prefer="base")
@@ -155,6 +166,35 @@ def run_delta_merge(
     out = stamp_audit(merged, user=user, ts=ts, etl_date=latest)
     wh.append(out, "dwd", dwd_table)
     return latest
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+                "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size confs come back as '10485760', '10485760b', or '10MB'."""
+    s = str(v).strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _BYTE_SUFFIX[suf])
+    return int(float(s))
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (file statistics; no job).
+
+    The decoder/regex projection over a parquet snapshot keeps file-level
+    sizeInBytes, so this reflects the on-disk delta size -- exactly the
+    signal Spark itself uses for broadcast decisions.  Returns ``None``
+    where the estimate is unavailable (Connect, or a non-file source).
+    """
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Catalyst signals "unknown" with Long.MaxValue-ish sentinels
+    return size if 0 < size < (1 << 62) else None
 
 
 def _small_delta_merge(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:

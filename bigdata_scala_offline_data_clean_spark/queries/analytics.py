@@ -394,13 +394,37 @@ SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
 # ---------------------------------------------------------------------------
 
 
+def _ann_with_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Append per-query ``recall_at_k`` vs the exact top-k.
+
+    ANN queries have no SQL oracle (driver falls back to rows-only), so the
+    quality metric travels INSIDE the result: the rows-only check then pins
+    a meaningful, deterministic recall value instead of just a row count
+    (mirrors the pytest bounds in test_llm_ops).
+    """
+    hits = (
+        ann.join(exact.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        ann.join(F.broadcast(hits), "q_id", "left")
+        .withColumn(
+            "recall_at_k",
+            F.round(F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(k), 4),
+        )
+        .drop("__hits")
+    )
+
+
 def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import lsh_ann_topk
+    from ..operators.similarity import cosine_topk, lsh_ann_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < _TOPK_NQ)
     dim = len(e.select("embedding").first()[0])
-    return lsh_ann_topk(e, q, dim=dim, k=_TOPK_K, planes=4)
+    ann = lsh_ann_topk(e, q, dim=dim, k=_TOPK_K, planes=4)
+    return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
 
 
 # ---------------------------------------------------------------------------
@@ -475,7 +499,7 @@ def a20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import ts_str
 
     ev = load_table(spark, sf_dir, "events")
-    out = session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    out = session_stats(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
     return out.select(
         "user_id",
         "session_id",
@@ -497,9 +521,13 @@ WITH marked AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
+  -- CAST: DuckDB windowed SUM(int) yields HUGEINT, which pandas
+  -- materializes as object/float; Spark emits bigint.  Cast so the
+  -- driver's value hash sees identical int64 columns.
   SELECT user_id, ts, es,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -514,12 +542,14 @@ GROUP BY user_id, session_id
 
 def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only: k-means centroids are float-iterative,
-    impractical to mirror in SQL; recall vs brute force asserted in tests)."""
-    from ..operators.similarity import ivf_ann_topk
+    impractical to mirror in SQL; per-query recall_at_k vs brute force is
+    computed in-query so the driver's rows-only check pins it)."""
+    from ..operators.similarity import cosine_topk, ivf_ann_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < _TOPK_NQ)
-    return ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=2)
+    ann = ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=2)
+    return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
 
 
 def a22_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,13 +962,18 @@ GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
 
 
 def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar columns only: the driver's rows-only canonicalizer sorts a
+    # pandas frame and cannot hash list cells, so the two quantiles come
+    # out as separate double columns rather than one array<double>.
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000
+    )
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_partkeys"),
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000
-        ).cast("array<double>").alias("price_quantiles"),
+        F.element_at(q, 1).cast("double").alias("p50_approx"),
+        F.element_at(q, 2).cast("double").alias("p99_approx"),
     )
 
 
@@ -1260,23 +1295,26 @@ GROUP BY 1, 2
 
 
 def a38_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The array is built and exercised (size / contains / element_at) but
+    # serialized to a comma-joined string on output: the driver's pandas
+    # canonicalizer cannot hash list cells (see a27).
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types_arr"))
         .select(
             "user_id",
-            "types",
-            F.size("types").alias("n_types"),
-            F.array_contains("types", "purchase").alias("has_purchase"),
-            F.element_at("types", 1).alias("first_type"),
+            F.array_join("types_arr", ",").alias("types"),
+            F.size("types_arr").alias("n_types"),
+            F.array_contains("types_arr", "purchase").alias("has_purchase"),
+            F.element_at("types_arr", 1).alias("first_type"),
         )
     )
 
 
 A38_SQL = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        len(list_sort(list(DISTINCT event_type))) AS n_types,
        list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
        list_sort(list(DISTINCT event_type))[1] AS first_type
@@ -1422,11 +1460,13 @@ def a42_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A42_SQL = """
+-- TRY_CAST: from_json('k INT') nulls non-numeric values; a plain CAST
+-- would make DuckDB abort instead of comparing NULLs.
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        false AS malformed
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
 """
 
 

@@ -281,7 +281,7 @@ def test_approx_stats_error_bounds(spark):
     ).first()
     assert abs(row.approx_orderkeys - exact.ok) / exact.ok < 0.05
     assert abs(row.approx_partkeys - exact.pk) / exact.pk < 0.05
-    for approx, true in zip(row.price_quantiles, exact.q):
+    for approx, true in zip((row.p50_approx, row.p99_approx), exact.q):
         assert abs(approx - float(true)) / float(true) < 0.05
 
 
