@@ -257,6 +257,7 @@ def connected_components(
     b: str = "b",
     max_iter: int = 25,
     max_loop_partitions: int = 200,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node id.
 
@@ -283,6 +284,13 @@ def connected_components(
     # ``max_loop_partitions`` caps the loop width -- raise it for cluster
     # runs where the edge set itself is huge.
     parts = max(1, min(max_loop_partitions, n_e // 100_000 + 1))
+    if n_e <= small_graph_threshold:
+        # Bounded driver-side union-find (same pattern as IVF centroid
+        # training): a near-dup edge list this small is a few MB, and the
+        # iterative loop would pay ~2 scheduler round-trips per round for
+        # work one core finishes in milliseconds.  The distributed
+        # large-star/small-star path below stays the 100 TB route.
+        return _unionfind_components(e)
     e = e.repartition(parts, "u")
     for _ in range(max_iter):
         # large-star: connect every neighbor larger than u to min(N(u) + {u})
@@ -330,6 +338,44 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     return comp.union(roots)
+
+
+def _unionfind_components(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (u, v) edge frame.
+
+    Union-by-min + path compression: the root of every set is its minimum
+    node id, so the output matches the distributed star algorithm exactly:
+    one (node, component=min reachable id) row per node seen in the edges.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in e.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru  # attach the larger root under the smaller
+
+    node_type = e.schema[0].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ]
+    )
+    data = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(data, schema)
 
 
 def dedup_clusters(

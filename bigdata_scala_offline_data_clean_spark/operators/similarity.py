@@ -61,18 +61,25 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # per-vector norms computed before the join, not per pair (see
+    # embedding_neardup_pairs) -- identical fold, O(n*dim) instead of
+    # O(n*q*dim)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        _norm(F.col(vec_col)).alias("__q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("__c_vec")
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__c_vec"),
+        _norm(F.col(vec_col)).alias("__c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .withColumn(
             "cosine",
             _dot(F.col("__q_vec"), F.col("__c_vec"))
-            / (_norm(F.col("__q_vec")) * _norm(F.col("__c_vec"))),
+            / (F.col("__q_norm") * F.col("__c_norm")),
         )
     )
     if round_digits is not None:
@@ -102,8 +109,19 @@ def embedding_neardup_pairs(
     pairs almost always share sign patterns); without, the exact all-pairs
     comparison runs (correctness baseline -- quadratic, small corpora only).
     """
-    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    # norms are computed ONCE per vector before the join -- inside the
+    # join condition they would be re-folded per PAIR (O(n^2 * dim) extra
+    # higher-order-function work); same fold order, so values are identical
+    a = corpus.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     if planes is not None:
         a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
         b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
@@ -113,8 +131,7 @@ def embedding_neardup_pairs(
     scored = pairs.withColumn(
         "cosine",
         F.round(
-            _dot(F.col("__va"), F.col("__vb"))
-            / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
             6,
         ),
     )
@@ -211,6 +228,7 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__c_vec"),
+        _norm(F.col(vec_col)).alias("__c_norm"),
         _ivf_bucket(F.col(vec_col), centroids).alias("bucket"),
     )
     # probe assignment for the (small) query set: driver-side numpy
@@ -225,7 +243,9 @@ def ivf_ann_topk(
         probes, ["q_id", "bucket"]
     ).join(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__q_vec"),
+            _norm(F.col(vec_col)).alias("__q_norm"),
         ),
         "q_id",
     )
@@ -236,7 +256,7 @@ def ivf_ann_topk(
             "cosine",
             F.round(
                 _dot(F.col("__q_vec"), F.col("__c_vec"))
-                / (_norm(F.col("__q_vec")) * _norm(F.col("__c_vec"))),
+                / (F.col("__c_norm") * F.col("__q_norm")),
                 6,
             ),
         )
@@ -270,11 +290,13 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__c_vec"),
+        _norm(F.col(vec_col)).alias("__c_norm"),
         lsh_bucket(F.col(vec_col), hp).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("__q_vec"),
+        _norm(F.col(vec_col)).alias("__q_norm"),
         lsh_bucket(F.col(vec_col), hp).alias("bucket"),
     )
     scored = (
@@ -284,7 +306,7 @@ def lsh_ann_topk(
             "cosine",
             F.round(
                 _dot(F.col("__q_vec"), F.col("__c_vec"))
-                / (_norm(F.col("__q_vec")) * _norm(F.col("__c_vec"))),
+                / (F.col("__c_norm") * F.col("__q_norm")),
                 6,
             ),
         )

@@ -1081,7 +1081,9 @@ def _a25_sql() -> str:
     # uses O(log n) star-contraction instead)
     a07 = _a07_sql().strip().rstrip("\n")
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
+  -- MATERIALIZED: without it DuckDB re-inlines the quadratic pair join
+  -- into every recursive iteration (~10x slower at sf0.01)
 {a07}
 ), sym AS (
   SELECT a AS u, b AS v FROM pairs
@@ -1117,7 +1119,9 @@ def a33_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _a33_sql() -> str:
     a21 = _a21_sql().strip().rstrip("\n")
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
+  -- MATERIALIZED: without it DuckDB re-inlines the quadratic pair join
+  -- into every recursive iteration (~10x slower at sf0.01)
 {a21}
 ), sym AS (
   SELECT a AS u, b AS v FROM pairs

@@ -263,12 +263,23 @@ def stream_upsert_scd1(
 
 
 def run_available_now(
-    streaming_df: DataFrame, spark: SparkSession, output_mode: str | None = None
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming frame over all currently-available input and
     return the materialized result as a batch DataFrame (memory sink,
     ``availableNow`` trigger).  ``output_mode`` defaults by plan shape:
-    complete for aggregates, update for custom stateful ops, else append."""
+    complete for aggregates, update for custom stateful ops, else append.
+
+    ``state_partitions`` sizes the state store: streaming stages take their
+    partition count from ``spark.sql.shuffle.partitions`` at first batch
+    and AQE never coalesces them, so a stock 200-partition session pays
+    ~200 state-store tasks per stage regardless of data volume.  Default:
+    the cluster's defaultParallelism (one state partition per core).  The
+    session conf is restored after the run.
+    """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     if output_mode is None:
         plan = streaming_df._jdf.queryExecution().analyzed().toString()
@@ -278,12 +289,19 @@ def run_available_now(
             output_mode = "complete"
         else:
             output_mode = "append"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    if state_partitions is None:
+        state_partitions = max(1, spark.sparkContext.defaultParallelism)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

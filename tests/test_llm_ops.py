@@ -221,8 +221,15 @@ def test_connected_components_transitive_chain(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
     )
-    cc = {r.node: r.component for r in connected_components(pairs).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # both routes: driver union-find (small default) and distributed stars
+    for thr in (200_000, 0):
+        cc = {
+            r.node: r.component
+            for r in connected_components(
+                pairs, small_graph_threshold=thr
+            ).collect()
+        }
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
     docs = spark.createDataFrame(
         [(i, "t") for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id", "text"]
@@ -238,8 +245,9 @@ def test_connected_components_long_chain_converges(spark):
     )
 
     # a 64-node path graph needs log-round contraction, not 64 iterations
+    # (small_graph_threshold=0 forces the distributed star algorithm)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], ["a", "b"])
-    comp = connected_components(pairs, max_iter=12).collect()
+    comp = connected_components(pairs, max_iter=12, small_graph_threshold=0).collect()
     assert {r.component for r in comp} == {0}
     assert {r.node for r in comp} == set(range(65))
 

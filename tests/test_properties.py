@@ -185,7 +185,10 @@ class TestConnectedComponents:
         out = {
             r.node: r.component
             for r in connected_components(
-                spark.createDataFrame(edges, ["a", "b"])
+                # threshold=0: test the DISTRIBUTED path against the
+                # union-find model (the small-graph route IS union-find)
+                spark.createDataFrame(edges, ["a", "b"]),
+                small_graph_threshold=0,
             ).collect()
         }
 
