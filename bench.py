@@ -36,6 +36,11 @@ HEADLINE = [
     "a26_top_ngrams",
     "q14_asof_join",
     "c09_incremental_agg",
+    # r3 additions (extend-only: earlier entries keep their names so
+    # round-over-round comparison holds)
+    "a21_embedding_neardup",
+    "a33_embedding_clusters",
+    "c06_training_pipeline",
 ]
 
 

@@ -211,3 +211,124 @@ class Warehouse:
         """
         part = self.partition(layer, table, etl_date).repartition(target_files)
         self.overwrite_partitions(part, layer, table)
+
+
+class SqlWarehouse:
+    """Catalog-named warehouse: ``ods``/``dwd``/``dws`` as REAL Spark SQL
+    databases, tables addressed as ``<layer>.<table>`` -- the reference's
+    user surface (Constants.scala:9-12, SparkSessionBuilder.scala:17)
+    where ``Warehouse`` is its path-convention stand-in.
+
+    Same method surface as ``Warehouse``, so every pipeline archetype runs
+    unchanged against catalog names.  Writes go through the catalog
+    (``saveAsTable`` / SQL DML); in particular ``overwrite_partitions``
+    executes the reference's literal statement form::
+
+        INSERT OVERWRITE TABLE dwd.t PARTITION (etl_date)
+        SELECT ... FROM temp_combined_data
+
+    (CustomerInfDataClean.scala:70-88) over a temp view, with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` standing in for
+    ``hive.exec.dynamic.partition[.mode]``.
+
+    ``db_prefix`` isolates test runs (``t1_ods`` ...); production use is the
+    bare reference names.
+    """
+
+    TEMP_VIEW = "temp_combined_data"
+
+    def __init__(self, spark: SparkSession, db_prefix: str = "",
+                 layers: tuple = ("ods", "dwd", "dws")):
+        self.spark = spark
+        self.db_prefix = db_prefix
+        for layer in layers:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._db(layer)}")
+
+    def _db(self, layer: str) -> str:
+        return f"{self.db_prefix}{layer}"
+
+    def qualified(self, layer: str, table: str) -> str:
+        return f"{self._db(layer)}.{table}"
+
+    # -- reads (SQL-statement forms S1/S3) ---------------------------------
+
+    def exists(self, layer: str, table: str) -> bool:
+        return self.spark.catalog.tableExists(self.qualified(layer, table))
+
+    def table(self, layer: str, table: str) -> DataFrame:
+        """S3: ``sparkSession.table("dwd.t")``."""
+        return self.spark.table(self.qualified(layer, table))
+
+    def partition(self, layer: str, table: str, etl_date: str) -> DataFrame:
+        """S1: the reference's literal interpolated-SQL scan; the catalog
+        prunes to one partition directory at planning time."""
+        return self.spark.sql(
+            f"SELECT * FROM {self.qualified(layer, table)} "
+            f"WHERE etl_date = '{etl_date}'"
+        )
+
+    def latest_partition(self, layer: str, table: str) -> str | None:
+        """A1/S12 via ``SHOW PARTITIONS`` -- catalog metadata only, no data
+        scan (the reference's ``SELECT MAX(etl_date)`` reads rows)."""
+        if not self.exists(layer, table):
+            return None
+        rows = self.spark.sql(
+            f"SHOW PARTITIONS {self.qualified(layer, table)}"
+        ).collect()
+        parts = [r[0].split("=", 1)[1] for r in rows if "=" in r[0]]
+        return max(parts) if parts else None
+
+    def latest(self, layer: str, table: str) -> DataFrame:
+        p = self.latest_partition(layer, table)
+        if p is None:
+            raise FileNotFoundError(f"no partitions in {layer}.{table}")
+        return self.partition(layer, table, p)
+
+    # -- writes (S8-S10, SQL-statement forms) ------------------------------
+
+    def _ensure_table(self, df: DataFrame, layer: str, table: str) -> str:
+        name = self.qualified(layer, table)
+        if not self.exists(layer, table):
+            # create the partitioned shell through the catalog; data flows
+            # in via INSERT so first-write and steady-state share one path
+            (df.limit(0).write.format("parquet")
+             .partitionBy("etl_date").saveAsTable(name))
+        return name
+
+    def _insert_sql(self, df: DataFrame, layer: str, table: str,
+                    overwrite: bool) -> None:
+        name = self._ensure_table(df, layer, table)
+        # partition column must be last in the SELECT for PARTITION (col)
+        cols = [c for c in df.columns if c != "etl_date"] + ["etl_date"]
+        df.createOrReplaceTempView(self.TEMP_VIEW)
+        verb = "OVERWRITE TABLE" if overwrite else "INTO"
+        self.spark.sql(
+            f"INSERT {verb} {name} PARTITION (etl_date) "
+            f"SELECT {', '.join(cols)} FROM {self.TEMP_VIEW}"
+        )
+
+    def append(self, df: DataFrame, layer: str, table: str) -> None:
+        """S8: ``INSERT INTO ... PARTITION (etl_date) SELECT ...``."""
+        self._insert_sql(df, layer, table, overwrite=False)
+
+    def overwrite_partitions(self, df: DataFrame, layer: str, table: str) -> None:
+        """S9, statement form: dynamic-partition INSERT OVERWRITE over a
+        temp view -- replaces only the partitions present in ``df``."""
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            self._insert_sql(df, layer, table, overwrite=True)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def overwrite_table(self, df: DataFrame, layer: str, table: str) -> None:
+        """S10: whole-table replace through the catalog."""
+        name = self.qualified(layer, table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self._insert_sql(df, layer, table, overwrite=True)
+
+    def drop_all(self) -> None:
+        """Test teardown: drop the prefixed databases."""
+        for db in [d.name for d in self.spark.catalog.listDatabases()]:
+            if self.db_prefix and db.startswith(self.db_prefix):
+                self.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

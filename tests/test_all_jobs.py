@@ -127,3 +127,48 @@ def test_scd1_second_day_updates(spark, loaded_wh):
     assert latest[7].customer_name == "customer_name_7"  # new key
     assert latest[1].customer_name == "customer_name_1"  # untouched survivor
     assert str(latest[1].dwd_insert_time) == "2022-10-01 12:00:00"  # preserved
+
+
+def test_all_twelve_jobs_run_against_catalog_names(spark, tmp_path_factory):
+    """The reference's user surface: the same 12 jobs run with tables
+    addressed as ods.t / dwd.t / dws.t through a real SQL catalog
+    (SqlWarehouse), writes flowing through INSERT ... PARTITION statements
+    (Constants.scala:9-12, CustomerInfDataClean.scala:70-88)."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import SqlWarehouse
+
+    root = tmp_path_factory.mktemp("cat_wh")
+    wh = SqlWarehouse(spark, db_prefix="tjobs_")
+    try:
+        for table, schema in ODS_SCHEMAS.items():
+            df = spark.createDataFrame(_rows(schema), with_partition(schema))
+            wh.append(df, "ods", table)
+        for cfg in (c for c in JOBS.values() if c.archetype == "C"):
+            schema = ODS_SCHEMAS[cfg.ods_table]
+            fresh = tuple(
+                99 if f.name == cfg.merge_col else _value(f, 99)
+                for f in schema.fields
+            )
+            delta_schema = T.StructType(
+                [T.StructField("row_key", T.StringType())] + list(schema.fields)
+            )
+            spark.createDataFrame(
+                [("rk_20221001_99",) + fresh], delta_schema
+            ).write.parquet(f"{root}/delta/{cfg.delta_table}")
+
+        pin = F.lit("2022-10-01 12:00:00").cast("timestamp")
+        for arch in ["A", "B", "C", "D"]:
+            for cfg in (c for c in JOBS.values() if c.archetype == arch):
+                etl = run_job(
+                    wh, cfg.name, delta_root=f"{root}/delta", ts=pin, etl_date=ETL
+                )
+                assert etl == ETL, cfg.name
+        for cfg in JOBS.values():
+            if cfg.archetype == "D":
+                continue
+            out = wh.table("dwd", cfg.dwd_table)
+            expected = [f.name for f in dwd_schema(cfg.ods_table).fields]
+            assert sorted(out.columns) == sorted(expected), cfg.name
+            assert out.count() >= 3, cfg.name
+        assert wh.table("dws", "customer_addr_level_aggr").count() == 3
+    finally:
+        wh.drop_all()

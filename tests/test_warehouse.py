@@ -200,3 +200,55 @@ def test_read_csv_clean_quarantines_corrupt_rows(spark, tmp_path):
     good_j, bad_j = read_json_clean(spark, str(j), schema)
     assert sorted((r.k, r.v) for r in good_j.collect()) == [(1, "a"), (2, "b")]
     assert bad_j.count() == 1
+
+
+# -- SqlWarehouse: catalog-named databases + SQL-statement DML forms --------
+
+
+@pytest.fixture()
+def sqlwh(spark):
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import SqlWarehouse
+
+    wh = SqlWarehouse(spark, db_prefix="twh_")
+    yield wh
+    wh.drop_all()
+
+
+def test_sqlwh_append_and_latest(spark, sqlwh):
+    sqlwh.append(_part(spark, "20220101", [(1, "a")]), "dwd", "t")
+    sqlwh.append(_part(spark, "20220103", [(2, "b")]), "dwd", "t")
+    sqlwh.append(_part(spark, "20220102", [(3, "c")]), "dwd", "t")
+    assert sqlwh.exists("dwd", "t") is True
+    assert spark.catalog.tableExists("twh_dwd.t")
+    assert sqlwh.latest_partition("dwd", "t") == "20220103"
+    assert [r.k for r in sqlwh.latest("dwd", "t").collect()] == [2]
+
+
+def test_sqlwh_insert_overwrite_partition_sql_form(spark, sqlwh):
+    """S9's literal INSERT OVERWRITE ... PARTITION statement replaces only
+    the partitions present in the temp view (dynamic mode)."""
+    sqlwh.append(_part(spark, "20220101", [(1, "keep")]), "dwd", "t")
+    sqlwh.append(_part(spark, "20220102", [(2, "old")]), "dwd", "t")
+    sqlwh.overwrite_partitions(_part(spark, "20220102", [(3, "new")]), "dwd", "t")
+    got = {
+        (r.k, r.v, str(r.etl_date)) for r in sqlwh.table("dwd", "t").collect()
+    }
+    assert got == {(1, "keep", "20220101"), (3, "new", "20220102")}
+
+
+def test_sqlwh_sql_form_matches_dataframe_form(spark, sqlwh, tmp_path):
+    """The SQL-statement overwrite and the DataFrame-writer overwrite land
+    the same table state from the same inputs."""
+    pathwh = Warehouse(spark, str(tmp_path))
+    for wh in (sqlwh, pathwh):
+        wh.append(_part(spark, "20220101", [(1, "keep"), (2, "x")]), "dwd", "t")
+        wh.overwrite_partitions(
+            _part(spark, "20220102", [(5, "new")]), "dwd", "t"
+        )
+        wh.overwrite_partitions(
+            _part(spark, "20220101", [(9, "repl")]), "dwd", "t"
+        )
+    canon = lambda wh: {
+        (r.k, r.v, str(r.etl_date)) for r in wh.table("dwd", "t").collect()
+    }
+    assert canon(sqlwh) == canon(pathwh)
