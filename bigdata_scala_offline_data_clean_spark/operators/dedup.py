@@ -176,6 +176,40 @@ def jaccard_verify(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per-train-doc n-gram overlap with an
+    evaluation set.
+
+    Returns train docs sharing >= 1 distinct word ``n``-gram with ANY bench
+    doc: (id, n_overlap, n_grams, contamination_ratio).  The join is an
+    inverted index on the gram -- the bench side collapses to DISTINCT
+    grams first, so at 100 TB the shuffle carries each unique bench gram
+    once (and the small bench gram set is broadcast-eligible; AQE picks
+    that up).  Filtering decisions (drop vs keep at a ratio threshold)
+    stay with the caller.
+    """
+    tg = shingles(train, id_col, text_col, n)
+    bg = shingles(bench, id_col, text_col, n).select("gram").distinct()
+    totals = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_overlap",
+        "n_grams",
+        (F.col("n_overlap") / F.col("n_grams")).alias("contamination_ratio"),
+    )
+
+
 def _plan_already_cached(df: DataFrame) -> bool:
     """True if ``df``'s logical plan is already in the CacheManager.
 

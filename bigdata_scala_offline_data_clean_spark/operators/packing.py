@@ -1,0 +1,59 @@
+"""Sequence packing: assign documents to fixed-size context windows.
+
+The standard concat-and-chunk construction for LLM pretraining batches:
+documents are concatenated in a deterministic order and the token stream is
+cut every ``ctx_len`` tokens; each document lands at a byte-exact offset, so
+the mapping (doc -> chunk ids it occupies) is a pure function of the corpus.
+
+Scale shape: packing is per-SHARD (``shard_col``) -- each shard's stream is
+independent, so the cumulative-sum window partitions by shard and the work
+distributes.  A single global stream (``shard_col=None``) forces every row
+through one partition's window; that is provided for small corpora and
+parity checks only.  At 100 TB you shard by a hash of the doc id (or by
+source file) exactly as real pipelines do, and the only cost is one hash
+exchange + per-partition sort.
+
+Integer token arithmetic only -> the DuckDB oracle reproduces chunk ids
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    ctx_len: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Chunk assignment for concat-and-chunk packing.
+
+    Adds, per document (ordered by ``id_col`` within its shard):
+
+    - ``stream_offset``: tokens before this doc in its shard's stream
+    - ``chunk_id``: context window holding the doc's FIRST token
+    - ``chunk_id_end``: window holding the doc's LAST token
+    - ``spans_boundary``: doc crosses a context-window edge (its loss mask
+      spans two training sequences)
+    """
+    if shard_col is None:
+        w = Window.orderBy(id_col)
+    else:
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    tokens = F.col(token_col).cast("bigint")
+    offset = F.coalesce(F.sum(tokens).over(before), F.lit(0).cast("bigint"))
+    out = df.withColumn("stream_offset", offset)
+    first_chunk = F.floor(F.col("stream_offset") / ctx_len)
+    last_chunk = F.floor(
+        (F.col("stream_offset") + F.greatest(tokens, F.lit(1)) - 1) / ctx_len
+    )
+    return (
+        out.withColumn("chunk_id", first_chunk)
+        .withColumn("chunk_id_end", last_chunk)
+        .withColumn("spans_boundary", F.col("chunk_id") != F.col("chunk_id_end"))
+    )

@@ -1474,6 +1474,121 @@ WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
 """
 
 
+# ---------------------------------------------------------------------------
+# a43 -- sequence packing (concat-and-chunk): per-shard token streams cut
+# every ctx_len tokens; chunk assignment is integer arithmetic over a
+# cumulative window -> portable.  Sharding keeps the window distributed.
+# ---------------------------------------------------------------------------
+
+_A43_CTX = 512
+
+
+def a43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+    from ..operators.text import token_count_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = token_count_bpe(d).select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), "n_bpe_tokens"
+    )
+    packed = pack_sequences(
+        toks, "doc_id", "n_bpe_tokens", _A43_CTX, shard_col="shard"
+    )
+    return packed.select(
+        "doc_id", "shard", "n_bpe_tokens",
+        "stream_offset", "chunk_id", "chunk_id_end", "spans_boundary",
+    )
+
+
+A43_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+           AS n_bpe_tokens
+  FROM documents
+), packed AS (
+  -- CAST: DuckDB windowed SUM(int) -> HUGEINT; Spark emits bigint
+  SELECT doc_id, shard, n_bpe_tokens,
+         CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_offset
+  FROM toks
+)
+SELECT doc_id, shard, n_bpe_tokens, stream_offset,
+       CAST(floor(stream_offset / {_A43_CTX}) AS BIGINT) AS chunk_id,
+       CAST(floor((stream_offset + greatest(n_bpe_tokens, 1) - 1)
+                  / {_A43_CTX}) AS BIGINT) AS chunk_id_end,
+       CAST(floor(stream_offset / {_A43_CTX}) AS BIGINT)
+         != CAST(floor((stream_offset + greatest(n_bpe_tokens, 1) - 1)
+                       / {_A43_CTX}) AS BIGINT) AS spans_boundary
+FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
+# a44 -- deterministic corpus shuffle: seeded md5 order with a GLOBAL rank
+# computed by the two-phase bucket-offset construction (no single-partition
+# window; see operators/ordering.py).  Oracle = the naive global window.
+# ---------------------------------------------------------------------------
+
+
+def a44_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed="epoch0")
+
+
+A44_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(concat('epoch0', CAST(doc_id AS VARCHAR))), doc_id)
+         AS BIGINT) AS shuffle_rank
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# a45 -- benchmark decontamination: train docs sharing word 3-grams with a
+# held-out eval slice (doc_id % 10 == 0).  Inverted-index join on the gram;
+# the distinct bench-gram side is the small broadcastable input.
+# ---------------------------------------------------------------------------
+
+
+def a45_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import contamination_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    return contamination_overlap(train, bench, n=3)
+
+
+A45_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+), train AS (
+  SELECT * FROM grams WHERE doc_id % 10 != 0
+), totals AS (
+  SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id
+)
+SELECT h.doc_id, n_overlap, n_grams,
+       CAST(n_overlap AS DOUBLE) / n_grams AS contamination_ratio
+FROM hits h JOIN totals USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1519,4 +1634,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a40_rolling_window": QuerySpec(a40_rolling_window, A40_SQL),
     "a41_conditional_agg": QuerySpec(a41_conditional_agg, A41_SQL),
     "a42_from_json_typed": QuerySpec(a42_from_json_typed, A42_SQL),
+    "a43_sequence_packing": QuerySpec(a43_sequence_packing, A43_SQL),
+    "a44_deterministic_shuffle": QuerySpec(a44_deterministic_shuffle, A44_SQL),
+    "a45_decontamination": QuerySpec(a45_decontamination, A45_SQL),
 }

@@ -384,3 +384,101 @@ def test_vectorized_quality_score_matches_jvm_expression(spark):
     for i, (c, t) in {1: (40, 10), 2: (100, 10), 3: (3, 0)}.items():
         expected = 1.0 / (1.0 + math.exp(-(c / max(t, 1) - 5.0)))
         assert abs(got[i] - expected) < 1e-12
+
+
+def test_pack_sequences_boundary_math(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # ctx=10: doc1 (7) fills 0-6, doc2 (5) spans 7-11 across the boundary,
+    # doc3 (3) sits 12-14 entirely in chunk 1
+    df = spark.createDataFrame(
+        [(1, 7), (2, 5), (3, 3)], ["doc_id", "n_tok"]
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(df, "doc_id", "n_tok", 10).collect()
+    }
+    assert (out[1].stream_offset, out[1].chunk_id, out[1].chunk_id_end) == (0, 0, 0)
+    assert (out[2].stream_offset, out[2].chunk_id, out[2].chunk_id_end) == (7, 0, 1)
+    assert out[2].spans_boundary is True
+    assert (out[3].stream_offset, out[3].chunk_id, out[3].chunk_id_end) == (12, 1, 1)
+    assert out[3].spans_boundary is False
+
+
+def test_pack_sequences_sharded_streams_independent(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 6), (2, "y", 6), (3, "x", 6), (4, "y", 6)],
+        ["doc_id", "shard", "n_tok"],
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, "doc_id", "n_tok", 10, shard_col="shard"
+        ).collect()
+    }
+    # each shard starts its own stream at offset 0
+    assert out[1].stream_offset == 0 and out[2].stream_offset == 0
+    assert out[3].stream_offset == 6 and out[4].stream_offset == 6
+
+
+def test_global_rank_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        global_rank,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    two_phase = {
+        r.k: r.rank for r in global_rank(df, "h", "k").collect()
+    }
+    naive = {
+        r.k: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("h", "k"))
+        ).collect()
+    }
+    assert two_phase == naive
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df, "doc_id").collect()}
+    b = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df, "doc_id").collect()}
+    c = {
+        r.doc_id: r.shuffle_rank
+        for r in deterministic_shuffle(df, "doc_id", seed="epoch1").collect()
+    }
+    assert a == b  # same seed -> same permutation
+    assert a != c  # new seed -> new permutation
+    assert sorted(a.values()) == list(range(1, 201))  # a true permutation
+
+
+def test_contamination_overlap_inverted_index(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "entirely novel content here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in contamination_overlap(train, bench).collect()}
+    assert 1 in out and out[1].n_overlap == 2  # two shared 3-grams
+    assert 2 not in out  # clean doc emits no row
+    assert 0 < out[1].contamination_ratio <= 1
