@@ -65,7 +65,12 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return df.select(id_col, F.explode(grams).alias("gram"))
+    # two-step select: materialize the array before exploding it, keeping
+    # the O(tokens) gram construction out of the Generate's per-output-row
+    # projection (inlined, it re-evaluates per gram -> O(tokens^2) per doc)
+    return df.select(id_col, grams.alias("__grams")).select(
+        id_col, F.explode("__grams").alias("gram")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -483,8 +488,8 @@ def simhash(
     (hamming 0) or banded fingerprint pieces for hamming <= k.
     """
     toks = df.select(
-        id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
-    )
+        id_col, F.array_distinct(F.split(F.col(text_col), " ")).alias("__toks")
+    ).select(id_col, F.explode("__toks").alias("tok"))
     h = F.md5(F.col("tok"))
     votes = []
     for i in range(bits):

@@ -1589,6 +1589,44 @@ FROM hits h JOIN totals USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# a46 -- intra-document repetition stats (duplicate-gram ratio, top-gram
+# share): the classic boilerplate/template-spam quality filter.
+# ---------------------------------------------------------------------------
+
+
+def a46_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, n=3)
+
+
+A46_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), gram_lists AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS grams
+  FROM toks
+), exploded AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         len(list_distinct(grams)) AS n_distinct_grams,
+         unnest(grams) AS gram
+  FROM gram_lists
+), per_gram AS (
+  SELECT doc_id, n_grams, n_distinct_grams, gram, count(*) AS gn
+  FROM exploded GROUP BY ALL
+)
+SELECT doc_id, n_grams, n_distinct_grams,
+       1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams AS dup_gram_ratio,
+       CAST(max(gn) AS DOUBLE) / n_grams AS top_gram_share
+FROM per_gram
+GROUP BY doc_id, n_grams, n_distinct_grams
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1637,4 +1675,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a43_sequence_packing": QuerySpec(a43_sequence_packing, A43_SQL),
     "a44_deterministic_shuffle": QuerySpec(a44_deterministic_shuffle, A44_SQL),
     "a45_decontamination": QuerySpec(a45_decontamination, A45_SQL),
+    "a46_repetition_stats": QuerySpec(a46_repetition_stats, A46_SQL),
 }

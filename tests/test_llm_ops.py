@@ -482,3 +482,21 @@ def test_contamination_overlap_inverted_index(spark):
     assert 1 in out and out[1].n_overlap == 2  # two shared 3-grams
     assert 2 not in out  # clean doc emits no row
     assert 0 < out[1].contamination_ratio <= 1
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one gram, repeated
+            (2, "all these words differ from each other entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x.doc_id: x for x in repetition_stats(df, n=3).collect()}
+    assert r[1].n_distinct_grams == 1 and r[1].dup_gram_ratio > 0.7
+    assert r[1].top_gram_share == 1.0
+    assert r[2].dup_gram_ratio == 0.0 and r[2].top_gram_share < 0.2
