@@ -502,3 +502,77 @@ def simhash(
         term = F.when(F.col(f"v_{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicated-segment removal (the C4 "repeated lines" filter)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicated_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every fixed-width token segment that repeats across documents.
+
+    The C4/CCNet boilerplate filter: split each document into consecutive
+    ``seg_tokens``-token windows ("lines" for corpora without newlines),
+    drop every segment whose exact text occurs in >= ``min_docs`` distinct
+    documents, and reassemble the survivors in order.  Navigation chrome,
+    cookie banners, and license boilerplate repeat verbatim across pages;
+    their segments disappear corpus-wide in one pass.
+
+    Scale shape: one posexplode (O(tokens) rows), one groupBy keyed on the
+    16-byte segment digest (never the text), an anti-join of segment rows
+    against the (small) duplicated-digest set -- AQE broadcasts it when it
+    fits -- and one per-doc reassembly groupBy.  No all-pairs anything.
+
+    Returns (id, clean_text, n_segs, n_kept); docs whose every segment was
+    boilerplate survive with ``clean_text = ''``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # integer ceil-div: (n + s - 1) div s, floor division on bigints
+    n_segs = F.greatest(
+        F.expr(f"CAST((size(split({text_col}, ' ')) + {seg_tokens - 1}) "
+               f"div {seg_tokens} AS BIGINT)"),
+        F.lit(1).cast("bigint"),
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    # materialize the segment array before exploding (inlined into the
+    # Generate the transform re-evaluates per output row -> O(segs^2)/doc)
+    seg_rows = (
+        df.select(id_col, segs.alias("__segs"))
+        .select(id_col, F.posexplode("__segs").alias("pos", "seg"))
+        .withColumn("seg_hash", F.md5("seg"))
+    )
+    dup = (
+        seg_rows.groupBy("seg_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("seg_hash")
+    )
+    kept = seg_rows.join(dup, "seg_hash", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(id_col, n_segs.alias("n_segs"))
+    return (
+        base.join(reassembled, id_col, "left")
+        .na.fill({"clean_text": "", "n_kept": 0})
+        .select(id_col, "clean_text", "n_segs", "n_kept")
+    )

@@ -1627,6 +1627,46 @@ GROUP BY doc_id, n_grams, n_distinct_grams
 """
 
 
+# ---------------------------------------------------------------------------
+# a47 -- corpus-level duplicated-segment removal (the C4 "repeated lines"
+# boilerplate filter, on fixed 10-token windows since the corpus has no
+# newlines): drop every segment seen in >= 2 distinct docs, reassemble.
+# ---------------------------------------------------------------------------
+
+
+def a47_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_segments
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_segments(d, seg_tokens=10, min_docs=2)
+
+
+A47_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, t, greatest((len(t) + 9) // 10, 1) AS n_segs FROM toks
+), segs AS (
+  SELECT doc_id, n_segs, i AS pos,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM base, LATERAL unnest(generate_series(0, CAST(n_segs - 1 AS INT))) AS u(i)
+), hashed AS (
+  SELECT doc_id, pos, seg, md5(seg) AS h FROM segs
+), dup AS (
+  SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM dup)
+), re AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(re.clean_text, '') AS clean_text, b.n_segs,
+       coalesce(re.n_kept, 0) AS n_kept
+FROM base b LEFT JOIN re USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1676,4 +1716,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a44_deterministic_shuffle": QuerySpec(a44_deterministic_shuffle, A44_SQL),
     "a45_decontamination": QuerySpec(a45_decontamination, A45_SQL),
     "a46_repetition_stats": QuerySpec(a46_repetition_stats, A46_SQL),
+    "a47_segment_dedup": QuerySpec(a47_segment_dedup, A47_SQL),
 }

@@ -500,3 +500,31 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert r[1].n_distinct_grams == 1 and r[1].dup_gram_ratio > 0.7
     assert r[1].top_gram_share == 1.0
     assert r[2].dup_gram_ratio == 0.0 and r[2].top_gram_share < 0.2
+
+
+def test_remove_duplicated_segments(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        remove_duplicated_segments,
+    )
+
+    boiler = "click here to accept all cookies"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} unique alpha content one"),
+            (2, f"{boiler} different beta body text"),
+            (3, boiler),  # nothing but boilerplate -> empty
+            (4, "entirely original document body here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_segments(df, seg_tokens=6, min_docs=2).collect()
+    }
+    # segment 0 (the boilerplate) repeats across docs 1-3 and is removed;
+    # each doc's tail segment survives in order
+    assert out[1].clean_text == "unique alpha content one"
+    assert out[2].clean_text == "different beta body text"
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].clean_text == "entirely original document body here"
+    assert out[1].n_segs == 2 and out[1].n_kept == 1
