@@ -76,3 +76,64 @@ def hash_split(
     for lab, bound in reversed(thresholds):
         expr = F.when(b < bound, F.lit(lab)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def _u32(id_col: Column, salt: str) -> Column:
+    """First 8 md5 nibbles of the salted id -> uniform 0 .. 2^32-1.
+
+    Finer-grained than ``_bucket`` (sampling rates resolve to ~2e-10, not
+    1/256); DuckDB mirrors it as ``CAST('0x' || substr(md5(..),1,8) AS
+    BIGINT)``.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}|"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def temperature_mixture_rates(
+    df: DataFrame, by: str, temperature: float = 0.5
+) -> DataFrame:
+    """Per-group keep rates for temperature-based mixture reweighting.
+
+    The multilingual/source-rebalancing scheme (GPT-3 / mT5 style): group
+    g with n_g rows gets target share w_g = n_g^T / sum_j n_j^T, i.e. the
+    empirical distribution raised to ``temperature`` < 1, which flattens
+    head groups and upsamples the tail.  ``rate_g = min(1, w_g * N / n_g)``
+    caps at 1 (no duplication -- pair with an explicit upsample op if > 1x
+    is wanted).  Rates are rounded to 9 decimals so both engines compare
+    the identical double against the hash bucket.
+
+    One tiny aggregation (k groups) + an unpartitioned window over k rows.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    share = pw / F.sum(pw).over(wall)
+    total = F.sum("n_docs").over(wall)
+    rate = F.round(
+        F.least(F.lit(1.0), share * total / F.col("n_docs")), 9
+    )
+    return counts.select(by, "n_docs", rate.alias("rate"))
+
+
+def temperature_sample(
+    df: DataFrame,
+    by: str,
+    temperature: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample head groups to the temperature mixture.
+
+    Membership is a pure function of (salt, id): reproducible across runs,
+    clusters, and data growth.  The k-row rate table broadcast-joins onto
+    the corpus -- one scan, zero extra shuffles of the data itself.
+    """
+    rates = temperature_mixture_rates(df, by, temperature)
+    u = _u32(F.col(id_col), salt).cast("double") / F.lit(float(2**32))
+    return (
+        df.join(F.broadcast(rates), by)
+        .where(u < F.col("rate"))
+        .drop("n_docs", "rate")
+    )

@@ -199,3 +199,53 @@ def repetition_stats(
         ).alias("dup_gram_ratio"),
         (F.col("__top_n") / F.col("n_grams")).alias("top_gram_share"),
     )
+
+
+def filter_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Per-stage retention accounting for a chained quality-filter pipeline.
+
+    Each row is attributed to the FIRST stage whose predicate it fails
+    (NULL predicates count as failures), so the whole funnel costs ONE scan
+    + one tiny aggregation -- not one pass per filter.  Output: one row per
+    stage with ``n_in`` / ``n_fail`` / ``n_kept`` and the exact retention
+    ratio (int/int IEEE division -- engine-portable, no rounding).
+
+    The per-stage attribution is what a curation team actually reads: "we
+    lost 40% at language-ID, 5% at length" -- and at 100 TB the single-scan
+    shape matters (k filters as k separate count() actions would re-read
+    the corpus k times).
+    """
+    from pyspark.sql import Window
+
+    k = len(stages)
+    fail = F.lit(k)
+    for i in reversed(range(k)):
+        fail = F.when(~F.coalesce(stages[i][1], F.lit(False)), F.lit(i)).otherwise(
+            fail
+        )
+    counts = df.groupBy(fail.alias("stage_idx")).agg(F.count(F.lit(1)).alias("n"))
+    dim = df.sparkSession.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(stages)],
+        "stage_idx int, stage string",
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    j = (
+        dim.join(counts, "stage_idx", "left")
+        .na.fill({"n": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    # k-row frame: the unpartitioned window is deliberate (post-aggregation)
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, -1)
+    n_in = (F.col("__total") - F.coalesce(F.sum("n").over(w), F.lit(0))).cast(
+        "bigint"
+    )
+    return j.select(
+        "stage_idx",
+        "stage",
+        n_in.alias("n_in"),
+        F.col("n").cast("bigint").alias("n_fail"),
+        (n_in - F.col("n")).cast("bigint").alias("n_kept"),
+        ((n_in - F.col("n")).cast("double") / n_in).alias("retention"),
+    )

@@ -1667,6 +1667,111 @@ FROM base b LEFT JOIN re USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# a48 -- quality-filter funnel: chained curation filters with per-stage
+# fail attribution in ONE corpus scan (first failing stage wins).
+# ---------------------------------------------------------------------------
+
+
+def a48_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import filter_funnel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stages = [
+        ("min_chars", F.col("n_chars") >= 150),
+        ("known_lang", F.col("lang").isin("en", "es", "fr", "de")),
+        ("min_tokens", F.size(toks) >= 40),
+        (
+            "distinct_ratio",
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3,
+        ),
+    ]
+    return filter_funnel(d, stages)
+
+
+A48_SQL = """
+WITH feat AS (
+  SELECT doc_id, n_chars, lang, string_split(text, ' ') AS t FROM documents
+), attributed AS (
+  SELECT CASE
+           WHEN NOT coalesce(n_chars >= 150, FALSE) THEN 0
+           WHEN NOT coalesce(lang IN ('en','es','fr','de'), FALSE) THEN 1
+           WHEN NOT coalesce(len(t) >= 40, FALSE) THEN 2
+           WHEN NOT coalesce(
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3, FALSE
+           ) THEN 3
+           ELSE 4
+         END AS stage_idx
+  FROM feat
+), counts AS (
+  SELECT stage_idx, count(*) AS n FROM attributed GROUP BY 1
+), dim AS (
+  SELECT * FROM (VALUES (0, 'min_chars'), (1, 'known_lang'),
+                        (2, 'min_tokens'), (3, 'distinct_ratio'))
+              AS d(stage_idx, stage)
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+), j AS (
+  SELECT d.stage_idx, d.stage, CAST(coalesce(c.n, 0) AS BIGINT) AS n_fail
+  FROM dim d LEFT JOIN counts c USING (stage_idx)
+), cum AS (
+  SELECT stage_idx, stage, n_fail,
+         CAST(total - CAST(coalesce(
+           sum(n_fail) OVER (ORDER BY stage_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS BIGINT) AS n_in
+  FROM j, tot
+)
+SELECT stage_idx, stage, n_in, n_fail,
+       n_in - n_fail AS n_kept,
+       CAST(n_in - n_fail AS DOUBLE) / n_in AS retention
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# a49 -- temperature-based mixture sampling: flatten the language head
+# (GPT-3/mT5 rebalancing), deterministic hash membership, per-group audit.
+# ---------------------------------------------------------------------------
+
+
+def a49_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import temperature_mixture_rates, temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(d, "lang", temperature=0.5)
+    sampled = temperature_sample(d, "lang", temperature=0.5)
+    got = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        rates.join(got, "lang", "left")
+        .na.fill({"n_sampled": 0})
+        .select("lang", "n_docs", "rate", "n_sampled")
+    )
+
+
+A49_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_docs,
+         round(least(1.0,
+           pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()
+           * CAST(sum(n_docs) OVER () AS DOUBLE) / n_docs), 9) AS rate
+  FROM counts
+), sampled AS (
+  SELECT d.lang
+  FROM documents d JOIN rates r USING (lang)
+  WHERE CAST(CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 < r.rate
+), got AS (
+  SELECT lang, count(*) AS n_sampled FROM sampled GROUP BY lang
+)
+SELECT r.lang, r.n_docs, r.rate, CAST(coalesce(g.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN got g USING (lang)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1717,4 +1822,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a45_decontamination": QuerySpec(a45_decontamination, A45_SQL),
     "a46_repetition_stats": QuerySpec(a46_repetition_stats, A46_SQL),
     "a47_segment_dedup": QuerySpec(a47_segment_dedup, A47_SQL),
+    "a48_quality_funnel": QuerySpec(a48_quality_funnel, A48_SQL),
+    "a49_mixture_sampling": QuerySpec(a49_mixture_sampling, A49_SQL),
 }

@@ -528,3 +528,40 @@ def test_remove_duplicated_segments(spark):
     assert out[3].clean_text == "" and out[3].n_kept == 0
     assert out[4].clean_text == "entirely original document body here"
     assert out[1].n_segs == 2 and out[1].n_kept == 1
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 200, "zz"), (3, 200, "en"), (4, None, "en")],
+        "id int, n int, lang string",
+    )
+    stages = [
+        ("min_n", F.col("n") >= 100),  # fails 1 (10) and 4 (NULL)
+        ("lang", F.col("lang") == "en"),  # fails 2
+    ]
+    out = {r.stage: r for r in filter_funnel(df, stages).collect()}
+    assert out["min_n"].n_in == 4 and out["min_n"].n_fail == 2
+    assert out["lang"].n_in == 2 and out["lang"].n_fail == 1
+    assert out["lang"].n_kept == 1 and out["lang"].retention == 0.5
+
+
+def test_temperature_sample_flattens_head(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.split import (
+        temperature_mixture_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    rates = {r.grp: r.rate for r in temperature_mixture_rates(df, "grp").collect()}
+    assert rates["tail"] == 1.0  # tail group never downsampled
+    assert 0.0 < rates["head"] < 1.0  # head flattened
+    s = temperature_sample(df, "grp")
+    n_head = s.where("grp = 'head'").count()
+    # deterministic: same membership on a re-run
+    assert s.where("grp = 'head'").count() == n_head
+    assert abs(n_head / 900 - rates["head"]) < 0.1
