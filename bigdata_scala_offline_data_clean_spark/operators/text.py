@@ -249,3 +249,48 @@ def filter_funnel(
         (n_in - F.col("n")).cast("bigint").alias("n_kept"),
         ((n_in - F.col("n")).cast("double") / n_in).alias("retention"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (sparse keyword features).
+
+    Shape: explode -> (doc, term) counts [shuffle 1] -> per-term document
+    frequency off the tf frame [shuffle 2, vocab-sized] -> idf join (AQE
+    broadcasts a small vocab) -> per-doc top-k window [shuffle 3].  The
+    corpus-size scalar rides a broadcast single-row cross join, not a
+    driver action.
+
+    Engine parity: idf = ln(N/df_t) rounded to 9 decimals BEFORE the
+    tf*idf product, so both engines multiply identical doubles and the
+    (score desc, term asc) ranking is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toksed = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    tf = (
+        toksed.select(id_col, F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("__dft"))
+    idf = F.round(F.log(F.col("__nd").cast("double") / F.col("__dft")), 9)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__score", F.col("tf") * idf)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round("__score", 6).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -1772,6 +1772,44 @@ FROM rates r LEFT JOIN got g USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# a50 -- TF-IDF top terms per document: sparse keyword features (the
+# classical lexical-similarity / topic-drift signal).
+# ---------------------------------------------------------------------------
+
+
+def a50_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=10)
+
+
+A50_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS dft FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * round(ln(CAST(nd AS DOUBLE) / dft), 9) AS score
+  FROM tf t JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       round(score, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1824,4 +1862,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a47_segment_dedup": QuerySpec(a47_segment_dedup, A47_SQL),
     "a48_quality_funnel": QuerySpec(a48_quality_funnel, A48_SQL),
     "a49_mixture_sampling": QuerySpec(a49_mixture_sampling, A49_SQL),
+    "a50_tfidf_terms": QuerySpec(a50_tfidf_terms, A50_SQL),
 }

@@ -565,3 +565,29 @@ def test_temperature_sample_flattens_head(spark):
     # deterministic: same membership on a re-run
     assert s.where("grp = 'head'").count() == n_head
     assert abs(n_head / 900 - rates["head"]) < 0.1
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1 rare1 rare1"),
+            (2, "common common other"),
+            (3, "common unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: min(rs, key=lambda r: r.rank) for d, rs in by_doc.items()}
+    # 'common' appears in all docs -> idf = ln(1) = 0; rare terms win
+    assert top1[1].term == "rare1" and top1[1].tf == 3
+    assert top1[2].term == "other"
+    assert top1[3].term == "unique"
+    assert all(r.tfidf == 0.0 for r in by_doc[1] if r.term == "common")
+    assert len(by_doc[1]) == 2  # k respected

@@ -73,10 +73,16 @@ def main() -> int:
     else:
         spark = build_session(app_name="check_correctness")
     specs = all_queries()
+    unknown = only - set(specs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 1
     failures = []
+    n_run = 0
     for name, spec in specs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = spec.spark(spark, sf_dir)
@@ -119,7 +125,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(specs) - len(failures)}/{len(specs)} green")
+    print(f"\n{n_run - len(failures)}/{n_run} green")
     spark.stop()
     return 1 if failures else 0
 
