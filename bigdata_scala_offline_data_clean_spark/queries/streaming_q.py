@@ -223,10 +223,100 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# s06 -- custom stateful operator (applyInPandasWithState): per-user
+# running totals in integer cents (floor(value*100) is the identical IEEE
+# double op in both engines, so the oracle is exact).
+# ---------------------------------------------------------------------------
+
+
+def s06_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_stateful_counter
+
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    totals = stream_stateful_counter(ev, "user_id", "cents", "ts")
+    out = run_available_now(totals, spark)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_events",
+        F.col("total").cast("long").alias("total_cents"),
+    )
+
+
+S06_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# s07 -- continuous SCD-1 via foreachBatch: events split across files,
+# one micro-batch per file (maxFilesPerTrigger=1), each batch merged into
+# the warehouse dimension.  Final state is merge-order-independent (the
+# window keeps the max order key), so the batch oracle is exact.
+# ---------------------------------------------------------------------------
+
+
+def s07_stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.catalog import Warehouse
+    from ..streaming.jobs import stream_upsert_scd1
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s07_")
+    try:
+        src = f"{scratch}/src"
+        ev.select(
+            "event_id", "user_id", "event_type", "value", ts_str("ts").alias("ts")
+        ).repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, ts string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        wh = Warehouse(spark, f"{scratch}/wh")
+        writer = stream_upsert_scd1(
+            stream,
+            wh,
+            "dwd",
+            "dim_user_last_event",
+            key="user_id",
+            order_col="event_id",
+            ts=F.to_timestamp(F.lit("2022-10-01 00:00:00")),
+            etl_date="20221001",
+        )
+        q = writer.trigger(availableNow=True).option(
+            "checkpointLocation", f"{scratch}/ckpt"
+        ).start()
+        q.awaitTermination()
+        back = wh.table("dwd", "dim_user_last_event").select(
+            "user_id", "event_id", "event_type", "value", "ts"
+        )
+        return spark.createDataFrame(back.collect(), back.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S07_SQL = """
+SELECT user_id, event_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
     "s03_stream_session_counts": QuerySpec(s03_stream_session_counts, S03_SQL),
     "s04_stream_attribution": QuerySpec(s04_stream_attribution, S04_SQL),
     "s05_stream_sliding_counts": QuerySpec(s05_stream_sliding_counts, S05_SQL),
+    "s06_stream_stateful_totals": QuerySpec(s06_stream_stateful_totals, S06_SQL),
+    "s07_stream_scd1_upsert": QuerySpec(s07_stream_scd1_upsert, S07_SQL),
 }
