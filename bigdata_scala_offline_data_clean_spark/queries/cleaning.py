@@ -662,6 +662,80 @@ WHERE (source = 'src0' AND bk < 256.0)
 """
 
 
+# ---------------------------------------------------------------------------
+# c15 -- small-file compaction: fragmented appends -> compact_partition
+# rewrites ONE partition to a target file count, others untouched.  The
+# Spark side MEASURES real parquet file counts from the filesystem; the
+# oracle states the expected layout, so the assertion is physical, and the
+# per-partition content checksums prove compaction lost no data.
+# ---------------------------------------------------------------------------
+
+
+def _count_parquet_files(root: str, etl_date: str) -> int:
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        if f"etl_date={etl_date}" in dirpath:
+            n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def c15_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders_str(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c15_")
+    try:
+        wh = Warehouse(spark, scratch)
+        # fragment partition 20220101: 4 appends x repartition(3) = 12 files
+        for i in range(4):
+            chunk = (
+                o.where(F.col("o_orderkey") % 4 == i)
+                .withColumn("etl_date", F.lit("20220101"))
+                .repartition(3)
+            )
+            wh.append(chunk, "ods", "frag_orders")
+        # control partition 20220102: single append, 3 files, never touched
+        wh.append(
+            o.withColumn("etl_date", F.lit("20220102")).repartition(3),
+            "ods",
+            "frag_orders",
+        )
+        tbl_path = wh.path("ods", "frag_orders")
+        before = {d: _count_parquet_files(tbl_path, d) for d in ("20220101", "20220102")}
+        wh.compact_partition("ods", "frag_orders", "20220101", target_files=2)
+        after = {d: _count_parquet_files(tbl_path, d) for d in ("20220101", "20220102")}
+        back = wh.table("ods", "frag_orders").withColumn(
+            "etl_date", F.col("etl_date").cast("string")
+        )
+        summary = back.groupBy("etl_date").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        files = spark.createDataFrame(
+            [(d, before[d], after[d]) for d in sorted(before)],
+            "etl_date string, n_files_before long, n_files_after long",
+        )
+        out = summary.join(files, "etl_date")
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C15_SQL = """
+SELECT '20220101' AS etl_date, count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS n_keys,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(12 AS BIGINT) AS n_files_before, CAST(2 AS BIGINT) AS n_files_after
+FROM orders
+UNION ALL
+SELECT '20220102', count(*), count(DISTINCT o_orderkey),
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+       CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -677,4 +751,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c12_impute_median": QuerySpec(c12_impute_median, C12_SQL),
     "c13_iqr_outliers": QuerySpec(c13_iqr_outliers, C13_SQL),
     "c14_stratified_sample": QuerySpec(c14_stratified_sample, C14_SQL),
+    "c15_compaction": QuerySpec(c15_compaction, C15_SQL),
 }
