@@ -1810,6 +1810,51 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# a51 -- z-order clustering audit: per-z-bucket occupancy and (x, y)
+# bounding boxes over orders (custkey x orderkey).  Integer bucket + bit
+# interleave -> oracle-exact; narrow boxes = multi-column file pruning.
+# ---------------------------------------------------------------------------
+
+
+def a51_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    return zorder_stats(o, "o_custkey", "o_orderkey")
+
+
+def _a51_sql() -> str:
+    def bucket(col: str, mn: str, mx: str) -> str:
+        return (
+            f"least(CAST(15 AS BIGINT), CAST(floor(CAST({col} - {mn} AS DOUBLE)"
+            f" * 16 / CAST({mx} - {mn} + 1 AS DOUBLE)) AS BIGINT))"
+        )
+
+    interleave = " + ".join(
+        f"((bx >> {i}) & 1) * {4**i} + ((by_ >> {i}) & 1) * {2 * 4**i}"
+        for i in range(4)
+    )
+    return f"""
+WITH s AS (
+  SELECT min(o_custkey) AS minx, max(o_custkey) AS maxx,
+         min(o_orderkey) AS miny, max(o_orderkey) AS maxy
+  FROM orders
+), b AS (
+  SELECT o_custkey, o_orderkey,
+         {bucket('o_custkey', 'minx', 'maxx')} AS bx,
+         {bucket('o_orderkey', 'miny', 'maxy')} AS by_
+  FROM orders, s
+)
+SELECT CAST({interleave} AS BIGINT) AS z,
+       count(*) AS n_rows,
+       min(o_custkey) AS min_x, max(o_custkey) AS max_x,
+       min(o_orderkey) AS min_y, max(o_orderkey) AS max_y
+FROM b
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1863,4 +1908,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a48_quality_funnel": QuerySpec(a48_quality_funnel, A48_SQL),
     "a49_mixture_sampling": QuerySpec(a49_mixture_sampling, A49_SQL),
     "a50_tfidf_terms": QuerySpec(a50_tfidf_terms, A50_SQL),
+    "a51_zorder_stats": QuerySpec(a51_zorder_stats, _a51_sql()),
 }

@@ -591,3 +591,37 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     assert top1[3].term == "unique"
     assert all(r.tfidf == 0.0 for r in by_doc[1] if r.term == "common")
     assert len(by_doc[1]) == 2  # k respected
+
+
+def test_zorder_layout_narrows_both_columns(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def avg_spans(df):
+        spans = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .first()
+        )
+        return spans.ax, spans.ay
+
+    z = zorder_layout(grid, "x", "y", n_partitions=16)
+    zx, zy = avg_spans(z)
+    s = grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+    sx, sy = avg_spans(s)
+    # single-column sort: x is narrow but y spans the full 0..63 range
+    assert sx < 8 and sy > 48
+    # z-order: BOTH dimensions well under half the global span
+    assert zx < 32 and zy < 32
