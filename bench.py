@@ -41,6 +41,8 @@ HEADLINE = [
     "a21_embedding_neardup",
     "a33_embedding_clusters",
     "c06_training_pipeline",
+    "a47_segment_dedup",
+    "a50_tfidf_terms",
 ]
 
 

@@ -56,6 +56,17 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     ),
     # time-range window: exactly one hash exchange on the partition key
     "a40_rolling_window": ((), ("SortMergeJoin",), 1),
+    # segment dedup: digest-keyed anti-join; never a cartesian/nested loop
+    "a47_segment_dedup": ((), ("NestedLoop", "CartesianProduct"), None),
+    # tf-idf: corpus-size scalar must broadcast, vocab join never cartesian
+    "a50_tfidf_terms": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # z-order stats: min/max scalars broadcast; shuffles = scalar-agg
+    # single-partition exchange + z groupBy hash (+1 AQE final)
+    "a51_zorder_stats": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), 3,
+    ),
 }
 
 
