@@ -373,3 +373,66 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    max_df: int = 200,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sparse lexical near-dup pairs: cosine over TF-IDF top-``k`` vectors.
+
+    The weighted companion to ``ngram_jaccard_pairs``: each document is
+    reduced to its top-``k`` TF-IDF terms, candidates are generated by the
+    term inverted index (docs sharing >= 1 surviving term), and the cosine
+    is computed over the sparse vectors.  ``max_df`` drops terms whose
+    inverted-index posting list exceeds the cap -- the standard stopword
+    guard that keeps the candidate join linear in corpus size (a term in
+    every document would otherwise recreate all-pairs).
+
+    Engine parity: weights are 6-decimal-rounded tf-idf values, dot
+    products and squared norms accumulate as exact DECIMAL(30,12)
+    (commutative -- partitioning-independent), and the final
+    sqrt/division is IEEE-deterministic on identical inputs.
+    """
+    from .text import tfidf_top_terms
+
+    feats = tfidf_top_terms(df, id_col, text_col, k).where(F.col("tfidf") > 0)
+    posting = feats.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    feats = (
+        feats.join(posting.where(F.col("__df") <= max_df), "term")
+        .select(id_col, "term", "tfidf")
+    )
+    dec = "decimal(30,12)"
+    norms = feats.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col("tfidf") * F.col("tfidf")).cast(dec)).cast("double")
+        ).alias("norm")
+    )
+    a = feats.select(
+        F.col(id_col).alias("a"), "term", F.col("tfidf").alias("wa")
+    )
+    b = feats.select(
+        F.col(id_col).alias("b"), "term", F.col("tfidf").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast(dec)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

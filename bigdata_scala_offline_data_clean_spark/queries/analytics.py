@@ -1855,6 +1855,64 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# a52 -- sparse lexical near-dup pairs: cosine over TF-IDF top-term
+# vectors, candidates from the term inverted index with a max-df stopword
+# cap.  Decimal-exact dots/norms -> engine-identical cosines.
+# ---------------------------------------------------------------------------
+
+
+def a52_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, k=10, max_df=200, threshold=0.3)
+
+
+A52_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS dft FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * round(ln(CAST(nd AS DOUBLE) / dft), 9) AS score
+  FROM tf t JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, round(score, 6) AS w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+), feats0 AS (
+  SELECT doc_id, term, w FROM ranked WHERE rank <= 10 AND w > 0
+), posting AS (
+  SELECT term, count(*) AS pdf FROM feats0 GROUP BY term
+), feats AS (
+  SELECT f.doc_id, f.term, f.w FROM feats0 f
+  JOIN posting p USING (term) WHERE p.pdf <= 200
+), norms AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+  FROM feats GROUP BY doc_id
+), dots AS (
+  SELECT fa.doc_id AS a, fb.doc_id AS b,
+         CAST(sum(CAST(fa.w * fb.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM feats fa JOIN feats fb USING (term)
+  WHERE fa.doc_id < fb.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.a, d.b, d.dot / (na.nrm * nb.nrm) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.a
+JOIN norms nb ON nb.doc_id = d.b
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1909,4 +1967,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a49_mixture_sampling": QuerySpec(a49_mixture_sampling, A49_SQL),
     "a50_tfidf_terms": QuerySpec(a50_tfidf_terms, A50_SQL),
     "a51_zorder_stats": QuerySpec(a51_zorder_stats, _a51_sql()),
+    "a52_tfidf_cosine_pairs": QuerySpec(a52_tfidf_cosine_pairs, A52_SQL),
 }

@@ -625,3 +625,23 @@ def test_zorder_layout_narrows_both_columns(spark):
     assert sx < 8 and sy > 48
     # z-order: BOTH dimensions well under half the global span
     assert zx < 32 and zy < 32
+
+
+def test_tfidf_cosine_pairs_finds_lexical_neardups(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance chamber design notes"),
+            (2, "quantum flux capacitor resonance chamber design draft"),
+            (3, "medieval falconry techniques and hawk training manual"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.a, r.b): r.cosine for r in tfidf_cosine_pairs(df, k=10).collect()}
+    # docs 1/2 share 6 of 7 terms; the two distinguishing terms carry the
+    # HIGHEST idf at N=3 (df=1 vs df=2), so the cosine lands mid-range
+    assert (1, 2) in pairs and 0.3 < pairs[(1, 2)] < 0.7
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # no overlap
