@@ -57,3 +57,50 @@ def pack_sequences(
         .withColumn("chunk_id_end", last_chunk)
         .withColumn("spans_boundary", F.col("chunk_id") != F.col("chunk_id_end"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking: overlapping fixed-width token chunks.
+
+    The RAG / long-context prep step: chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with ``stride = chunk_tokens -
+    overlap``; the final partial chunk is kept so no token is dropped.
+    ``n_chunks = 1 + ceil(max(0, n_tokens - chunk_tokens) / stride)`` --
+    a document shorter than one chunk yields exactly one chunk.
+
+    Pure column arithmetic + one posexplode: O(tokens / stride) output
+    rows, zero shuffles, chunk ids stable (a pure function of position).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.lit(1) + (
+        (F.greatest(F.size(toks) - chunk_tokens, F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    # materialize chunk arrays before the explode (inlined, the transform
+    # re-evaluates per output row -> O(chunks^2) per doc)
+    return (
+        df.select(id_col, F.size(toks).alias("__nt"), chunks.alias("__chunks"))
+        .select(id_col, "__nt", F.posexplode("__chunks").alias("pos", "chunk"))
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("__nt") - F.col("pos") * stride,
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -1913,6 +1913,72 @@ WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
 """
 
 
+# ---------------------------------------------------------------------------
+# a53 -- skew-salted two-phase aggregation: same result as a plain GROUP
+# BY (the oracle), but the hot key's mass spreads over 16 reducers in
+# phase 1.  Integer-cents sums -> exact under any grouping order.
+# ---------------------------------------------------------------------------
+
+
+def a53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": "count:*",
+            "total_cents": "sum:cents",
+            "max_cents": "max:cents",
+            "min_cents": "min:cents",
+        },
+        buckets=16,
+        salt_cols=["event_id"],
+    )
+
+
+A53_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_cents
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# a54 -- sliding-window document chunking (RAG / context-window prep):
+# overlapping fixed-width token chunks, last partial chunk kept.
+# ---------------------------------------------------------------------------
+
+
+def a54_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+A54_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  -- n_chunks = 1 + ceil(max(0, len - chunk) / stride), stride = 48
+  SELECT doc_id, t,
+         1 + CAST((greatest(len(t) - 64, 0) + 47) // 48 AS BIGINT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(t[(i*48+1):(i*48+64)], ' ') AS chunk_text,
+       CAST(least(64, len(t) - i*48) AS BIGINT) AS n_tokens
+FROM base, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u(i)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -1968,4 +2034,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a50_tfidf_terms": QuerySpec(a50_tfidf_terms, A50_SQL),
     "a51_zorder_stats": QuerySpec(a51_zorder_stats, _a51_sql()),
     "a52_tfidf_cosine_pairs": QuerySpec(a52_tfidf_cosine_pairs, A52_SQL),
+    "a53_salted_agg": QuerySpec(a53_salted_agg, A53_SQL),
+    "a54_chunking": QuerySpec(a54_chunking, A54_SQL),
 }

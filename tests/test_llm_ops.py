@@ -645,3 +645,21 @@ def test_tfidf_cosine_pairs_finds_lexical_neardups(spark):
     # HIGHEST idf at N=3 (df=1 vs df=2), so the cosine lands mid-range
     assert (1, 2) in pairs and 0.3 < pairs[(1, 2)] < 0.7
     assert (1, 3) not in pairs and (2, 3) not in pairs  # no overlap
+
+
+def test_chunk_documents_boundaries(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "a b c")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    c1 = sorted((r.chunk_id, r.chunk_text, r.n_tokens) for r in out if r.doc_id == 1)
+    # stride 2: chunks at 0,2,4,6,8 -> last is the 2-token tail
+    assert [c[0] for c in c1] == [0, 1, 2, 3]
+    assert c1[0][1] == "w0 w1 w2 w3" and c1[1][1] == "w2 w3 w4 w5"
+    assert c1[-1][1] == "w6 w7 w8 w9" and c1[-1][2] == 4
+    # overlap reconstruction: stride-start tokens cover everything
+    c2 = [(r.chunk_id, r.chunk_text, r.n_tokens) for r in out if r.doc_id == 2]
+    assert c2 == [(0, "a b c", 3)]  # shorter than one chunk -> single chunk
