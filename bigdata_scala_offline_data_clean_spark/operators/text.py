@@ -294,3 +294,75 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document perplexity under a corpus add-one bigram LM.
+
+    The CCNet/Wikipedia-LM quality signal, self-trained on the corpus:
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1 .) + V)`` with add-one smoothing
+    over the corpus vocabulary ``V``; a document's score is the mean token
+    log-probability, reported with ``ppl = exp(-avg_logprob)``.  Template
+    spam scores unusually LOW perplexity, gibberish unusually HIGH -- both
+    tails get filtered.
+
+    Shape: one bigram-occurrence stream (posexplode), a gram-keyed count
+    [shuffle], a first-word marginal off the gram table (vocab-sized), a
+    gram-keyed probability join (AQE broadcasts small LMs), and a per-doc
+    rollup.  Engine parity: log-probs rounded to 9 decimals, per-doc sums
+    accumulate as exact DECIMAL(28,9), final division/exp on identical
+    doubles (ppl rounded to 6).
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    # docs with a single token have no bigram: the transform above would
+    # emit the lone token itself (slice of length 1); keep semantics clean
+    # by requiring >= 2 tokens
+    base = df.where(F.size(toks) >= 2).select(
+        id_col, grams.alias("__grams")
+    )  # materialized before explode (Generate would re-eval per row)
+    occ = base.select(id_col, F.explode("__grams").alias("gram"))
+    c2 = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.substring_index(F.col("gram"), " ", 1)
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
+    vocab = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lm = (
+        c2.withColumn("w1", w1)
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                ),
+                9,
+            ).alias("logp"),
+        )
+    )
+    per_doc = (
+        occ.join(lm, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("logp").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )

@@ -1979,6 +1979,52 @@ FROM base, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# a55 -- corpus-trained bigram-LM perplexity (the CCNet quality signal):
+# add-one smoothed P(w2|w1), per-doc mean log-prob, both tails filterable.
+# ---------------------------------------------------------------------------
+
+
+def a55_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d)
+
+
+A55_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i:i+1], ' ')) AS grams
+  FROM toks WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, unnest(grams) AS gram FROM base
+), c2 AS (
+  SELECT gram, count(*) AS c2 FROM occ GROUP BY gram
+), c1 AS (
+  SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM c2 GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+), lm AS (
+  SELECT gram,
+         round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 9) AS logp
+  FROM c2 JOIN c1 ON split_part(c2.gram, ' ', 1) = c1.w1, vocab
+)
+SELECT o.doc_id, count(*) AS n_bigrams,
+       CAST(sum(CAST(lm.logp AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+         AS avg_logprob,
+       round(exp(-(CAST(sum(CAST(lm.logp AS DECIMAL(28,9))) AS DOUBLE)
+                   / count(*))), 6) AS ppl
+FROM occ o JOIN lm USING (gram)
+GROUP BY o.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2036,4 +2082,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a52_tfidf_cosine_pairs": QuerySpec(a52_tfidf_cosine_pairs, A52_SQL),
     "a53_salted_agg": QuerySpec(a53_salted_agg, A53_SQL),
     "a54_chunking": QuerySpec(a54_chunking, A54_SQL),
+    "a55_bigram_perplexity": QuerySpec(a55_bigram_perplexity, A55_SQL),
 }

@@ -663,3 +663,19 @@ def test_chunk_documents_boundaries(spark):
     # overlap reconstruction: stride-start tokens cover everything
     c2 = [(r.chunk_id, r.chunk_text, r.n_tokens) for r in out if r.doc_id == 2]
     assert c2 == [(0, "a b c", 3)]  # shorter than one chunk -> single chunk
+
+
+def test_bigram_perplexity_separates_template_from_gibberish(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    template = "the cat sat on the mat"
+    rows = [(i, template) for i in range(10)]  # templates dominate the LM
+    rows.append((10, "zebra quark fjord nymph waltz"))  # unseen transitions
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # every template doc scores identically; gibberish is far less likely
+    assert out[0].ppl == out[5].ppl
+    assert out[10].ppl > 2 * out[0].ppl  # ~2.6x at this vocab size
+    assert out[0].n_bigrams == 5 and out[10].n_bigrams == 4
