@@ -43,6 +43,7 @@ HEADLINE = [
     "c06_training_pipeline",
     "a47_segment_dedup",
     "a50_tfidf_terms",
+    "c16_curation_pipeline",
 ]
 
 

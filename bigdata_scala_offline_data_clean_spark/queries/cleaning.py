@@ -736,6 +736,97 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# c16 -- the round-3 curation pipeline end to end: quality gate ->
+# corpus-level duplicated-segment removal -> temperature mixture sampling
+# -> sliding-window chunking.  The flow a training-data team actually
+# runs; every stage is the driver-checked operator, composed.  Chunk text
+# leaves as md5 so the value hash stays strong and the output small.
+# ---------------------------------------------------------------------------
+
+
+def c16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_segments
+    from ..operators.packing import chunk_documents
+    from ..operators.split import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    passed = d.where(
+        (F.col("n_chars") >= 150)
+        & F.col("lang").isin("en", "es", "fr", "de")
+        & (F.size(toks) >= 40)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3)
+    )
+    deduped = remove_duplicated_segments(
+        passed, seg_tokens=10, min_docs=2
+    ).where(F.col("n_kept") >= 2)
+    with_lang = deduped.join(passed.select("doc_id", "lang"), "doc_id")
+    sampled = temperature_sample(with_lang, "lang", temperature=0.5)
+    chunks = chunk_documents(
+        sampled, text_col="clean_text", chunk_tokens=64, overlap=16
+    )
+    return chunks.join(sampled.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+C16_SQL = """
+WITH toks0 AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents
+), passed AS (
+  SELECT doc_id, lang, t FROM toks0
+  WHERE n_chars >= 150
+    AND lang IN ('en','es','fr','de')
+    AND len(t) >= 40
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+), segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM passed,
+       LATERAL unnest(generate_series(0,
+         CAST(greatest((len(t) + 9) // 10, 1) - 1 AS INT))) AS u(i)
+), dup AS (
+  SELECT md5(seg) AS h FROM segs GROUP BY md5(seg)
+  HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT * FROM segs WHERE md5(seg) NOT IN (SELECT h FROM dup)
+), re AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), survivors AS (
+  SELECT p.doc_id, p.lang, re.clean_text
+  FROM passed p JOIN re USING (doc_id) WHERE re.n_kept >= 2
+), counts AS (
+  SELECT lang, count(*) AS n_docs FROM survivors GROUP BY lang
+), rates AS (
+  SELECT lang,
+         round(least(1.0,
+           pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ()
+           * CAST(sum(n_docs) OVER () AS DOUBLE) / n_docs), 9) AS rate
+  FROM counts
+), sampled AS (
+  SELECT s.doc_id, s.lang, string_split(s.clean_text, ' ') AS ct
+  FROM survivors s JOIN rates r USING (lang)
+  WHERE CAST(CAST('0x' || substr(md5('mix|' || CAST(s.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 < r.rate
+), chunked AS (
+  SELECT doc_id, lang, ct,
+         1 + CAST((greatest(len(ct) - 64, 0) + 47) // 48 AS BIGINT) AS n_chunks
+  FROM sampled
+)
+SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_id,
+       md5(array_to_string(ct[(i*48+1):(i*48+64)], ' ')) AS chunk_md5,
+       CAST(least(64, len(ct) - i*48) AS BIGINT) AS n_tokens
+FROM chunked, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u(i)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -752,4 +843,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c13_iqr_outliers": QuerySpec(c13_iqr_outliers, C13_SQL),
     "c14_stratified_sample": QuerySpec(c14_stratified_sample, C14_SQL),
     "c15_compaction": QuerySpec(c15_compaction, C15_SQL),
+    "c16_curation_pipeline": QuerySpec(c16_curation_pipeline, C16_SQL),
 }
