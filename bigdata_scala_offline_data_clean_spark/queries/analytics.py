@@ -2025,6 +2025,43 @@ GROUP BY o.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# a56 -- multimodal frame-sampling with a VALUE oracle: the Arrow-batched
+# mapInPandas sampler slices payload bytes into evenly-spaced windows; on
+# the ASCII testdata stand-in the oracle reproduces every frame byte via
+# substr, so the Python plumbing itself is value-checked, not just counted.
+# ---------------------------------------------------------------------------
+
+
+def a56_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary_payload(d), n_frames=3)
+    return frames.select(
+        "doc_id",
+        "frame_offset",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("bigint").alias("frame_len"),
+    )
+
+
+A56_SQL = """
+WITH base AS (
+  SELECT doc_id, text, greatest(length(text) // 3, 1) AS step FROM documents
+), framed AS (
+  SELECT doc_id,
+         least(i * step, greatest(length(text) - 1, 0)) AS frame_offset,
+         substr(text, least(i * step, greatest(length(text) - 1, 0)) + 1, step)
+           AS frame
+  FROM base, LATERAL unnest(generate_series(0, 2)) AS u(i)
+)
+SELECT doc_id, CAST(frame_offset AS BIGINT) AS frame_offset,
+       md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len
+FROM framed
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2083,4 +2120,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a53_salted_agg": QuerySpec(a53_salted_agg, A53_SQL),
     "a54_chunking": QuerySpec(a54_chunking, A54_SQL),
     "a55_bigram_perplexity": QuerySpec(a55_bigram_perplexity, A55_SQL),
+    "a56_frame_sample": QuerySpec(a56_frame_sample, A56_SQL),
 }
