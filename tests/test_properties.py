@@ -208,3 +208,88 @@ class TestConnectedComponents:
                 parent[max(ra, rb)] = min(ra, rb)
         model = {n: find(n) for n in parent}
         assert out == model
+
+
+@pytest.mark.usefixtures("spark")
+class TestChunking:
+    @SETTINGS
+    @given(
+        words=st.lists(
+            st.text(alphabet="xyz", min_size=1, max_size=3), min_size=1, max_size=40
+        ),
+        chunk=st.integers(3, 8),
+        overlap=st.integers(0, 2),
+    )
+    def test_chunks_reconstruct_document(self, spark, words, chunk, overlap):
+        from bigdata_scala_offline_data_clean_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        text = " ".join(words)
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = sorted(
+            (r.chunk_id, r.chunk_text, r.n_tokens)
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        )
+        stride = chunk - overlap
+        # model: chunk i covers words[i*stride : i*stride + chunk]
+        model = []
+        i = 0
+        while True:
+            w = words[i * stride : i * stride + chunk]
+            model.append((i, " ".join(w), len(w)))
+            if i * stride + chunk >= len(words):
+                break
+            i += 1
+        assert out == model
+        # stride-prefix reconstruction: every token appears exactly once
+        rebuilt = []
+        for cid, ctext, _n in out:
+            toks = ctext.split(" ")
+            rebuilt.extend(toks if cid == len(out) - 1 else toks[:stride])
+        assert rebuilt[: len(words)] == words
+
+
+@pytest.mark.usefixtures("spark")
+class TestSegmentDedup:
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_matches_python_model(self, spark, texts):
+        from collections import defaultdict
+
+        from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+            remove_duplicated_segments,
+        )
+
+        seg_tokens, min_docs = 3, 2
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.clean_text, r.n_segs, r.n_kept)
+            for r in remove_duplicated_segments(
+                df, seg_tokens=seg_tokens, min_docs=min_docs
+            ).collect()
+        }
+        segs_by_doc = {}
+        seg_docs = defaultdict(set)
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            segs = [
+                " ".join(w[j : j + seg_tokens])
+                for j in range(0, len(w), seg_tokens)
+            ]
+            segs_by_doc[i] = segs
+            for s in segs:
+                seg_docs[s].add(i)
+        for i, segs in segs_by_doc.items():
+            kept = [s for s in segs if len(seg_docs[s]) < min_docs]
+            assert got[i] == (" ".join(kept), len(segs), len(kept))
