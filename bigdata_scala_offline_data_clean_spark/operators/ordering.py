@@ -77,3 +77,45 @@ def deterministic_shuffle(
     return global_rank(keyed, "__shuffle_key", id_col, rank_col=rank_col).drop(
         "__shuffle_key"
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Exact equi-depth histogram over an integer-domain column.
+
+    The scalable exact-quantile construction: aggregate to per-VALUE
+    counts first (one shuffle, output = |distinct values| rows -- for
+    bounded-precision metrics that is orders of magnitude below the row
+    count), then rank the small value table with an ordinary window and
+    assign each value group to bucket ``(rank_before * k) div N``.  Rows
+    of one value never split across buckets, so heavy ties produce the
+    documented uneven depths instead of nondeterministic splits.  Pure
+    integer arithmetic end to end -- oracle-exact.
+
+    The unpartitioned window is deliberate: it runs over the aggregated
+    value table, not the corpus (the naive ``ntile() OVER (ORDER BY col)``
+    over raw rows is the single-task scale-killer this replaces).
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = counts.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("rank_before"),
+        F.sum("cnt").over(wall).alias("n_total"),
+    )
+    # integer floor-div keeps the assignment exact at any N (the double
+    # division form would round above 2^53)
+    bucket = F.expr(f"(rank_before * {int(n_buckets)}) div n_total")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -2062,6 +2062,43 @@ FROM framed
 """
 
 
+# ---------------------------------------------------------------------------
+# a57 -- exact equi-depth histogram over event value-cents: per-value
+# aggregation first, window over the small distinct-value table (never
+# the raw rows), integer bucket assignment.  The scalable exact-quantile
+# shape vs a27's sketch-based approximations.
+# ---------------------------------------------------------------------------
+
+
+def a57_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import equidepth_histogram
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    return equidepth_histogram(ev, "cents", n_buckets=10)
+
+
+A57_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS cnt
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT v, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS rank_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM counts
+)
+SELECT (rank_before * 10) // n_total AS bucket,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2121,4 +2158,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a54_chunking": QuerySpec(a54_chunking, A54_SQL),
     "a55_bigram_perplexity": QuerySpec(a55_bigram_perplexity, A55_SQL),
     "a56_frame_sample": QuerySpec(a56_frame_sample, A56_SQL),
+    "a57_equidepth_histogram": QuerySpec(a57_equidepth_histogram, A57_SQL),
 }

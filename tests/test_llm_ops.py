@@ -679,3 +679,24 @@ def test_bigram_perplexity_separates_template_from_gibberish(spark):
     assert out[0].ppl == out[5].ppl
     assert out[10].ppl > 2 * out[0].ppl  # ~2.6x at this vocab size
     assert out[0].n_bigrams == 5 and out[10].n_bigrams == 4
+
+
+def test_equidepth_histogram_depths_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        equidepth_histogram,
+    )
+
+    # 100 distinct values -> perfectly even depths
+    even = spark.range(100).select(F.col("id").alias("v"))
+    out = {r.bucket: r for r in equidepth_histogram(even, "v", 4).collect()}
+    assert [out[b].n_rows for b in range(4)] == [25, 25, 25, 25]
+    assert out[0].lo == 0 and out[3].hi == 99
+    # one value holding 60% of rows stays in ONE bucket (ties never split)
+    skew = spark.createDataFrame(
+        [(7,)] * 60 + [(i,) for i in range(100, 140)], "v long"
+    )
+    sk = {r.bucket: r for r in equidepth_histogram(skew, "v", 4).collect()}
+    heavy = [b for b, r in sk.items() if r.lo <= 7 <= r.hi]
+    assert len(heavy) == 1 and sk[heavy[0]].n_rows >= 60
