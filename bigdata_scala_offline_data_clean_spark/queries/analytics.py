@@ -2099,6 +2099,39 @@ GROUP BY 1
 """
 
 
+def a58_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names: block on
+    (brand, name noun), verify candidates with Levenshtein distance 1-2.
+    The string-field sibling of MinHash near-dedup -- blocking bounds the
+    O(n^2) pair space, the edit-distance verify runs JVM-side per pair."""
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_exprs={
+            "blk_brand": F.col("p_brand"),
+            "blk_noun": F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        },
+        max_dist=2,
+        min_dist=1,
+    )
+
+
+A58_SQL = """
+SELECT a.p_partkey AS p_partkey_a, b.p_partkey AS p_partkey_b,
+       a.p_name AS p_name_a, b.p_name AS p_name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2159,4 +2192,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a55_bigram_perplexity": QuerySpec(a55_bigram_perplexity, A55_SQL),
     "a56_frame_sample": QuerySpec(a56_frame_sample, A56_SQL),
     "a57_equidepth_histogram": QuerySpec(a57_equidepth_histogram, A57_SQL),
+    "a58_fuzzy_match": QuerySpec(a58_fuzzy_match, A58_SQL),
 }

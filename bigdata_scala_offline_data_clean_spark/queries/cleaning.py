@@ -827,6 +827,56 @@ FROM chunked, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u
 """
 
 
+# ---------------------------------------------------------------------------
+# c17 -- snapshot diff: classify every key between two deterministic
+# "versions" of orders as added / removed / changed / unchanged.  The audit
+# inverse of the archetype-C delta merge (OrderMasterDataClean.scala:157-180):
+# a warehouse running that merge loop verifies loads with exactly this query.
+# ---------------------------------------------------------------------------
+
+
+def c17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.where(F.col("o_orderkey") % 10 >= 2).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+C17_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 10 < 8
+), new AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 >= 2
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       o.o_totalprice  AS o_totalprice_old,
+       n.o_totalprice  AS o_totalprice_new,
+       o.o_orderstatus AS o_orderstatus_old,
+       n.o_orderstatus AS o_orderstatus_new,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 THEN 'changed'
+            ELSE 'unchanged' END AS diff_status
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -844,4 +894,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c14_stratified_sample": QuerySpec(c14_stratified_sample, C14_SQL),
     "c15_compaction": QuerySpec(c15_compaction, C15_SQL),
     "c16_curation_pipeline": QuerySpec(c16_curation_pipeline, C16_SQL),
+    "c17_snapshot_diff": QuerySpec(c17_snapshot_diff, C17_SQL),
 }

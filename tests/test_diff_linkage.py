@@ -1,0 +1,118 @@
+"""Snapshot diff, blocked fuzzy linkage, and runtime bloom-filter gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.diff import (
+    diff_summary,
+    snapshot_diff,
+)
+from bigdata_scala_offline_data_clean_spark.operators.linkage import (
+    blocked_fuzzy_pairs,
+)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    old = _mk(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)], ["k", "s", "v"])
+    new = _mk(spark, [(2, "b", 20.0), (3, "c2", None), (4, "d", 40.0)], ["k", "s", "v"])
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert out[1]["diff_status"] == "removed"
+    assert out[2]["diff_status"] == "unchanged"
+    assert out[3]["diff_status"] == "changed"  # s changed; NULL v is not a change
+    assert out[4]["diff_status"] == "added"
+    assert out[4]["s_old"] is None and out[4]["s_new"] == "d"
+
+
+def test_snapshot_diff_null_to_value_is_change(spark):
+    old = spark.createDataFrame([(1, None)], "k int, v double")
+    new = spark.createDataFrame([(1, 5.0)], "k int, v double")
+    assert snapshot_diff(old, new, "k").first()["diff_status"] == "changed"
+
+
+def test_diff_summary_counts(spark):
+    old = _mk(spark, [(1, "a"), (2, "b")], ["k", "v"])
+    new = _mk(spark, [(2, "z"), (3, "c")], ["k", "v"])
+    s = {r["diff_status"]: r["n_rows"] for r in
+         diff_summary(snapshot_diff(old, new, "k")).collect()}
+    assert s == {"removed": 1, "changed": 1, "added": 1}
+
+
+def test_blocked_fuzzy_pairs_blocks_and_distance(spark):
+    df = _mk(
+        spark,
+        [
+            (1, "B1", "red widget"),
+            (2, "B1", "ted widget"),   # dist 1, same (brand, noun) block
+            (3, "B1", "red widget"),   # dist 0 vs 1 -> excluded (min_dist=1)
+            (4, "B2", "ted widget"),   # other brand -> other block
+            (5, "B1", "blue widget"),  # dist 3 vs id 1 -> excluded
+        ],
+        ["id", "brand", "name"],
+    )
+    pairs = blocked_fuzzy_pairs(
+        df,
+        id_col="id",
+        text_col="name",
+        block_exprs={
+            "b": F.col("brand"),
+            "n": F.split_part(F.col("name"), F.lit(" "), F.lit(2)),
+        },
+        max_dist=2,
+        min_dist=1,
+    )
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in pairs.collect()}
+    assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_blocked_fuzzy_pairs_max_block_drops_oversized(spark):
+    rows = [(i, "B", "same noun") for i in range(10)] + [(100, "C", "one noun")]
+    df = _mk(spark, rows, ["id", "brand", "name"])
+    pairs = blocked_fuzzy_pairs(
+        df,
+        id_col="id",
+        text_col="name",
+        block_exprs={"b": F.col("brand")},
+        max_dist=2,
+        min_dist=0,
+        max_block=5,
+    )
+    # the 10-row "B" block exceeds max_block and is dropped entirely
+    assert pairs.count() == 0
+
+
+def test_runtime_bloom_filter_injects_might_contain(spark):
+    """At 100 TB the probe side of a selective join should be pruned by a
+    runtime bloom filter built from the build side (AQE runtime filtering).
+    Verify the knobs inject might_contain into the physical plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .where("o_orderpriority = '1-URGENT'")
+        )
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert j.count() >= 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
