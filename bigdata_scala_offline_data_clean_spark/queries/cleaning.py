@@ -877,6 +877,109 @@ FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# c18 -- SCD-2 history backfill: collapse the events changelog into
+# effective-time intervals per user (the history-keeping extension of the
+# reference's SCD-1 merge, CustomerInfDataClean.scala:41-45).
+# ---------------------------------------------------------------------------
+
+
+def c18_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_from_changelog(
+        ev, "user_id", ["event_type"], "ts", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        ts_str("effective_from").alias("effective_from"),
+        ts_str("effective_to").alias("effective_to"),
+        "is_current",
+    )
+
+
+C18_SQL = """
+WITH w AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER win AS prev_type,
+         lag(ts) OVER win AS prev_ts
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT user_id, event_type, ts, event_id FROM w
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+       strftime(lead(ts) OVER win2, '%Y-%m-%d %H:%M:%S') AS effective_to,
+       lead(ts) OVER win2 IS NULL AS is_current
+FROM seg
+WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# c19 -- semantic dedup with representative selection: cluster embeddings
+# by cosine near-duplicate (transitive closure), join each cluster to its
+# documents (doc_id == vec_id alignment in the testdata), and keep the
+# longest document per cluster (ties -> smallest doc_id).  The curation
+# step after a33: near-dup groups -> one kept exemplar each.
+# ---------------------------------------------------------------------------
+
+
+def c19_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import embedding_neardup_pairs
+    from .analytics import _ND_THRESHOLD
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        e, embedding_neardup_pairs(e, threshold=_ND_THRESHOLD), id_col="vec_id"
+    )
+    j = d.join(clusters, d["doc_id"] == clusters["vec_id"])
+    part = Window.partitionBy("rep_id")
+    w = part.orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(part))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("rep_id").alias("cluster_id"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            "n_members",
+        )
+    )
+
+
+def _c19_sql() -> str:
+    from .analytics import _a33_sql
+
+    a33 = _a33_sql().strip().rstrip("\n")
+    return f"""
+WITH clusters AS (
+{a33}
+), joined AS (
+  SELECT c.rep_vec_id, d.doc_id, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.vec_id
+), ranked AS (
+  SELECT rep_vec_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY rep_vec_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY rep_vec_id) AS nm
+  FROM joined
+)
+SELECT rep_vec_id AS cluster_id, doc_id AS kept_doc_id,
+       n_chars AS kept_n_chars, CAST(nm AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -895,4 +998,6 @@ QUERIES: dict[str, QuerySpec] = {
     "c15_compaction": QuerySpec(c15_compaction, C15_SQL),
     "c16_curation_pipeline": QuerySpec(c16_curation_pipeline, C16_SQL),
     "c17_snapshot_diff": QuerySpec(c17_snapshot_diff, C17_SQL),
+    "c18_scd2_history": QuerySpec(c18_scd2_history, C18_SQL),
+    "c19_semantic_keep": QuerySpec(c19_semantic_keep, _c19_sql()),
 }
