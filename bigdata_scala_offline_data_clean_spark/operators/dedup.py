@@ -181,6 +181,70 @@ def jaccard_verify(
     )
 
 
+def ingest_neardup_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Daily-ingest NEAR-dup gate: status per incoming doc vs the corpus.
+
+    The MinHash/LSH sibling of ``incremental_ingest_dedup`` (exact
+    digests): an incoming doc is 'dropped' when it lands in an LSH bucket
+    with a corpus doc AND the exact Jaccard of that candidate pair clears
+    ``threshold``; otherwise 'kept'.  Output: (id, status, match_id) where
+    match_id is the smallest matching corpus id (NULL when kept).
+
+    Scale: the corpus side is represented by its band table -- (id,
+    band_id, band_sig), ``bands`` rows per doc, a persistable index the
+    ingest job reads instead of re-hashing 100 TB of history.  The
+    bucket join shuffles band keys only; verification joins shingles for
+    candidate pairs only.  Within-batch duplicates are out of scope here
+    (that is ``minhash_dedup_pairs`` over the batch).
+    """
+    sh_new = shingles(new_df, id_col, text_col, shingle_n)
+    sh_corpus = shingles(corpus_df, id_col, text_col, shingle_n)
+    bands_new = lsh_bands(
+        minhash_signatures(sh_new, id_col, num_hashes), id_col, num_hashes, bands
+    )
+    bands_corpus = lsh_bands(
+        minhash_signatures(sh_corpus, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    cands = (
+        bands_corpus.select(
+            F.col(id_col).alias("a"), "band_id", "band_sig"
+        )
+        .join(
+            bands_new.select(F.col(id_col).alias("b"), "band_id", "band_sig"),
+            ["band_id", "band_sig"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    verified = jaccard_verify(cands, sh_corpus.unionByName(sh_new), id_col)
+    matches = (
+        verified.where(F.col("jaccard") >= threshold)
+        .groupBy("b")
+        .agg(F.min("a").alias("match_id"))
+    )
+    return new_df.select(id_col).join(
+        matches.withColumnRenamed("b", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.when(F.col("match_id").isNull(), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+        "match_id",
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     bench: DataFrame,

@@ -2132,6 +2132,51 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
 """
 
 
+def a59_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no order in
+    the trailing 30 days of the data, aggregated per nation.  The average
+    is compared as an exact rational (bal * n > sum, both decimal) so the
+    boundary classification is engine-identical; the recency check is an
+    anti join against the max-date-anchored order window."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).where(
+        F.col("c_acctbal").cast("decimal(18,2)") * F.col("__n") > F.col("__s")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("__mx"))
+    recent = o.crossJoin(F.broadcast(mx)).where(
+        F.col("o_orderdate") >= F.col("__mx") - F.expr("INTERVAL 30 DAYS")
+    )
+    inactive = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        dsum("c_acctbal").alias("total_bal"),
+    )
+
+
+A59_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2193,4 +2238,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a56_frame_sample": QuerySpec(a56_frame_sample, A56_SQL),
     "a57_equidepth_histogram": QuerySpec(a57_equidepth_histogram, A57_SQL),
     "a58_fuzzy_match": QuerySpec(a58_fuzzy_match, A58_SQL),
+    "a59_inactive_customers": QuerySpec(a59_inactive_customers, A59_SQL),
 }

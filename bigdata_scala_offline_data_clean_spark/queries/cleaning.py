@@ -980,6 +980,52 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# c20 -- incremental NEAR-dup ingest gate: docs with doc_id % 5 == 0 play
+# the incoming batch, the rest the historical corpus; each incoming doc is
+# kept/dropped by LSH-bucket collision + exact-Jaccard verify against the
+# corpus only.  The MinHash sibling of c10's exact-digest ingest dedup.
+# ---------------------------------------------------------------------------
+
+
+def c20_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ingest_neardup_dedup
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    return ingest_neardup_dedup(
+        d.where(F.col("doc_id") % 5 == 0),
+        d.where(F.col("doc_id") % 5 != 0),
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+
+
+def _c20_sql() -> str:
+    from .analytics import _a07_sql
+
+    a07 = _a07_sql().strip().rstrip("\n")
+    return f"""
+WITH pairs AS MATERIALIZED (
+{a07}
+), cross_pairs AS (
+  -- exactly one side of the pair is an incoming (doc_id % 5 = 0) doc
+  SELECT CASE WHEN a % 5 = 0 THEN a ELSE b END AS new_id,
+         CASE WHEN a % 5 = 0 THEN b ELSE a END AS corpus_id
+  FROM pairs WHERE (a % 5 = 0) <> (b % 5 = 0)
+), matches AS (
+  SELECT new_id, min(corpus_id) AS match_id FROM cross_pairs GROUP BY new_id
+)
+SELECT d.doc_id,
+       CASE WHEN m.match_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+       m.match_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN matches m ON m.new_id = d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -1000,4 +1046,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c17_snapshot_diff": QuerySpec(c17_snapshot_diff, C17_SQL),
     "c18_scd2_history": QuerySpec(c18_scd2_history, C18_SQL),
     "c19_semantic_keep": QuerySpec(c19_semantic_keep, _c19_sql()),
+    "c20_ingest_neardup": QuerySpec(c20_ingest_neardup, _c20_sql()),
 }

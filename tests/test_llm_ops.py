@@ -350,6 +350,20 @@ def test_candidate_pairs_bucket_cap(spark):
     assert got == {(100, 101)}  # hot bucket dropped, small bucket intact
 
 
+def test_ingest_neardup_dedup_gates_against_corpus_only(spark, docs):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        ingest_neardup_dedup,
+    )
+
+    corpus = docs.where(F.col("doc_id") <= 1)  # two copies of the base doc
+    new = docs.where(F.col("doc_id") >= 2)     # near-dup, unrelated, spanish
+    out = {r.doc_id: r for r in
+           ingest_neardup_dedup(new, corpus, shingle_n=2, threshold=0.4).collect()}
+    assert out[2].status == "dropped" and out[2].match_id == 0  # near-dup of 0
+    assert out[3].status == "kept" and out[3].match_id is None
+    assert out[4].status == "kept"
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from bigdata_scala_offline_data_clean_spark.operators.split import (
         stratified_sample,
