@@ -2177,6 +2177,53 @@ GROUP BY c_nationkey
 """
 
 
+def a60_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature standardization).  Moments
+    come from exact decimal sums (sum, sum-of-squares) cast to double at
+    the last step, so mean/variance -- and therefore every z value -- are
+    bit-identical across engines and partitionings; the naive
+    stddev_samp() float accumulation is not."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum(dec).alias("__s"),
+        F.sum(dec * dec).alias("__ss"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = o.join(F.broadcast(g), "o_orderpriority")
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+    ) / (F.col("__n") - 1)
+    # round(…, 6): the decimal->double cast of sum-of-squares can differ by
+    # one ULP between engines; six decimals is far beyond feature-scaling
+    # precision needs and the repo's established oracle convention.
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round((F.col("o_totalprice") - mean) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+A60_SQL = """
+WITH g AS (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))
+             * CAST(o_totalprice AS DECIMAL(18,2))) AS ss,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       round((o_totalprice - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)),
+             6) AS z
+FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2239,4 +2286,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a57_equidepth_histogram": QuerySpec(a57_equidepth_histogram, A57_SQL),
     "a58_fuzzy_match": QuerySpec(a58_fuzzy_match, A58_SQL),
     "a59_inactive_customers": QuerySpec(a59_inactive_customers, A59_SQL),
+    "a60_group_zscore": QuerySpec(a60_group_zscore, A60_SQL),
 }

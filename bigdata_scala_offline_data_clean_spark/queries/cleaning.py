@@ -1026,6 +1026,40 @@ LEFT JOIN matches m ON m.new_id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# c21 -- winsorization: clip a numeric column to its exact [p05, p95]
+# percentile band (outlier capping before model features).  One aggregate
+# broadcast back over the scan -- no second shuffle, no sort of the data.
+# ---------------------------------------------------------------------------
+
+
+def c21_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    return o.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias(
+            "o_totalprice_w"
+        ),
+    )
+
+
+C21_SQL = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       least(greatest(o_totalprice, lo), hi) AS o_totalprice_w
+FROM orders, b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -1047,4 +1081,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c18_scd2_history": QuerySpec(c18_scd2_history, C18_SQL),
     "c19_semantic_keep": QuerySpec(c19_semantic_keep, _c19_sql()),
     "c20_ingest_neardup": QuerySpec(c20_ingest_neardup, _c20_sql()),
+    "c21_winsorize": QuerySpec(c21_winsorize, C21_SQL),
 }

@@ -311,6 +311,33 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# s08 -- stream-static enrichment join: decorate the events stream with the
+# customer dimension (broadcast per micro-batch, stateless).  The streaming
+# analog of the archetype-D star join.
+# ---------------------------------------------------------------------------
+
+
+def s08_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_enrich
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = stream_enrich(
+        ev, cust, on=["user_id"], dim_cols=["user_id", "c_nationkey"]
+    )
+    out = run_available_now(enriched, spark)
+    return out.select("event_id", "user_id", "c_nationkey", "event_type")
+
+
+S08_SQL = """
+SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
@@ -319,4 +346,5 @@ QUERIES: dict[str, QuerySpec] = {
     "s05_stream_sliding_counts": QuerySpec(s05_stream_sliding_counts, S05_SQL),
     "s06_stream_stateful_totals": QuerySpec(s06_stream_stateful_totals, S06_SQL),
     "s07_stream_scd1_upsert": QuerySpec(s07_stream_scd1_upsert, S07_SQL),
+    "s08_stream_enrich": QuerySpec(s08_stream_enrich, S08_SQL),
 }

@@ -162,6 +162,26 @@ def stream_stream_join(
     return l.join(r, cond, "inner").drop("__rkey")
 
 
+def stream_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: Column,
+    dim_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each streaming row with
+    dimension attributes (the streaming analog of the archetype-D star
+    join, CustomerAddrLevelAggrDataClean.scala:28-30).
+
+    Stateless -- a static dim needs no watermark and no join state; Spark
+    re-resolves (and with the explicit hint, broadcasts) the dim per
+    micro-batch, which also picks up dim-table updates between batches.
+    ``how='left'`` keeps unmatched events (late dim arrival) instead of
+    dropping them.
+    """
+    return stream_df.join(F.broadcast(dim_df.select(dim_cols)), on, how)
+
+
 def stream_stateful_counter(
     df: DataFrame,
     key_col: str,
