@@ -44,6 +44,9 @@ HEADLINE = [
     "a47_segment_dedup",
     "a50_tfidf_terms",
     "c16_curation_pipeline",
+    "c17_snapshot_diff",
+    "c18_scd2_history",
+    "c20_ingest_neardup",
 ]
 
 

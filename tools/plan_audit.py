@@ -67,6 +67,26 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a51_zorder_stats": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), 3,
     ),
+    # snapshot diff: one full-outer SMJ, one shuffle per side
+    "c17_snapshot_diff": (("SortMergeJoin",), ("NestedLoop", "CartesianProduct"), 2),
+    # SCD-2 backfill: both window passes share one exchange + one sort
+    "c18_scd2_history": ((), ("SortMergeJoin", "NestedLoop"), 1),
+    # fuzzy linkage: blocking equi-join only -- never a cartesian verify
+    "a58_fuzzy_match": ((), ("NestedLoop", "CartesianProduct"), None),
+    # ingest near-dup: band-key equi-joins only, no all-pairs anywhere
+    "c20_ingest_neardup": ((), ("NestedLoop", "CartesianProduct"), None),
+    # winsorize: 1-row bounds broadcast back over the scan; 2 = percentile
+    # single-partition exchange + the broadcast exchange, never a re-shuffle
+    # of the data itself
+    "c21_winsorize": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), 2,
+    ),
+    # Q22 shape: stats broadcast; anti join must not nested-loop the scan
+    "a59_inactive_customers": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # group z-score: moment frame broadcast, no second shuffle of orders
+    "a60_group_zscore": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
 }
 
 
