@@ -77,6 +77,45 @@ def snapshot_diff(
     )
 
 
+def apply_cdc(
+    base_df: DataFrame,
+    changes_df: DataFrame,
+    key: str | list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+    tiebreak: str | list[str] | None = None,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply an insert/update/delete change log to a base snapshot
+    (MERGE INTO semantics as a batch operator).
+
+    ``changes_df`` carries the base's data columns plus ``op_col`` in
+    {'I','U','D'} (and ``order_col`` when a batch can hold several ops per
+    key -- the latest wins, deterministically with ``tiebreak``).  Result:
+    base rows untouched by any change, plus the surviving I/U rows;
+    keys whose final op is 'D' disappear.
+
+    Scale: one window pass over the (small) change batch, then a single
+    anti-join of the base against the change keys -- with
+    ``broadcast_changes`` (the daily-delta default) the base never shuffles
+    (same argument as the archetype-C small-delta path,
+    pipelines.run_delta_merge).  Pass ``broadcast_changes=False`` for
+    backfill-sized batches and let AQE pick the join.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    latest = changes_df
+    if order_col is not None:
+        from .etl import dedup_latest
+
+        latest = dedup_latest(changes_df, keys, order_col, tiebreak)
+    change_keys = latest.select(*keys)
+    if broadcast_changes:
+        change_keys = F.broadcast(change_keys)
+    untouched = base_df.join(change_keys, keys, "left_anti")
+    survivors = latest.where(F.col(op_col) != "D").select(*base_df.columns)
+    return untouched.unionByName(survivors)
+
+
 def diff_summary(
     diff_df: DataFrame, status_col: str = "diff_status"
 ) -> DataFrame:

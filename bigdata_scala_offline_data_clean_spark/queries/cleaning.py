@@ -1060,6 +1060,57 @@ FROM orders, b
 """
 
 
+# ---------------------------------------------------------------------------
+# c22 -- CDC apply (MERGE INTO semantics): a deterministic change batch of
+# updates (%11), deletes (%13), and inserts (key+1000000 for %17) applied
+# to the orders snapshot in one anti-join + union.
+# ---------------------------------------------------------------------------
+
+
+def c22_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import apply_cdc
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    updates = (
+        base.where((k % 13 != 0) & (k % 11 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = base.where(k % 13 == 0).withColumn("op", F.lit("D"))
+    inserts = base.where(k % 17 == 0).select(
+        (k + 1000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return apply_cdc(base, changes, "o_orderkey")
+
+
+C22_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         'U' AS op
+  FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' FROM base
+  WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, 'N', 1.0, 'I' FROM base
+  WHERE o_orderkey % 17 = 0
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes WHERE op <> 'D'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -1082,4 +1133,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c19_semantic_keep": QuerySpec(c19_semantic_keep, _c19_sql()),
     "c20_ingest_neardup": QuerySpec(c20_ingest_neardup, _c20_sql()),
     "c21_winsorize": QuerySpec(c21_winsorize, C21_SQL),
+    "c22_apply_cdc": QuerySpec(c22_apply_cdc, C22_SQL),
 }

@@ -42,6 +42,45 @@ def test_diff_summary_counts(spark):
     assert s == {"removed": 1, "changed": 1, "added": 1}
 
 
+def test_apply_cdc_merge_semantics(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.diff import apply_cdc
+
+    base = _mk(spark, [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    changes = _mk(
+        spark,
+        [(2, "b2", "U", 1), (3, "x", "D", 1), (4, "d", "I", 1),
+         (4, "d2", "U", 2)],  # later op on same key wins
+        ["k", "v", "op", "ts"],
+    )
+    out = {r["k"]: r["v"] for r in
+           apply_cdc(base, changes, "k", order_col="ts").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d2"}  # 3 deleted, 4 got latest op
+
+
+def test_apply_cdc_delete_wins_when_latest(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.diff import apply_cdc
+
+    base = _mk(spark, [(1, "a")], ["k", "v"])
+    changes = _mk(
+        spark, [(1, "a2", "U", 1), (1, "a3", "D", 2)], ["k", "v", "op", "ts"]
+    )
+    assert apply_cdc(base, changes, "k", order_col="ts").count() == 0
+
+
+def test_apply_cdc_base_does_not_shuffle(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.diff import apply_cdc
+
+    base = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS v")
+    changes = spark.range(0, 10).selectExpr(
+        "id * 100 AS k", "id AS v", "'U' AS op"
+    )
+    plan = (
+        apply_cdc(base, changes, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_blocked_fuzzy_pairs_blocks_and_distance(spark):
     df = _mk(
         spark,
