@@ -2224,6 +2224,39 @@ FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
 """
 
 
+def a61_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior sequence: the first 10 events as an ordered path
+    string.  Order-sensitive aggregation WITHOUT a window: one groupBy
+    collects (ts, event_id, event_type) structs, array_sort orders them
+    inside the aggregation buffer -- no second shuffle, no row_number
+    pass, and the struct sort is deterministic via the event_id tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(F.slice(seq, 1, 10), lambda x: x["event_type"])
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+A61_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT r.user_id,
+       (SELECT string_agg(event_type, '>' ORDER BY rn)
+        FROM ranked x WHERE x.user_id = r.user_id AND x.rn <= 10) AS path,
+       count(*) AS n_events
+FROM ranked r
+GROUP BY r.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2287,4 +2320,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a58_fuzzy_match": QuerySpec(a58_fuzzy_match, A58_SQL),
     "a59_inactive_customers": QuerySpec(a59_inactive_customers, A59_SQL),
     "a60_group_zscore": QuerySpec(a60_group_zscore, A60_SQL),
+    "a61_event_sequences": QuerySpec(a61_event_sequences, A61_SQL),
 }

@@ -124,6 +124,30 @@ def test_blocked_fuzzy_pairs_max_block_drops_oversized(spark):
     assert pairs.count() == 0
 
 
+def test_read_evolved_merges_schema_versions(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.sources.evolution import (
+        read_evolved,
+    )
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, v1 string").write.parquet(
+        d, mode="append"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, v1 string, v2 double"
+    ).write.parquet(d, mode="append")
+
+    merged = read_evolved(spark, d)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
+
+    # explicit-schema path: same result, no footer sweep
+    explicit = read_evolved(spark, d, schema=merged.schema)
+    assert set(explicit.columns) == {"id", "v1", "v2"}
+    assert explicit.count() == 2
+
+
 def test_runtime_bloom_filter_injects_might_contain(spark):
     """At 100 TB the probe side of a selective join should be pruned by a
     runtime bloom filter built from the build side (AQE runtime filtering).
