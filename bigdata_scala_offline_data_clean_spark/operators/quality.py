@@ -39,6 +39,40 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def evaluate_expectations(
+    df: DataFrame,
+    expectations: dict[str, tuple["F.Column", "object"]],
+) -> DataFrame:
+    """Data-contract rules in ONE aggregation pass.
+
+    ``expectations`` maps rule name -> (metric aggregate expression, pass
+    predicate -- a Python callable over the observed value), e.g.::
+
+        {"no_null_keys": (F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)),
+                          lambda m: m == 0)}
+
+    Output: one row per rule -- (rule, observed double, passed boolean).
+    All metrics ride a single agg over one scan (k rules never cost k
+    count() actions re-reading 100 TB k times); the per-rule unpivot
+    happens driver-side on the one-row result, same pattern as
+    ``profile_columns``.
+    """
+    names = list(expectations)
+    row = df.agg(
+        *[
+            expectations[n][0].cast("double").alias(f"__m_{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    out = [
+        (n, row[f"__m_{i}"], bool(expectations[n][1](row[f"__m_{i}"])))
+        for i, n in enumerate(names)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "rule string, observed double, passed boolean"
+    )
+
+
 def orphan_rows(
     fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
 ) -> DataFrame:

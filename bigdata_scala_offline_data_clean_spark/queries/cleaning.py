@@ -1111,6 +1111,62 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes WHERE op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# c23 -- data-contract expectations: four rules (null check, domain check,
+# uniqueness, positivity) evaluated in ONE aggregation pass over orders.
+# ---------------------------------------------------------------------------
+
+
+def c23_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import evaluate_expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    return evaluate_expectations(
+        o,
+        {
+            "no_null_custkey": (
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+                lambda m: m == 0,
+            ),
+            "positive_price": (F.min("o_totalprice"), lambda m: m > 0),
+            "unique_orderkey": (
+                F.countDistinct("o_orderkey") - F.count(F.lit(1)),
+                lambda m: m == 0,
+            ),
+            "status_in_domain": (
+                F.sum(
+                    F.when(
+                        ~F.col("o_orderstatus").isin("F", "O", "P"), 1
+                    ).otherwise(0)
+                ),
+                lambda m: m == 0,
+            ),
+        },
+    )
+
+
+C23_SQL = """
+SELECT 'no_null_custkey' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         AS observed,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'positive_price', CAST(MIN(o_totalprice) AS DOUBLE),
+       MIN(o_totalprice) > 0 FROM orders
+UNION ALL
+SELECT 'unique_orderkey',
+       CAST(COUNT(DISTINCT o_orderkey) - COUNT(*) AS DOUBLE),
+       COUNT(DISTINCT o_orderkey) - COUNT(*) = 0 FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+            AS DOUBLE),
+       SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) = 0
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "c01_write_readback": QuerySpec(c01_write_readback, C01_SQL),
     "c06_training_pipeline": QuerySpec(c06_training_pipeline, _c06_sql()),
@@ -1134,4 +1190,5 @@ QUERIES: dict[str, QuerySpec] = {
     "c20_ingest_neardup": QuerySpec(c20_ingest_neardup, _c20_sql()),
     "c21_winsorize": QuerySpec(c21_winsorize, C21_SQL),
     "c22_apply_cdc": QuerySpec(c22_apply_cdc, C22_SQL),
+    "c23_expectations": QuerySpec(c23_expectations, C23_SQL),
 }

@@ -125,6 +125,34 @@ def test_quality_operators(spark):
     assert [r.k for r in orphans.collect()] == [3]
 
 
+def test_evaluate_expectations_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.quality import (
+        evaluate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None)], "k int, v double"
+    )
+    out = {r.rule: r for r in evaluate_expectations(
+        df,
+        {
+            "no_null_v": (
+                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+                lambda m: m == 0,
+            ),
+            "positive_v": (F.min("v"), lambda m: m > 0),
+            "unique_k": (
+                F.countDistinct("k") - F.count(F.lit(1)), lambda m: m == 0
+            ),
+        },
+    ).collect()}
+    assert out["no_null_v"].observed == 1.0 and not out["no_null_v"].passed
+    assert out["positive_v"].observed == -1.0 and not out["positive_v"].passed
+    assert out["unique_k"].observed == -1.0 and not out["unique_k"].passed
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
 
