@@ -25,6 +25,46 @@ def _bucket(id_col: Column, salt: str) -> Column:
     return _nibble_val(F.substring(h, 1, 1)) * 16 + _nibble_val(F.substring(h, 2, 1))
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k form).
+
+    Efraimidis-Spirakis A-ES: each row gets key = u^(1/w) for a uniform u
+    and weight w; the k largest keys are a weighted sample without
+    replacement.  The uniform comes from 16 bits of md5(salt|id) -- a pure
+    function of (salt, id), so the sample is reproducible on any cluster
+    and stable as unrelated rows churn (same property as ``hash_split``).
+
+    The key is rounded to 9 decimals (libm pow may differ by 1 ULP across
+    engines) and ties break on id, so selection is total-order
+    deterministic.  Top-k executes as TakeOrderedAndProject: per-partition
+    heaps of size k merged on one reducer -- no global sort of the table.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    h16 = (
+        _nibble_val(F.substring(h, 1, 1)) * 4096
+        + _nibble_val(F.substring(h, 2, 1)) * 256
+        + _nibble_val(F.substring(h, 3, 1)) * 16
+        + _nibble_val(F.substring(h, 4, 1))
+    )
+    u = (h16 + F.lit(0.5)) / F.lit(65536.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
+    return (
+        df.select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

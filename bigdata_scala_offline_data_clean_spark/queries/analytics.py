@@ -2257,6 +2257,41 @@ GROUP BY r.user_id
 """
 
 
+def a62_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES top-k):
+    length-weighted pick of 100 documents, reproducible on any cluster."""
+    from ..operators.split import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        d.withColumn("w", F.col("n_chars").cast("double")), "w", k=100
+    )
+
+
+_A62_NIB = (
+    "(CASE WHEN ascii(substr(hh,{i},1)) >= 97 THEN ascii(substr(hh,{i},1))-87 "
+    "ELSE ascii(substr(hh,{i},1))-48 END)"
+)
+
+A62_SQL = f"""
+WITH h AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         md5('wsample|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), keyed AS (
+  SELECT doc_id, weight,
+         round(pow(({_A62_NIB.format(i=1)} * 4096 + {_A62_NIB.format(i=2)} * 256
+                    + {_A62_NIB.format(i=3)} * 16 + {_A62_NIB.format(i=4)} + 0.5)
+                   / 65536.0,
+                   1.0 / weight), 9) AS sample_key
+  FROM h
+)
+SELECT doc_id, weight, sample_key FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2321,4 +2356,5 @@ QUERIES: dict[str, QuerySpec] = {
     "a59_inactive_customers": QuerySpec(a59_inactive_customers, A59_SQL),
     "a60_group_zscore": QuerySpec(a60_group_zscore, A60_SQL),
     "a61_event_sequences": QuerySpec(a61_event_sequences, A61_SQL),
+    "a62_weighted_sample": QuerySpec(a62_weighted_sample, A62_SQL),
 }

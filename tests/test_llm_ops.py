@@ -364,6 +364,31 @@ def test_ingest_neardup_dedup_gates_against_corpus_only(spark, docs):
     assert out[4].status == "kept"
 
 
+def test_weighted_sample_topk_prefers_heavy_and_is_bounded(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.split import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS doc_id",
+        # doc 0..99 get weight 1000, the rest weight 1
+        "CASE WHEN id < 100 THEN 1000.0 ELSE 1.0 END AS w",
+    )
+    out = weighted_sample_topk(df, "w", k=100, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r["doc_id"] < 100)
+    # 100 heavy docs carry ~98% of total weight; expect the sample to be
+    # dominated by them (deterministic given the fixed salt)
+    assert heavy > 60
+    # reproducible: identical second run
+    again = weighted_sample_topk(df, "w", k=100, id_col="doc_id").collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+    # top-k must be heap+merge, not a global sort of the table
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from bigdata_scala_offline_data_clean_spark.operators.split import (
         stratified_sample,
