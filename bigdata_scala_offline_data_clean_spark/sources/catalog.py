@@ -327,6 +327,41 @@ class SqlWarehouse:
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         self._insert_sql(df, layer, table, overwrite=True)
 
+    # -- statistics (CBO food) ---------------------------------------------
+
+    def analyze(
+        self, layer: str, table: str, columns: list[str] | None = None
+    ) -> None:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``.
+
+        Row/size stats feed the cost-based optimizer's join-strategy and
+        build-side choices; column stats (ndv, min/max, null count) feed
+        join reordering.  At 100 TB, accurate stats are the difference
+        between the CBO broadcasting a filtered dimension and sort-merging
+        it -- schedule this after large loads, not per query.
+        """
+        name = self.qualified(layer, table)
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        if columns:
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(columns)}"
+            )
+
+    def row_count_stat(self, layer: str, table: str) -> int | None:
+        """The catalog's recorded rowCount (None until ``analyze`` runs) --
+        metadata only, no scan."""
+        rows = self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {self.qualified(layer, table)}"
+        ).collect()
+        for r in rows:
+            if r[0] == "Statistics":
+                for part in r[1].split(","):
+                    part = part.strip()
+                    if part.endswith("rows"):
+                        return int(part.split()[0])
+        return None
+
     def drop_all(self) -> None:
         """Test teardown: drop the prefixed databases."""
         for db in [d.name for d in self.spark.catalog.listDatabases()]:

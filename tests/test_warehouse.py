@@ -252,6 +252,13 @@ def test_sqlwh_append_and_latest(spark, sqlwh):
     assert [r.k for r in sqlwh.latest("dwd", "t").collect()] == [2]
 
 
+def test_sqlwh_analyze_records_catalog_stats(spark, sqlwh):
+    sqlwh.append(_part(spark, "20220101", [(i, "x") for i in range(50)]), "dwd", "t")
+    assert sqlwh.row_count_stat("dwd", "t") is None  # no stats yet
+    sqlwh.analyze("dwd", "t", columns=["k"])
+    assert sqlwh.row_count_stat("dwd", "t") == 50
+
+
 def test_sqlwh_insert_overwrite_partition_sql_form(spark, sqlwh):
     """S9's literal INSERT OVERWRITE ... PARTITION statement replaces only
     the partitions present in the temp view (dynamic mode)."""
