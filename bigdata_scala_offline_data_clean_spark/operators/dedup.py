@@ -205,9 +205,17 @@ def ingest_neardup_dedup(
     bucket join shuffles band keys only; verification joins shingles for
     candidate pairs only.  Within-batch duplicates are out of scope here
     (that is ``minhash_dedup_pairs`` over the batch).
+
+    Each shingle frame feeds two consumers (signature aggregation and the
+    Jaccard verify), so both are persisted for the run -- same lifecycle
+    pattern as ``minhash_dedup_pairs``.
     """
     sh_new = shingles(new_df, id_col, text_col, shingle_n)
     sh_corpus = shingles(corpus_df, id_col, text_col, shingle_n)
+    if not _plan_already_cached(sh_new):
+        sh_new = sh_new.persist()
+    if not _plan_already_cached(sh_corpus):
+        sh_corpus = sh_corpus.persist()
     bands_new = lsh_bands(
         minhash_signatures(sh_new, id_col, num_hashes), id_col, num_hashes, bands
     )
