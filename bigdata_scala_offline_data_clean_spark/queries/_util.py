@@ -57,13 +57,23 @@ def _pin_session(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one testdata table with time columns normalized to timestamps."""
+    """Read one testdata table with time columns normalized to timestamps.
+
+    Handles both testdata vintages: parquet TIMESTAMP(NANOS) (arrives as
+    ns-long under ``nanosAsLong``) and parquet timestamp[us] without the
+    UTC flag (arrives as TIMESTAMP_NTZ, which Structured Streaming
+    watermarks reject).  Both normalize to TIMESTAMP_LTZ under the pinned
+    UTC session, so wall-clock values -- and the DuckDB oracle hashes --
+    are identical either way.
+    """
     _pin_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    dtypes = dict(df.dtypes)
-    for c in TS_NS_COLS.get(table, ()):
-        if dtypes.get(c) == "bigint":  # ns since epoch -> exact us truncation
+    for c, t in df.dtypes:
+        if c in TS_NS_COLS.get(table, ()) and t == "bigint":
+            # ns since epoch -> exact us truncation
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

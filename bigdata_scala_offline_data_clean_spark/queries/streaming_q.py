@@ -37,8 +37,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         except FileExistsError:  # concurrent query setup
             pass
     stream = spark.readStream.schema(raw_schema).parquet(drop_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c, t in stream.dtypes:
+        if c == "ts" and t == "bigint":  # TIMESTAMP(NANOS) vintage
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif t == "timestamp_ntz":  # un-flagged timestamp[us] vintage:
+            # watermarks require TIMESTAMP_LTZ; UTC session -> same wall clock
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream.select(*batch.columns)
 
 

@@ -47,9 +47,26 @@ TESTDATA_TABLES = (
 )
 
 
+def _normalize_times(df: DataFrame) -> DataFrame:
+    """TIMESTAMP_NTZ -> TIMESTAMP_LTZ (UTC sessions: same wall clock).
+
+    The driver testdata ships parquet timestamp[us] without the UTC flag,
+    which Spark 4 reads as TIMESTAMP_NTZ; streaming watermarks and
+    time-partition writers expect the LTZ type.
+    """
+    from pyspark.sql import functions as F
+
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver-generated testdata table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return _normalize_times(
+        spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    )
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
@@ -57,7 +74,7 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+            load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 class Warehouse:
