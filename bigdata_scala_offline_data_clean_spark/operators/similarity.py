@@ -334,11 +334,20 @@ def lsh_ann_topk(
     k: int = 5,
     planes: int = 8,
     seed: int = 42,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join, exact cosine inside
     the bucket.  Corpus shuffles once on the bucket id (vs. a full
     crossjoin in brute force); recall rises with fewer planes (bigger
-    buckets) or multi-probe (flip one bit -- not implemented here).
+    buckets) or with multi-probe.
+
+    ``probe_bits=1`` enables standard multi-probe LSH: each QUERY also
+    probes the ``planes`` buckets at Hamming distance 1 from its home
+    bucket (sign flips on the planes its projection was closest to zero
+    on are the likeliest to hide true neighbors).  Only the tiny query
+    side explodes (x ``planes+1``); the corpus still shuffles once, and
+    each (query, neighbor) pair can match at most one probed bucket, so
+    no candidate dedup is needed.
     """
     from pyspark.sql import Window
 
@@ -355,6 +364,11 @@ def lsh_ann_topk(
         _norm(F.col(vec_col)).alias("__q_norm"),
         lsh_bucket(F.col(vec_col), hp).alias("bucket"),
     )
+    if probe_bits >= 1:
+        flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(planes)])
+        q = q.withColumn("__flip", F.explode(flips)).withColumn(
+            "bucket", F.col("bucket").bitwiseXOR(F.col("__flip"))
+        ).drop("__flip")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("q_id") != F.col("n_id"))

@@ -423,7 +423,10 @@ def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < _TOPK_NQ)
     dim = len(e.select("embedding").first()[0])
-    ann = lsh_ann_topk(e, q, dim=dim, k=_TOPK_K, planes=4)
+    # multi-probe (Hamming-1): the synthetic corpus is near-uniform random,
+    # the adversarial case for sign-bucket recall -- real embedding corpora
+    # cluster, giving far better recall per probed candidate
+    ann = lsh_ann_topk(e, q, dim=dim, k=_TOPK_K, planes=4, probe_bits=1)
     return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
 
 
@@ -548,7 +551,10 @@ def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < _TOPK_NQ)
-    ann = ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=2)
+    # 4-of-8 probes: the synthetic random corpus spreads true neighbors
+    # near-uniformly across cells (worst case for IVF); clustered real
+    # embeddings concentrate them, needing far fewer probes per recall
+    ann = ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=4)
     return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
 
 
@@ -956,25 +962,71 @@ GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
 # ---------------------------------------------------------------------------
 # a27 -- sketch aggregates: HyperLogLog distinct + quantile sketch.  At
 # 100 TB these replace exact COUNT(DISTINCT)/percentile (whose sort/shuffle
-# cost is the bottleneck); estimates are engine-specific so the driver
-# records rows-only -- the pytest gate bounds the error vs exact instead.
+# cost is the bottleneck).  The sketch values are engine-specific, so the
+# query carries its own verification: exact companions (oracle-matched
+# values) plus error-bound booleans the DuckDB oracle asserts as TRUE --
+# if an estimate ever drifts outside its bound, the Spark side emits FALSE
+# and the driver hash goes red.  Production pipelines run the approx
+# aggregates alone; the exact companions here are the verification harness.
 # ---------------------------------------------------------------------------
 
 
 def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalar columns only: the driver's rows-only canonicalizer sorts a
-    # pandas frame and cannot hash list cells, so the two quantiles come
-    # out as separate double columns rather than one array<double>.
     li = load_table(spark, sf_dir, "lineitem")
     q = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000
     )
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_partkeys"),
-        F.element_at(q, 1).cast("double").alias("p50_approx"),
-        F.element_at(q, 2).cast("double").alias("p99_approx"),
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("orderkeys_exact"),
+        F.countDistinct("l_partkey").alias("partkeys_exact"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
+        F.expr("percentile(l_extendedprice, 0.98)").alias("__p98"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+        F.expr("percentile(l_extendedprice, 0.995)").alias("__p995"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__hll_ok"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__hll_pk"),
+        F.element_at(q, 1).cast("double").alias("__p50a"),
+        F.element_at(q, 2).cast("double").alias("__p99a"),
     )
+    # HLL rsd=0.01 -> a 5% band is ~5 sigma; percentile_approx accuracy
+    # 10000 -> rank error ~0.01%, far inside the +-5 percentile-point band
+    within = lambda est, lo, hi: (F.col(est) >= F.col(lo)) & (  # noqa: E731
+        F.col(est) <= F.col(hi)
+    )
+    return agg.select(
+        "n_rows",
+        "orderkeys_exact",
+        "partkeys_exact",
+        "p50_exact",
+        "p99_exact",
+        (
+            F.abs(F.col("__hll_ok") - F.col("orderkeys_exact"))
+            <= 0.05 * F.col("orderkeys_exact")
+        ).alias("orderkeys_ok"),
+        (
+            F.abs(F.col("__hll_pk") - F.col("partkeys_exact"))
+            <= 0.05 * F.col("partkeys_exact")
+        ).alias("partkeys_ok"),
+        within("__p50a", "__p45", "__p55").alias("p50_ok"),
+        within("__p99a", "__p98", "__p995").alias("p99_ok"),
+    )
+
+
+A27_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS orderkeys_exact,
+       count(DISTINCT l_partkey) AS partkeys_exact,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50_exact,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99_exact,
+       TRUE AS orderkeys_ok,
+       TRUE AS partkeys_ok,
+       TRUE AS p50_ok,
+       TRUE AS p99_ok
+FROM lineitem
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2319,7 +2371,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a12_multimodal_meta": QuerySpec(a12_multimodal_meta, A12_SQL),
     "a25_dedup_clusters": QuerySpec(a25_dedup_clusters, _a25_sql()),
     "a26_top_ngrams": QuerySpec(a26_top_ngrams, A26_SQL),
-    "a27_approx_stats": QuerySpec(a27_approx_stats, None),
+    "a27_approx_stats": QuerySpec(a27_approx_stats, A27_SQL),
     "a28_shipping_priority": QuerySpec(a28_shipping_priority, A28_SQL),
     "a29_large_orders": QuerySpec(a29_large_orders, A29_SQL),
     "a30_below_avg_quantity": QuerySpec(a30_below_avg_quantity, A30_SQL),

