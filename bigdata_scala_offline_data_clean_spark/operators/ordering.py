@@ -101,12 +101,12 @@ def equidepth_histogram(
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = counts.select(
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    ranked = counts.crossJoin(F.broadcast(total)).select(
         "v",
         "cnt",
         F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("rank_before"),
-        F.sum("cnt").over(wall).alias("n_total"),
+        "n_total",
     )
     # integer floor-div keeps the assignment exact at any N (the double
     # division form would round above 2^53)

@@ -142,19 +142,26 @@ def temperature_mixture_rates(
     is wanted).  Rates are rounded to 9 decimals so both engines compare
     the identical double against the hash bucket.
 
-    One tiny aggregation (k groups) + an unpartitioned window over k rows.
+    One tiny aggregation (k groups) + a broadcast join of the two scalar
+    totals (an unpartitioned window would funnel through one task and warn;
+    the agg + broadcast-crossJoin form expresses the same k-row math).
     """
-    from pyspark.sql import Window
-
     counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
-    share = pw / F.sum(pw).over(wall)
-    total = F.sum("n_docs").over(wall)
-    rate = F.round(
-        F.least(F.lit(1.0), share * total / F.col("n_docs")), 9
+    totals = counts.agg(
+        F.sum(pw).alias("__sum_pw"), F.sum("n_docs").alias("__total")
     )
-    return counts.select(by, "n_docs", rate.alias("rate"))
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            pw / F.col("__sum_pw") * F.col("__total") / F.col("n_docs"),
+        ),
+        9,
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(by, "n_docs", rate.alias("rate"))
+    )
 
 
 def temperature_sample(
