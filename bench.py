@@ -47,6 +47,17 @@ HEADLINE = [
     "c17_snapshot_diff",
     "c18_scd2_history",
     "c20_ingest_neardup",
+    # r4 additions (extend-only)
+    "a27_approx_stats",
+    "a11_embedding_lsh_ann",
+    "a16_embedding_ivf_ann",
+    "a43_sequence_packing",
+    "a45_decontamination",
+    "a49_mixture_sampling",
+    "a54_chunking",
+    "a57_equidepth_histogram",
+    "c22_apply_cdc",
+    "c23_expectations",
 ]
 
 

@@ -5,7 +5,11 @@ DuckDB at sf0.01, then compares row count, name-sorted schema, and
 order-insensitive values (exact equality on sorted rows -- strictly stronger
 than the driver's value hash).
 
-Usage: python tools/check_correctness.py [--hostile] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--hostile] [--json PATH] [sf_dir] [query ...]
+
+``--json PATH`` additionally writes per-query results in the driver's
+CORRECTNESS_r{N}.json shape, so a full local sweep can be committed as
+evidence for the queries beyond the driver's per-round slot budget.
 
 ``--hostile`` runs with a driver-like SparkSession instead of this repo's
 ``build_session``: America/New_York timezone, stock configs, default
@@ -52,6 +56,11 @@ def main() -> int:
     hostile = "--hostile" in args
     if hostile:
         args.remove("--hostile")
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -79,6 +88,7 @@ def main() -> int:
         return 1
     failures = []
     n_run = 0
+    report: dict[str, dict] = {}
     for name, spec in specs.items():
         if only and name not in only:
             continue
@@ -91,9 +101,19 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}",
+            }
             continue
         if spec.oracle is None:
             print(f"ok   {name}: rows-only {len(srows)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             cur = con.execute(spec.oracle)
@@ -102,15 +122,24 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb: {type(e).__name__}",
+            }
             continue
         problems = []
-        if len(srows) != len(drows):
+        rows_match = len(srows) == len(drows)
+        schema_match = sorted(scols) == sorted(dcols)
+        hash_match = False
+        if not rows_match:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not schema_match:
             problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
             a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
-            if a != b:
+            hash_match = a == b
+            if not hash_match:
                 diff = next(
                     (i for i, (x, y) in enumerate(zip(a, b)) if x != y), None
                 )
@@ -119,6 +148,11 @@ def main() -> int:
                     f"    spark: {a[diff] if diff is not None else '?'}\n"
                     f"    duck : {b[diff] if diff is not None else '?'}"
                 )
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
@@ -126,6 +160,11 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{n_run - len(failures)}/{n_run} green")
+    if json_path:
+        import json
+
+        Path(json_path).write_text(json.dumps(report, indent=2) + "\n")
+        print(f"wrote {json_path}")
     spark.stop()
     return 1 if failures else 0
 
