@@ -366,3 +366,54 @@ def bigram_lm_scores(
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )
+
+
+def vocab_build(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: (token, cnt, token_id).
+
+    The pretraining-prep step: whitespace tokens with corpus frequency
+    >= ``min_count``, ids assigned by rank over (count desc, token asc).
+
+    Scale shape: the rank does NOT use an unpartitioned window (the
+    single-task scale-killer).  Count values are natural ordered buckets:
+    per-count group sizes aggregate to a tiny frame (|distinct counts|
+    rows), their cumulative offsets are computed driver-side and broadcast
+    back, and ``row_number`` partitions BY COUNT.  The heaviest window
+    task is then the largest same-count token group -- in Zipfian corpora
+    that is the low-count tail, which ``min_count`` (>= 2 here, higher in
+    every real vocabulary build) is there to drop anyway.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    counts = (
+        toks.where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    sizes = (
+        counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("cnt").desc())
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sizes:
+        offsets.append((r["cnt"], acc))
+        acc += r["n"]
+    if not offsets:
+        return counts.withColumn("token_id", F.lit(None).cast("long"))
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, ["cnt", "__offset"])
+    w = Window.partitionBy("cnt").orderBy("token")
+    return (
+        counts.join(F.broadcast(off), "cnt")
+        .withColumn(
+            "token_id", (F.col("__offset") + F.row_number().over(w)).cast("long")
+        )
+        .select("token", "cnt", "token_id")
+    )

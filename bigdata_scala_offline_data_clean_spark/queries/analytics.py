@@ -2353,6 +2353,75 @@ LIMIT 100
 """
 
 
+def a63_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked token vocabulary (min_count=2): pretraining prep.
+    Rank by (count desc, token asc) without an unpartitioned window --
+    per-count offsets broadcast back, row_number partitions by count."""
+    from ..operators.text import vocab_build
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_build(d, min_count=2)
+
+
+A63_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+)
+SELECT token, cnt,
+       row_number() OVER (ORDER BY cnt DESC, token ASC) AS token_id
+FROM counts
+"""
+
+
+def a64_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partitioning: per-language perplexity terciles
+    (head / middle / tail) from the corpus-trained bigram LM.  Thresholds
+    are a k-row aggregate broadcast back over the scored docs -- the doc
+    set itself is scanned once and never re-shuffled."""
+    from ..operators.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(d).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = F.expr("percentile(ppl, array(0.33333333, 0.66666667))")
+    th = scored.groupBy("lang").agg(
+        F.round(F.element_at(cuts, 1), 6).alias("__t1"),
+        F.round(F.element_at(cuts, 2), 6).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .select("doc_id", "lang", "ppl", bucket.alias("bucket"))
+    )
+
+
+A64_SQL = f"""
+WITH scored0 AS ({A55_SQL}),
+scored AS (
+  SELECT s.doc_id, d.lang, s.ppl
+  FROM scored0 s JOIN documents d USING (doc_id)
+), th AS (
+  SELECT lang,
+         round(quantile_cont(ppl, 0.33333333), 6) AS t1,
+         round(quantile_cont(ppl, 0.66666667), 6) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.ppl,
+       CASE WHEN s.ppl <= th.t1 THEN 'head'
+            WHEN s.ppl <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th USING (lang)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a01_pricing_summary": QuerySpec(a01_pricing_summary, A01_SQL),
     "a13_revenue_by_region": QuerySpec(a13_revenue_by_region, A13_SQL),
@@ -2418,4 +2487,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a60_group_zscore": QuerySpec(a60_group_zscore, A60_SQL),
     "a61_event_sequences": QuerySpec(a61_event_sequences, A61_SQL),
     "a62_weighted_sample": QuerySpec(a62_weighted_sample, A62_SQL),
+    "a63_vocab_build": QuerySpec(a63_vocab_build, A63_SQL),
+    "a64_perplexity_buckets": QuerySpec(a64_perplexity_buckets, A64_SQL),
 }

@@ -742,3 +742,45 @@ def test_equidepth_histogram_depths_and_ties(spark):
     sk = {r.bucket: r for r in equidepth_histogram(skew, "v", 4).collect()}
     heavy = [b for b, r in sk.items() if r.lo <= 7 <= r.hi]
     assert len(heavy) == 1 and sk[heavy[0]].n_rows >= 60
+
+
+def test_vocab_build_ranks_and_min_count(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import vocab_build
+
+    docs = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a b z")], ["doc_id", "text"]
+    )
+    out = {r.token: r for r in vocab_build(docs, min_count=2).collect()}
+    # z occurs once -> dropped; b(4) ranks before a(3); ids are 1-based
+    assert set(out) == {"a", "b"}
+    assert out["b"].token_id == 1 and out["b"].cnt == 4
+    assert out["a"].token_id == 2 and out["a"].cnt == 3
+    # count ties order by token ascending
+    tied = spark.createDataFrame([(0, "x y x y")], ["doc_id", "text"])
+    t = {r.token: r.token_id for r in vocab_build(tied, min_count=2).collect()}
+    assert t == {"x": 1, "y": 2}
+
+
+def test_perplexity_buckets_cover_and_split(spark):
+    from bigdata_scala_offline_data_clean_spark.queries import all_queries
+
+    out = (
+        all_queries()["a64_perplexity_buckets"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault((r.lang, r.bucket), 0)
+        by_bucket[(r.lang, r.bucket)] += 1
+    langs = {lang for lang, _ in by_bucket}
+    # every language splits into all three quality terciles
+    for lang in langs:
+        assert {b for l, b in by_bucket if l == lang} == {
+            "head", "middle", "tail"
+        }, lang
+    # head <= t1 cut is a third-ish of each language's docs
+    for lang in langs:
+        total = sum(n for (l, _), n in by_bucket.items() if l == lang)
+        head = by_bucket[(lang, "head")]
+        assert 0.2 <= head / total <= 0.5, (lang, head, total)
