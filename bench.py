@@ -4,6 +4,15 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.  Each query is executed with a noop
 sink (full computation, no driver-side result transfer) after a warm-up of
 the session; wall time is per-query.
+
+Methodology (changed in r4): the cache is cleared before every timed
+query.  Before, operators that persist multi-consumer intermediates
+(minhash shingles, CC edges) silently reused blocks persisted by the warm
+pass, so their timings measured a cache hit, and blocks leaked across all
+headline queries inflated the tail of the run ~2x.  Now every number is
+cold-cache / warm-JIT and self-contained: expect a07/a25/a26/c20 higher
+than r3 (honest cost) and everything else lower (no leaked-storage
+pressure).
 """
 
 from __future__ import annotations
@@ -64,22 +73,31 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    headline = HEADLINE
+    if os.environ.get("SPARK_GRAFT_HEADLINE"):  # subset for A/B profiling
+        only = set(os.environ["SPARK_GRAFT_HEADLINE"].split(","))
+        headline = [n for n in HEADLINE if n in only]
     spark = build_session(app_name="bench")
     specs = all_queries()
 
     # Untimed warm pass: JIT-compile the generated code and fill the reader
     # caches, so timings report steady-state compute -- what a long-running
     # cluster's executors see (measured: first-run JIT dominates otherwise).
-    for name in HEADLINE:
+    for name in headline:
         if name in specs:
             specs[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in specs:
             continue
+        # isolate queries: operators persist intermediates for their own
+        # multi-consumer plans; leaked blocks from earlier queries build
+        # storage pressure that inflates later timings (measured ~2x on
+        # the last third of a 35-query run)
+        spark.catalog.clearCache()
         t0 = time.time()
         df = specs[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -54,6 +54,10 @@ def _pin_session(spark: SparkSession) -> None:
     """Runtime confs every query depends on (driver session is not ours)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # read un-flagged parquet timestamp[us] as LTZ directly: a post-read
+    # NTZ->LTZ cast projection would sit between filters and the scan,
+    # killing parquet predicate pushdown on every time column
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

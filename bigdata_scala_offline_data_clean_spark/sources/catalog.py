@@ -64,6 +64,10 @@ def _normalize_times(df: DataFrame) -> DataFrame:
 
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver-generated testdata table (TESTDATA.md)."""
+    # un-flagged timestamp[us] reads as LTZ directly under this conf --
+    # no cast projection between filters and the scan (pushdown survives);
+    # _normalize_times stays as the fallback for pre-set sessions
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return _normalize_times(
         spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     )

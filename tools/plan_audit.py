@@ -87,6 +87,18 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     ),
     # group z-score: moment frame broadcast, no second shuffle of orders
     "a60_group_zscore": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    # vocab rank: offsets broadcast, window partitioned by count -- never
+    # an unpartitioned global sort/window
+    "a63_vocab_build": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    # perplexity buckets: threshold frame broadcast over scored docs
+    "a64_perplexity_buckets": ((), ("CartesianProduct", "NestedLoop"), None),
+    # mixture rates/totals: scalar totals via broadcast, no global window
+    "a49_mixture_sampling": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # a27: exact-distinct agg joined on one row; the percentile agg must
+    # NOT pass through a multi-distinct Expand
+    "a27_approx_stats": ((), ("Expand",), None),
 }
 
 
