@@ -979,12 +979,18 @@ def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.expr(
         "percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.98, 0.99, 0.995))"
     )
-    # two aggregates joined on one row each: mixing two COUNT(DISTINCT)s
-    # into the percentile agg forces a 3x expand through the percentile
-    # buffers (~10x slower measured); split, each agg stays single-pass
-    dist = li.agg(
-        F.countDistinct("l_orderkey").alias("orderkeys_exact"),
-        F.countDistinct("l_partkey").alias("partkeys_exact"),
+    # one-row aggregates joined at the end: mixing COUNT(DISTINCT)s into
+    # the percentile agg forces a 3x expand through the percentile buffers
+    # (~10x slower measured), and even two DISTINCTs in one agg compile to
+    # a 2x Expand of the scan.  One distinct per agg keeps every pass
+    # Expand-free and column-pruned to a single parquet column.
+    dist = (
+        li.agg(F.countDistinct("l_orderkey").alias("orderkeys_exact"))
+        .crossJoin(
+            F.broadcast(
+                li.agg(F.countDistinct("l_partkey").alias("partkeys_exact"))
+            )
+        )
     )
     rest = li.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -1,0 +1,538 @@
+"""Round-4 extension queries: time-series, graph, and reshaping operators.
+
+Each is a shape a large-scale pipeline needs that earlier registry entries
+don't exercise: interval coalescing (gaps-and-islands), calendar gap-fill
+with forward-fill, OHLC bars, Markov transition matrices, support-pruned
+triangle counting, UNPIVOT reshape, higher-order array functions, and
+time-weighted averages.  All stay JVM-side (no Python row path) and follow
+the oracle-parity rules in ``_util``: decimal-exact sums, BIGINT-cast
+windowed integer sums (DuckDB HUGEINT), string-formatted timestamps, and a
+total-order tie-break on every window / top-k.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ._util import dsum, load_table, ts_str
+
+# ---------------------------------------------------------------------------
+# a65 -- interval coalescing (gaps-and-islands).  Each event opens a 30-min
+# activity interval; overlapping intervals per user merge into islands.
+# Scale shape: two windows over one (user_id) exchange, then one partial agg
+# -- no self-join, no explode.  The running MAX(end) handles intervals that
+# nest inside earlier ones (plain lag(end) would split those wrongly).
+# ---------------------------------------------------------------------------
+
+_IV_MIN = 30  # interval length, minutes
+
+
+def a65_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_IV_MIN} MINUTES")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv = iv.withColumn(
+        "is_start",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    iv = iv.withColumn(
+        "island",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        iv.groupBy("user_id", "island")
+        .agg(
+            ts_str(F.min("s")).alias("start_ts"),
+            ts_str(F.max("e")).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+A65_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL {_IV_MIN} MINUTE AS e
+  FROM events
+), m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max_e
+  FROM iv
+), f AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+            AS is_start
+  FROM m
+), g AS (
+  SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS island
+  FROM f
+)
+SELECT user_id, island,
+       strftime(MIN(s), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(MAX(e), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       count(*) AS n_events
+FROM g GROUP BY user_id, island
+"""
+
+# ---------------------------------------------------------------------------
+# a66 -- calendar gap-fill + forward-fill (time-series resample).  Daily
+# revenue per order priority over the full calendar range; missing days get
+# the last observed value (0.0 before the first observation).  Scale shape:
+# the day x priority grid is tiny (derived from two scalar aggs + a distinct
+# over one column) and broadcast against the daily partials; the ffill
+# window partitions by priority so nothing funnels to one task.
+# ---------------------------------------------------------------------------
+
+
+def a66_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    src = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        day.alias("day"),
+        "o_totalprice",
+    )
+    daily = src.groupBy("priority", "day").agg(dsum("o_totalprice").alias("revenue"))
+    rng = src.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    prios = src.select("priority").distinct()
+    grid = days.crossJoin(F.broadcast(prios))
+    j = grid.join(daily, ["priority", "day"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "priority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(
+            F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("revenue_filled"),
+        F.col("revenue").isNull().cast("int").alias("is_gap"),
+    )
+
+
+A66_SQL = """
+WITH src AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         o_totalprice
+  FROM orders
+), daily AS (
+  SELECT priority, day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM src GROUP BY priority, day
+), rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM src),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM rng
+), grid AS (
+  SELECT p.priority, d.day
+  FROM (SELECT DISTINCT priority FROM src) p CROSS JOIN days d
+), j AS (
+  SELECT g.priority, g.day, daily.revenue
+  FROM grid g LEFT JOIN daily ON g.priority = daily.priority AND g.day = daily.day
+)
+SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+       COALESCE(LAST_VALUE(revenue IGNORE NULLS)
+                  OVER (PARTITION BY priority ORDER BY day
+                        ROWS UNBOUNDED PRECEDING), 0.0) AS revenue_filled,
+       CAST(revenue IS NULL AS INTEGER) AS is_gap
+FROM j
+"""
+
+# ---------------------------------------------------------------------------
+# a67 -- OHLC bars: per (event_type, day), first/last/min/max of `value`.
+# first/last resolve through row_number over a (ts, event_id) total order --
+# arg_min/arg_max with a composite tie-break is not portable across engines,
+# row_number is.  One exchange on (event_type, day); both windows share it.
+# ---------------------------------------------------------------------------
+
+
+def a67_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day")
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    src = src.withColumn("rn_a", F.row_number().over(asc)).withColumn(
+        "rn_d", F.row_number().over(desc)
+    )
+    return src.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+A67_SQL = """
+WITH src AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS volume
+FROM src GROUP BY event_type, day
+"""
+
+# ---------------------------------------------------------------------------
+# a68 -- Markov transition matrix over per-user event sequences: P(next
+# event_type | event_type).  lead() over one (user_id) exchange, then a
+# small groupBy; the normalizing window runs over the aggregated matrix
+# (|states|^2 rows), not the raw events.
+# ---------------------------------------------------------------------------
+
+
+def a68_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("from_state")).cast("bigint")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias("p"),
+    )
+
+
+A68_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_state
+  FROM events
+), counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM seq WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       ROUND(CAST(n AS DOUBLE) /
+             CAST(CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+                  AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+# ---------------------------------------------------------------------------
+# a69 -- triangle counting on the co-purchase graph (parts appearing in the
+# same order), with support pruning: only edges seen in >= 2 orders survive.
+# Scale shape: the support threshold is what makes this viable at 100 TB --
+# it collapses the quadratic per-order pair explosion into a sparse edge
+# set before the two triangle joins; edges are canonical (u < v) so each
+# triangle is counted exactly once.
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+_TRI_TOP = 20
+
+
+def a69_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("part")
+    )
+    return (
+        nodes.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(_TRI_TOP)
+    )
+
+
+A69_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT unnest([a, b, c]) AS part FROM tri
+)
+SELECT part, count(*) AS n_triangles
+FROM nodes GROUP BY part
+ORDER BY n_triangles DESC, part LIMIT {_TRI_TOP}
+"""
+
+# ---------------------------------------------------------------------------
+# a70 -- UNPIVOT reshape: lineitem measures to long form, then aggregate per
+# (returnflag, measure).  stack() stays in whole-stage codegen -- the wide
+# ->long reshape happens without a shuffle; only the final groupBy
+# exchanges, on a tiny (flag, measure) key space with map-side partials.
+# ---------------------------------------------------------------------------
+
+
+def a70_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (measure, val)"
+        ),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A70_SQL = """
+WITH long AS (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+       count(*) AS n
+FROM long GROUP BY l_returnflag, measure
+"""
+
+# ---------------------------------------------------------------------------
+# a71 -- higher-order array functions over embeddings: filter/aggregate
+# entirely JVM-side (no UDF, no explode -- an exploded 64x row blowup is the
+# anti-pattern this query exists to rule out).  The fold matches a21's
+# oracle pattern: (0.0 + x1) == x1 in IEEE double, so Spark's aggregate(0.0,
+# +) and DuckDB's first-element list_reduce produce bit-identical sums.
+# ---------------------------------------------------------------------------
+
+
+def a71_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter(v, lambda x: F.abs(x) > 0.5)).alias("n_big"),
+        F.round(
+            F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("l2_sq"),
+    )
+
+
+A71_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       len(list_filter(embedding, x -> abs(x) > 0.5)) AS n_big,
+       ROUND(list_reduce(
+               list_transform(generate_series(1, len(embedding)),
+                              i -> CAST(embedding[i] AS DOUBLE)
+                                   * CAST(embedding[i] AS DOUBLE)),
+               (s, x) -> s + x), 6) AS l2_sq
+FROM embeddings
+"""
+
+# ---------------------------------------------------------------------------
+# a72 -- time-weighted average (TWAP): each observation weighted by its
+# holding time until the next event.  Weights are integer seconds and the
+# weighted sum runs through DECIMAL, so the result is partitioning-
+# independent -- a plain SUM(value * dt) over doubles would drift with the
+# shuffle layout.
+# ---------------------------------------------------------------------------
+
+
+def a72_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epochs: exact integers on both engines (second-granularity
+    # unix_timestamp truncates each side and drifts vs a subtract-then-cast)
+    dt = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).cast(
+        "bigint"
+    )
+    seq = ev.select("user_id", "value", dt.alias("dt_us")).where(
+        F.col("dt_us").isNotNull()
+    )
+    agg = seq.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt_us")).alias("_w"),
+        F.sum("dt_us").cast("bigint").alias("held_us"),
+    )
+    return agg.select(
+        "user_id",
+        "held_us",
+        F.round(
+            F.col("_w").cast("double") / F.col("held_us").cast("double"), 6
+        ).alias("twap"),
+    )
+
+
+A72_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+), f AS (SELECT * FROM seq WHERE dt_us IS NOT NULL),
+agg AS (
+  SELECT user_id,
+         SUM(CAST(value AS DECIMAL(18,6)) * dt_us) AS w,
+         CAST(SUM(dt_us) AS BIGINT) AS held_us
+  FROM f GROUP BY user_id
+)
+SELECT user_id, held_us,
+       ROUND(CAST(w AS DOUBLE) / CAST(held_us AS DOUBLE), 6) AS twap
+FROM agg
+"""
+
+# ---------------------------------------------------------------------------
+# c24 -- multi-format roundtrip: the same slice written to CSV, JSON, and
+# ORC, read back with an explicit schema, and checksummed per format.  The
+# timestamp is pre-formatted to string so CSV/JSON carry it losslessly; the
+# checksums run through DECIMAL so all four rows must agree bit-for-bit
+# with the parquet source of truth.
+# ---------------------------------------------------------------------------
+
+
+def c24_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    slice_ = li.where(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        ts_str("l_shipdate").alias("l_shipdate"),
+    )
+
+    def summarize(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c24_")
+    try:
+        slice_.write.option("header", True).csv(f"{scratch}/csv")
+        slice_.write.json(f"{scratch}/json")
+        slice_.write.orc(f"{scratch}/orc")
+        back = [
+            summarize(
+                spark.read.schema(slice_.schema)
+                .option("header", True)
+                .csv(f"{scratch}/csv"),
+                "csv",
+            ),
+            summarize(
+                spark.read.schema(slice_.schema).json(f"{scratch}/json"), "json"
+            ),
+            summarize(spark.read.orc(f"{scratch}/orc"), "orc"),
+            summarize(slice_, "parquet"),
+        ]
+        out = back[0]
+        for df in back[1:]:
+            out = out.unionByName(df)
+        out = spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C24_SQL = """
+WITH slice AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_orderkey % 20 = 0
+), s AS (
+  SELECT count(*) AS n_rows,
+         count(DISTINCT l_orderkey) AS n_orders,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM slice
+)
+SELECT fmt, n_rows, n_orders, sum_qty, sum_price
+FROM s, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS fmts(fmt)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "a65_interval_coalesce": QuerySpec(a65_interval_coalesce, A65_SQL),
+    "a66_gap_fill_ffill": QuerySpec(a66_gap_fill_ffill, A66_SQL),
+    "a67_ohlc_bars": QuerySpec(a67_ohlc_bars, A67_SQL),
+    "a68_markov_transitions": QuerySpec(a68_markov_transitions, A68_SQL),
+    "a69_triangle_count": QuerySpec(a69_triangle_count, A69_SQL),
+    "a70_unpivot_measures": QuerySpec(a70_unpivot_measures, A70_SQL),
+    "a71_array_functions": QuerySpec(a71_array_functions, A71_SQL),
+    "a72_time_weighted_avg": QuerySpec(a72_time_weighted_avg, A72_SQL),
+    "c24_format_roundtrip": QuerySpec(c24_format_roundtrip, C24_SQL),
+}

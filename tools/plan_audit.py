@@ -90,8 +90,13 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # vocab rank: offsets broadcast, window partitioned by count -- never
     # an unpartitioned global sort/window
     "a63_vocab_build": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
-    # perplexity buckets: threshold frame broadcast over scored docs
-    "a64_perplexity_buckets": ((), ("CartesianProduct", "NestedLoop"), None),
+    # perplexity buckets: per-lang thresholds broadcast-hash-joined over
+    # the scored docs; the bigram-LM corpus total inside the scorer is a
+    # 1-row BroadcastNestedLoopJoin (the accepted scalar-broadcast shape,
+    # as in a49/c21) -- only a true cartesian is forbidden
+    "a64_perplexity_buckets": (
+        ("BroadcastHashJoin",), ("CartesianProduct",), None,
+    ),
     # mixture rates/totals: scalar totals via broadcast, no global window
     "a49_mixture_sampling": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
@@ -99,6 +104,31 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # a27: exact-distinct agg joined on one row; the percentile agg must
     # NOT pass through a multi-distinct Expand
     "a27_approx_stats": ((), ("Expand",), None),
+    # interval coalescing: both windows + the island agg share the single
+    # hash(user_id) exchange (HashPartitioning(user_id) satisfies the
+    # (user_id, island) clustering requirement)
+    "a65_interval_coalesce": ((), ("SortMergeJoin", "NestedLoop"), 1),
+    # gap-fill: the day x priority grid is broadcast against the daily
+    # partials; the calendar explode is a 1-row BNLJ, never a cartesian
+    "a66_gap_fill_ffill": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # OHLC: asc + desc row_number windows and the bar agg share one
+    # (event_type, day) exchange
+    "a67_ohlc_bars": ((), ("SortMergeJoin", "NestedLoop"), 1),
+    # Markov: normalizing window runs over the aggregated matrix, never
+    # a join back against the event scan
+    "a68_markov_transitions": ((), ("NestedLoop", "CartesianProduct"), None),
+    # triangles: support-pruned edge set, equi-joins only -- an all-pairs
+    # plan here would be quadratic in parts
+    "a69_triangle_count": ((), ("NestedLoop", "CartesianProduct"), None),
+    # unpivot: stack() reshapes map-side (a Generate with no shuffle);
+    # only the final tiny groupBy exchanges (+1 AQE final agg)
+    "a70_unpivot_measures": ((), ("SortMergeJoin",), 2),
+    # higher-order array funcs: pure projection -- no exchange, no explode
+    "a71_array_functions": ((), ("Generate", "Exchange"), 0),
+    # TWAP: lead window and per-user agg share the hash(user_id) exchange
+    "a72_time_weighted_avg": ((), ("SortMergeJoin", "NestedLoop"), 1),
 }
 
 
