@@ -96,8 +96,12 @@ def main() -> None:
         # isolate queries: operators persist intermediates for their own
         # multi-consumer plans; leaked blocks from earlier queries build
         # storage pressure that inflates later timings (measured ~2x on
-        # the last third of a 35-query run)
+        # the last third of a 35-query run).  localCheckpoint blocks (CC
+        # rounds) are NOT in the catalog cache -- they free only when the
+        # JVM collects the RDD, so force a GC or a25's blocks inflate
+        # whatever query runs next (measured 3-10s of noise).
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
         t0 = time.time()
         df = specs[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

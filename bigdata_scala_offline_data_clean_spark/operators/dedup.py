@@ -22,6 +22,30 @@ def _hash(seed: int, col: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}|"), col))
 
 
+_MH_MOD = 1 << 32  # universal-hash modulus (base hash is 32-bit)
+
+
+def _mh_consts(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal hash h_i = (a*h + b) % 2^32.
+
+    ``a`` is odd and capped at 31 bits so ``a * h + b < 2^63`` -- no bigint
+    overflow under ANSI arithmetic in either engine.  Knuth/Murmur golden
+    constants scatter the family; the exact values only need to be stable
+    and replicated in the DuckDB oracles.
+    """
+    a = ((0x9E3779B1 * (2 * i + 1)) & 0x7FFFFFFF) | 1
+    b = (0x85EBCA77 * (i + 1)) & 0xFFFFFFFF
+    return a, b
+
+
+def _mh_base(col: Column) -> Column:
+    """32-bit integer base hash of a gram: first 8 hex chars of its md5.
+
+    Oracle twin: ``CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -79,22 +103,34 @@ def shingles(
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signature per document from a (id, gram) shingle frame.
 
     ONE groupBy with ``num_hashes`` min-aggregates -- the shuffle moves each
     shingle row once, not ``num_hashes`` times (the naive seed-explode
-    multiplies shuffle volume 16x).
+    multiplies shuffle volume 16x).  Each gram is md5'd ONCE; the
+    ``num_hashes`` functions are an integer universal-hash family over
+    that 32-bit base (``(a_i*h + b_i) % 2^32``) -- measured ~16x less
+    digest work than the seeded-md5-per-function form, and the min-agg
+    state is a bigint instead of a 32-char hex string.
     """
-    aggs = [
-        F.min(_hash(i, F.col("gram"))).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    h = F.col("__h")
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _mh_consts(i)
+        aggs.append(
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MH_MOD)).alias(f"mh_{i}")
+        )
+    return (
+        sh.withColumn("__h", _mh_base(F.col("gram")))
+        .groupBy(id_col)
+        .agg(*aggs)
+    )
 
 
 def lsh_bands(
-    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
     """Fold a signature into ``bands`` bucket keys: (id, band_id, band_sig).
 
@@ -187,8 +223,8 @@ def ingest_neardup_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.4,
 ) -> DataFrame:
     """Daily-ingest NEAR-dup gate: status per incoming doc vs the corpus.
@@ -271,9 +307,21 @@ def contamination_overlap(
     that up).  Filtering decisions (drop vs keep at a ratio threshold)
     stay with the caller.
     """
-    tg = shingles(train, id_col, text_col, n)
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    # build the gram array once: per-doc totals are just its size (zero
+    # shuffles), so only the overlap probe pays the explode + join -- the
+    # two-pass form (shingle + groupBy for totals, shingle again for hits)
+    # re-tokenized the whole train corpus a second time
+    garr = train.select(id_col, grams.alias("__grams"))
+    totals = garr.select(id_col, F.size("__grams").alias("n_grams"))
+    tg = garr.select(id_col, F.explode("__grams").alias("gram"))
     bg = shingles(bench, id_col, text_col, n).select("gram").distinct()
-    totals = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         tg.join(bg, "gram")
         .groupBy(id_col)
@@ -308,8 +356,8 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 2,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
     persist_shingles: bool = True,
 ) -> DataFrame:

@@ -119,3 +119,233 @@ def equidepth_histogram(
             F.max("v").alias("hi"),
         )
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    buckets: int = 256,
+) -> dict[float, float | None]:
+    """Exact interpolated percentiles without a single-task value buffer.
+
+    ``percentile()``'s exact aggregate accumulates EVERY value into one
+    final merge buffer -- the quantile analogue of the unpartitioned
+    window, and a guaranteed OOM at 100 TB.  This uses the one-round
+    histogram construction instead:
+
+    1. one narrow aggregate for (min, max, count),
+    2. one aggregate counting rows per equi-width value bucket,
+    3. cumulative-sum the ~``buckets`` counts driver-side, locate which
+       buckets hold the target ranks ``floor/ceil((n-1)*q)``, and
+    4. rank ONLY those buckets (a window partitioned by bucket over the
+       few rows whose value range can contain a target rank -- the filter
+       pushes down to the scan) and read the bounding values.
+
+    Interpolation replicates Spark's ``percentile``/DuckDB's
+    ``quantile_cont`` exactly: ``(h - pos) * v0 + (pos - l) * v1`` in IEEE
+    double, so results are bit-identical to the built-in aggregate
+    (asserted in tests).  Returns ``{q: value}``; driver-side state is
+    bounded by ``buckets``, never by row count.
+    """
+    import bisect
+    import math
+
+    rows = df.select(F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    mm = rows.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
+    ).collect()[0]
+    n, lo, hi = mm["n"], mm["lo"], mm["hi"]
+    if n == 0:
+        return {q: None for q in qs}
+    if lo == hi:
+        return {q: lo for q in qs}
+    targets: dict[float, tuple[int, int, float]] = {}
+    for q in qs:
+        pos = (n - 1) * q
+        targets[q] = (math.floor(pos), math.ceil(pos), pos)
+    needed_ranks = sorted({r for l, h, _ in targets.values() for r in (l, h)})
+    width = (hi - lo) / buckets
+    bexpr = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    counts = (
+        rows.groupBy(bexpr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    starts, bids, offs = [], [], {}
+    acc = 0
+    for r in counts:
+        offs[r["b"]] = acc
+        bids.append(r["b"])
+        starts.append(acc)
+        acc += r["c"]
+    needed_buckets = sorted(
+        {bids[bisect.bisect_right(starts, rk) - 1] for rk in needed_ranks}
+    )
+    off_map = F.create_map(
+        *[F.lit(x) for b in needed_buckets for x in (b, offs[b])]
+    )
+    w = Window.partitionBy("__b").orderBy("v")
+    picked = (
+        rows.withColumn("__b", bexpr)
+        .where(F.col("__b").isin(needed_buckets))
+        .withColumn(
+            "__rank", off_map[F.col("__b")] + F.row_number().over(w) - 1
+        )
+        .where(F.col("__rank").isin(needed_ranks))
+        .select("__rank", "v")
+        .collect()
+    )
+    at = {r["__rank"]: r["v"] for r in picked}
+    out: dict[float, float | None] = {}
+    for q, (l, h, pos) in targets.items():
+        out[q] = at[l] if l == h else (h - pos) * at[l] + (pos - l) * at[h]
+    return out
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+    buckets: int = 256,
+) -> DataFrame:
+    """Exact per-group interpolated percentiles, fully declarative.
+
+    The grouped sibling of ``exact_percentiles``: the built-in grouped
+    ``percentile()`` buffers every value of a group in one aggregation
+    buffer (per-group OOM at scale); here the largest task holds
+    ~|group| / ``buckets`` rows and there is NO driver-side state:
+
+    1. per-group (min, max, count), broadcast back onto the rows,
+    2. per-(group, bucket) counts; cumulative offsets via a window over
+       the <= ``buckets`` count rows of each group (distributed across
+       groups),
+    3. target ranks ``floor/ceil((n-1)*q)`` per (group, q), derived from
+       the stats frame and joined against the offsets (equi on group +
+       rank-range residual) to find the ONE bucket holding each rank,
+    4. rank only the needed buckets (semi-join prunes everything else)
+       and read the bounding values; interpolate exactly like
+       ``percentile()`` / ``quantile_cont``:
+       ``(h - pos) * v0 + (pos - l) * v1``.
+
+    Returns the long form ``group_cols + (q, value)`` -- one row per
+    (group, requested percentile), bit-identical to the built-in
+    aggregate (asserted in tests), so DuckDB oracles keep matching.
+    """
+    from functools import reduce
+
+    g = list(group_cols)
+    rows = df.select(*g, F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    stats = rows.groupBy(*g).agg(
+        F.min("v").alias("__lo"),
+        F.max("v").alias("__hi"),
+        F.count("v").alias("__n"),
+    )
+    rows2 = rows.join(F.broadcast(stats), g)
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(buckets)
+    bexpr = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("v") - F.col("__lo")) / width).cast("int"),
+        )
+    )
+    binned = rows2.select(*g, "v", bexpr.alias("__b"))
+    bcounts = binned.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    woff = (
+        Window.partitionBy(*g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcounts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))
+    )
+    # (group, q, side, r): the two 0-based bounding ranks around
+    # pos = (n-1)*q for every requested percentile
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    targets = (
+        stats.select(*g, "__n", F.explode(qarr).alias("q"))
+        .withColumn("__pos", (F.col("__n") - 1) * F.col("q"))
+        .select(
+            *g,
+            "q",
+            "__pos",
+            F.floor("__pos").cast("bigint").alias("__l"),
+            F.ceil("__pos").cast("bigint").alias("__h"),
+        )
+    )
+    sides = targets.select(
+        *g,
+        "q",
+        "__pos",
+        "__l",
+        "__h",
+        F.explode(
+            F.array(
+                F.struct(F.lit("l").alias("side"), F.col("__l").alias("r")),
+                F.struct(F.lit("h").alias("side"), F.col("__h").alias("r")),
+            )
+        ).alias("__s"),
+    ).select(*g, "q", "__pos", "__l", "__h", "__s.side", "__s.r")
+    s_, o_ = sides.alias("s"), offs.alias("o")
+    eq = reduce(
+        lambda a, b: a & b, [F.col(f"s.{c}") == F.col(f"o.{c}") for c in g]
+    )
+    in_bucket = (F.col("o.__off") <= F.col("r")) & (
+        F.col("r") < F.col("o.__off") + F.col("o.__c")
+    )
+    hold = s_.join(o_, eq & in_bucket).select(
+        *[F.col(f"s.{c}") for c in g],
+        "q",
+        "__pos",
+        "__l",
+        "__h",
+        "side",
+        "r",
+        F.col("o.__b").alias("__b"),
+        F.col("o.__off").alias("__off"),
+    )
+    need = hold.select(*g, "__b").distinct()
+    sel = binned.join(need, [*g, "__b"], "left_semi")
+    wr = Window.partitionBy(*g, "__b").orderBy("v")
+    ranked = sel.withColumn("__r", F.row_number().over(wr) - 1)
+    r_, h_ = ranked.alias("rk"), hold.alias("hd")
+    req = reduce(
+        lambda a, b: a & b, [F.col(f"rk.{c}") == F.col(f"hd.{c}") for c in g]
+    )
+    vals = r_.join(
+        h_,
+        req
+        & (F.col("rk.__b") == F.col("hd.__b"))
+        & (F.col("rk.__r") == F.col("hd.r") - F.col("hd.__off")),
+    ).select(
+        *[F.col(f"hd.{c}") for c in g],
+        "q",
+        "__pos",
+        "__l",
+        "__h",
+        "side",
+        F.col("rk.v").alias("v"),
+    )
+    piv = vals.groupBy(*g, "q", "__pos", "__l", "__h").agg(
+        F.max(F.when(F.col("side") == "l", F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("side") == "h", F.col("v"))).alias("v1"),
+    )
+    return piv.select(
+        *g,
+        "q",
+        F.when(F.col("__l") == F.col("__h"), F.col("v0"))
+        .otherwise(
+            (F.col("__h") - F.col("__pos")) * F.col("v0")
+            + (F.col("__pos") - F.col("__l")) * F.col("v1")
+        )
+        .alias("value"),
+    )

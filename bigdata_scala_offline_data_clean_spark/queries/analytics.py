@@ -199,7 +199,7 @@ JOIN (SELECT doc_id, min(md5(gram)) AS shingle_fingerprint
 # shingles) with exact Jaccard verification of candidates
 # ---------------------------------------------------------------------------
 
-_MH_N, _MH_BANDS, _MH_SHINGLE, _MH_THRESHOLD = 16, 4, 2, 0.4
+_MH_N, _MH_BANDS, _MH_SHINGLE, _MH_THRESHOLD = 32, 8, 2, 0.4
 
 
 def a07_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,9 +216,15 @@ def a07_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a07_sql() -> str:
+    from ..operators.dedup import _MH_MOD, _mh_consts
+
     rows = _MH_N // _MH_BANDS
+    # oracle twin of minhash_signatures: one md5 per gram -> 32-bit base
+    # hash -> integer universal-hash family (same (a, b) constants)
+    base = "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)"
     mins = ",\n         ".join(
-        f"min(md5(concat('{i}|', gram))) AS mh_{i}" for i in range(_MH_N)
+        f"min(({a} * {base} + {b}) % {_MH_MOD}) AS mh_{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(_MH_N))
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
@@ -437,15 +443,24 @@ def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (sort-based; both engines implement
-    the same linear interpolation -> bit-comparable doubles)."""
+    """Exact interpolated percentiles per group via the distributed
+    histogram construction (ordering.grouped_exact_percentiles) -- the
+    built-in exact ``percentile()`` buffers every group value in one
+    aggregation buffer, the per-group OOM at 100 TB.  Values are
+    bit-identical to ``percentile()``/``quantile_cont``."""
+    from ..operators.ordering import grouped_exact_percentiles
+
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    gp = grouped_exact_percentiles(
+        o, ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99]
     )
+    wide = gp.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("p90"),
+        F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("p99"),
+    )
+    n = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return wide.join(n, "o_orderstatus")
 
 
 A17_SQL = """
@@ -972,12 +987,18 @@ GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
 
 
 def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
     q = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000
     )
-    p = F.expr(
-        "percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.98, 0.99, 0.995))"
+    # exact reference quantiles via the distributed histogram construction
+    # (ordering.exact_percentiles) -- the built-in exact percentile() agg
+    # buffers every value in one task, the classic 100 TB OOM; this stays
+    # bounded and is bit-identical to percentile()/quantile_cont
+    pct = exact_percentiles(
+        li, "l_extendedprice", [0.45, 0.5, 0.55, 0.98, 0.99, 0.995]
     )
     # one-row aggregates joined at the end: mixing COUNT(DISTINCT)s into
     # the percentile agg forces a 3x expand through the percentile buffers
@@ -994,12 +1015,12 @@ def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.element_at(p, 1).alias("__p45"),
-        F.element_at(p, 2).alias("p50_exact"),
-        F.element_at(p, 3).alias("__p55"),
-        F.element_at(p, 4).alias("__p98"),
-        F.element_at(p, 5).alias("p99_exact"),
-        F.element_at(p, 6).alias("__p995"),
+        F.lit(pct[0.45]).alias("__p45"),
+        F.lit(pct[0.5]).alias("p50_exact"),
+        F.lit(pct[0.55]).alias("__p55"),
+        F.lit(pct[0.98]).alias("__p98"),
+        F.lit(pct[0.99]).alias("p99_exact"),
+        F.lit(pct[0.995]).alias("__p995"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__hll_ok"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("__hll_pk"),
         F.element_at(q, 1).cast("double").alias("__p50a"),

@@ -304,14 +304,21 @@ def c06_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _c06_sql() -> str:
     n = _TP_SHINGLE
+    from ..operators.dedup import _MH_MOD, _mh_consts
+    from .analytics import _MH_BANDS, _MH_N
+
+    # oracle twin of minhash_signatures' universal-hash family
+    base = "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)"
     mins = ",\n         ".join(
-        f"min(md5(concat('{i}|', gram))) AS mh_{i}" for i in range(16)
+        f"min(({a} * {base} + {b}) % {_MH_MOD}) AS mh_{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(_MH_N))
     )
+    rows = _MH_N // _MH_BANDS
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
-        + ", ".join(f"mh_{b * 4 + i}" for i in range(4))
+        + ", ".join(f"mh_{b * rows + i}" for i in range(rows))
         + ")) AS band_sig FROM sigs"
-        for b in range(4)
+        for b in range(_MH_BANDS)
     )
     return f"""
 WITH stats AS (

@@ -784,3 +784,61 @@ def test_perplexity_buckets_cover_and_split(spark):
         total = sum(n for (l, _), n in by_bucket.items() if l == lang)
         head = by_bucket[(lang, "head")]
         assert 0.2 <= head / total <= 0.5, (lang, head, total)
+
+
+def test_exact_percentiles_bit_identical_to_builtin(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        exact_percentiles,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_extendedprice"
+    )
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = exact_percentiles(df, "l_extendedprice", qs)
+    ref_row = df.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.0, 0.25, 0.5, 0.9, 0.99, 1.0))"
+        ).alias("p")
+    ).collect()[0]
+    for q, ref in zip(qs, ref_row["p"]):
+        assert got[q] == ref  # bit-identical, not approx
+
+
+def test_exact_percentiles_degenerate_inputs(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        exact_percentiles,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    assert exact_percentiles(empty, "v", [0.5]) == {0.5: None}
+    const = spark.createDataFrame([(7.5,)] * 10, ["v"])
+    assert exact_percentiles(const, "v", [0.1, 0.9]) == {0.1: 7.5, 0.9: 7.5}
+
+
+def test_grouped_exact_percentiles_bit_identical_to_builtin(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        grouped_exact_percentiles,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    qs = [0.0, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["o_orderstatus"], r["q"]): r["value"]
+        for r in grouped_exact_percentiles(
+            o, ["o_orderstatus"], "o_totalprice", qs
+        ).collect()
+    }
+    ref = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.0, 0.5, 0.9, 0.99, 1.0))"
+        ).alias("p")
+    ).collect()
+    assert len(got) == len(ref) * len(qs)
+    for r in ref:
+        for q, v in zip(qs, r["p"]):
+            assert got[(r["o_orderstatus"], q)] == v  # bit-identical
