@@ -450,3 +450,190 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress embeddings to m byte-codes and search
+# with asymmetric distance (query-side lookup tables).  At 100 TB this is
+# the memory story for ANN: a 64-dim float32 vector (256 B) becomes m=8
+# uint8 codes (8 B, 32x), and candidate scoring reads codes + a broadcast
+# LUT instead of the raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks from a bounded driver-side sample.
+
+    Returns ``m`` codebooks of ``ksub`` centroids over ``dim/m`` floats.
+    Like ``train_ivf_centroids``, only the sample crosses to the driver --
+    train on a few thousand vectors, never the corpus.
+    """
+    import numpy as np
+
+    sample = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)  # L2 rank == cosine rank
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[rng.choice(len(xs), size=min(ksub, len(xs)), replace=False)]
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(id, codes) with ``codes[j]`` = 0-based nearest centroid of subspace j.
+
+    Arrow-batched ``mapInPandas``: the argmin over ``m x ksub`` centroids is
+    a vectorized numpy matmul per batch -- the expression-tree form would
+    be m*ksub folded aggregates per row, far outside codegen comfort.  The
+    codebook broadcast is a few KB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)  # m x ksub x dsub
+    m, _, dsub = books.shape
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    def gen(batches):
+        bks = bc.value
+        for batch in batches:
+            ids = batch[id_col]
+            v = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                xs = v[:, j * dsub : (j + 1) * dsub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+                d = -2.0 * xs @ bks[j].T + (bks[j] ** 2).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: exact query subvectors against
+    quantized corpus codes, with exact re-ranking of the top ``refine``
+    pool per query.
+
+    Per query a flat ``m*ksub`` lookup table of squared L2 distances to
+    every centroid is built driver-side (queries are the small side, as in
+    IVF) and broadcast; a candidate's approximate distance is m JVM-side
+    array lookups -- ``aggregate(sequence, ...)`` over the codes, no
+    Python in the scoring path and no raw vectors read.  Output:
+    (q_id, n_id, approx_dist, rank), ties broken on id.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    books = train_pq_codebooks(
+        corpus, vec_col, m=m, ksub=ksub, seed=seed
+    )
+    bks = np.asarray(books)
+    _, real_ksub, dsub = bks.shape
+    codes = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+        id_col, "n_id"
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    luts = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        lut = np.concatenate(
+            [
+                ((bks[j] - v[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+                for j in range(m)
+            ]
+        )
+        luts.append((r[0], [float(x) for x in np.round(lut, 9)]))
+    q_lut = corpus.sparkSession.createDataFrame(luts, ["q_id", "lut"])
+    dist = F.expr(
+        f"round(aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> "
+        f"acc + lut[j * {real_ksub} + codes[j]]), 6)"
+    )
+    scored = (
+        codes.join(F.broadcast(q_lut), F.col("q_id") != F.col("n_id"))
+        .withColumn("approx_dist", dist)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_dist").asc(), F.col("n_id").asc()
+    )
+    pool = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= refine)
+        .select("q_id", "n_id", "approx_dist")
+    )
+    # refine: exact cosine over the approx pool only (refine rows per
+    # query, not the corpus) -- the standard ADC + re-rank design; the
+    # code distance orders the pool, the raw vectors order the answer
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        _norm(F.col(vec_col)).alias("__q_norm"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__c_vec"),
+        _norm(F.col(vec_col)).alias("__c_norm"),
+    )
+    exact = (
+        pool.join(F.broadcast(qv), "q_id")
+        .join(cv, "n_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__q_vec"), F.col("__c_vec"))
+                / (F.col("__q_norm") * F.col("__c_norm")),
+                6,
+            ),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "approx_dist", "rank")
+    )

@@ -536,3 +536,240 @@ QUERIES: dict[str, QuerySpec] = {
     "a72_time_weighted_avg": QuerySpec(a72_time_weighted_avg, A72_SQL),
     "c24_format_roundtrip": QuerySpec(c24_format_roundtrip, C24_SQL),
 }
+
+# ---------------------------------------------------------------------------
+# a73 -- GROUPING SETS (the general grouping-sets form; a18 ROLLUP and a31
+# CUBE are its fixed specializations).  One Expand + one agg exchange for
+# all three grouping levels; gid disambiguates NULL-as-group-key rows.
+# ---------------------------------------------------------------------------
+
+
+def a73_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+A73_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+# ---------------------------------------------------------------------------
+# a74 -- window navigation family: first/last/nth within an explicit
+# full-partition frame (the default frame stops at CURRENT ROW, a classic
+# silent-wrong-answer), plus lag with a default.  One (user_id) exchange.
+# ---------------------------------------------------------------------------
+
+
+def a74_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(wf).alias("first_type"),
+        F.last("event_type").over(wf).alias("last_type"),
+        F.nth_value("event_type", 2).over(wf).alias("second_type"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
+
+
+A74_SQL = """
+SELECT event_id, user_id,
+       FIRST_VALUE(event_type) OVER w2 AS first_type,
+       LAST_VALUE(event_type) OVER w2 AS last_type,
+       NTH_VALUE(event_type, 2) OVER w2 AS second_type,
+       LAG(event_type, 1, 'none') OVER w1 AS prev_type
+FROM events
+WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+# ---------------------------------------------------------------------------
+# a75 -- regexp_extract_all: pull every long token per document (the regex
+# tokenization primitive PII/quality scanners build on).  Pure projection,
+# zero exchanges; the null-safe element accessors match across engines
+# (ANSI element_at would throw on empty matches).
+# ---------------------------------------------------------------------------
+
+
+def a75_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = F.regexp_extract_all(F.col("text"), F.lit("[a-z]{7,}"), 0)
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_long"),
+        F.try_element_at(m, F.lit(1)).alias("first_long"),
+        F.try_element_at(m, F.lit(-1)).alias("last_long"),
+    )
+
+
+A75_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]{7,}')) AS n_long,
+       regexp_extract_all(text, '[a-z]{7,}')[1] AS first_long,
+       regexp_extract_all(text, '[a-z]{7,}')[-1] AS last_long
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# c25 -- CSV ingestion with corrupt-record quarantine (sources/
+# text_ingest.read_csv_clean made driver-checkable): well-formed rows and
+# deterministically malformed lines land in one directory; PERMISSIVE
+# parsing splits them without losing either side.
+# ---------------------------------------------------------------------------
+
+
+def c25_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.text_ingest import read_csv_clean
+
+    o = load_table(spark, sf_dir, "orders")
+    sel = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    bad = o.where(F.col("o_orderkey") % 97 == 0).select(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(",not_a_number,MANGLED,extra_field"),
+        ).alias("value")
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c25_")
+    try:
+        sel.write.csv(f"{scratch}/in", header=False)
+        bad.coalesce(1).write.mode("append").text(f"{scratch}/in")
+        good, quarantined = read_csv_clean(
+            spark, f"{scratch}/in", schema, header=False
+        )
+        out = good.agg(
+            F.lit("good").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dsum("o_totalprice").alias("price_sum"),
+        ).unionByName(
+            quarantined.agg(
+                F.lit("quarantined").alias("kind"),
+                F.count(F.lit(1)).alias("n"),
+                F.lit(None).cast("bigint").alias("key_sum"),
+                F.lit(None).cast("double").alias("price_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C25_SQL = """
+SELECT 'good' AS kind, count(*) AS n, SUM(o_orderkey) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 'quarantined', count(*), NULL, NULL
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# c26 -- schema-evolution read (sources/evolution.read_evolved made
+# driver-checkable): files written under two schema versions read back as
+# one frame; rows from the old layout surface the new column as NULL.
+# ---------------------------------------------------------------------------
+
+
+def c26_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.evolution import read_evolved
+
+    o = load_table(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c26_")
+    try:
+        v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.parquet(f"{scratch}/t")
+        v2.write.mode("append").parquet(f"{scratch}/t")
+        back = read_evolved(spark, f"{scratch}/t")
+        out = back.groupBy(
+            F.col("o_orderpriority").isNotNull().alias("has_priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dsum("o_totalprice").alias("price_sum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C26_SQL = """
+SELECT (o_orderkey % 2 = 1) AS has_priority, count(*) AS n,
+       SUM(o_orderkey) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "a73_grouping_sets": QuerySpec(a73_grouping_sets, A73_SQL),
+        "a74_window_navigation": QuerySpec(a74_window_navigation, A74_SQL),
+        "a75_regexp_extract": QuerySpec(a75_regexp_extract, A75_SQL),
+        "c25_csv_quarantine": QuerySpec(c25_csv_quarantine, C25_SQL),
+        "c26_schema_evolution": QuerySpec(c26_schema_evolution, C26_SQL),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# a76 -- product-quantization ANN (rows-only, self-verifying): embeddings
+# compress to m byte-codes (32x memory at float32/64-dim), candidates rank
+# by LUT asymmetric distance, and the top-`refine` pool is exactly
+# re-ranked.  `recall_at_k` vs the exact top-k is emitted in-query, like
+# a11/a16, so the driver's rows-only check pins a meaningful number.
+# ---------------------------------------------------------------------------
+
+
+def a76_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk, pq_ann_topk
+    from .analytics import _TOPK_K, _TOPK_NQ, _ann_with_recall
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _TOPK_NQ)
+    ann = pq_ann_topk(e, q, k=_TOPK_K, m=16, ksub=16, refine=50).drop(
+        "approx_dist"
+    )
+    return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
+
+
+QUERIES["a76_embedding_pq_ann"] = QuerySpec(a76_embedding_pq_ann, None)
