@@ -92,6 +92,11 @@ def shingles(
     # two-step select: materialize the array before exploding it, keeping
     # the O(tokens) gram construction out of the Generate's per-output-row
     # projection (inlined, it re-evaluates per gram -> O(tokens^2) per doc)
+    #
+    # spread narrow scans before the ~50x gram explode (etl.spread_narrow_scan)
+    from .etl import spread_narrow_scan
+
+    df = spread_narrow_scan(df, id_col)
     return df.select(id_col, grams.alias("__grams")).select(
         id_col, F.explode("__grams").alias("gram")
     )
@@ -318,7 +323,9 @@ def contamination_overlap(
     # shuffles), so only the overlap probe pays the explode + join -- the
     # two-pass form (shingle + groupBy for totals, shingle again for hits)
     # re-tokenized the whole train corpus a second time
-    garr = train.select(id_col, grams.alias("__grams"))
+    from .etl import spread_narrow_scan
+
+    garr = spread_narrow_scan(train, id_col).select(id_col, grams.alias("__grams"))
     totals = garr.select(id_col, F.size("__grams").alias("n_grams"))
     tg = garr.select(id_col, F.explode("__grams").alias("gram"))
     bg = shingles(bench, id_col, text_col, n).select("gram").distinct()
@@ -430,12 +437,25 @@ def connected_components(
     dir instead).  Fixpoint = the edge set is a star around each component's
     minimum; convergence is detected by edge-set equality.
     """
-    e = (
+    e0 = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # probe the size with ONE action: take(threshold+1) both answers
+    # "is this graph small?" and, when it is, already holds every edge --
+    # the previous checkpoint+count+collect sequence materialized the
+    # upstream pipeline (for near-dup edges, the whole MinHash cascade)
+    # once into block storage and then read it twice more.
+    head = e0.take(small_graph_threshold + 1)
+    if len(head) <= small_graph_threshold:
+        # Bounded driver-side union-find (same pattern as IVF centroid
+        # training): a near-dup edge list this small is a few MB, and the
+        # iterative loop would pay ~2 scheduler round-trips per round for
+        # work one core finishes in milliseconds.  The distributed
+        # large-star/small-star path below stays the 100 TB route.
+        return _unionfind_components(e0, head)
+    e = e0.localCheckpoint(eager=True)
     n_e = e.count()
     # right-size the iteration: near-dup edge sets are tiny relative to the
     # corpus, and a 32-partition loop pays ~30 empty tasks per stage; size
@@ -443,13 +463,6 @@ def connected_components(
     # ``max_loop_partitions`` caps the loop width -- raise it for cluster
     # runs where the edge set itself is huge.
     parts = max(1, min(max_loop_partitions, n_e // 100_000 + 1))
-    if n_e <= small_graph_threshold:
-        # Bounded driver-side union-find (same pattern as IVF centroid
-        # training): a near-dup edge list this small is a few MB, and the
-        # iterative loop would pay ~2 scheduler round-trips per round for
-        # work one core finishes in milliseconds.  The distributed
-        # large-star/small-star path below stays the 100 TB route.
-        return _unionfind_components(e)
     e = e.repartition(parts, "u")
     for _ in range(max_iter):
         # large-star: connect every neighbor larger than u to min(N(u) + {u})
@@ -499,12 +512,14 @@ def connected_components(
     return comp.union(roots)
 
 
-def _unionfind_components(e: DataFrame) -> DataFrame:
+def _unionfind_components(e: DataFrame, rows: list | None = None) -> DataFrame:
     """Driver-side union-find over a small (u, v) edge frame.
 
     Union-by-min + path compression: the root of every set is its minimum
     node id, so the output matches the distributed star algorithm exactly:
     one (node, component=min reachable id) row per node seen in the edges.
+    ``rows`` short-circuits the collect when the caller already fetched
+    the edges (connected_components' size probe).
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -516,7 +531,7 @@ def _unionfind_components(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in e.collect():
+    for row in rows if rows is not None else e.collect():
         u, v = row[0], row[1]
         parent.setdefault(u, u)
         parent.setdefault(v, v)

@@ -268,3 +268,19 @@ def star_denormalize(
         dim_side = F.broadcast(dim) if broadcast_dims else dim
         out = out.join(dim_side, on=on_cols, how="left")
     return out
+
+
+def spread_narrow_scan(df: DataFrame, key: str) -> DataFrame:
+    """Widen a byte-split scan before a row-multiplying operator.
+
+    Parquet splits by BYTES (``spark.sql.files.maxPartitionBytes``); a text
+    column that explodes ~50x into grams/tokens/chunks can arrive as ONE
+    input split and run the whole cascade in one task (measured 2.7s ->
+    0.4s at sf0.1).  When the scan is narrower than the core count,
+    repartition on ``key`` (a cheap shuffle of the pre-explode rows); on a
+    cluster-scale input the scan is already wide and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, key)
+    return df

@@ -91,8 +91,11 @@ def chunk_documents(
     )
     # materialize chunk arrays before the explode (inlined, the transform
     # re-evaluates per output row -> O(chunks^2) per doc)
+    from .etl import spread_narrow_scan
+
     return (
-        df.select(id_col, F.size(toks).alias("__nt"), chunks.alias("__chunks"))
+        spread_narrow_scan(df, id_col)
+        .select(id_col, F.size(toks).alias("__nt"), chunks.alias("__chunks"))
         .select(id_col, "__nt", F.posexplode("__chunks").alias("pos", "chunk"))
         .select(
             id_col,

@@ -147,8 +147,11 @@ def shingle_fingerprint(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    from .etl import spread_narrow_scan
+
     return (
-        df.select(id_col, F.explode(grams).alias("gram"))
+        spread_narrow_scan(df, id_col)
+        .select(id_col, F.explode(grams).alias("gram"))
         .groupBy(id_col)
         .agg(F.min(F.md5("gram")).alias("shingle_fingerprint"))
     )
@@ -178,7 +181,11 @@ def repetition_stats(
     # materialize the gram array in its OWN projection before the explode:
     # inlined into the Generate's projection the transform re-evaluates per
     # exploded row (O(grams^2) per doc -- measured ~20x on 500 docs)
-    gram_arrays = df.select(id_col, grams.alias("__grams"))
+    from .etl import spread_narrow_scan
+
+    gram_arrays = spread_narrow_scan(df, id_col).select(
+        id_col, grams.alias("__grams")
+    )
     base = gram_arrays.select(
         id_col,
         F.size("__grams").alias("n_grams"),
@@ -268,7 +275,11 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toksed = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    from .etl import spread_narrow_scan
+
+    toksed = spread_narrow_scan(df, id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    )
     tf = (
         toksed.select(id_col, F.explode("__toks").alias("term"))
         .groupBy(id_col, "term")
@@ -323,7 +334,9 @@ def bigram_lm_scores(
     # docs with a single token have no bigram: the transform above would
     # emit the lone token itself (slice of length 1); keep semantics clean
     # by requiring >= 2 tokens
-    base = df.where(F.size(toks) >= 2).select(
+    from .etl import spread_narrow_scan
+
+    base = spread_narrow_scan(df.where(F.size(toks) >= 2), id_col).select(
         id_col, grams.alias("__grams")
     )  # materialized before explode (Generate would re-eval per row)
     occ = base.select(id_col, F.explode("__grams").alias("gram"))
@@ -389,7 +402,11 @@ def vocab_build(
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    from .etl import spread_narrow_scan
+
+    toks = spread_narrow_scan(df, text_col).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
     counts = (
         toks.where(F.col("token") != "")
         .groupBy("token")
