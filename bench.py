@@ -100,12 +100,19 @@ def main() -> None:
         # rounds) are NOT in the catalog cache -- they free only when the
         # JVM collects the RDD, so force a GC or a25's blocks inflate
         # whatever query runs next (measured 3-10s of noise).
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        t0 = time.time()
-        df = specs[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # min of two timed passes: external load on a shared box inflates
+        # single shots by 15-30% (measured identical code 54s vs 69s under
+        # load-average 4); the min approximates unloaded throughput
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            df = specs[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -374,7 +374,11 @@ def training_data_pipeline(
         & (F.col("n_uniq_tokens") / F.col("n_tokens") >= min_uniq_ratio)
     ).select(*docs.columns)
 
-    exact = exact_dedup(kept, id_col, text_col)
+    # exact feeds BOTH the near-dup pair mining and the final anti-join;
+    # unpersisted, the quality-stats projection + dedup window re-run on
+    # each branch (measured ~25% of the pipeline at sf0.1).  At 100 TB
+    # prefer writing the exact-deduped corpus once and reading it back.
+    exact = exact_dedup(kept, id_col, text_col).persist()
 
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, shingle_n=shingle_n, threshold=neardup_threshold

@@ -769,7 +769,9 @@ def c16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         passed, seg_tokens=10, min_docs=2
     ).where(F.col("n_kept") >= 2)
     with_lang = deduped.join(passed.select("doc_id", "lang"), "doc_id")
-    sampled = temperature_sample(with_lang, "lang", temperature=0.5)
+    # sampled feeds the chunker AND the final lang join-back; unpersisted,
+    # the whole segment-dedup cascade would run twice
+    sampled = temperature_sample(with_lang, "lang", temperature=0.5).persist()
     chunks = chunk_documents(
         sampled, text_col="clean_text", chunk_tokens=64, overlap=16
     )
