@@ -773,3 +773,59 @@ def a76_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["a76_embedding_pq_ann"] = QuerySpec(a76_embedding_pq_ann, None)
+
+# ---------------------------------------------------------------------------
+# c27 -- bucketed co-located join (Warehouse.write_bucketed made driver-
+# checkable): both sides hash-bucketed on the join key at write time, so
+# the join itself needs ZERO exchanges -- the 100 TB pattern of paying a
+# fact table's shuffle once and amortizing it over every later join.
+# The no-Exchange plan property is asserted in
+# test_bucketed_join_has_no_exchange; here the VALUES are checked.
+# ---------------------------------------------------------------------------
+
+
+def c27_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import Warehouse
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c27_")
+    try:
+        wh = Warehouse(spark, scratch)
+        wh.write_bucketed(
+            o.select("o_orderkey", "o_orderstatus"),
+            "dwd", "c27_orders", ["o_orderkey"], buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+        wh.write_bucketed(
+            li.select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+            ),
+            "dwd", "c27_items", ["o_orderkey"], buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+        j = wh.bucketed_table("dwd", "c27_orders").join(
+            wh.bucketed_table("dwd", "c27_items"), "o_orderkey"
+        )
+        out = j.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_c27_orders")
+        spark.sql("DROP TABLE IF EXISTS dwd_c27_items")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C27_SQL = """
+SELECT o.o_orderstatus,
+       count(*) AS n_items,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+QUERIES["c27_bucketed_join"] = QuerySpec(c27_bucketed_join, C27_SQL)
