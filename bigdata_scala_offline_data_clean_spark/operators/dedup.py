@@ -683,8 +683,11 @@ def remove_duplicated_segments(
     )
     # materialize the segment array before exploding (inlined into the
     # Generate the transform re-evaluates per output row -> O(segs^2)/doc)
+    from .etl import spread_narrow_scan
+
     seg_rows = (
-        df.select(id_col, segs.alias("__segs"))
+        spread_narrow_scan(df, id_col)
+        .select(id_col, segs.alias("__segs"))
         .select(id_col, F.posexplode("__segs").alias("pos", "seg"))
         .withColumn("seg_hash", F.md5("seg"))
     )

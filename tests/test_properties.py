@@ -293,3 +293,96 @@ class TestSegmentDedup:
         for i, segs in segs_by_doc.items():
             kept = [s for s in segs if len(seg_docs[s]) < min_docs]
             assert got[i] == (" ".join(kept), len(segs), len(kept))
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing vs a brute-force Python sweep
+# ---------------------------------------------------------------------------
+
+iv_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (user, start-minute)
+    min_size=1,
+    max_size=14,
+)
+
+
+@SETTINGS
+@given(data=iv_rows)
+def test_interval_coalesce_matches_sweep_model(spark, data):
+    """a65's gaps-and-islands windows == a sweep-line merge of [t, t+10)."""
+    from pyspark.sql import Window
+
+    length = 10  # minutes
+    df = spark.createDataFrame(
+        [(u, i, m) for i, (u, m) in enumerate(data)], ["user_id", "event_id", "m"]
+    )
+    iv = df.select(
+        "user_id", "event_id", F.col("m").alias("s"), (F.col("m") + length).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv = iv.withColumn(
+        "is_start", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    iv = iv.withColumn(
+        "island",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = {
+        (r["user_id"], r["lo"], r["hi"], r["n"])
+        for r in iv.groupBy("user_id", "island")
+        .agg(F.min("s").alias("lo"), F.max("e").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+
+    # model: sort per user, merge overlapping/nested [m, m+length)
+    expect = set()
+    by_user: dict = {}
+    for u, m in data:
+        by_user.setdefault(u, []).append(m)
+    for u, ms in by_user.items():
+        ms.sort()
+        lo, hi, n = ms[0], ms[0] + length, 1
+        for m in ms[1:]:
+            if m > hi:
+                expect.add((u, lo, hi, n))
+                lo, hi, n = m, m + length, 1
+            else:
+                hi, n = max(hi, m + length), n + 1
+        expect.add((u, lo, hi, n))
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# grouped exact percentiles vs numpy's linear interpolation
+# ---------------------------------------------------------------------------
+
+gp_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.floats(-100, 100, allow_nan=False)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@SETTINGS
+@given(data=gp_rows, q=st.sampled_from([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]))
+def test_grouped_exact_percentiles_match_numpy(spark, data, q):
+    import numpy as np
+
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(data, ["g", "v"])
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in grouped_exact_percentiles(df, ["g"], "v", [q], buckets=4).collect()
+    }
+    by_g: dict = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        assert got[(g, q)] == pytest.approx(
+            float(np.percentile(np.asarray(vs, dtype=np.float64), q * 100)),
+            rel=1e-12, abs=1e-12,
+        )
