@@ -82,7 +82,9 @@ def main() -> None:
 
     # Untimed warm pass: JIT-compile the generated code and fill the reader
     # caches, so timings report steady-state compute -- what a long-running
-    # cluster's executors see (measured: first-run JIT dominates otherwise).
+    # cluster's executors see.  Dropping this and relying on the min-of-2
+    # below shifts ~2s of session-wide JIT onto whichever queries run
+    # first, breaking per-query round-over-round comparison.
     for name in headline:
         if name in specs:
             specs[name].spark(spark, sf_dir).write.format("noop").mode(
@@ -100,9 +102,9 @@ def main() -> None:
         # rounds) are NOT in the catalog cache -- they free only when the
         # JVM collects the RDD, so force a GC or a25's blocks inflate
         # whatever query runs next (measured 3-10s of noise).
-        # min of two timed passes: external load on a shared box inflates
-        # single shots by 15-30% (measured identical code 54s vs 69s under
-        # load-average 4); the min approximates unloaded throughput
+        # min of two timed passes: external load on the shared box
+        # inflates single shots 15-30% (identical code measured 54s vs
+        # 69s at load-average 4); the min approximates unloaded throughput
         best = None
         for _ in range(2):
             spark.catalog.clearCache()
