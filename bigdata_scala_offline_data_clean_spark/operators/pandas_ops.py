@@ -36,3 +36,80 @@ def vectorized_quality_score(chars: str | Column, tokens: str | Column) -> Colum
     """Arrow-batched quality score column; see module docstring."""
     return _sigmoid_score(F.col(chars) if isinstance(chars, str) else chars,
                           F.col(tokens) if isinstance(tokens, str) else tokens)
+
+
+def grouped_ols(
+    df,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+    sort_cols: list[str] | None = None,
+):
+    """Per-group OLS fit (slope, intercept, r2, n) via grouped-map
+    ``applyInPandas`` -- the Arrow path for per-group model fitting.
+
+    The grouped-map shape: Spark shuffles each group to one worker as a
+    pandas frame, numpy does the closed-form fit, one result row comes
+    back per group.  Right when the per-group computation is a real model
+    (here: closed-form regression; in production: sklearn/scipy fits) and
+    groups individually fit in worker memory -- the per-group analogue of
+    ``mapInPandas``.  For degenerate groups (n < 2 or zero x-variance)
+    slope/intercept/r2 are NULL.
+
+    Float sums depend on accumulation order, and a shuffled group arrives
+    in nondeterministic row order -- pass ``sort_cols`` (a per-group total
+    order) to make the fit value-stable across runs; ``round_digits``
+    absorbs the remaining last-bit difference vs an engine's own
+    regr_slope/regr_intercept accumulation.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sort_by = list(sort_cols or [])
+    gframe = df.select(*dict.fromkeys([*group_cols, x_col, y_col, *sort_by]))
+    out_schema = StructType(
+        [gframe.schema[c] for c in group_cols]
+        + [
+            StructField("slope", DoubleType()),
+            StructField("intercept", DoubleType()),
+            StructField("r2", DoubleType()),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if sort_by:
+            pdf = pdf.sort_values(sort_by)
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        slope = intercept = r2 = None
+        if n >= 2:
+            mx, my = x.mean(), y.mean()
+            sxx = ((x - mx) ** 2).sum()
+            if sxx > 0.0:
+                sxy = ((x - mx) * (y - my)).sum()
+                slope = sxy / sxx
+                intercept = my - slope * mx
+                syy = ((y - my) ** 2).sum()
+                r2 = (sxy * sxy) / (sxx * syy) if syy > 0.0 else None
+        r = round_digits
+        return pd.DataFrame(
+            [
+                {
+                    **keys,
+                    "slope": None if slope is None else round(slope, r),
+                    "intercept": None if intercept is None else round(intercept, r),
+                    "r2": None if r2 is None else round(r2, r),
+                    "n": n,
+                }
+            ]
+        )
+
+    return gframe.groupBy(*group_cols).applyInPandas(fit, out_schema)

@@ -829,3 +829,48 @@ GROUP BY o.o_orderstatus
 """
 
 QUERIES["c27_bucketed_join"] = QuerySpec(c27_bucketed_join, C27_SQL)
+
+# ---------------------------------------------------------------------------
+# a77 -- per-group OLS regression via grouped-map applyInPandas (the
+# Arrow per-group model-fitting path; mapInPandas/pandas_udf/
+# applyInPandasWithState cover the other Pandas-API shapes).  x is days
+# since 2022-01-01 so the normal-equation sums stay well-conditioned.
+# ---------------------------------------------------------------------------
+
+_A77_EPOCH = 1640995200  # 2022-01-01 00:00:00 UTC
+
+
+def a77_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pandas_ops import grouped_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "event_id",
+        (
+            (F.unix_micros("ts") - F.lit(_A77_EPOCH * 1_000_000))
+            / (86400.0 * 1_000_000)
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return grouped_ols(
+        src, ["event_type"], "x", "y", sort_cols=["event_id"]
+    )
+
+
+A77_SQL = f"""
+WITH src AS (
+  SELECT event_type, event_id,
+         (epoch_us(ts) - CAST({_A77_EPOCH} AS BIGINT) * 1000000) / (86400.0 * 1000000) AS x,
+         value AS y
+  FROM events
+)
+SELECT event_type,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2,
+       count(*) AS n
+FROM src GROUP BY event_type
+"""
+
+QUERIES["a77_group_regression"] = QuerySpec(a77_group_regression, A77_SQL)
