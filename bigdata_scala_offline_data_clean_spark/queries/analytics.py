@@ -423,6 +423,9 @@ def _ann_with_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     )
 
 
+_LSH_DIM, _LSH_PLANES, _LSH_SEED = 64, 4, 42
+
+
 def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk, lsh_ann_topk
 
@@ -432,8 +435,93 @@ def a11_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-probe (Hamming-1): the synthetic corpus is near-uniform random,
     # the adversarial case for sign-bucket recall -- real embedding corpora
     # cluster, giving far better recall per probed candidate
-    ann = lsh_ann_topk(e, q, dim=dim, k=_TOPK_K, planes=4, probe_bits=1)
+    ann = lsh_ann_topk(
+        e, q, dim=dim, k=_TOPK_K, planes=_LSH_PLANES, seed=_LSH_SEED,
+        probe_bits=1,
+    )
     return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
+
+
+def _a11_sql() -> str:
+    """Exact DuckDB mirror of the multi-probe LSH ANN pipeline.
+
+    The hyperplanes are driver-side seeded constants (``hyperplanes(dim,
+    planes, seed)``), so the oracle embeds the SAME doubles as literals
+    and replays every stage: sign-bit bucket via the identical sequential
+    fold (bit-exact doubles -> identical signs), Hamming-1 query probes
+    (bucket XOR 2^i), in-bucket exact cosine rounded to 6, per-query
+    top-k, and recall_at_k against the brute-force top-k.  This upgrades
+    a11 from the rows-only check to a full value-hash oracle; a16/a76
+    stay rows-only because their quantizers are trained on a data sample
+    the static SQL string cannot see.
+    """
+    from ..operators.similarity import hyperplanes
+
+    hp = hyperplanes(_LSH_DIM, _LSH_PLANES, _LSH_SEED)
+    dot = (
+        "list_reduce(list_transform(generate_series(1, {n}), "
+        "i -> CAST({a}[i] AS DOUBLE) * {b}), (s, v) -> s + v)"
+    )
+
+    def vec_dot(col: str) -> str:  # fold over the vector with itself
+        return dot.format(n=_LSH_DIM, a=col, b=f"CAST({col}[i] AS DOUBLE)")
+
+    def plane_dot(col: str, p: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in p)
+        return dot.format(n=_LSH_DIM, a=col, b=f"([{lits}])[i]")
+
+    def bucket(col: str) -> str:
+        bits = [
+            f"(CASE WHEN {plane_dot(col, p)} >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(hp)
+        ]
+        return " + ".join(bits)
+
+    flips = ", ".join(str(x) for x in [0, *(2**i for i in range(_LSH_PLANES))])
+    qc_dot = dot.format(n=_LSH_DIM, a="qv", b="CAST(cv[i] AS DOUBLE)")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS n_id, embedding AS cv,
+         sqrt({vec_dot('embedding')}) AS c_norm,
+         {bucket('embedding')} AS bucket
+  FROM embeddings
+), q0 AS (
+  SELECT vec_id AS q_id, embedding AS qv,
+         sqrt({vec_dot('embedding')}) AS q_norm,
+         {bucket('embedding')} AS home
+  FROM embeddings WHERE vec_id < {_TOPK_NQ}
+), q AS (
+  SELECT q_id, qv, q_norm, xor(home, f.flip) AS bucket
+  FROM q0, (SELECT unnest([{flips}]) AS flip) f
+), scored AS (
+  SELECT q_id, n_id, round({qc_dot} / (q_norm * c_norm), 6) AS cosine
+  FROM c JOIN q USING (bucket) WHERE q_id <> n_id
+), ann AS (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC)
+           AS rank
+  FROM scored QUALIFY rank <= {_TOPK_K}
+), exact_scored AS (
+  SELECT q_id, n_id,
+         round({qc_dot} / (q_norm * c_norm), 6) AS cosine
+  FROM (SELECT vec_id AS n_id, embedding AS cv,
+               sqrt({vec_dot('embedding')}) AS c_norm FROM embeddings) ec,
+       (SELECT q_id, qv, q_norm FROM q0) eq
+  WHERE q_id <> n_id
+), exact AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC)
+           AS rank
+  FROM exact_scored QUALIFY rank <= {_TOPK_K}
+), hits AS (
+  SELECT ann.q_id, count(*) AS h
+  FROM ann JOIN exact ON ann.q_id = exact.q_id AND ann.n_id = exact.n_id
+  GROUP BY ann.q_id
+)
+SELECT ann.q_id, ann.n_id, ann.cosine, ann.rank,
+       round(coalesce(hits.h, 0) / {_TOPK_K}, 4) AS recall_at_k
+FROM ann LEFT JOIN hits ON ann.q_id = hits.q_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2463,7 +2551,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a08_ngram_jaccard": QuerySpec(a08_ngram_jaccard, _a08_sql()),
     "a09_simhash": QuerySpec(a09_simhash, _a09_sql()),
     "a10_embedding_topk": QuerySpec(a10_embedding_topk, _a10_sql()),
-    "a11_embedding_lsh_ann": QuerySpec(a11_embedding_lsh_ann, None),
+    "a11_embedding_lsh_ann": QuerySpec(a11_embedding_lsh_ann, _a11_sql()),
     "a16_embedding_ivf_ann": QuerySpec(a16_embedding_ivf_ann, None),
     "a17_percentiles": QuerySpec(a17_percentiles, A17_SQL),
     "a18_rollup": QuerySpec(a18_rollup, A18_SQL),
