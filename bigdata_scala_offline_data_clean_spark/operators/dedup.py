@@ -81,14 +81,15 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, gram) rows."""
+    """Distinct word n-gram shingles per document: (id, gram) rows.
+
+    Gram construction: ``text.word_ngrams`` (chained ``zip_with``, ~2x
+    faster than the transform+slice form; identical output order).
+    """
+    from .text import word_ngrams
+
     toks = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    grams = F.array_distinct(word_ngrams(toks, n))
     # two-step select: materialize the array before exploding it, keeping
     # the O(tokens) gram construction out of the Generate's per-output-row
     # projection (inlined, it re-evaluates per gram -> O(tokens^2) per doc)
@@ -312,13 +313,10 @@ def contamination_overlap(
     that up).  Filtering decisions (drop vs keep at a ratio threshold)
     stay with the caller.
     """
+    from .text import word_ngrams
+
     toks = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    grams = F.array_distinct(word_ngrams(toks, n))
     # build the gram array once: per-doc totals are just its size (zero
     # shuffles), so only the overlap probe pays the explode + join -- the
     # two-pass form (shingle + groupBy for totals, shingle again for hits)

@@ -30,6 +30,29 @@ def _tokens(text_col: str | Column) -> Column:
     return F.split(text_col, " ")
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word ``n``-gram array in position order (duplicates kept).
+
+    Built by chaining ``zip_with`` over ``n-1`` shifted views of the token
+    array -- one string append per (gram, position), no per-gram array
+    allocation.  ~2x faster than ``transform(sequence, i ->
+    concat_ws(slice(toks, i, n)))`` (both run interpreted; the slice form
+    allocates an n-element array per gram).  A document shorter than ``n``
+    tokens yields ONE partial gram (the whole text): the shifted views run
+    out, ``zip_with`` pads with NULL, and ``concat_ws`` skips NULLs --
+    exactly the slice form's semantics.
+    """
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    g = F.slice(toks, 1, n_grams)
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, k + 1, n_grams),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return g
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: char/token counts, distinct ratio, token
     length stats.  One projection, zero shuffles."""
@@ -143,10 +166,7 @@ def shingle_fingerprint(
     one groupBy (shuffle on the doc id only).
     """
     toks = _tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = word_ngrams(toks, n)
     from .etl import spread_narrow_scan
 
     return (
@@ -174,10 +194,7 @@ def repetition_stats(
     int/int division -> engine-portable doubles.
     """
     toks = _tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = word_ngrams(toks, n)
     # materialize the gram array in its OWN projection before the explode:
     # inlined into the Generate's projection the transform re-evaluates per
     # exploded row (O(grams^2) per doc -- measured ~20x on 500 docs)
@@ -327,10 +344,7 @@ def bigram_lm_scores(
     doubles (ppl rounded to 6).
     """
     toks = _tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-    )
+    grams = word_ngrams(toks, 2)
     # docs with a single token have no bigram: the transform above would
     # emit the lone token itself (slice of length 1); keep semantics clean
     # by requiring >= 2 tokens
