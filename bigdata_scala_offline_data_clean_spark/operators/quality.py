@@ -90,3 +90,23 @@ def uniqueness_violations(df: DataFrame, keys: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Per-quasi-identifier-group re-identification audit.
+
+    A released dataset is k-anonymous when every combination of
+    quasi-identifier values (the columns an attacker can link externally)
+    covers at least ``k`` individuals.  One aggregation pass keyed on the
+    QI tuple: ``group_n`` (equivalence-class size) and ``k_anon``
+    (``group_n >= k``; FALSE rows are the classes that must be suppressed
+    or generalized before release).  Shuffle = |QI combinations|, with
+    map-side partials -- the audit scales like any groupBy, and the QI
+    cardinality it outputs is exactly what generalization tuning needs.
+    """
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        (F.count(F.lit(1)) >= k).alias("k_anon"),
+    )

@@ -448,3 +448,99 @@ def vocab_build(
         )
         .select("token", "cnt", "token_id")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a token vocabulary.
+
+    The tokenizer-coverage check run before committing a vocab: per doc,
+    ``n_tokens`` (non-empty occurrences), ``n_oov`` (occurrences whose
+    token is absent from ``vocab``), ``oov_ratio`` (exact int/int division
+    rounded to 6).  The token stream joins ``vocab`` on the token -- a
+    vocabulary is small next to the corpus, so AQE broadcasts it and the
+    stream is never shuffled; the per-doc rollup keys on the doc id.
+    """
+    from .etl import spread_narrow_scan
+
+    toks = spread_narrow_scan(df, id_col).select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    v = vocab.select("token", F.lit(True).alias("__in_vocab"))
+    joined = toks.join(F.broadcast(v), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information.
+
+    ``pmi(w1 w2) = ln( (c12/Nb) / ((c1/Nt)(c2/Nt)) )`` over the corpus
+    bigram stream (duplicates kept; docs need >= 2 tokens).  All counts are
+    exact integers aggregated with map-side partials; only the final ln
+    runs in floating point, on an expression written identically in the
+    DuckDB oracle and rounded to 6.  Scale shape: one bigram-keyed count,
+    one token-keyed count, then two broadcast-sized marginal joins onto the
+    ``>= min_count`` gram table -- the corpus itself is scanned twice and
+    never self-joined.
+    """
+    from .etl import spread_narrow_scan
+
+    toks = _tokens(F.col(text_col))
+    docs = spread_narrow_scan(df.where(F.size(toks) >= 2), id_col)
+    grams = docs.select(F.explode(word_ngrams(toks, 2)).alias("gram"))
+    c12 = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    tok_stream = docs.select(F.explode(toks).alias("token"))
+    c1 = tok_stream.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = grams.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        tok_stream.agg(F.count(F.lit(1)).alias("nt"))
+    )
+    parts = F.split(F.col("gram"), " ")
+    scored = (
+        c12.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(c1.select(F.col("token").alias("w1"),
+                                    F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(c1.select(F.col("token").alias("w2"),
+                                    F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("nt") * F.col("nt"))
+                    / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "gram")
+        .limit(top)
+        .select("gram", "c12", "c1", "c2", "pmi")
+    )

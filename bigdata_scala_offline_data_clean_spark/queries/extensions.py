@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import dsum, load_table, ts_str
+from ._util import day_str, dsum, load_table, ts_str
 
 # ---------------------------------------------------------------------------
 # a65 -- interval coalescing (gaps-and-islands).  Each event opens a 30-min
@@ -874,3 +874,254 @@ FROM src GROUP BY event_type
 """
 
 QUERIES["a77_group_regression"] = QuerySpec(a77_group_regression, A77_SQL)
+
+# ---------------------------------------------------------------------------
+# c28 -- mergeable sketch rollup (HLL distinct + KLL quantile + Theta),
+# the incremental pattern that replaces exact COUNT(DISTINCT)/percentile
+# at 100 TB: per-day partial sketches (a few KB each) stored next to the
+# rollup, merged on read -- bytes shuffled O(partitions), not O(keys).
+# Estimates are engine-specific, so the query emits exact companions plus
+# error-bound booleans the oracle asserts TRUE (the a27 pattern): HLL RSE
+# at lgK=12 is ~1.6% (5% bound = >3 sigma), KLL rank error at k=200 is
+# ~1.7% (checked as the RANK of the estimated median, bounded +-5 points).
+# ---------------------------------------------------------------------------
+
+
+def c28_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import sketch_rollup, theta_distinct_by
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", day_str("ts"))
+    est = sketch_rollup(e, ["event_type"], "day", "user_id", "value")
+    theta = theta_distinct_by(e, ["event_type"], "user_id").select(
+        "event_type", "theta_distinct_est"
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+    )
+    # rank of the KLL median estimate within the true distribution
+    kll_rank = (
+        e.join(F.broadcast(est.select("event_type", "p50_est")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("p50_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("__rank")
+        )
+    )
+    rel = lambda est_c, ex_c: F.abs(est_c.cast("double") - ex_c) / ex_c  # noqa: E731
+    return (
+        est.join(exact, "event_type")
+        .join(F.broadcast(theta), "event_type")
+        .join(F.broadcast(kll_rank), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "exact_p50",
+            (rel(F.col("distinct_est"), F.col("exact_users")) <= 0.05).alias(
+                "hll_ok"
+            ),
+            (rel(F.col("theta_distinct_est"), F.col("exact_users")) <= 0.05).alias(
+                "theta_ok"
+            ),
+            ((F.col("__rank") >= 0.45) & (F.col("__rank") <= 0.55)).alias(
+                "kll_ok"
+            ),
+        )
+    )
+
+
+C28_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_rows,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       true AS hll_ok, true AS theta_ok, true AS kll_ok
+FROM events GROUP BY event_type
+"""
+
+QUERIES["c28_sketch_rollup"] = QuerySpec(c28_sketch_rollup, C28_SQL)
+
+# ---------------------------------------------------------------------------
+# a78 -- PageRank over the co-purchase part graph, fixed-point integer
+# arithmetic (operators/graph.py): float PageRank is order-dependent under
+# shuffles; scaled-BIGINT ranks with integer floor-division are
+# bit-deterministic on any cluster layout AND exactly reproducible by the
+# oracle's unrolled CTE chain.  Same support-pruned edge set as a69.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    half = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pr = pagerank(edges, iters=_PR_ITERS)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    # top-20 window runs over the support-pruned node table, not the corpus
+    return (
+        pr.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 20)
+        .select(F.col("node").alias("part"), "pr", "pos")
+    )
+
+
+def _a78_sql() -> str:
+    from ..operators.graph import PR_SCALE
+
+    base = (PR_SCALE * 15) // 100
+    cte = [
+        f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+), e AS (
+  SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+), deg AS (
+  SELECT u, count(*) AS deg FROM e GROUP BY u
+), r0 AS (
+  SELECT u, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg
+)"""
+    ]
+    for i in range(_PR_ITERS):
+        cte.append(
+            f""", r{i + 1} AS (
+  SELECT e.v AS u,
+         CAST({base} + (85 * sum(r{i}.pr // deg.deg)) // 100 AS BIGINT) AS pr
+  FROM e JOIN r{i} ON e.u = r{i}.u JOIN deg ON e.u = deg.u
+  GROUP BY e.v
+)"""
+        )
+    return "".join(cte) + f"""
+SELECT u AS part, pr,
+       row_number() OVER (ORDER BY pr DESC, u ASC) AS pos
+FROM r{_PR_ITERS} QUALIFY pos <= 20
+"""
+
+
+QUERIES["a78_pagerank"] = QuerySpec(a78_pagerank, _a78_sql())
+
+# ---------------------------------------------------------------------------
+# c29 -- k-anonymity audit (operators/quality.k_anonymity): equivalence-
+# class sizes over the quasi-identifier tuple (nation, segment, coarse
+# balance bucket); classes under k=5 are the re-identification risk the
+# release pipeline must suppress or generalize.
+# ---------------------------------------------------------------------------
+
+
+def c29_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5)
+
+
+C29_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+       count(*) AS group_n,
+       count(*) >= 5 AS k_anon
+FROM customer GROUP BY 1, 2, 3
+"""
+
+QUERIES["c29_k_anonymity"] = QuerySpec(c29_k_anonymity, C29_SQL)
+
+# ---------------------------------------------------------------------------
+# a79 -- out-of-vocabulary rate per document against the corpus-trained
+# vocab (text.vocab_build at min_count=5): the tokenizer-coverage check
+# before committing a vocabulary.  Vocab is broadcast; the token stream
+# shuffles once on the doc id.
+# ---------------------------------------------------------------------------
+
+
+def a79_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import oov_rate, vocab_build
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rate(d, vocab_build(d, min_count=5))
+
+
+A79_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), stream AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), vocab AS (
+  SELECT token FROM stream GROUP BY token HAVING count(*) >= 5
+)
+SELECT s.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+         AS oov_ratio
+FROM stream s LEFT JOIN vocab v ON s.token = v.token
+GROUP BY s.doc_id
+"""
+
+QUERIES["a79_oov_rate"] = QuerySpec(a79_oov_rate, A79_SQL)
+
+# ---------------------------------------------------------------------------
+# a80 -- top collocations by PMI (text.pmi_collocations): exact integer
+# bigram/unigram counts, one ln at the end written identically in both
+# engines and rounded to 6.
+# ---------------------------------------------------------------------------
+
+
+def a80_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, top=20)
+
+
+A80_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM docs
+), c12 AS (
+  SELECT gram, count(*) AS c12 FROM grams GROUP BY gram
+  HAVING count(*) >= 5
+), stream AS (
+  SELECT unnest(t) AS token FROM docs
+), c1 AS (
+  SELECT token, count(*) AS c FROM stream GROUP BY token
+), totals AS (
+  SELECT (SELECT count(*) FROM grams) AS nb,
+         (SELECT count(*) FROM stream) AS nt
+)
+SELECT gram, c12, w1.c AS c1, w2.c AS c2,
+       round(ln((CAST(c12 AS DOUBLE) * nt * nt)
+                / (CAST(nb AS DOUBLE) * w1.c * w2.c)), 6) AS pmi
+FROM c12
+JOIN c1 w1 ON w1.token = string_split(gram, ' ')[1]
+JOIN c1 w2 ON w2.token = string_split(gram, ' ')[2]
+CROSS JOIN totals
+ORDER BY pmi DESC, gram LIMIT 20
+"""
+
+QUERIES["a80_pmi_collocations"] = QuerySpec(a80_pmi_collocations, A80_SQL)
