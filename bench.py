@@ -67,6 +67,10 @@ HEADLINE = [
     "a57_equidepth_histogram",
     "c22_apply_cdc",
     "c23_expectations",
+    "c28_sketch_rollup",
+    "a78_pagerank",
+    "a79_oov_rate",
+    "a80_pmi_collocations",
 ]
 
 

@@ -44,25 +44,28 @@ def pagerank(
     dangling-node mass redistribution is deliberately out of scope, as is
     convergence detection (fixed iteration count = fixed, auditable plan).
     """
+    # out-degree rides WITH the edges: joining rank onto (u, v, deg) is one
+    # equi-join per round instead of two.  The edge frame feeds every
+    # iteration, so persist it once -- without this, lineage re-derives the
+    # upstream edge construction (often itself a join) iters times.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "u").persist()
     base = (PR_SCALE * (d_den - d_num)) // d_den
     # rank table starts uniform at SCALE; each round: contribution =
     # rank div degree, summed over in-edges (exact BIGINT), then damp.
+    # localCheckpoint truncates the per-round plan (rank tables are node-
+    # sized); on a cluster use checkpoint() to a reliable dir instead.
     r = deg.select("u", F.lit(PR_SCALE).cast("bigint").alias("pr"))
     for _ in range(iters):
-        contrib = (
-            e.join(r, "u")
-            .join(deg, "u")
-            .select(
-                F.col("v").alias("u"),
-                F.expr("pr div deg").alias("c"),
-            )
+        contrib = ed.join(r, "u").select(
+            F.col("v").alias("u"), F.expr("pr div deg").alias("c")
         )
         r = contrib.groupBy("u").agg(
             (
                 F.lit(base).cast("bigint")
                 + F.expr(f"({d_num} * sum(c)) div {d_den}")
             ).alias("pr")
-        )
-    return r.select(F.col("u").alias("node"), "pr")
+        ).localCheckpoint(eager=False)
+    out = r.select(F.col("u").alias("node"), "pr")
+    return out

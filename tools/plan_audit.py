@@ -129,6 +129,24 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a71_array_functions": ((), ("Generate", "Exchange"), 0),
     # TWAP: lead window and per-user agg share the hash(user_id) exchange
     "a72_time_weighted_avg": ((), ("SortMergeJoin", "NestedLoop"), 1),
+    # sketch rollup: sketch partials merge through groupBys; the exact
+    # companions join per-key frames -- never a cartesian, and the sketch
+    # side never sort-merge-joins the event scan
+    "c28_sketch_rollup": ((), ("CartesianProduct", "NestedLoop"), None),
+    # PageRank: every iteration is equi-join + agg on node ids; an
+    # all-pairs plan would be quadratic in nodes
+    "a78_pagerank": ((), ("NestedLoop", "CartesianProduct"), None),
+    # k-anonymity: one groupBy with map-side partials, nothing else
+    # (+1 AQE final agg exchange)
+    "c29_k_anonymity": ((), ("Join",), 2),
+    # OOV: the vocab (offsets + token set) joins broadcast; the token
+    # stream is never sort-merge-shuffled against it
+    "a79_oov_rate": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    # PMI: unigram marginals + totals broadcast onto the >=min_count gram
+    # table; corpus scanned, never self-joined
+    "a80_pmi_collocations": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
