@@ -86,3 +86,43 @@ def finalize_agg(df: DataFrame, avg_of: dict[str, str] | None = None) -> DataFra
         if t.startswith("decimal"):
             out = out.withColumn(c, F.col(c).cast("double"))
     return out
+
+
+def delta_join_rows(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Incremental JOIN-view maintenance: the rows to APPEND when deltas
+    arrive on both sides of a materialized equi-join view.
+
+    Classic delta-join algebra for append-only inputs:
+
+        V_new = V_old  UNION ALL  (dA >< B_old) UNION ALL (A_old >< dB)
+                       UNION ALL  (dA >< dB)
+
+    The three delta terms are disjoint from V_old and from each other (a
+    row pairs a delta tuple with an old or delta tuple, never two old
+    ones), so maintenance is pure append -- no dedup pass, no rescan of
+    the view.  Cost is O(|delta| x match fanout): each delta side joins
+    the OTHER side's current state, and since deltas are small next to
+    the accumulated state the optimizer broadcasts them (asserted in the
+    plan gate) -- the big sides never re-shuffle.
+
+    ``how`` is restricted to inner: outer variants need retraction
+    handling (an old unmatched row can become matched), which append-only
+    maintenance cannot express.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"delta_join_rows maintains inner-join views only, got {how!r}: "
+            "outer joins need retractions, not appends"
+        )
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )

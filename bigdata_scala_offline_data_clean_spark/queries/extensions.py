@@ -1125,3 +1125,42 @@ ORDER BY pmi DESC, gram LIMIT 20
 """
 
 QUERIES["a80_pmi_collocations"] = QuerySpec(a80_pmi_collocations, A80_SQL)
+
+# ---------------------------------------------------------------------------
+# c30 -- incremental JOIN-view maintenance (incremental.delta_join_rows):
+# deltas arrive on BOTH sides of a materialized join view; the three
+# disjoint delta-join terms append in O(|delta| x fanout) while the big
+# accumulated sides never re-shuffle (delta sides broadcast -- plan gate).
+# The maintained view must equal the from-scratch join: the oracle IS the
+# full join, so the driver hash proves the delta algebra.
+# ---------------------------------------------------------------------------
+
+
+def c30_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import delta_join_rows
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    a_old = o.where(F.col("o_orderkey") % 10 != 0)
+    da = o.where(F.col("o_orderkey") % 10 == 0)
+    b_old = li.where(F.col("o_orderkey") % 7 != 0)
+    db = li.where(F.col("o_orderkey") % 7 == 0)
+    view_old = a_old.join(b_old, ["o_orderkey"])
+    delta = delta_join_rows(a_old, da, b_old, db, ["o_orderkey"])
+    return view_old.unionByName(delta).select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "l_extendedprice"
+    )
+
+
+C30_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus, l.l_extendedprice
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+QUERIES["c30_ivm_join"] = QuerySpec(c30_ivm_join, C30_SQL)

@@ -344,6 +344,91 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s09 -- continuous sketch maintenance: per-micro-batch HLL/KLL partials
+# appended to a parquet store (foreachBatch, exactly-once via the stream
+# checkpoint), merged on read for the rollup.  The streaming face of c28;
+# estimates are engine-specific, so exact companions + error-bound
+# booleans travel in the result (oracle asserts TRUE).
+# ---------------------------------------------------------------------------
+
+
+def s09_stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import merge_sketch_rollup
+    from ..streaming.jobs import stream_sketch_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s09_")
+    try:
+        src = f"{scratch}/src"
+        ev.select("event_id", "user_id", "event_type", "value").repartition(
+            4
+        ).write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        store = f"{scratch}/partials"
+        writer = stream_sketch_partials(
+            stream, store, ["event_type"], "user_id", "value"
+        )
+        q = writer.trigger(availableNow=True).option(
+            "checkpointLocation", f"{scratch}/ckpt"
+        ).start()
+        q.awaitTermination()
+        est = merge_sketch_rollup(spark.read.parquet(store), ["event_type"])
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        kll_rank = (
+            ev.join(
+                F.broadcast(est.select("event_type", "p50_est")), "event_type"
+            )
+            .groupBy("event_type")
+            .agg(
+                (
+                    F.sum(
+                        F.when(F.col("value") <= F.col("p50_est"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1))
+                ).alias("__rank")
+            )
+        )
+        out = (
+            est.join(exact, "event_type")
+            .join(F.broadcast(kll_rank), "event_type")
+            .select(
+                "event_type",
+                "exact_users",
+                # n_rows summed from the streamed partials MUST equal the
+                # batch count -- the exactly-once evidence
+                (F.col("n_rows") == F.col("n_events")).alias("counts_match"),
+                (
+                    F.abs(F.col("distinct_est").cast("double") - F.col("exact_users"))
+                    / F.col("exact_users")
+                    <= 0.05
+                ).alias("hll_ok"),
+                ((F.col("__rank") >= 0.45) & (F.col("__rank") <= 0.55)).alias(
+                    "kll_ok"
+                ),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S09_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS counts_match, true AS hll_ok, true AS kll_ok
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
@@ -353,4 +438,5 @@ QUERIES: dict[str, QuerySpec] = {
     "s06_stream_stateful_totals": QuerySpec(s06_stream_stateful_totals, S06_SQL),
     "s07_stream_scd1_upsert": QuerySpec(s07_stream_scd1_upsert, S07_SQL),
     "s08_stream_enrich": QuerySpec(s08_stream_enrich, S08_SQL),
+    "s09_stream_sketch_rollup": QuerySpec(s09_stream_sketch_rollup, S09_SQL),
 }

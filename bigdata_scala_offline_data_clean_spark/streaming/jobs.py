@@ -325,3 +325,37 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def stream_sketch_partials(
+    stream_df: DataFrame,
+    store_path: str,
+    keys: list[str],
+    distinct_col: str,
+    value_col: str,
+):
+    """Continuous sketch maintenance: append per-micro-batch HLL/KLL
+    partials to a parquet store via ``foreachBatch``.
+
+    The streaming face of ``operators/sketches``: each micro-batch
+    aggregates ONCE into fixed-size mergeable sketches and appends a few
+    KB per key -- no state store, no recomputation, and the partial store
+    answers "distinct users / quantiles so far" at any time by merging
+    (``merge_sketch_rollup``).  Exactly-once: the appends ride the
+    streaming checkpoint, so a replayed batch never double-counts.
+    """
+    from ..operators.sketches import partial_sketches
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = partial_sketches(
+            batch_df.withColumn("__batch", F.lit(batch_id)),
+            keys,
+            "__batch",
+            distinct_col,
+            value_col,
+        )
+        p.write.mode("append").parquet(store_path)
+
+    return stream_df.writeStream.foreachBatch(write_partials)

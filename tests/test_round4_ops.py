@@ -189,3 +189,73 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert by["x y"] > by["a b"]
     # exact value: c12=6, c1=c2=6, nb=12*3=36, nt=12*4=48
     assert by["x y"] == round(math.log((6 * 48 * 48) / (36 * 6 * 6)), 6)
+
+
+def test_delta_join_rows_equals_full_recompute(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.incremental import (
+        delta_join_rows,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(40)], ["k", "av"]
+    )
+    b = spark.createDataFrame(
+        [(i % 25, f"b{i}") for i in range(60)], ["k", "bv"]
+    )
+    a_old, da = a.where("k % 4 != 0"), a.where("k % 4 = 0")
+    b_old, db = b.where("k % 3 != 0"), b.where("k % 3 = 0")
+    maintained = (
+        a_old.join(b_old, ["k"])
+        .unionByName(delta_join_rows(a_old, da, b_old, db, ["k"]))
+    )
+    full = a.join(b, ["k"])
+    assert maintained.exceptAll(full).isEmpty()
+    assert full.exceptAll(maintained).isEmpty()
+
+
+def test_delta_join_rows_rejects_outer(spark):
+    import pytest as _pytest
+
+    from bigdata_scala_offline_data_clean_spark.operators.incremental import (
+        delta_join_rows,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with _pytest.raises(ValueError, match="inner-join views only"):
+        delta_join_rows(df, df, df, df, ["k"], how="left")
+
+
+def test_stream_sketch_partials_accumulate(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        merge_sketch_rollup,
+    )
+    from bigdata_scala_offline_data_clean_spark.streaming.jobs import (
+        stream_sketch_partials,
+    )
+
+    src = str(tmp_path / "src")
+    _events(spark, n=3000).drop("day").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "partials")
+    q = (
+        stream_sketch_partials(stream, store, ["event_type"], "user_id", "value")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(store)
+    assert partials.select("__batch").distinct().count() >= 2  # multi-batch
+    merged = {
+        r["event_type"]: r
+        for r in merge_sketch_rollup(partials, ["event_type"]).collect()
+    }
+    assert sum(r["n_rows"] for r in merged.values()) == 3000  # exactly-once
+    for r in merged.values():
+        assert abs(r["distinct_est"] - 97) / 97 <= 0.05

@@ -147,6 +147,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a80_pmi_collocations": (
         ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # IVM: small delta sides broadcast against the accumulated state --
+    # the big sides must not re-shuffle for maintenance (the old-x-old
+    # base view may SMJ; that join is paid once, not per delta)
+    "c30_ivm_join": (("BroadcastHashJoin",), ("CartesianProduct",), None),
 }
 
 
