@@ -1164,3 +1164,113 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 """
 
 QUERIES["c30_ivm_join"] = QuerySpec(c30_ivm_join, C30_SQL)
+
+# ---------------------------------------------------------------------------
+# c31 -- RAG indexing pipeline end to end: sliding-window chunking (a54's
+# operator) -> per-chunk embedding -> top-3 retrieval per query chunk with
+# same-document exclusion.  The embedder here is a deterministic md5-hash
+# featurizer so the ENTIRE pipeline has an exact DuckDB twin (a model
+# embedder plugs in as an Arrow mapInPandas, the multimodal path -- the
+# retrieval plumbing is identical).  Dot products and norms are explicit
+# left-associated sums over the 8 components, written identically in both
+# engines -> bit-identical doubles before the round-to-6.
+# Scale shape: chunks build narrow (posexplode), the query side is small
+# and broadcast, corpus chunks stream map-side through the scored join and
+# shuffle once on the query key for the per-query top-k window.
+# ---------------------------------------------------------------------------
+
+_RAG_DIM = 8
+_RAG_NQ_DOCS = 3
+_RAG_K = 3
+
+
+def c31_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=64, overlap=16)
+
+    def comp(j: int):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("chunk_text"), F.lit(f"|{j}"))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        return ((h % 1000) / F.lit(1000.0) - 0.5).alias(f"e{j}")
+
+    emb = ch.select("doc_id", "chunk_id", *[comp(j) for j in range(_RAG_DIM)])
+    norm = F.sqrt(
+        reduce(lambda a, j: a + F.col(f"e{j}") * F.col(f"e{j}"),
+               range(1, _RAG_DIM), F.col("e0") * F.col("e0"))
+    )
+    c = emb.select(
+        F.col("doc_id").alias("n_doc"), F.col("chunk_id").alias("n_chunk"),
+        *[F.col(f"e{j}").alias(f"c{j}") for j in range(_RAG_DIM)],
+        norm.alias("cn"),
+    )
+    q = emb.where(F.col("doc_id") < _RAG_NQ_DOCS).select(
+        F.col("doc_id").alias("q_doc"), F.col("chunk_id").alias("q_chunk"),
+        *[F.col(f"e{j}").alias(f"q{j}") for j in range(_RAG_DIM)],
+        norm.alias("qn"),
+    )
+    dot = reduce(
+        lambda a, j: a + F.col(f"q{j}") * F.col(f"c{j}"),
+        range(1, _RAG_DIM), F.col("q0") * F.col("c0"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("n_doc") != F.col("q_doc")
+    ).withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.col("cosine").desc(), F.col("n_doc").asc(), F.col("n_chunk").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _RAG_K)
+        .select("q_doc", "q_chunk", "n_doc", "n_chunk", "cosine", "rank")
+    )
+
+
+def _c31_sql() -> str:
+    def comps(alias: str) -> str:
+        return ",\n         ".join(
+            f"(CAST(('0x' || substr(md5(chunk_text || '|{j}'), 1, 8)) AS BIGINT)"
+            f" % 1000) / 1000.0 - 0.5 AS {alias}{j}"
+            for j in range(_RAG_DIM)
+        )
+
+    qnorm = " + ".join(f"q{j} * q{j}" for j in range(_RAG_DIM))
+    cnorm = " + ".join(f"c{j} * c{j}" for j in range(_RAG_DIM))
+    dot = " + ".join(f"q{j} * c{j}" for j in range(_RAG_DIM))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+  SELECT doc_id, t,
+         1 + CAST((greatest(len(t) - 64, 0) + 47) // 48 AS BIGINT) AS n_chunks
+  FROM toks
+), chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         array_to_string(t[(i*48+1):(i*48+64)], ' ') AS chunk_text
+  FROM base, LATERAL unnest(generate_series(0, CAST(n_chunks - 1 AS INT))) AS u(i)
+), cemb AS (
+  SELECT doc_id AS n_doc, chunk_id AS n_chunk,
+         {comps('c')}
+  FROM chunks
+), qemb AS (
+  SELECT doc_id AS q_doc, chunk_id AS q_chunk,
+         {comps('q')}
+  FROM chunks WHERE doc_id < {_RAG_NQ_DOCS}
+), scored AS (
+  SELECT q_doc, q_chunk, n_doc, n_chunk,
+         round(({dot}) / (sqrt({qnorm}) * sqrt({cnorm})), 6) AS cosine
+  FROM cemb JOIN qemb ON n_doc <> q_doc
+)
+SELECT q_doc, q_chunk, n_doc, n_chunk, cosine,
+       row_number() OVER (PARTITION BY q_doc, q_chunk
+                          ORDER BY cosine DESC, n_doc ASC, n_chunk ASC) AS rank
+FROM scored QUALIFY rank <= {_RAG_K}
+"""
+
+
+QUERIES["c31_rag_retrieval"] = QuerySpec(c31_rag_retrieval, _c31_sql())

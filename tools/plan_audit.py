@@ -151,6 +151,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # the big sides must not re-shuffle for maintenance (the old-x-old
     # base view may SMJ; that join is paid once, not per delta)
     "c30_ivm_join": (("BroadcastHashJoin",), ("CartesianProduct",), None),
+    # RAG retrieval: tiny query-chunk side broadcast (BNLJ on the <>-doc
+    # predicate); corpus chunks stream map-side, shuffle once for top-k
+    "c31_rag_retrieval": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
