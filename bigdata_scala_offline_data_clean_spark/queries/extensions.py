@@ -1274,3 +1274,30 @@ FROM scored QUALIFY rank <= {_RAG_K}
 
 
 QUERIES["c31_rag_retrieval"] = QuerySpec(c31_rag_retrieval, _c31_sql())
+
+# ---------------------------------------------------------------------------
+# c32 -- EXACT mergeable distinct counts via bitmap partials (the
+# no-error sibling of c28's HLL path, for bounded integer id spaces):
+# per-(event_type, day, bucket) bitmaps stored, OR-merged on read.  The
+# oracle is plain COUNT(DISTINCT) -- the driver hash proves exactness,
+# no tolerance booleans needed.
+# ---------------------------------------------------------------------------
+
+
+def c32_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        bitmap_distinct_partials,
+        merge_bitmap_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", day_str("ts"))
+    partials = bitmap_distinct_partials(e, ["event_type"], "day", "user_id")
+    return merge_bitmap_distinct(partials, ["event_type"])
+
+
+C32_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_count
+FROM events GROUP BY event_type
+"""
+
+QUERIES["c32_bitmap_distinct"] = QuerySpec(c32_bitmap_distinct, C32_SQL)

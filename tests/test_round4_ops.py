@@ -259,3 +259,28 @@ def test_stream_sketch_partials_accumulate(spark, tmp_path):
     assert sum(r["n_rows"] for r in merged.values()) == 3000  # exactly-once
     for r in merged.values():
         assert abs(r["distinct_est"] - 97) / 97 <= 0.05
+
+
+def test_bitmap_distinct_exact_after_roundtrip(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        bitmap_distinct_partials,
+        merge_bitmap_distinct,
+    )
+
+    e = _events(spark, n=5000, users=321)
+    partials = bitmap_distinct_partials(e, ["event_type"], "day", "user_id")
+    path = str(tmp_path / "bm")
+    partials.write.parquet(path)
+    got = {
+        r["event_type"]: r["distinct_count"]
+        for r in merge_bitmap_distinct(
+            spark.read.parquet(path), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert got == exact  # bitmaps are exact, not estimates
