@@ -1301,3 +1301,65 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["c32_bitmap_distinct"] = QuerySpec(c32_bitmap_distinct, C32_SQL)
+
+# ---------------------------------------------------------------------------
+# c33 -- dynamic partition pruning: the fact table is written partitioned
+# by etl_date; the dim side's filter is only known at run time (it reads a
+# table), so Catalyst injects a dynamicpruning subquery into the fact
+# scan's PartitionFilters and the fact reads ONLY the matching partition
+# directories.  At 100 TB this is the difference between scanning 3 days
+# and scanning 3 years.  The plan gate asserts the dynamicpruning
+# expression; the oracle checks the values.
+# ---------------------------------------------------------------------------
+
+
+def c33_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import Warehouse
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c33_")
+    try:
+        wh = Warehouse(spark, scratch)
+        fact = ev.select(
+            "event_id", "user_id", "value", day_str("ts").alias("etl_date")
+        )
+        wh.overwrite_partitions(fact, "dwd", "c33_events")
+        w = Window.orderBy("etl_date")
+        # day dim with a run-time attribute; the window runs over the tiny
+        # distinct-day frame, not the events
+        dim = (
+            fact.select("etl_date").distinct()
+            .withColumn("day_rank", F.row_number().over(w))
+        )
+        wh.overwrite_table(dim, "dwd", "c33_days")
+        f = wh.table("dwd", "c33_events")
+        d = wh.table("dwd", "c33_days").where(F.col("day_rank") <= 3)
+        out = (
+            f.join(F.broadcast(d), "etl_date")
+            # partition-directory values read back type-inferred (int);
+            # normalize to the string form the oracle computes
+            .groupBy(F.col("etl_date").cast("string").alias("etl_date"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("value_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C33_SQL = """
+WITH days AS (
+  SELECT DISTINCT strftime(ts, '%Y%m%d') AS etl_date FROM events
+  ORDER BY etl_date LIMIT 3
+)
+SELECT strftime(ts, '%Y%m%d') AS etl_date,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+WHERE strftime(ts, '%Y%m%d') IN (SELECT etl_date FROM days)
+GROUP BY 1
+"""
+
+QUERIES["c33_dpp_join"] = QuerySpec(c33_dpp_join, C33_SQL)

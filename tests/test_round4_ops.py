@@ -284,3 +284,34 @@ def test_bitmap_distinct_exact_after_roundtrip(spark, tmp_path):
         .collect()
     }
     assert got == exact  # bitmaps are exact, not estimates
+
+
+def test_dpp_prunes_fact_partitions(spark, tmp_path):
+    """The c33 join must carry a dynamicpruning subquery on the fact
+    scan's partition filters -- the run-time analogue of static partition
+    pruning, and the gate that matters at warehouse scale."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
+
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, str(tmp_path))
+    fact = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 250).cast("double").alias("value"),
+        F.concat(F.lit("2024010"), (F.col("id") % 8 + 1).cast("string")).alias(
+            "etl_date"
+        ),
+    )
+    wh.overwrite_partitions(fact, "dwd", "dpp_events")
+    dim = (
+        fact.select("etl_date").distinct()
+        .withColumn("day_rank", F.row_number().over(Window.orderBy("etl_date")))
+    )
+    wh.overwrite_table(dim, "dwd", "dpp_days")
+    f = wh.table("dwd", "dpp_events")
+    d = wh.table("dwd", "dpp_days").where(F.col("day_rank") <= 3)
+    j = f.join(F.broadcast(d), "etl_date").groupBy("etl_date").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = {str(r["etl_date"]): r["count"] for r in j.collect()}
+    assert got == {"20240101": 125, "20240102": 125, "20240103": 125}
