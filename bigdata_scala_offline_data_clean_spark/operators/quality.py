@@ -110,3 +110,64 @@ def k_anonymity(
         F.count(F.lit(1)).alias("group_n"),
         (F.count(F.lit(1)) >= k).alias("k_anon"),
     )
+
+
+def histogram_kl_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    part_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-(group, partition) distribution-drift monitor: KL divergence of
+    the partition's value histogram against the group's overall histogram.
+
+    The data-drift alarm for continuously-ingested tables: a day whose
+    value distribution diverges from the corpus (schema-valid but
+    statistically wrong -- a unit change, a stuck sensor, a bad backfill)
+    spikes ``kl_divergence`` even though every row passes row-level
+    expectations.  Buckets are equal-width from the group's min/max (a
+    per-group scalar frame broadcast back); probabilities are exact
+    integer ratios; each ``p * ln(p/q)`` term is rounded to 9 decimals and
+    summed through DECIMAL(28,9) (the a55 pattern) so the result is
+    order-independent and engine-portable.  ``p_day = 0`` buckets
+    contribute 0 and every observed day bucket exists in the group
+    histogram, so the divergence is always finite.
+    """
+    g = list(group_cols)
+    bounds = df.groupBy(*g).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    b = df.join(F.broadcast(bounds), g).select(
+        *g,
+        part_col,
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col(value_col) - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                ).cast("int"),
+            )
+        ).alias("__b"),
+    )
+    day_counts = b.groupBy(*g, part_col, "__b").agg(
+        F.count(F.lit(1)).alias("__dc")
+    )
+    all_counts = b.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__ac"))
+    day_totals = b.groupBy(*g, part_col).agg(F.count(F.lit(1)).alias("__dn"))
+    all_totals = b.groupBy(*g).agg(F.count(F.lit(1)).alias("__an"))
+    j = (
+        day_counts.join(F.broadcast(all_counts), [*g, "__b"])
+        .join(F.broadcast(day_totals), [*g, part_col])
+        .join(F.broadcast(all_totals), g)
+    )
+    p = F.col("__dc") / F.col("__dn")
+    q = F.col("__ac") / F.col("__an")
+    term = F.round(p * F.log(p / q), 9).cast("decimal(28,9)")
+    return (
+        j.groupBy(*g, part_col)
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("kl_divergence"))
+    )

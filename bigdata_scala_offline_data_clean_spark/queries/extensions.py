@@ -1363,3 +1363,52 @@ GROUP BY 1
 """
 
 QUERIES["c33_dpp_join"] = QuerySpec(c33_dpp_join, C33_SQL)
+
+# ---------------------------------------------------------------------------
+# c34 -- distribution-drift monitor (quality.histogram_kl_drift): per-day
+# KL divergence of the value histogram vs the event type's overall
+# distribution -- catches statistically-wrong ingests that pass row-level
+# expectations.  Exact integer bucket ratios; ln terms rounded to 9 and
+# summed through DECIMAL(28,9) (order-independent, engine-portable).
+# ---------------------------------------------------------------------------
+
+
+def c34_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import histogram_kl_drift
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", day_str("ts"))
+    return histogram_kl_drift(e, ["event_type"], "day", "value")
+
+
+C34_SQL = """
+WITH bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+), b AS (
+  SELECT e.event_type, strftime(ts, '%Y%m%d') AS day,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(9, CAST(floor((value - lo) / ((hi - lo) / 10))
+                               AS INTEGER)) END AS bucket
+  FROM events e JOIN bounds USING (event_type)
+), dc AS (
+  SELECT event_type, day, bucket, count(*) AS dcnt
+  FROM b GROUP BY 1, 2, 3
+), ac AS (
+  SELECT event_type, bucket, count(*) AS acnt FROM b GROUP BY 1, 2
+), dn AS (
+  SELECT event_type, day, count(*) AS dtot FROM b GROUP BY 1, 2
+), an AS (
+  SELECT event_type, count(*) AS atot FROM b GROUP BY 1
+)
+SELECT dc.event_type, dc.day,
+       round(CAST(sum(CAST(round(
+           (dcnt / dtot) * ln((dcnt / dtot) / (acnt / atot)), 9)
+         AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_divergence
+FROM dc
+JOIN ac ON ac.event_type = dc.event_type AND ac.bucket = dc.bucket
+JOIN dn ON dn.event_type = dc.event_type AND dn.day = dc.day
+JOIN an ON an.event_type = dc.event_type
+GROUP BY dc.event_type, dc.day
+"""
+
+QUERIES["c34_drift_kl"] = QuerySpec(c34_drift_kl, C34_SQL)

@@ -315,3 +315,47 @@ def test_dpp_prunes_fact_partitions(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     got = {str(r["etl_date"]): r["count"] for r in j.collect()}
     assert got == {"20240101": 125, "20240102": 125, "20240103": 125}
+
+
+def test_kl_drift_zero_for_identical_distributions(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.quality import (
+        histogram_kl_drift,
+    )
+
+    # every day has the identical value multiset -> KL == 0 exactly
+    base = spark.range(200).select(
+        F.lit("t").alias("g"),
+        F.concat(F.lit("d"), (F.col("id") % 4).cast("string")).alias("day"),
+        (F.floor(F.col("id") / 4) % 50).cast("double").alias("v"),
+    )
+    rows = histogram_kl_drift(base, ["g"], "day", "v").collect()
+    assert len(rows) == 4
+    assert all(r["kl_divergence"] == 0.0 for r in rows)
+
+
+def test_kl_drift_flags_shifted_day(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.quality import (
+        histogram_kl_drift,
+    )
+
+    import pyspark.sql.functions as f
+
+    normal = spark.range(900).select(
+        f.lit("t").alias("g"),
+        f.concat(f.lit("d"), (f.col("id") % 3).cast("string")).alias("day"),
+        (f.col("id") % 100).cast("double").alias("v"),
+    )
+    # day d9: unit-change bug, values 10x
+    bad = spark.range(300).select(
+        f.lit("t").alias("g"),
+        f.lit("d9").alias("day"),
+        ((f.col("id") % 100) * 10.0).alias("v"),
+    )
+    rows = {
+        r["day"]: r["kl_divergence"]
+        for r in histogram_kl_drift(normal.unionByName(bad), ["g"], "day", "v").collect()
+    }
+    # the drifted day dominates (normal days pick up some divergence too:
+    # the 10x outliers stretch the shared bucket range)
+    worst_normal = max(v for d, v in rows.items() if d != "d9")
+    assert rows["d9"] > 3 * worst_normal
