@@ -1412,3 +1412,62 @@ GROUP BY dc.event_type, dc.day
 """
 
 QUERIES["c34_drift_kl"] = QuerySpec(c34_drift_kl, C34_SQL)
+
+# ---------------------------------------------------------------------------
+# a81 -- relative-rank window functions (ntile / percent_rank / cume_dist)
+# over a per-event-type partition with a (value, event_id) total order:
+# the remaining stock ranking functions not exercised by a74's navigation
+# set.  Partitioned windows -- no global sort anywhere.
+# ---------------------------------------------------------------------------
+
+
+def a81_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+A81_SQL = """
+SELECT event_id, event_type,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+QUERIES["a81_rank_functions"] = QuerySpec(a81_rank_functions, A81_SQL)
+
+# ---------------------------------------------------------------------------
+# a82 -- join-strategy hint: SHUFFLE_HASH forces a ShuffledHashJoin where
+# AQE/statistics would pick sort-merge.  The mid-size-side regime where
+# building a hash map beats sorting both inputs is a real cluster tuning
+# lever; the plan gate asserts the hint is honored, the oracle checks the
+# values are unchanged (hints affect strategy, never semantics).
+# ---------------------------------------------------------------------------
+
+
+def a82_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+A82_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES["a82_join_hints"] = QuerySpec(a82_join_hints, A82_SQL)

@@ -156,6 +156,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c31_rag_retrieval": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # ranking windows: one hash exchange per event_type partition, never
+    # an unpartitioned window
+    "a81_rank_functions": ((), ("SortMergeJoin", "Join"), 1),
+    # the SHUFFLE_HASH hint must be honored (SMJ would appear otherwise)
+    "a82_join_hints": (("ShuffledHashJoin",), ("SortMergeJoin",), None),
 }
 
 
