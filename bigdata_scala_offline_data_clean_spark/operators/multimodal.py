@@ -198,3 +198,41 @@ def fake_feature_extract(
             )
 
     return df.select(id_col, payload_col).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def binary_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    seg_bytes: int = 256,
+) -> DataFrame:
+    """Fixed-size byte segmentation of a binary payload column.
+
+    The audio/video chunking primitive: a media blob splits into
+    ``seg_bytes`` windows (sample frames, transport-stream chunks) as pure
+    column arithmetic -- ``substring`` works on BINARY with byte semantics,
+    so the segments never round-trip through strings or Python.  Output:
+    (id, seg_id, seg_len, seg_md5), one row per segment, the final partial
+    segment kept.  Zero shuffles; a payload shorter than one segment
+    yields exactly one row, an empty payload none.
+    """
+    n_segs = F.ceil(F.length(F.col(payload_col)) / F.lit(seg_bytes)).cast(
+        "int"
+    )
+    # sequence(0, -1) would count DOWN (Spark auto-negates the step), so an
+    # empty payload needs an explicit empty array, not sequence arithmetic
+    idx = F.when(n_segs > 0, F.sequence(F.lit(0), n_segs - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = df.select(
+        id_col,
+        F.col(payload_col),
+        F.posexplode(idx).alias("seg_id", "_i"),
+    )
+    seg = F.expr(f"substring({payload_col}, seg_id * {seg_bytes} + 1, {seg_bytes})")
+    return segs.select(
+        id_col,
+        F.col("seg_id").cast("bigint").alias("seg_id"),
+        F.length(seg).cast("bigint").alias("seg_len"),
+        F.md5(seg).alias("seg_md5"),
+    )

@@ -1471,3 +1471,30 @@ GROUP BY o_orderpriority
 """
 
 QUERIES["a82_join_hints"] = QuerySpec(a82_join_hints, A82_SQL)
+
+# ---------------------------------------------------------------------------
+# a83 -- binary payload segmentation (multimodal.binary_segments): blobs
+# split into fixed 256-byte windows as pure column arithmetic (substring
+# has byte semantics on BINARY) -- the audio/video chunking plumbing.
+# The testdata payload is utf-8 of ASCII text, so the oracle slices the
+# text form byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+def a83_binary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, binary_segments
+
+    d = load_table(spark, sf_dir, "documents")
+    return binary_segments(attach_binary_payload(d))
+
+
+A83_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+       strlen(substr(text, i * 256 + 1, 256)) AS seg_len,
+       md5(substr(text, i * 256 + 1, 256)) AS seg_md5
+FROM documents,
+     LATERAL unnest(generate_series(
+         0, CAST(ceil(strlen(text) / 256.0) - 1 AS INT))) AS u(i)
+"""
+
+QUERIES["a83_binary_segments"] = QuerySpec(a83_binary_segments, A83_SQL)

@@ -359,3 +359,24 @@ def test_kl_drift_flags_shifted_day(spark):
     # the 10x outliers stretch the shared bucket range)
     worst_normal = max(v for d, v in rows.items() if d != "d9")
     assert rows["d9"] > 3 * worst_normal
+
+
+def test_binary_segments_byte_exact(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        binary_segments,
+    )
+    import hashlib
+
+    payload = bytes(range(256)) * 2 + b"tail"  # 516 bytes, non-UTF8
+    df = spark.createDataFrame([(1, payload), (2, b""), (3, b"x")],
+                               ["doc_id", "payload"])
+    rows = {
+        (r["doc_id"], r["seg_id"]): (r["seg_len"], r["seg_md5"])
+        for r in binary_segments(df, seg_bytes=256).collect()
+    }
+    # arbitrary bytes (not valid text) segment byte-exactly
+    assert rows[(1, 0)] == (256, hashlib.md5(payload[:256]).hexdigest())
+    assert rows[(1, 1)] == (256, hashlib.md5(payload[256:512]).hexdigest())
+    assert rows[(1, 2)] == (4, hashlib.md5(b"tail").hexdigest())
+    assert rows[(3, 0)] == (1, hashlib.md5(b"x").hexdigest())
+    assert not any(k[0] == 2 for k in rows)  # empty payload -> no segments
