@@ -712,3 +712,60 @@ def remove_duplicated_segments(
         .na.fill({"clean_text": "", "n_kept": 0})
         .select(id_col, "clean_text", "n_segs", "n_kept")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: segment boundaries where the hash of the
+    trailing ``window``-char context is 0 mod ``mask`` (average segment
+    ~``mask`` chars).
+
+    The storage-dedup primitive fixed-width segmentation can't give:
+    inserting one character shifts every fixed window after it, but CDC
+    boundaries re-synchronize immediately, so identical content reuses
+    identical chunk digests whatever its offset.  Shape: one explode to
+    the character-position stream (O(chars) rows -- the honest cost, all
+    map-side), a filter to the ~1/``mask`` boundary rows, and ONE doc-id
+    exchange for the lag window that turns boundary positions into
+    (start, end) spans.  Output: (id, seg_no, seg_len, seg_md5).
+    """
+    from pyspark.sql import Window
+
+    from .etl import spread_narrow_scan
+
+    d = spread_narrow_scan(df, id_col).select(
+        id_col, text_col, F.length(text_col).alias("__n")
+    )
+    pos = d.where(F.col("__n") >= window).select(
+        id_col,
+        F.explode(F.sequence(F.lit(window), F.col("__n"))).alias("p"),
+        text_col,
+    )
+    ctx = F.expr(f"substring({text_col}, p - {window - 1}, {window})")
+    h = F.conv(F.substring(F.md5(ctx), 1, 8), 16, 10).cast("bigint")
+    bnd = pos.where(h % mask == 0).select(id_col, "p")
+    ends = (
+        bnd.union(d.select(id_col, F.col("__n").alias("p")))
+        .distinct()
+        .join(d.select(id_col, text_col), id_col)
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    seg = ends.select(
+        id_col,
+        F.row_number().over(w).alias("seg_no"),
+        (F.coalesce(F.lag("p").over(w), F.lit(0)) + 1).alias("__s"),
+        F.col("p").alias("__e"),
+        text_col,
+    )
+    body = F.expr(f"substring({text_col}, __s, __e - __s + 1)")
+    return seg.select(
+        id_col,
+        "seg_no",
+        F.length(body).cast("bigint").alias("seg_len"),
+        F.md5(body).alias("seg_md5"),
+    )

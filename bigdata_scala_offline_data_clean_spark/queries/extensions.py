@@ -1498,3 +1498,47 @@ FROM documents,
 """
 
 QUERIES["a83_binary_segments"] = QuerySpec(a83_binary_segments, A83_SQL)
+
+# ---------------------------------------------------------------------------
+# a84 -- content-defined chunking (dedup.cdc_chunks): boundaries where the
+# trailing 16-char window hashes to 0 mod 64.  Unlike a47's fixed windows,
+# CDC boundaries re-synchronize after insertions, so shifted-but-identical
+# content keeps identical chunk digests -- the storage-dedup primitive.
+# ---------------------------------------------------------------------------
+
+
+def a84_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(d, window=16, mask=64)
+
+
+A84_SQL = """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents
+), pos AS (
+  SELECT doc_id, text, unnest(generate_series(16, n)) AS p
+  FROM d WHERE n >= 16
+), bnd AS (
+  SELECT doc_id, p FROM pos
+  WHERE CAST(('0x' || substr(md5(substr(text, p - 15, 16)), 1, 8)) AS BIGINT)
+        % 64 = 0
+), ends AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, p FROM bnd
+        UNION ALL SELECT doc_id, n AS p FROM d)
+), seg AS (
+  SELECT e.doc_id,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY p) AS seg_no,
+         COALESCE(LAG(p) OVER (PARTITION BY e.doc_id ORDER BY p), 0) + 1 AS s,
+         p AS en, d.text
+  FROM ends e JOIN d ON d.doc_id = e.doc_id
+)
+SELECT doc_id, seg_no,
+       strlen(substr(text, s, en - s + 1)) AS seg_len,
+       md5(substr(text, s, en - s + 1)) AS seg_md5
+FROM seg
+"""
+
+QUERIES["a84_cdc_chunking"] = QuerySpec(a84_cdc_chunking, A84_SQL)
