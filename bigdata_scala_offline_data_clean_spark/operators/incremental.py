@@ -126,3 +126,41 @@ def delta_join_rows(
         .unionByName(a_old.join(db, on))
         .unionByName(da.join(db, on))
     )
+
+
+def retract_rows(
+    cum: DataFrame,
+    deletions: DataFrame,
+    keys: list[str],
+    sum_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply row DELETIONS to a cumulative partial aggregate in O(|delta|).
+
+    The GDPR/right-to-be-forgotten propagation path: purging rows from
+    the fact table must also correct every downstream rollup, and
+    rescanning history to rebuild them is exactly what incremental
+    maintenance exists to avoid.  sum/count are groups under addition, so
+    a deletion is a NEGATED partial merged like any other delta; the
+    decimal-exact sums make retract-then-merge bit-equal to a full
+    recompute over the surviving rows (asserted in tests and by the c35
+    oracle).  min/max are NOT retractable (removing the minimum needs the
+    runner-up, which the partial no longer holds) -- callers keeping
+    min/max must rebuild those columns from source, and this function
+    refuses cumulative frames that carry them rather than corrupt state.
+    Keys whose rows are all retracted keep an ``n_rows = 0`` tombstone;
+    ``drop_empty`` filtering is left to the caller's compaction policy.
+    """
+    bad = [
+        c for c in cum.columns
+        if c.startswith("min_") or c.startswith("max_")
+    ]
+    if bad:
+        raise ValueError(
+            f"min/max partials are not retractable: {bad}; rebuild those "
+            "columns from source"
+        )
+    neg = partial_agg(deletions, keys, sum_cols=sum_cols)
+    for c in neg.columns:
+        if c.startswith("sum_") or c == "n_rows":
+            neg = neg.withColumn(c, -F.col(c))
+    return merge_partial_aggs(cum, neg, keys)

@@ -1542,3 +1542,34 @@ FROM seg
 """
 
 QUERIES["a84_cdc_chunking"] = QuerySpec(a84_cdc_chunking, A84_SQL)
+
+# ---------------------------------------------------------------------------
+# c35 -- GDPR delete propagation via retraction (incremental.retract_rows):
+# purged users' rows become NEGATED partials merged into the cumulative
+# rollup in O(|deleted|) -- no history rescan.  The oracle aggregates the
+# surviving rows from scratch; the driver hash proves retract-then-merge
+# equals full recompute (decimal-exact sums make it bit-equal).
+# ---------------------------------------------------------------------------
+
+
+def c35_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize_agg, partial_agg, retract_rows
+
+    e = load_table(spark, sf_dir, "events")
+    cum = partial_agg(e, ["event_type"], sum_cols=("value",))
+    forgotten = e.where(F.col("user_id") % 17 == 0)
+    corrected = retract_rows(cum, forgotten, ["event_type"], sum_cols=("value",))
+    return finalize_agg(corrected).select(
+        "event_type", F.col("sum_value").alias("value_sum"), "n_rows"
+    )
+
+
+C35_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_sum,
+       count(*) AS n_rows
+FROM events WHERE user_id % 17 != 0
+GROUP BY event_type
+"""
+
+QUERIES["c35_retraction_agg"] = QuerySpec(c35_retraction_agg, C35_SQL)

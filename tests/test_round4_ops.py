@@ -403,3 +403,33 @@ def test_cdc_chunks_resync_after_insertion(spark):
     # reassembly invariant: chunk lengths cover the text exactly
     n1 = sum(r["seg_len"] for r in rows if r["doc_id"] == 1)
     assert n1 == len(body)
+
+
+def test_retract_rows_equals_full_recompute(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.incremental import (
+        partial_agg,
+        retract_rows,
+    )
+
+    e = _events(spark, n=2000)
+    cum = partial_agg(e, ["event_type"], sum_cols=("value",))
+    dele = e.where(F.col("user_id") % 5 == 0)
+    got = retract_rows(cum, dele, ["event_type"], sum_cols=("value",))
+    want = partial_agg(
+        e.where(F.col("user_id") % 5 != 0), ["event_type"], sum_cols=("value",)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_retract_rows_refuses_minmax(spark):
+    import pytest as _pytest
+
+    from bigdata_scala_offline_data_clean_spark.operators.incremental import (
+        partial_agg,
+        retract_rows,
+    )
+
+    e = _events(spark, n=100)
+    cum = partial_agg(e, ["event_type"], sum_cols=("value",), min_cols=("value",))
+    with _pytest.raises(ValueError, match="not retractable"):
+        retract_rows(cum, e.limit(5), ["event_type"], sum_cols=("value",))
