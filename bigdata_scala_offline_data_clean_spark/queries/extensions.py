@@ -1573,3 +1573,84 @@ GROUP BY event_type
 """
 
 QUERIES["c35_retraction_agg"] = QuerySpec(c35_retraction_agg, C35_SQL)
+
+# ---------------------------------------------------------------------------
+# c36 -- entity resolution end to end, golden record: a58's blocked fuzzy
+# pairs -> transitive clusters (a25's star-contraction) -> deterministic
+# survivorship per entity.  Rules: canonical name = the minimum-key
+# member's, price = cluster max, brands counted distinct -- every rule a
+# total-order aggregate, so the golden record is engine-identical.
+# Singletons are suppressed (the interesting output is merged entities).
+# ---------------------------------------------------------------------------
+
+
+def c36_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(
+        p,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_exprs={
+            "blk_brand": F.col("p_brand"),
+            "blk_noun": F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        },
+        max_dist=2,
+        min_dist=1,
+    ).select(F.col("p_partkey_a").alias("a"), F.col("p_partkey_b").alias("b"))
+    clusters = dedup_clusters(p, pairs, id_col="p_partkey")
+    members = p.join(clusters, "p_partkey")
+    golden = (
+        members.groupBy("rep_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(
+                F.struct(F.col("p_partkey"), F.col("p_name"))
+            )["p_name"].alias("golden_name"),
+            F.max("p_retailprice").alias("golden_price"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+    return golden.select(
+        F.col("rep_id").alias("entity_id"),
+        "n_members",
+        "golden_name",
+        "golden_price",
+        "n_brands",
+    )
+
+
+def _c36_sql() -> str:
+    return """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand
+   AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+), sym AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+), clusters AS (
+  SELECT node AS p_partkey, min(r) AS rep_id FROM reach GROUP BY node
+), members AS (
+  SELECT p.*, c.rep_id FROM part p JOIN clusters c USING (p_partkey)
+)
+SELECT rep_id AS entity_id,
+       count(*) AS n_members,
+       min(struct_pack(k := p_partkey, p_name := p_name)).p_name AS golden_name,
+       max(p_retailprice) AS golden_price,
+       count(DISTINCT p_brand) AS n_brands
+FROM members
+GROUP BY rep_id HAVING count(*) >= 2
+"""
+
+
+QUERIES["c36_golden_record"] = QuerySpec(c36_golden_record, _c36_sql())
