@@ -71,6 +71,9 @@ HEADLINE = [
     "a78_pagerank",
     "a79_oov_rate",
     "a80_pmi_collocations",
+    "a84_cdc_chunking",
+    "c31_rag_retrieval",
+    "c36_golden_record",
 ]
 
 

@@ -1654,3 +1654,63 @@ GROUP BY rep_id HAVING count(*) >= 2
 
 
 QUERIES["c36_golden_record"] = QuerySpec(c36_golden_record, _c36_sql())
+
+# ---------------------------------------------------------------------------
+# a85 -- per-brand Pareto frontier (skyline): parts not strictly dominated
+# on (retailprice, size).  The naive formulation is an O(n^2) self-join;
+# this is two windows over one (brand) exchange: min size over strictly
+# cheaper rows (RANGE frame on integer cents -- cents-1 == strictly
+# cheaper), plus the same-price min.  Strict dominance: exact duplicates
+# both stay on the frontier.
+# ---------------------------------------------------------------------------
+
+
+def a85_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    src = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("__cents"),
+    )
+    cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("__cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("p_brand", "__cents")
+    out = (
+        src.withColumn("__min_cheaper", F.min("p_size").over(cheaper))
+        .withColumn("__min_same", F.min("p_size").over(same))
+        .where(
+            (
+                F.col("__min_cheaper").isNull()
+                | (F.col("__min_cheaper") > F.col("p_size"))
+            )
+            & (F.col("p_size") == F.col("__min_same"))
+        )
+    )
+    return out.select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+A85_SQL = """
+WITH src AS (
+  SELECT p_brand, p_partkey, p_retailprice, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), m AS (
+  SELECT *,
+         MIN(p_size) OVER (PARTITION BY p_brand ORDER BY cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_cheaper,
+         MIN(p_size) OVER (PARTITION BY p_brand, cents) AS min_same
+  FROM src
+)
+SELECT p_brand, p_partkey, p_retailprice, p_size
+FROM m
+WHERE (min_cheaper IS NULL OR min_cheaper > p_size)
+  AND p_size = min_same
+"""
+
+QUERIES["a85_pareto_frontier"] = QuerySpec(a85_pareto_frontier, A85_SQL)

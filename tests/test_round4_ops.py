@@ -433,3 +433,46 @@ def test_retract_rows_refuses_minmax(spark):
     cum = partial_agg(e, ["event_type"], sum_cols=("value",), min_cols=("value",))
     with _pytest.raises(ValueError, match="not retractable"):
         retract_rows(cum, e.limit(5), ["event_type"], sum_cols=("value",))
+
+
+def test_pareto_frontier_matches_quadratic_model(spark):
+    """Window-based skyline == the O(n^2) strict-dominance definition."""
+    from bigdata_scala_offline_data_clean_spark.queries.extensions import (
+        a85_pareto_frontier,  # noqa: F401  (definition check via operator logic)
+    )
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        ("B1", i, round(rng.uniform(1, 50), 2), rng.randint(1, 20))
+        for i in range(80)
+    ]
+    # exact duplicate pair: strict dominance keeps BOTH
+    rows += [("B1", 900, 5.0, 5), ("B1", 901, 5.0, 5)]
+    df = spark.createDataFrame(
+        rows, ["p_brand", "p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def dominated(p, q):
+        return (
+            q[2] <= p[2] and q[3] <= p[3] and (q[2] < p[2] or q[3] < p[3])
+        )
+
+    want = {
+        p[1]
+        for p in rows
+        if not any(dominated(p, q) for q in rows if q[1] != p[1])
+    }
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r["p_partkey"] for r in a85_pareto_frontier(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+    # exact duplicates: strict dominance keeps both or neither
+    assert (900 in got) == (901 in got)
