@@ -161,6 +161,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a81_rank_functions": ((), ("SortMergeJoin", "Join"), 1),
     # the SHUFFLE_HASH hint must be honored (SMJ would appear otherwise)
     "a82_join_hints": (("ShuffledHashJoin",), ("SortMergeJoin",), None),
+    # skyline: two windows share ONE brand exchange; the naive O(n^2)
+    # dominance self-join must not appear
+    "a85_pareto_frontier": ((), ("Join", "CartesianProduct"), 1),
 }
 
 
