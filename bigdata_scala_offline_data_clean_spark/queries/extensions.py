@@ -1714,3 +1714,42 @@ WHERE (min_cheaper IS NULL OR min_cheaper > p_size)
 """
 
 QUERIES["a85_pareto_frontier"] = QuerySpec(a85_pareto_frontier, A85_SQL)
+
+# ---------------------------------------------------------------------------
+# a86 -- VARIANT semi-structured rollup: props parsed ONCE into Spark 4's
+# binary VARIANT type (shredded, not a string re-parse per access), typed
+# fields pulled with try_variant_get (permissive: malformed -> NULL, like
+# from_json).  The semi-structured-at-scale story: parse on ingest, store
+# VARIANT, extract cheaply at query time.  Oracle mirrors with DuckDB's
+# TRY_CAST(json_extract_string(...)).
+# ---------------------------------------------------------------------------
+
+
+def a86_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum(F.col("k").cast("bigint")).alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+A86_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+         AS n_with_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+QUERIES["a86_variant_rollup"] = QuerySpec(a86_variant_rollup, A86_SQL)
