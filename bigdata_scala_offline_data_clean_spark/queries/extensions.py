@@ -970,6 +970,9 @@ def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= _TRI_MIN_SUPPORT)
         .select("u", "v")
+        # the symmetrizing union references this subtree twice; persist so
+        # the distinct + self-join + support agg runs once, not twice
+        .persist()
     )
     edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pr = pagerank(edges, iters=_PR_ITERS)
