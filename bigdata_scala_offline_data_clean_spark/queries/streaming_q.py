@@ -429,6 +429,51 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# s10 -- continuous EXACT distinct counts: per-micro-batch bitmap partials
+# appended via foreachBatch (exactly-once under the stream checkpoint),
+# OR-merged on read.  Unlike s09's HLL/KLL tolerance booleans, the result
+# is hash-exact against plain COUNT(DISTINCT) -- streaming maintenance
+# with a full-strength oracle.
+# ---------------------------------------------------------------------------
+
+
+def s10_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import merge_bitmap_distinct
+    from ..streaming.jobs import stream_bitmap_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s10_")
+    try:
+        src = f"{scratch}/src"
+        ev.select("event_id", "user_id", "event_type").repartition(4)\
+            .write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        store = f"{scratch}/partials"
+        q = (
+            stream_bitmap_partials(stream, store, ["event_type"], "user_id")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        out = merge_bitmap_distinct(spark.read.parquet(store), ["event_type"])
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S10_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_count
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "s01_stream_window_counts": QuerySpec(s01_stream_window_counts, S01_SQL),
     "s02_stream_dedup_keys": QuerySpec(s02_stream_dedup_keys, S02_SQL),
@@ -439,4 +484,5 @@ QUERIES: dict[str, QuerySpec] = {
     "s07_stream_scd1_upsert": QuerySpec(s07_stream_scd1_upsert, S07_SQL),
     "s08_stream_enrich": QuerySpec(s08_stream_enrich, S08_SQL),
     "s09_stream_sketch_rollup": QuerySpec(s09_stream_sketch_rollup, S09_SQL),
+    "s10_stream_bitmap_distinct": QuerySpec(s10_stream_bitmap_distinct, S10_SQL),
 }

@@ -359,3 +359,32 @@ def stream_sketch_partials(
         p.write.mode("append").parquet(store_path)
 
     return stream_df.writeStream.foreachBatch(write_partials)
+
+
+def stream_bitmap_partials(
+    stream_df: DataFrame,
+    store_path: str,
+    keys: list[str],
+    distinct_col: str,
+):
+    """Continuous EXACT distinct-count maintenance: per-micro-batch bitmap
+    partials appended via ``foreachBatch`` (the exact sibling of
+    ``stream_sketch_partials``; merge with
+    ``sketches.merge_bitmap_distinct``).  Appends ride the streaming
+    checkpoint -> exactly-once; merged counts equal batch
+    COUNT(DISTINCT) with no tolerance band.
+    """
+    from ..operators.sketches import bitmap_distinct_partials
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = bitmap_distinct_partials(
+            batch_df.withColumn("__batch", F.lit(batch_id)),
+            keys,
+            "__batch",
+            distinct_col,
+        )
+        p.write.mode("append").parquet(store_path)
+
+    return stream_df.writeStream.foreachBatch(write_partials)
