@@ -1756,3 +1756,47 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["a86_variant_rollup"] = QuerySpec(a86_variant_rollup, A86_SQL)
+
+# ---------------------------------------------------------------------------
+# a87 -- exact cumulative distinct users by day ("users to date"): the
+# classic hard-at-scale series, because COUNT(DISTINCT) doesn't compose
+# across a running window.  Bitmap partials make it algebraic: per-day
+# bitmaps OR-merge over day' <= day -- the triangular join runs over
+# O(days x buckets) bitmap ROWS (kilobytes each), never over the event
+# stream, which is scanned exactly once.  Oracle recomputes each prefix
+# from scratch; the hash proves the running merge exact.
+# ---------------------------------------------------------------------------
+
+
+def a87_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bitmap_distinct_partials
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", day_str("ts"))
+    partials = bitmap_distinct_partials(e, [], "day", "user_id")
+    days = partials.select(F.col("day").alias("as_of")).distinct()
+    tri = partials.join(
+        F.broadcast(days), F.col("day") <= F.col("as_of")
+    )
+    merged = tri.groupBy("as_of", "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_bits")
+    )
+    return (
+        merged.groupBy("as_of")
+        .agg(F.sum("n_bits").alias("users_to_date"))
+        .select(F.col("as_of").alias("day"), "users_to_date")
+    )
+
+
+A87_SQL = """
+WITH days AS (
+  SELECT DISTINCT strftime(ts, '%Y%m%d') AS as_of FROM events
+)
+SELECT d.as_of AS day,
+       count(DISTINCT e.user_id) AS users_to_date
+FROM days d JOIN events e ON strftime(e.ts, '%Y%m%d') <= d.as_of
+GROUP BY d.as_of
+"""
+
+QUERIES["a87_cumulative_distinct"] = QuerySpec(
+    a87_cumulative_distinct, A87_SQL
+)
