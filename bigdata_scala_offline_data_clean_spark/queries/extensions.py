@@ -1800,3 +1800,44 @@ GROUP BY d.as_of
 QUERIES["a87_cumulative_distinct"] = QuerySpec(
     a87_cumulative_distinct, A87_SQL
 )
+
+# ---------------------------------------------------------------------------
+# a88 -- half-life-decayed rollup (recency-weighted metrics): weight
+# 0.5^(age_days/7) anchored at the corpus max timestamp.  The weight
+# expression is written identically in both engines and each term rounds
+# to 9 before an exact DECIMAL(28,9) sum (the a55 pattern) --
+# deterministic under any shuffle order and engine-portable, unlike a
+# raw SUM(double).  One scalar broadcast (the anchor), one aggregation.
+# ---------------------------------------------------------------------------
+
+
+def a88_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("__d1"))
+    aged = e.crossJoin(F.broadcast(anchor)).withColumn(
+        "__age", F.datediff(F.col("__d1"), F.to_date("ts"))
+    )
+    term = F.round(
+        F.col("value") * F.pow(F.lit(0.5), F.col("__age") / F.lit(7.0)), 9
+    ).cast("decimal(28,9)")
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+A88_SQL = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events)
+SELECT event_type,
+       round(CAST(sum(CAST(round(
+           value * pow(0.5, datediff('day', CAST(ts AS DATE), d1) / 7.0), 9)
+         AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed_value,
+       count(*) AS n_events
+FROM events, anchor
+GROUP BY event_type
+"""
+
+QUERIES["a88_decayed_sum"] = QuerySpec(a88_decayed_sum, A88_SQL)
