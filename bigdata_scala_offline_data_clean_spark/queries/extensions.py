@@ -1841,3 +1841,67 @@ GROUP BY event_type
 """
 
 QUERIES["a88_decayed_sum"] = QuerySpec(a88_decayed_sum, A88_SQL)
+
+# ---------------------------------------------------------------------------
+# c37 -- catalog-named warehouse round-trip, SQL statement forms: the
+# reference's literal user surface (CREATE DATABASE ods/dwd, saveAsTable
+# shell, INSERT OVERWRITE TABLE ... PARTITION (etl_date) over a temp
+# view, INSERT INTO append, spark.table / SHOW PARTITIONS reads --
+# CustomerInfDataClean.scala:70-88, Constants.scala:9-12).  Dynamic
+# overwrite is exercised twice (the second pass rewrites only the max
+# day's partition and must leave the rest intact); the append doubles
+# one slice.  Oracle = the same arithmetic over the raw events.
+# ---------------------------------------------------------------------------
+
+
+def c37_sqlwh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..sources.catalog import SqlWarehouse
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", day_str("ts").alias("etl_date")
+    )
+    prefix = f"c37_{uuid.uuid4().hex[:8]}_"
+    wh = SqlWarehouse(spark, db_prefix=prefix, layers=("dwd",))
+    try:
+        wh.overwrite_partitions(e, "dwd", "fact_events")
+        top = wh.latest_partition("dwd", "fact_events")
+        # dynamic overwrite: rewriting ONE partition must not touch others
+        wh.overwrite_partitions(
+            e.where(F.col("etl_date") == top), "dwd", "fact_events"
+        )
+        # SQL INSERT INTO append: double a deterministic slice of the top day
+        slice_ = e.where(
+            (F.col("etl_date") == top) & (F.col("user_id") % 50 == 0)
+        )
+        wh.append(slice_, "dwd", "fact_events")
+        out = (
+            wh.table("dwd", "fact_events")
+            .groupBy("etl_date")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("value").alias("value_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-drop
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {prefix}dwd CASCADE")
+
+
+C37_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, value, strftime(ts, '%Y%m%d') AS etl_date
+  FROM events
+), top AS (SELECT max(etl_date) AS d FROM e),
+stored AS (
+  SELECT * FROM e
+  UNION ALL
+  SELECT e.* FROM e, top WHERE e.etl_date = top.d AND e.user_id % 50 = 0
+)
+SELECT etl_date, count(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM stored GROUP BY etl_date
+"""
+
+QUERIES["c37_sqlwh_roundtrip"] = QuerySpec(c37_sqlwh_roundtrip, C37_SQL)
