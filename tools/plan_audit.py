@@ -164,6 +164,22 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # skyline: two windows share ONE brand exchange; the naive O(n^2)
     # dominance self-join must not appear
     "a85_pareto_frontier": ((), ("Join", "CartesianProduct"), 1),
+    # bitmap distinct: two groupBy stages, no joins anywhere
+    "c32_bitmap_distinct": ((), ("Join",), 4),
+    # KL drift: bounds/counts frames broadcast back; the event stream is
+    # never sort-merge-shuffled against itself
+    "c34_drift_kl": (("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None),
+    # VARIANT rollup: parse + extract ride the scan projection; one agg
+    "a86_variant_rollup": ((), ("Join",), 2),
+    # cumulative distinct: triangular merge joins bitmap ROWS (broadcast
+    # day list), never the event stream; no cartesian
+    "a87_cumulative_distinct": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # decayed sum: 1-row anchor broadcast over the scan, one agg
+    "a88_decayed_sum": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
