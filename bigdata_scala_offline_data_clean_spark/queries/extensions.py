@@ -1905,3 +1905,81 @@ FROM stored GROUP BY etl_date
 """
 
 QUERIES["c37_sqlwh_roundtrip"] = QuerySpec(c37_sqlwh_roundtrip, C37_SQL)
+
+# ---------------------------------------------------------------------------
+# a89 -- Benford's-law audit: first-significant-digit distribution of
+# order totals vs the log10(1+1/d) expectation, with the chi-square
+# statistic -- the classic fabricated-data / unit-bug screen for
+# financial facts.  Counts are exact integers; the 9 expected
+# frequencies are closed-form constants written identically in both
+# engines; each chi2 term rounds to 9 before an exact decimal sum.
+# ---------------------------------------------------------------------------
+
+
+def a89_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.format_number(F.col("o_totalprice"), 6), "[0.,]", ""),
+        1, 1,
+    ).cast("int")
+    counts = (
+        o.where(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    j = counts.crossJoin(F.broadcast(total))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")) * F.col("n_total")
+    chi_term = F.round(
+        (F.col("n") - expected) * (F.col("n") - expected) / expected, 9
+    ).cast("decimal(28,9)")
+    return (
+        j.select(
+            "d",
+            "n",
+            F.round(expected, 6).alias("n_expected"),
+            chi_term.alias("__t"),
+        )
+        .groupBy()
+        .pivot("d", list(range(1, 10)))
+        .sum("n")
+        .crossJoin(
+            F.broadcast(
+                j.agg(
+                    F.round(F.sum(chi_term).cast("double"), 6).alias("chi2")
+                )
+            )
+        )
+    )
+
+
+A89_SQL = """
+WITH src AS (
+  SELECT CAST(substr(regexp_replace(format('{:.6f}', o_totalprice),
+                                    '[0.,]', '', 'g'), 1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice > 0
+), counts AS (
+  SELECT d, count(*) AS n FROM src GROUP BY d
+), tot AS (SELECT sum(n) AS n_total FROM counts),
+terms AS (
+  SELECT d, n,
+         CAST(round(pow(n - log10(1.0 + 1.0 / d) * n_total, 2)
+                    / (log10(1.0 + 1.0 / d) * n_total), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM counts, tot
+)
+SELECT
+  max(CASE WHEN d = 1 THEN n END) AS "1",
+  max(CASE WHEN d = 2 THEN n END) AS "2",
+  max(CASE WHEN d = 3 THEN n END) AS "3",
+  max(CASE WHEN d = 4 THEN n END) AS "4",
+  max(CASE WHEN d = 5 THEN n END) AS "5",
+  max(CASE WHEN d = 6 THEN n END) AS "6",
+  max(CASE WHEN d = 7 THEN n END) AS "7",
+  max(CASE WHEN d = 8 THEN n END) AS "8",
+  max(CASE WHEN d = 9 THEN n END) AS "9",
+  round(CAST(sum(t) AS DOUBLE), 6) AS chi2
+FROM terms
+"""
+
+QUERIES["a89_benford_audit"] = QuerySpec(a89_benford_audit, A89_SQL)
