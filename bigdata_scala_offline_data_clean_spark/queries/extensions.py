@@ -1983,3 +1983,57 @@ FROM terms
 """
 
 QUERIES["a89_benford_audit"] = QuerySpec(a89_benford_audit, A89_SQL)
+
+# ---------------------------------------------------------------------------
+# a90 -- per-user event-type streaks (value-change gaps-and-islands): runs
+# of consecutive identical event types, the engagement/anomaly variant of
+# a65's time-gap islands.  lag + cumulative-sum island ids over one
+# (user_id) exchange shared by both windows and the rollup.
+# ---------------------------------------------------------------------------
+
+
+def a90_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn("__new_run", changed).withColumn(
+        "__run",
+        F.sum("__new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return runs.groupBy("user_id", "__run").agg(
+        # all rows of a run share one type by construction; min = that type
+        F.min("event_type").alias("event_type"),
+        F.count(F.lit(1)).alias("streak_len"),
+        ts_str(F.min("ts")).alias("start_ts"),
+    ).select("user_id", F.col("__run").alias("run_no"), "event_type",
+             "streak_len", "start_ts")
+
+
+A90_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, CAST(SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS run_no
+  FROM r
+)
+SELECT user_id, run_no,
+       min(event_type) AS event_type,
+       count(*) AS streak_len,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
+FROM g GROUP BY user_id, run_no
+"""
+
+QUERIES["a90_event_streaks"] = QuerySpec(a90_event_streaks, A90_SQL)
