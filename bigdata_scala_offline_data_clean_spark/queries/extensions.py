@@ -2037,3 +2037,53 @@ FROM g GROUP BY user_id, run_no
 """
 
 QUERIES["a90_event_streaks"] = QuerySpec(a90_event_streaks, A90_SQL)
+
+# ---------------------------------------------------------------------------
+# c38 -- federated multi-format ingestion: one logical table assembled
+# from parquet + CSV + JSON-lines slices (the landing-zone reality of a
+# warehouse: upstreams deliver whatever they deliver).  Each format
+# round-trips through its writer, the three reads union by name, and the
+# cleaned rollup must equal the single-source aggregate -- proving the
+# format hops are lossless for the carried columns.
+# ---------------------------------------------------------------------------
+
+
+def c38_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c38_")
+    try:
+        e.where(F.col("event_id") % 3 == 0).write.parquet(f"{scratch}/p")
+        e.where(F.col("event_id") % 3 == 1).write.option(
+            "header", True
+        ).csv(f"{scratch}/c")
+        e.where(F.col("event_id") % 3 == 2).write.json(f"{scratch}/j")
+        schema = "event_id long, user_id long, event_type string, value double"
+        u = (
+            spark.read.parquet(f"{scratch}/p")
+            .unionByName(
+                spark.read.schema(schema).option("header", True)
+                .csv(f"{scratch}/c")
+            )
+            .unionByName(spark.read.schema(schema).json(f"{scratch}/j"))
+        )
+        out = u.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("value_sum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C38_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type
+"""
+
+QUERIES["c38_multi_format_union"] = QuerySpec(c38_multi_format_union, C38_SQL)
