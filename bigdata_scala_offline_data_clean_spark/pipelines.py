@@ -209,7 +209,22 @@ def _small_delta_merge(base: DataFrame, delta: DataFrame, key: str) -> DataFrame
     left = base.join(d, F.col(key) == F.col(f"__d_{key}"), "left").select(
         *[F.coalesce(F.col(c), F.col(f"__d_{c}")).alias(c) for c in cols]
     )
-    only_delta = delta.join(F.broadcast(base.select(key)), on=key, how="left_anti")
+    # Delta-only rows WITHOUT broadcasting any base-derived frame: the base
+    # partition is the huge side (that is why this fast path exists), so
+    # broadcasting base.select(key) would OOM at scale exactly when the path
+    # matters.  Instead: (1) map-side inner join over the base against the
+    # broadcast delta keys -> `matched` has at most |delta| rows; (2) anti-join
+    # the delta against broadcast(matched).  Every broadcast is delta-sized and
+    # the base never shuffles or collects.
+    # distinct() bounds matched to <=|delta| keys even if the base somehow
+    # carried duplicate rowkeys; the shuffle it costs is over a delta-sized
+    # frame, not the base.
+    matched = (
+        base.select(key)
+        .join(F.broadcast(delta.select(key)), on=key, how="inner")
+        .distinct()
+    )
+    only_delta = delta.join(F.broadcast(matched), on=key, how="left_anti")
     return left.unionByName(only_delta.select(*cols))
 
 

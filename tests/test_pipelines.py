@@ -98,6 +98,43 @@ def test_archetype_c_delta_merge(spark, wh, tmp_path):
     assert str(out[5].etl_date) == "20221001"  # backfilled for delta-only row
 
 
+def _plan_tree(node):
+    """(nodeName, [children]) tree from a py4j SparkPlan node.
+
+    AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are LeafExecNodes
+    whose real subtree hides behind executedPlan()/plan() -- descend through.
+    """
+    kids = node.children()
+    kid_nodes = [kids.apply(i) for i in range(kids.size())]
+    if not kid_nodes:
+        for meth in ("executedPlan", "plan"):
+            try:
+                kid_nodes = [getattr(node, meth)()]
+                break
+            except Exception:
+                pass
+    return (node.nodeName(), [_plan_tree(k) for k in kid_nodes])
+
+
+def _subtree_names(tree):
+    name, kids = tree
+    out = {name}
+    for k in kids:
+        out |= _subtree_names(k)
+    return out
+
+
+def _broadcast_subtrees(tree, acc=None):
+    if acc is None:
+        acc = []
+    name, kids = tree
+    if "BroadcastExchange" in name:
+        acc.append(tree)
+    for k in kids:
+        _broadcast_subtrees(k, acc)
+    return acc
+
+
 def test_small_delta_merge_broadcasts_no_base_shuffle(spark):
     base = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
@@ -109,6 +146,20 @@ def test_small_delta_merge_broadcasts_no_base_shuffle(spark):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # Scale gate: no broadcast may carry the raw base.  A BroadcastExchange
+    # whose subtree scans the base (Range here) must pre-filter it against
+    # the broadcast delta keys (a BroadcastHashJoin inside the subtree), so
+    # the broadcast payload is <=|delta| rows regardless of base size.
+    tree = _plan_tree(merged._jdf.queryExecution().executedPlan())
+    bcasts = _broadcast_subtrees(tree)
+    assert bcasts, "expected broadcast exchanges in the fast-path plan"
+    for b in bcasts:
+        names = _subtree_names(b)
+        if any("Range" in n for n in names):
+            assert any("BroadcastHashJoin" in n for n in names), (
+                "base-derived frame broadcast without a delta-key prefilter: "
+                + str(names)
+            )
 
 
 def test_archetype_d_star_aggregate(spark, wh):
