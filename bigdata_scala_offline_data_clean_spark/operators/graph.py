@@ -40,8 +40,12 @@ def pagerank(
     """(node, pr) after ``iters`` damped power iterations, fixed-point.
 
     ``edges`` is directed; pass both orientations for an undirected graph.
-    Every node must appear as a source (true for symmetrized edges) --
-    dangling-node mass redistribution is deliberately out of scope, as is
+    The node universe is the SOURCE set (nodes with out-edges): ranks are
+    left-joined back onto it every round, so a node with out-edges but no
+    in-edges keeps its ``(1-d)*SCALE`` baseline instead of silently
+    vanishing after round 1 (round-5 fix; on symmetrized graphs the
+    backfill is a no-op and values are unchanged).  Sink nodes (in-edges
+    only) and dangling-mass redistribution remain out of scope, as is
     convergence detection (fixed iteration count = fixed, auditable plan).
     """
     # out-degree rides WITH the edges: joining rank onto (u, v, deg) is one
@@ -57,15 +61,27 @@ def pagerank(
     # localCheckpoint truncates the per-round plan (rank tables are node-
     # sized); on a cluster use checkpoint() to a reliable dir instead.
     r = deg.select("u", F.lit(PR_SCALE).cast("bigint").alias("pr"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = ed.join(r, "u").select(
             F.col("v").alias("u"), F.expr("pr div deg").alias("c")
         )
-        r = contrib.groupBy("u").agg(
-            (
-                F.lit(base).cast("bigint")
-                + F.expr(f"({d_num} * sum(c)) div {d_den}")
-            ).alias("pr")
-        ).localCheckpoint(eager=False)
+        summed = contrib.groupBy("u").agg(F.sum("c").alias("sc"))
+        # left-join back onto the source universe: no-in-edge nodes get
+        # sc=0 -> pr=(1-d)*SCALE instead of dropping out of the rank table
+        r = (
+            deg.select("u")
+            .join(summed, "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(f"({d_num} * coalesce(sc, 0)) div {d_den}")
+                ).cast("bigint").alias("pr"),
+            )
+            # final round eager: materializes the node-sized rank table so
+            # the edge cache can be released before we return
+            .localCheckpoint(eager=(i == iters - 1))
+        )
+    ed.unpersist()
     out = r.select(F.col("u").alias("node"), "pr")
     return out

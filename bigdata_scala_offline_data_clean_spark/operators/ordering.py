@@ -93,20 +93,70 @@ def equidepth_histogram(
     documented uneven depths instead of nondeterministic splits.  Pure
     integer arithmetic end to end -- oracle-exact.
 
-    The unpartitioned window is deliberate: it runs over the aggregated
-    value table, not the corpus (the naive ``ntile() OVER (ORDER BY col)``
-    over raw rows is the single-task scale-killer this replaces).
+    The value-table ranking is two-level (round-5 fix: the previous
+    revision cumulative-summed the WHOLE distinct-value table through one
+    unpartitioned window -- fine for low-cardinality metrics, a
+    single-task sort for a continuous column whose distinct count grows
+    with the data):
+
+    1. range-partition the values into ~256 ordered slices (equi-width on
+       the value domain; every value in slice i sorts before slice i+1),
+    2. per-slice totals (<= 256 rows) -> cumulative slice offsets
+       driver-side, broadcast back (the ``global_rank`` construction),
+    3. ``rank_before`` = slice offset + intra-slice cumulative count, with
+       the window partitioned by slice -- max task |distinct|/256.
     """
+    n_slices = 256
     counts = df.groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    total = counts.agg(F.sum("cnt").alias("n_total"))
-    ranked = counts.crossJoin(F.broadcast(total)).select(
+    mm = counts.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("cnt").alias("n_total"),
+    ).collect()
+    if not mm or mm[0]["n_total"] is None:
+        return counts.select(
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.col("v").alias("lo"),
+            F.col("v").alias("hi"),
+        ).limit(0)
+    lo, hi, n_total = mm[0]["lo"], mm[0]["hi"], mm[0]["n_total"]
+    if lo == hi:
+        sl = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / n_slices
+        sl = F.least(
+            F.lit(n_slices - 1),
+            F.floor(
+                (F.col("v").cast("double") - F.lit(float(lo))) / F.lit(width)
+            ).cast("int"),
+        )
+    sliced = counts.withColumn("__s", sl)
+    slice_tot = (
+        sliced.groupBy("__s")
+        .agg(F.sum("cnt").alias("__n"))
+        .orderBy("__s")
+        .collect()
+    )
+    offs, acc = [], 0
+    for r in slice_tot:
+        offs.append((int(r["__s"]), acc))
+        acc += r["__n"]
+    off = df.sparkSession.createDataFrame(offs, ["__s", "__off"])
+    w = (
+        Window.partitionBy("__s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = sliced.join(F.broadcast(off), "__s").select(
         "v",
         "cnt",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("rank_before"),
-        "n_total",
+        (F.col("__off") + F.coalesce(F.sum("cnt").over(w), F.lit(0))).alias(
+            "rank_before"
+        ),
+        F.lit(n_total).alias("n_total"),
     )
     # integer floor-div keeps the assignment exact at any N (the double
     # division form would round above 2^53)

@@ -976,12 +976,17 @@ def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pr = pagerank(edges, iters=_PR_ITERS)
+    # pagerank eagerly checkpoints its final rank table, so the edge
+    # construction cache can be released here instead of leaking into a
+    # long-lived session
+    half.unpersist()
+    # top-20 via orderBy().limit() -- plans as TakeOrderedAndProject
+    # (per-partition take + merge), never a full-node-table window; pos is
+    # derived by a window over the already-bounded 20-row result.
+    top = pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    # top-20 window runs over the support-pruned node table, not the corpus
-    return (
-        pr.withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= 20)
-        .select(F.col("node").alias("part"), "pr", "pos")
+    return top.withColumn("pos", F.row_number().over(w)).select(
+        F.col("node").alias("part"), "pr", "pos"
     )
 
 

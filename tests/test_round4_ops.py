@@ -123,7 +123,9 @@ def _pr_model(edges, iters=5):
         s = defaultdict(int)
         for u, v in edges:
             s[v] += r[u] // deg[u]
-        r = {v: base + (85 * sv) // 100 for v, sv in s.items()}
+        # the node universe is the SOURCE set; no-in-edge nodes keep the
+        # (1-d) baseline (mirrors graph.py's left-join backfill)
+        r = {u: base + (85 * s[u]) // 100 for u in deg}
     return r
 
 
@@ -133,6 +135,18 @@ def test_pagerank_matches_python_model(spark):
     df = spark.createDataFrame(edges, ["u", "v"])
     got = {r["node"]: r["pr"] for r in pagerank(df, iters=5).collect()}
     assert got == _pr_model(edges, iters=5)
+
+
+def test_pagerank_directed_keeps_no_in_edge_nodes(spark):
+    """A node with out-edges but no in-edges must survive every round with
+    the (1-d) baseline rank, not silently vanish after iteration 1."""
+    edges = [(1, 2), (2, 3), (3, 2)]  # node 1 has no in-edges
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=3).collect()}
+    assert set(got) == {1, 2, 3}
+    base = (PR_SCALE * 15) // 100
+    assert got[1] == base
+    assert got == _pr_model(edges, iters=3)
 
 
 def test_pagerank_partitioning_invariant(spark):

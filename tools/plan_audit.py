@@ -183,14 +183,68 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
 }
 
 
+# Queries whose plans must contain NO unpartitioned WindowExec (a global
+# window funnels the whole input through one task -- the canonical
+# scale-killer).  Checked structurally via partitionSpec(), since the
+# Window node's toString does not distinguish the two forms reliably.
+NO_GLOBAL_WINDOW = {
+    "a27_approx_stats",
+    "a57_equidepth_histogram",
+    "a78_pagerank",
+}
+
+
+def _iter_nodes(node):
+    """Walk a py4j SparkPlan tree, descending through AQE leaf wrappers."""
+    yield node
+    kids = node.children()
+    kid_nodes = [kids.apply(i) for i in range(kids.size())]
+    if not kid_nodes:
+        for meth in ("executedPlan", "plan"):
+            try:
+                kid_nodes = [getattr(node, meth)()]
+                break
+            except Exception:
+                pass
+    for k in kid_nodes:
+        yield from _iter_nodes(k)
+
+
+def _n_global_windows(df) -> int:
+    """Unpartitioned WindowExec nodes whose input is NOT limit-bounded.
+
+    A window over a TakeOrdered/Limit subtree runs over a bounded frame
+    (e.g. pos-numbering a top-20) -- that is the documented small-frame
+    exception, not a scale risk.
+    """
+    n = 0
+    for node in _iter_nodes(df._jdf.queryExecution().executedPlan()):
+        if node.nodeName() == "Window":
+            try:
+                if node.partitionSpec().size() != 0:
+                    continue
+            except Exception:
+                continue
+            sub = {k.nodeName() for k in _iter_nodes(node)}
+            if any("TakeOrdered" in s or "Limit" in s for s in sub):
+                continue
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(app_name="plan_audit")
     specs = all_queries()
     failures = 0
     for name, (expect, forbid, max_exch) in EXPECTATIONS.items():
-        plan = specs[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = specs[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         problems = []
+        if name in NO_GLOBAL_WINDOW:
+            gw = _n_global_windows(df)
+            if gw:
+                problems.append(f"{gw} unpartitioned WindowExec node(s)")
         for e in expect:
             if e not in plan:
                 problems.append(f"missing {e!r}")
