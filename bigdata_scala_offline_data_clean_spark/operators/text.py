@@ -470,7 +470,9 @@ def oov_rate(
     toks = spread_narrow_scan(df, id_col).select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).where(F.col("token") != "")
-    v = vocab.select("token", F.lit(True).alias("__in_vocab"))
+    # distinct() guards against a caller-supplied vocab with duplicate
+    # tokens, which would fan out the token stream and inflate the counts
+    v = vocab.select("token").distinct().withColumn("__in_vocab", F.lit(True))
     joined = toks.join(F.broadcast(v), "token", "left")
     return (
         joined.groupBy(id_col)

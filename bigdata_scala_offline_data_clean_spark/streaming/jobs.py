@@ -338,11 +338,18 @@ def stream_sketch_partials(
     partials to a parquet store via ``foreachBatch``.
 
     The streaming face of ``operators/sketches``: each micro-batch
-    aggregates ONCE into fixed-size mergeable sketches and appends a few
+    aggregates ONCE into fixed-size mergeable sketches and writes a few
     KB per key -- no state store, no recomputation, and the partial store
     answers "distinct users / quantiles so far" at any time by merging
-    (``merge_sketch_rollup``).  Exactly-once: the appends ride the
-    streaming checkpoint, so a replayed batch never double-counts.
+    (``merge_sketch_rollup``).
+
+    Effectively-once: ``foreachBatch`` itself is only at-least-once (a
+    batch replayed after a failed checkpoint commit runs again), so each
+    batch writes to the deterministic subdir ``__bid=<batch_id>`` with
+    overwrite -- a replay overwrites its own partials instead of
+    appending duplicates, keeping the summed ``n_rows`` exact.  Readers
+    just ``spark.read.parquet(store_path)`` (partition discovery picks up
+    the subdirs; the merge groups by ``keys`` and ignores ``__bid``).
     """
     from ..operators.sketches import partial_sketches
 
@@ -356,7 +363,7 @@ def stream_sketch_partials(
             distinct_col,
             value_col,
         )
-        p.write.mode("append").parquet(store_path)
+        p.write.mode("overwrite").parquet(f"{store_path}/__bid={batch_id}")
 
     return stream_df.writeStream.foreachBatch(write_partials)
 
@@ -368,11 +375,14 @@ def stream_bitmap_partials(
     distinct_col: str,
 ):
     """Continuous EXACT distinct-count maintenance: per-micro-batch bitmap
-    partials appended via ``foreachBatch`` (the exact sibling of
+    partials written via ``foreachBatch`` (the exact sibling of
     ``stream_sketch_partials``; merge with
-    ``sketches.merge_bitmap_distinct``).  Appends ride the streaming
-    checkpoint -> exactly-once; merged counts equal batch
-    COUNT(DISTINCT) with no tolerance band.
+    ``sketches.merge_bitmap_distinct``).  Effectively-once despite
+    ``foreachBatch``'s at-least-once contract: each batch overwrites the
+    deterministic subdir ``__bid=<batch_id>``, so a replayed batch
+    replaces its own partials (bitmap OR-merge is idempotent anyway, but
+    row-count sums are not -- the overwrite keeps both exact); merged
+    counts equal COUNT(DISTINCT) with no tolerance band.
     """
     from ..operators.sketches import bitmap_distinct_partials
 
@@ -385,6 +395,6 @@ def stream_bitmap_partials(
             "__batch",
             distinct_col,
         )
-        p.write.mode("append").parquet(store_path)
+        p.write.mode("overwrite").parquet(f"{store_path}/__bid={batch_id}")
 
     return stream_df.writeStream.foreachBatch(write_partials)

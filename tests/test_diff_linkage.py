@@ -179,3 +179,29 @@ def test_runtime_bloom_filter_injects_might_contain(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_blocked_fuzzy_pairs_max_block_caps_degenerate_block(spark):
+    """All rows sharing one (brand, noun) block: without the cap the verify
+    join is quadratic; with the cap the hot block is dropped entirely and
+    the pair count is bounded."""
+    rows = [(i, f"name {i:03d}", "B1") for i in range(40)]
+    # one small healthy block alongside the degenerate one
+    rows += [(100, "other x1", "B2"), (101, "other x2", "B2")]
+    df = spark.createDataFrame(rows, ["id", "name", "brand"])
+    kw = dict(
+        id_col="id",
+        text_col="name",
+        block_exprs={
+            "blk_brand": F.col("brand"),
+            "blk_noun": F.split_part(F.col("name"), F.lit(" "), F.lit(1)),
+        },
+        max_dist=2,
+        min_dist=1,
+    )
+    uncapped = blocked_fuzzy_pairs(df, **kw).count()
+    capped = blocked_fuzzy_pairs(df, max_block=10, **kw)
+    got = capped.collect()
+    # only the healthy 2-row block survives the cap
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+    assert uncapped > len(got)

@@ -490,3 +490,53 @@ def test_pareto_frontier_matches_quadratic_model(spark):
     assert got == want
     # exact duplicates: strict dominance keeps both or neither
     assert (900 in got) == (901 in got)
+
+
+def test_stream_partials_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: running the same batch_id twice must
+    not double-count (each batch overwrites its deterministic subdir)."""
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        merge_bitmap_distinct,
+        merge_sketch_rollup,
+    )
+
+    e = _events(spark, n=1000, users=97)
+    sk_store = str(tmp_path / "sk")
+    bm_store = str(tmp_path / "bm")
+    # simulate foreachBatch at-least-once: batch 0 written, then REPLAYED
+    # after a failed commit -- same write shape as streaming/jobs.py
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        bitmap_distinct_partials,
+        partial_sketches,
+    )
+
+    def write_sk(batch_df, batch_id):
+        p = partial_sketches(
+            batch_df.withColumn("__batch", F.lit(batch_id)),
+            ["event_type"], "__batch", "user_id", "value",
+        )
+        p.write.mode("overwrite").parquet(f"{sk_store}/__bid={batch_id}")
+
+    def write_bm(batch_df, batch_id):
+        p = bitmap_distinct_partials(
+            batch_df.withColumn("__batch", F.lit(batch_id)),
+            ["event_type"], "__batch", "user_id",
+        )
+        p.write.mode("overwrite").parquet(f"{bm_store}/__bid={batch_id}")
+
+    half_a = e.where(F.col("event_id") % 2 == 0)
+    half_b = e.where(F.col("event_id") % 2 == 1)
+    for batch_df, bid in [(half_a, 0), (half_b, 1), (half_a, 0)]:  # replay 0
+        write_sk(batch_df, bid)
+        write_bm(batch_df, bid)
+
+    merged = merge_sketch_rollup(spark.read.parquet(sk_store), ["event_type"])
+    assert sum(r["n_rows"] for r in merged.collect()) == 1000  # no double count
+    bm = merge_bitmap_distinct(spark.read.parquet(bm_store), ["event_type"])
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert {r["event_type"]: r["distinct_count"] for r in bm.collect()} == exact
