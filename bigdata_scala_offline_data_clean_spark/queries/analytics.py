@@ -400,26 +400,44 @@ SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
 # ---------------------------------------------------------------------------
 
 
-def _ann_with_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+def _ann_with_recall(
+    ann: DataFrame, exact: DataFrame, k: int, floor: float | None = None
+) -> DataFrame:
     """Append per-query ``recall_at_k`` vs the exact top-k.
 
     ANN queries have no SQL oracle (driver falls back to rows-only), so the
     quality metric travels INSIDE the result: the rows-only check then pins
     a meaningful, deterministic recall value instead of just a row count
     (mirrors the pytest bounds in test_llm_ops).
+
+    With ``floor`` set, also appends ``mean_recall`` (corpus-level mean of
+    the per-query recalls, identical on every row) and ``recall_ok =
+    mean_recall >= floor`` -- so the driver's rows-only value hash goes RED
+    if recall ever drifts below the documented floor, instead of silently
+    recording a row count.  Floors mirror the pytest bounds.
     """
     hits = (
         ann.join(exact.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi")
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
-    return (
+    out = (
         ann.join(F.broadcast(hits), "q_id", "left")
         .withColumn(
             "recall_at_k",
             F.round(F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(k), 4),
         )
         .drop("__hits")
+    )
+    if floor is None:
+        return out
+    mean = (
+        out.select("q_id", "recall_at_k")
+        .distinct()
+        .agg(F.round(F.avg("recall_at_k"), 4).alias("mean_recall"))
+    )
+    return out.crossJoin(F.broadcast(mean)).withColumn(
+        "recall_ok", F.col("mean_recall") >= F.lit(floor)
     )
 
 
@@ -658,7 +676,10 @@ def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-uniformly across cells (worst case for IVF); clustered real
     # embeddings concentrate them, needing far fewer probes per recall
     ann = ivf_ann_topk(e, q, k=_TOPK_K, n_clusters=8, n_probes=4)
-    return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
+    # floor mirrors test_ivf_ann_recall's 0.5 aggregate bound
+    return _ann_with_recall(
+        ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K, floor=0.5
+    )
 
 
 def a22_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

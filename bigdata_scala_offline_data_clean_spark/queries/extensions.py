@@ -769,7 +769,10 @@ def a76_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = pq_ann_topk(e, q, k=_TOPK_K, m=16, ksub=16, refine=50).drop(
         "approx_dist"
     )
-    return _ann_with_recall(ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K)
+    # floor mirrors test_pq_ann_recall_and_code_shape's 0.7 bound
+    return _ann_with_recall(
+        ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K, floor=0.7
+    )
 
 
 QUERIES["a76_embedding_pq_ann"] = QuerySpec(a76_embedding_pq_ann, None)
