@@ -13,6 +13,13 @@ headline queries inflated the tail of the run ~2x.  Now every number is
 cold-cache / warm-JIT and self-contained: expect a07/a25/a26/c20 higher
 than r3 (honest cost) and everything else lower (no leaked-storage
 pressure).
+
+a26 A/B (round 5): the r3->r4 regression (0.28 -> 0.79s) is exactly the
+cache-clear -- measured cold 0.88-1.0s vs 0.49-0.67s with a07's shingle
+blocks pre-persisted (the r3 leak).  a26 is a single-consumer linear
+pipeline (shingles -> groupBy -> TakeOrdered), so there is no
+multi-consumer intermediate to persist inside the timed query; the cold
+number IS the honest cost.
 """
 
 from __future__ import annotations
@@ -74,6 +81,11 @@ HEADLINE = [
     "a84_cdc_chunking",
     "c31_rag_retrieval",
     "c36_golden_record",
+    # r5 additions (extend-only)
+    "c33_dpp_join",
+    "a87_cumulative_distinct",
+    "c35_retraction_agg",  # the GDPR-retraction IVM path
+    "s10_stream_bitmap_distinct",
 ]
 
 

@@ -61,27 +61,33 @@ def pagerank(
     # localCheckpoint truncates the per-round plan (rank tables are node-
     # sized); on a cluster use checkpoint() to a reliable dir instead.
     r = deg.select("u", F.lit(PR_SCALE).cast("bigint").alias("pr"))
-    for i in range(iters):
-        contrib = ed.join(r, "u").select(
-            F.col("v").alias("u"), F.expr("pr div deg").alias("c")
+    for _ in range(iters):
+        # LEFT join + coalesce(pr, base): after round 1 the rank table only
+        # covers destination nodes, and a source with no in-edges has
+        # exactly pr = (1-d)*SCALE = base every round -- coalescing the
+        # constant is equivalent to materializing its rank row, at the cost
+        # of the SAME single join (no extra per-round backfill shuffle)
+        contrib = ed.join(r, "u", "left").select(
+            F.col("v").alias("u"),
+            F.expr(f"coalesce(pr, {base}) div deg").alias("c"),
         )
-        summed = contrib.groupBy("u").agg(F.sum("c").alias("sc"))
-        # left-join back onto the source universe: no-in-edge nodes get
-        # sc=0 -> pr=(1-d)*SCALE instead of dropping out of the rank table
-        r = (
-            deg.select("u")
-            .join(summed, "u", "left")
-            .select(
-                "u",
-                (
-                    F.lit(base).cast("bigint")
-                    + F.expr(f"({d_num} * coalesce(sc, 0)) div {d_den}")
-                ).cast("bigint").alias("pr"),
-            )
-            # final round eager: materializes the node-sized rank table so
-            # the edge cache can be released before we return
-            .localCheckpoint(eager=(i == iters - 1))
+        r = contrib.groupBy("u").agg(
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({d_num} * sum(c)) div {d_den}")
+            ).alias("pr")
+        ).localCheckpoint(eager=False)
+    # one final backfill restores the full source universe in the output
+    # (no-in-edge nodes sit at the base rank); eager checkpoint
+    # materializes the node-sized result so the edge cache can be released
+    out = (
+        deg.select("u")
+        .join(r, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("pr"), F.lit(base)).cast("bigint").alias("pr"),
         )
+        .localCheckpoint(eager=True)
+    )
     ed.unpersist()
-    out = r.select(F.col("u").alias("node"), "pr")
     return out

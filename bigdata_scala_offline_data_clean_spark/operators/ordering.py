@@ -100,63 +100,60 @@ def equidepth_histogram(
     with the data):
 
     1. range-partition the values into ~256 ordered slices (equi-width on
-       the value domain; every value in slice i sorts before slice i+1),
-    2. per-slice totals (<= 256 rows) -> cumulative slice offsets
-       driver-side, broadcast back (the ``global_rank`` construction),
+       the value domain, derived from a broadcast 1-row min/max frame --
+       fully declarative, no driver collect),
+    2. per-slice totals, made plan-evidently bounded with ``limit(257)``
+       (<= 256 slices exist, so the limit is a no-op that lets the plan
+       audit SEE the bound) -> cumulative slice offsets via a window over
+       that bounded frame, broadcast-joined back,
     3. ``rank_before`` = slice offset + intra-slice cumulative count, with
-       the window partitioned by slice -- max task |distinct|/256.
+       the big window partitioned by slice -- max task |distinct|/256.
     """
     n_slices = 256
     counts = df.groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     mm = counts.agg(
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.sum("cnt").alias("n_total"),
-    ).collect()
-    if not mm or mm[0]["n_total"] is None:
-        return counts.select(
-            F.lit(0).cast("long").alias("bucket"),
-            F.lit(0).cast("long").alias("n_rows"),
-            F.col("v").alias("lo"),
-            F.col("v").alias("hi"),
-        ).limit(0)
-    lo, hi, n_total = mm[0]["lo"], mm[0]["hi"], mm[0]["n_total"]
-    if lo == hi:
-        sl = F.lit(0)
-    else:
-        width = (float(hi) - float(lo)) / n_slices
-        sl = F.least(
-            F.lit(n_slices - 1),
-            F.floor(
-                (F.col("v").cast("double") - F.lit(float(lo))) / F.lit(width)
-            ).cast("int"),
-        )
-    sliced = counts.withColumn("__s", sl)
+        F.min("v").alias("__lo"),
+        F.max("v").alias("__hi"),
+        F.sum("cnt").alias("__nt"),
+    )
+    sliced = counts.crossJoin(F.broadcast(mm)).withColumn(
+        "__s",
+        F.when(F.col("__lo") == F.col("__hi"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_slices - 1),
+                F.floor(
+                    (F.col("v").cast("double") - F.col("__lo").cast("double"))
+                    / (
+                        (F.col("__hi").cast("double") - F.col("__lo").cast("double"))
+                        / F.lit(float(n_slices))
+                    )
+                ).cast("int"),
+            )
+        ),
+    )
     slice_tot = (
         sliced.groupBy("__s")
         .agg(F.sum("cnt").alias("__n"))
-        .orderBy("__s")
-        .collect()
+        .limit(n_slices + 1)  # provable no-op: <= 256 slice groups exist
     )
-    offs, acc = [], 0
-    for r in slice_tot:
-        offs.append((int(r["__s"]), acc))
-        acc += r["__n"]
-    off = df.sparkSession.createDataFrame(offs, ["__s", "__off"])
+    woff = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    offs = slice_tot.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(woff), F.lit(0))
+    ).select("__s", "__off")
     w = (
         Window.partitionBy("__s")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = sliced.join(F.broadcast(off), "__s").select(
+    ranked = sliced.join(F.broadcast(offs), "__s").select(
         "v",
         "cnt",
         (F.col("__off") + F.coalesce(F.sum("cnt").over(w), F.lit(0))).alias(
             "rank_before"
         ),
-        F.lit(n_total).alias("n_total"),
+        F.col("__nt").alias("n_total"),
     )
     # integer floor-div keeps the assignment exact at any N (the double
     # division form would round above 2^53)

@@ -977,6 +977,11 @@ def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the distinct + self-join + support agg runs once, not twice
         .persist()
     )
+    # materialize BEFORE the union: both union branches land in one job,
+    # and two concurrent cache-miss readers would each compute the
+    # self-join (persist only helps once blocks exist) -- measured 1.7s
+    # of duplicated work at sf0.1 without this count
+    half.count()
     edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pr = pagerank(edges, iters=_PR_ITERS)
     # pagerank eagerly checkpoints its final rank table, so the edge
