@@ -398,3 +398,27 @@ def stream_bitmap_partials(
         p.write.mode("overwrite").parquet(f"{store_path}/__bid={batch_id}")
 
     return stream_df.writeStream.foreachBatch(write_partials)
+
+
+def stream_count_partials(
+    stream_df: DataFrame,
+    store_path: str,
+    keys: list[str],
+):
+    """Continuous grouped-count maintenance: per-micro-batch count partials
+    written via ``foreachBatch``; merging is a plain SUM per key, so any
+    reader gets exact running counts (and exact top-k over them) without
+    re-scanning history.
+
+    Effectively-once like its sketch/bitmap siblings: each batch overwrites
+    the deterministic ``__bid=<batch_id>`` subdir, so an at-least-once
+    replay replaces its own partials and the summed counts stay exact.
+    """
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = batch_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+        p.write.mode("overwrite").parquet(f"{store_path}/__bid={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(write_partials)
