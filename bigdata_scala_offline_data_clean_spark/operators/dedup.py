@@ -769,3 +769,68 @@ def cdc_chunks(
         F.length(body).cast("bigint").alias("seg_len"),
         F.md5(body).alias("seg_md5"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: C(a in b) = |S(a) & S(b)| / |S(a)|.
+
+    Jaccard misses subset duplicates -- a short doc quoted whole inside a
+    long one scores low symmetric similarity but containment ~1.  This is
+    the standard quote/boilerplate detector for training-data curation.
+
+    Candidates come from the shared-shingle inverted index (same shape as
+    ``ngram_jaccard_pairs``).  ``max_gram_df`` drops grams appearing in
+    more than that many docs BEFORE the self-join -- the stop-gram cap
+    that bounds the index blowup at corpus scale (a gram shared by d docs
+    emits d^2 candidate rows; corpus-frequent boilerplate grams would
+    otherwise dominate the shuffle).  Capped grams leave the shingle
+    universe entirely, so sizes and intersections stay consistent.
+
+    Output: (a, b, n_grams_a, n_shared, containment) for ordered pairs
+    a != b with containment >= threshold; containment is the double
+    division n_shared / n_grams_a (bit-identical cross-engine on exact
+    integer inputs).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_gram_df is not None:
+        keep = (
+            sh.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        sh = sh.join(keep, "gram")
+    if not _plan_already_cached(sh):
+        sh = sh.persist()  # feeds sizes + both sides of the index join
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("a"), "gram")
+    b = sh.select(F.col(id_col).alias("b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("__sz").alias("n_grams_a")),
+            "a",
+        )
+        .select(
+            "a",
+            "b",
+            "n_grams_a",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_grams_a")).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -1,0 +1,255 @@
+"""Round-5 second batch: count-min heavy hitters, containment dedup,
+corpus length-inequality stats, and compaction planning.
+
+- a95 count-min heavy hitters: the mergeable frequency-sketch shape
+  (fixed ``depth x width`` counter table, merge = SUM) point-queried for
+  the exact top-k keys, with the CMS over-count pinned as data
+  (``cms_est >= exact_n`` is a deterministic CMS invariant, checked by
+  the oracle as a boolean column).
+- a99 containment dedup: asymmetric |S(a) & S(b)| / |S(a)| over shingle
+  sets -- the quote/boilerplate detector symmetric Jaccard misses --
+  with the stop-gram cap that bounds the inverted-index blowup at scale.
+- a100 length Gini: per-language Gini coefficient of document token
+  counts (corpus length-inequality diagnostic for mixture design); the
+  rank window is partitioned by language, integer-exact sums, one
+  double division at the end.
+- c40 compaction plan: the OPTIMIZE bin-packing planner -- per
+  partition, sequential files fold into target-size bins via a
+  cumulative-row-count window.  At 100 TB the input is the file-stats
+  metadata table (KB per partition); deriving stats from rows here is
+  the fixture stand-in, and the planner itself never touches data.
+
+All four have full DuckDB oracles: the CMS buckets are md5 hex-byte
+arithmetic (the ``simhash`` nibble trick), divisions are double-on-exact-
+integers, and every window carries a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ._util import load_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# ---------------------------------------------------------------------------
+# a95 -- count-min sketch heavy hitters over events.user_id
+# ---------------------------------------------------------------------------
+
+_A95_K = 10
+_CMS_DEPTH = 4
+
+
+def a95_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counters, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    counters = cms_counters(counts, "user_id", "exact_n", depth=_CMS_DEPTH)
+    # exact top-k: TakeOrderedAndProject (per-partition take + merge); pos
+    # from a window over the already-bounded k-row result (a78 pattern)
+    top = counts.orderBy(F.col("exact_n").desc(), F.col("user_id").asc()).limit(
+        _A95_K
+    )
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    top = top.withColumn("pos", F.row_number().over(w))
+    est = cms_estimate(top, counters, "user_id", depth=_CMS_DEPTH)
+    return est.select(
+        "user_id",
+        "pos",
+        "exact_n",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("cms_ok"),
+    )
+
+
+def _nib(e: str) -> str:
+    return f"(CASE WHEN ascii({e}) >= 97 THEN ascii({e}) - 87 ELSE ascii({e}) - 48 END)"
+
+
+def _a95_sql() -> str:
+    b1 = _nib("substr(h, 2*j+1, 1)")
+    b2 = _nib("substr(h, 2*j+2, 1)")
+    return f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+), hashed AS (
+  SELECT user_id, exact_n, md5(CAST(user_id AS VARCHAR)) AS h FROM counts
+), pairs AS (
+  SELECT user_id, exact_n, j, ({b1} * 16 + {b2}) AS bucket
+  FROM hashed CROSS JOIN (SELECT unnest(range({_CMS_DEPTH})) AS j) d
+), cms AS (
+  SELECT j, bucket, CAST(sum(exact_n) AS BIGINT) AS cnt
+  FROM pairs GROUP BY 1, 2
+), top AS (
+  SELECT user_id, exact_n,
+         row_number() OVER (ORDER BY exact_n DESC, user_id ASC) AS pos
+  FROM counts QUALIFY pos <= {_A95_K}
+), est AS (
+  SELECT t.user_id, t.pos, t.exact_n, min(c.cnt) AS cms_est
+  FROM top t
+  JOIN pairs p ON p.user_id = t.user_id
+  JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, pos, exact_n, cms_est,
+       cms_est - exact_n AS overestimate,
+       cms_est >= exact_n AS cms_ok
+FROM est
+"""
+
+
+QUERIES["a95_cms_heavy_hitters"] = QuerySpec(a95_cms_heavy_hitters, _a95_sql())
+
+# ---------------------------------------------------------------------------
+# a99 -- containment (asymmetric) near-dup pairs with a stop-gram cap
+# ---------------------------------------------------------------------------
+
+_A99_N, _A99_THRESHOLD, _A99_MAX_DF = 3, 0.6, 50
+
+
+def a99_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, n=_A99_N, threshold=_A99_THRESHOLD, max_gram_df=_A99_MAX_DF
+    )
+
+
+def _a99_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_A99_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_A99_N - 1}], ' ')))) AS gram
+  FROM toks
+), keep AS (
+  SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= {_A99_MAX_DF}
+), grams AS (
+  SELECT g.doc_id, g.gram FROM grams0 g JOIN keep k ON k.gram = g.gram
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_shared
+  FROM grams ga JOIN grams gb ON gb.gram = ga.gram AND gb.doc_id <> ga.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT i.a, i.b, s.n AS n_grams_a, i.n_shared,
+         CAST(i.n_shared AS DOUBLE) / s.n AS containment
+  FROM inter i JOIN sizes s ON s.doc_id = i.a
+) WHERE containment >= {_A99_THRESHOLD}
+"""
+
+
+QUERIES["a99_containment_dedup"] = QuerySpec(a99_containment_dedup, _a99_sql())
+
+# ---------------------------------------------------------------------------
+# a100 -- per-language Gini coefficient of document token counts
+# ---------------------------------------------------------------------------
+
+
+def a100_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("x")
+    )
+    # rank window is PARTITIONED by lang -- per-group sort, no global
+    # single-task window; ties in x are order-independent in sum(i*x)
+    w = Window.partitionBy("lang").orderBy(F.col("x").asc(), F.col("doc_id").asc())
+    r = x.withColumn("i", F.row_number().over(w))
+    g = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("total_tokens"),
+        F.sum(F.col("i").cast("bigint") * F.col("x")).alias("__ix"),
+    )
+    gini = F.round(
+        2.0 * F.col("__ix") / (F.col("n_docs").cast("double") * F.col("total_tokens"))
+        - (F.col("n_docs") + F.lit(1.0)) / F.col("n_docs"),
+        6,
+    )
+    return g.select("lang", "n_docs", "total_tokens", gini.alias("gini"))
+
+
+A100_SQL = """
+WITH x AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS x FROM documents
+), r AS (
+  SELECT lang, x,
+         row_number() OVER (PARTITION BY lang ORDER BY x ASC, doc_id ASC) AS i
+  FROM x
+), g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS total_tokens,
+         CAST(sum(i * x) AS BIGINT) AS ix
+  FROM r GROUP BY 1
+)
+SELECT lang, n_docs, total_tokens,
+       round(2.0 * ix / (CAST(n_docs AS DOUBLE) * total_tokens)
+             - (n_docs + 1.0) / n_docs, 6) AS gini
+FROM g
+"""
+
+
+QUERIES["a100_length_gini"] = QuerySpec(a100_length_gini, A100_SQL)
+
+# ---------------------------------------------------------------------------
+# c40 -- compaction (OPTIMIZE) bin-packing planner over file stats
+# ---------------------------------------------------------------------------
+
+_C40_TARGET = 50_000  # rows per output bin
+_C40_FILES = 16  # simulated files per partition
+
+
+def c40_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_format("l_shipdate", "yyyyMM").alias("part"),
+        (F.col("l_orderkey") % _C40_FILES).alias("file_id"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # sequential fold: bin = floor(rows-before-this-file / target).  The
+    # window is per warehouse partition over at most _C40_FILES stat rows.
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "start_row", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
+    )
+    return planned.select(
+        "part",
+        "file_id",
+        "n_rows",
+        "start_row",
+        F.floor(F.col("start_row") / F.lit(float(_C40_TARGET))).alias("bin"),
+    )
+
+
+C40_SQL = f"""
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y%m') AS part,
+         l_orderkey % {_C40_FILES} AS file_id,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1, 2
+), planned AS (
+  SELECT part, file_id, n_rows,
+         CAST(COALESCE(SUM(n_rows) OVER (
+           PARTITION BY part ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_row
+  FROM files
+)
+SELECT part, file_id, n_rows, start_row,
+       CAST(floor(start_row / {float(_C40_TARGET)}) AS BIGINT) AS bin
+FROM planned
+"""
+
+
+QUERIES["c40_compaction_plan"] = QuerySpec(c40_compaction_plan, C40_SQL)

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.dedup import containment_pairs
+from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_counters,
+    cms_estimate,
+)
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "k string, n bigint")
+
+
+def test_cms_never_undercounts(spark):
+    rows = [(f"key{i}", (i % 7) + 1) for i in range(300)]
+    counts = _counts(spark, rows)
+    counters = cms_counters(counts, "k", "n")
+    est = cms_estimate(counts, counters, "k").collect()
+    assert len(est) == 300
+    for r in est:
+        assert r.cms_est >= r.n, (r.k, r.cms_est, r.n)
+
+
+def test_cms_counter_table_bounded_and_mass_preserved(spark):
+    rows = [(f"key{i}", 5) for i in range(1000)]
+    counters = cms_counters(_counts(spark, rows), "k", "n")
+    got = counters.collect()
+    assert len(got) <= CMS_DEPTH * CMS_WIDTH
+    # every depth row holds the full mass: sum over buckets == sum(n)
+    per_depth = {r.j: 0 for r in got}
+    for r in got:
+        per_depth[r.j] += r.cnt
+    assert set(per_depth) == set(range(CMS_DEPTH))
+    assert all(v == 5000 for v in per_depth.values())
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # 3 keys in 4x256 buckets: collisions across all 4 depths are
+    # effectively impossible, so min over depths is exact
+    counts = _counts(spark, [("a", 10), ("b", 20), ("c", 30)])
+    counters = cms_counters(counts, "k", "n")
+    est = {r.k: r.cms_est for r in cms_estimate(counts, counters, "k").collect()}
+    assert est == {"a": 10, "b": 20, "c": 30}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_containment_detects_subset_duplicate(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "intro words here " + short + " and a very long unrelated tail " + (
+        "filler " * 20
+    ).strip()
+    d = _docs(spark, [(1, short), (2, long), (3, "totally different text corpus")])
+    out = containment_pairs(d, n=3, threshold=0.9).collect()
+    pairs = {(r.a, r.b): r.containment for r in out}
+    # every shingle of doc 1 appears in doc 2 -> containment 1.0 that way
+    assert pairs[(1, 2)] == 1.0
+    # the reverse direction is weak (long doc mostly not in short) -> absent
+    assert (2, 1) not in pairs
+
+
+def test_containment_stop_gram_cap_drops_boilerplate(spark):
+    # the same boilerplate gram in every doc; unrelated payloads otherwise
+    rows = [(i, f"shared legal boilerplate p{i} q{i} r{i} s{i}") for i in range(6)]
+    d = _docs(spark, rows)
+    uncapped = containment_pairs(d, n=3, threshold=0.1).collect()
+    capped = containment_pairs(d, n=3, threshold=0.1, max_gram_df=3).collect()
+    # without the cap the shared gram links all pairs; with it, none survive
+    assert len(uncapped) > 0
+    assert len(capped) == 0

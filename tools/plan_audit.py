@@ -180,6 +180,19 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a88_decayed_sum": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # CMS heavy hitters: the <=depth*width counter table must broadcast
+    # into the point-query join; top-k is TakeOrdered, never a global sort
+    "a95_cms_heavy_hitters": (
+        ("BroadcastHashJoin", "TakeOrderedAndProject"),
+        ("SortMergeJoin", "CartesianProduct"), None,
+    ),
+    # containment: inverted-index equi-joins only, no all-pairs verify
+    "a99_containment_dedup": ((), ("NestedLoop", "CartesianProduct"), None),
+    # Gini: the per-lang rank window and the per-lang agg share ONE
+    # hash(lang) exchange; no joins anywhere
+    "a100_length_gini": ((), ("Join",), 1),
+    # compaction planner: file-stats agg + per-partition window, no joins
+    "c40_compaction_plan": ((), ("Join",), 2),
 }
 
 
@@ -191,6 +204,9 @@ NO_GLOBAL_WINDOW = {
     "a27_approx_stats",
     "a57_equidepth_histogram",
     "a78_pagerank",
+    "a95_cms_heavy_hitters",
+    "a100_length_gini",
+    "c40_compaction_plan",
 }
 
 
