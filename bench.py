@@ -86,6 +86,10 @@ HEADLINE = [
     "a87_cumulative_distinct",
     "c35_retraction_agg",  # the GDPR-retraction IVM path
     "s10_stream_bitmap_distinct",
+    "a95_cms_heavy_hitters",
+    "a99_containment_dedup",
+    "a100_length_gini",
+    "c40_compaction_plan",
 ]
 
 

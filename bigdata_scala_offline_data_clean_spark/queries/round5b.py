@@ -253,3 +253,217 @@ FROM planned
 
 
 QUERIES["c40_compaction_plan"] = QuerySpec(c40_compaction_plan, C40_SQL)
+
+# ---------------------------------------------------------------------------
+# a101 -- A/B experiment analysis (Welch z on hash-assigned arms)
+# ---------------------------------------------------------------------------
+
+
+def a101_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout: users hash-split into arms (parity here;
+    production uses a salted hash -- same shape), per-arm purchase-value
+    moments from exact decimal sums (the a60 convention), Welch z and a
+    significance boolean.  One agg over the fact scan + a 2-row fold --
+    nothing shuffles twice at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    g = e.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+
+    def pick(arm: int, col: str):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    p = g.agg(
+        pick(0, "n").alias("n0"), pick(1, "n").alias("n1"),
+        pick(0, "s").alias("s0"), pick(1, "s").alias("s1"),
+        pick(0, "ss").alias("ss0"), pick(1, "ss").alias("ss1"),
+    )
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    v0 = (
+        F.col("ss0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    z = (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
+    return p.select(
+        "n0",
+        "n1",
+        F.round(m0, 6).alias("mean0"),
+        F.round(m1, 6).alias("mean1"),
+        F.round(m1 - m0, 6).alias("diff"),
+        F.round(z, 6).alias("z_welch"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
+A101_SQL = """
+WITH g AS (
+  SELECT user_id % 2 AS arm, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), p AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 0 THEN s END) AS s0,
+         max(CASE WHEN arm = 1 THEN s END) AS s1,
+         max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+         max(CASE WHEN arm = 1 THEN ss END) AS ss1
+  FROM g
+), m AS (
+  SELECT n0, n1,
+         CAST(s0 AS DOUBLE) / n0 AS m0,
+         CAST(s1 AS DOUBLE) / n1 AS m1,
+         (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+           / (n0 - 1) AS v0,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+           / (n1 - 1) AS v1
+  FROM p
+)
+SELECT n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+       round(m1 - m0, 6) AS diff,
+       round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS z_welch,
+       abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) >= 1.96 AS significant
+FROM m
+"""
+
+
+QUERIES["a101_ab_test"] = QuerySpec(a101_ab_test, A101_SQL)
+
+# ---------------------------------------------------------------------------
+# c41 -- partition health report (observability over daily ingest)
+# ---------------------------------------------------------------------------
+
+
+def c41_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ingest health: volume vs a trailing-7-day baseline, key
+    null-rate, and freshness.  The trailing window runs over the DAILY
+    AGGREGATE table (one row per partition day -- thousands of rows after
+    years of history), never the event stream; the event scan is one
+    groupBy.  ``row_ok`` flags days deviating >50% from their trailing
+    mean -- the load-is-missing / double-load alarm.
+    """
+    from ._util import day_str, ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(day_str("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(
+            F.when(F.col("user_id").isNull(), 1).otherwise(0)
+        ).alias("n_null_user"),
+        ts_str(F.max("ts")).alias("last_ts"),
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trailing = F.avg("n_rows").over(w)
+    out = daily.withColumn("trailing_avg", F.round(trailing, 6))
+    dev = (F.col("n_rows") - trailing) / trailing
+    return out.select(
+        "day",
+        "n_rows",
+        "n_users",
+        "n_null_user",
+        "trailing_avg",
+        F.round(dev, 6).alias("dev_pct"),
+        F.coalesce(F.abs(dev) <= 0.5, F.lit(True)).alias("row_ok"),
+        "last_ts",
+    )
+
+
+C41_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y%m%d') AS day, count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_users,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_user,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+  FROM events GROUP BY 1
+), t AS (
+  SELECT *, avg(n_rows) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trl
+  FROM daily
+)
+SELECT day, n_rows, n_users, n_null_user,
+       round(trl, 6) AS trailing_avg,
+       round((n_rows - trl) / trl, 6) AS dev_pct,
+       COALESCE(abs((n_rows - trl) / trl) <= 0.5, TRUE) AS row_ok,
+       last_ts
+FROM t
+"""
+
+
+QUERIES["c41_partition_health"] = QuerySpec(c41_partition_health, C41_SQL)
+
+# ---------------------------------------------------------------------------
+# c42 -- backfill plan: missing partition days folded into contiguous runs
+# ---------------------------------------------------------------------------
+
+
+def c42_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: calendar anti-join finds missing partition days,
+    gaps-and-islands folds them into contiguous (start, end) ranges -- one
+    backfill job per range, not per day.  "Present" simulates failed
+    ingests deterministically (day-of-month % 7 in {2, 5} missing); in
+    production the present set comes from SHOW PARTITIONS (the c37
+    machinery) and is O(partitions).  Every frame after the first agg is
+    calendar-sized.
+    """
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(day_str("ts").alias("day")).distinct().select(
+        F.to_date("day", "yyyyMMdd").alias("d")
+    )
+    present = days.where(~(F.dayofmonth("d") % 7).isin(2, 5))
+    cal = (
+        days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    missing = cal.join(present, "d", "left_anti")
+    # islands over the bounded missing-day table (calendar-sized)
+    w = Window.orderBy("d")
+    isl = missing.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+    return (
+        isl.groupBy("grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyyMMdd").alias("backfill_start"),
+            F.date_format(F.max("d"), "yyyyMMdd").alias("backfill_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("backfill_start", "backfill_end", "n_days")
+    )
+
+
+C42_SQL = """
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+), present AS (
+  SELECT d FROM days WHERE NOT (EXTRACT(day FROM d) % 7 IN (2, 5))
+), cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(d) FROM days), (SELECT max(d) FROM days),
+    INTERVAL 1 DAY))::DATE AS d
+), missing AS (
+  SELECT c.d FROM cal c LEFT JOIN present p ON p.d = c.d WHERE p.d IS NULL
+), isl AS (
+  SELECT d, d - CAST(row_number() OVER (ORDER BY d) AS INT) AS grp
+  FROM missing
+)
+SELECT strftime(min(d), '%Y%m%d') AS backfill_start,
+       strftime(max(d), '%Y%m%d') AS backfill_end,
+       count(*) AS n_days
+FROM isl GROUP BY grp
+"""
+
+
+QUERIES["c42_backfill_plan"] = QuerySpec(c42_backfill_plan, C42_SQL)

@@ -193,6 +193,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a100_length_gini": ((), ("Join",), 1),
     # compaction planner: file-stats agg + per-partition window, no joins
     "c40_compaction_plan": ((), ("Join",), 2),
+    # A/B readout: one agg over the fact scan + a 2-row fold, no joins
+    "a101_ab_test": ((), ("Join",), 3),
+    # partition health: one event-scan groupBy; trailing window runs over
+    # the daily aggregate only (documented bounded post-agg window)
+    "c41_partition_health": ((), ("Join", "CartesianProduct"), None),
+    # backfill planner: calendar-sized frames after the first agg; the
+    # anti-join must never plan as a cartesian
+    "c42_backfill_plan": ((), ("CartesianProduct",), None),
 }
 
 
