@@ -974,14 +974,14 @@ def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= _TRI_MIN_SUPPORT)
         .select("u", "v")
         # the symmetrizing union references this subtree twice; persist so
-        # the distinct + self-join + support agg runs once, not twice
+        # the distinct + self-join + support agg runs once, not twice.
+        # NOT materialized here: pagerank's final eager checkpoint runs the
+        # whole DAG as one job, within which the persist dedups the two
+        # union branches -- a separate count() job re-measured as a ~2s
+        # pure cost once that checkpoint existed (it was a saving only
+        # under the old lazy-output shape)
         .persist()
     )
-    # materialize BEFORE the union: both union branches land in one job,
-    # and two concurrent cache-miss readers would each compute the
-    # self-join (persist only helps once blocks exist) -- measured 1.7s
-    # of duplicated work at sf0.1 without this count
-    half.count()
     edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pr = pagerank(edges, iters=_PR_ITERS)
     # pagerank eagerly checkpoints its final rank table, so the edge
