@@ -467,3 +467,131 @@ FROM isl GROUP BY grp
 
 
 QUERIES["c42_backfill_plan"] = QuerySpec(c42_backfill_plan, C42_SQL)
+
+# ---------------------------------------------------------------------------
+# a102 -- dedup-detector evaluation: SimHash predictions vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_A102_N, _A102_J = 3, 0.5
+_A102_BITS = 16
+
+
+def a102_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of equal-SimHash near-dup prediction against
+    exact n-gram-Jaccard ground truth -- the detector-quality readout a
+    curation team runs before trusting a cheap fingerprint at corpus
+    scale.  Truth pairs come from the inverted-index Jaccard join
+    (bounded by shared-gram candidates); predicted pairs from a
+    fingerprint equality self-join (one 16-bit-key exchange).  Both pair
+    sets are orders smaller than the corpus; the confusion counts are a
+    full-outer join of the two.
+    """
+    from ..operators.dedup import ngram_jaccard_pairs, simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d, n=_A102_N, threshold=_A102_J).select("a", "b")
+    fp_tbl = simhash(d, bits=_A102_BITS)
+    l = fp_tbl.select(F.col("doc_id").alias("a"), "simhash")
+    r = fp_tbl.select(F.col("doc_id").alias("b"), "simhash")
+    pred = (
+        l.join(r, "simhash")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    joined = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["a", "b"], "full_outer"
+    )
+    agg = joined.agg(
+        F.sum(F.coalesce("t", F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce("p", F.lit(0))).alias("n_pred"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred")
+    rec = F.col("tp").cast("double") / F.col("n_truth")
+    return agg.select(
+        "n_truth",
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.round(prec, 6).alias("precision_"),
+        F.round(rec, 6).alias("recall_"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1"),
+    )
+
+
+def _a102_sql() -> str:
+    votes = []
+    for i in range(_A102_BITS):
+        pos, shift = i // 4 + 1, i % 4
+        nib = f"ascii(substr(h, {pos}, 1))"
+        val = f"(CASE WHEN {nib} >= 97 THEN {nib} - 87 ELSE {nib} - 48 END)"
+        votes.append(f"SUM((({val} >> {shift}) & 1) * 2 - 1) AS v_{i}")
+    votes_sql = ",\n         ".join(votes)
+    fpx = " + ".join(
+        f"(CASE WHEN v_{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(_A102_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_A102_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_A102_N - 1}], ' ')))) AS gram
+  FROM toks
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b
+), truth AS (
+  SELECT a, b FROM (
+    SELECT i.a, i.b, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.a
+    JOIN counts cb ON cb.doc_id = i.b
+  ) WHERE jaccard >= {_A102_J}
+), wtoks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM wtoks
+), sv AS (
+  SELECT doc_id,
+         {votes_sql}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fpx} AS BIGINT) AS simhash FROM sv
+), pred AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM fp l JOIN fp r ON l.simhash = r.simhash AND l.doc_id < r.doc_id
+), j AS (
+  SELECT COALESCE(t.a, p.a) AS a, COALESCE(t.b, p.b) AS b,
+         CASE WHEN t.a IS NULL THEN 0 ELSE 1 END AS t,
+         CASE WHEN p.a IS NULL THEN 0 ELSE 1 END AS p
+  FROM truth t FULL OUTER JOIN pred p ON t.a = p.a AND t.b = p.b
+), agg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_truth, CAST(sum(p) AS BIGINT) AS n_pred,
+         CAST(sum(t * p) AS BIGINT) AS tp
+  FROM j
+)
+SELECT n_truth, n_pred, tp,
+       n_pred - tp AS fp, n_truth - tp AS fn,
+       round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision_,
+       round(CAST(tp AS DOUBLE) / n_truth, 6) AS recall_,
+       round(2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_truth)
+             / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_truth), 6)
+         AS f1
+FROM agg
+"""
+
+
+QUERIES["a102_dedup_eval"] = QuerySpec(a102_dedup_eval, _a102_sql())

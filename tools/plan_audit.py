@@ -201,6 +201,8 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # backfill planner: calendar-sized frames after the first agg; the
     # anti-join must never plan as a cartesian
     "c42_backfill_plan": ((), ("CartesianProduct",), None),
+    # dedup eval: gram/fingerprint equi-joins only, never all-pairs
+    "a102_dedup_eval": ((), ("NestedLoop", "CartesianProduct"), None),
 }
 
 
