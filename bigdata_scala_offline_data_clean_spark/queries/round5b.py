@@ -595,3 +595,66 @@ FROM agg
 
 
 QUERIES["a102_dedup_eval"] = QuerySpec(a102_dedup_eval, _a102_sql())
+
+# ---------------------------------------------------------------------------
+# s12 -- streaming count-min maintenance with a FULL oracle (CMS is linear,
+# so per-batch counter partials sum to exactly the global sketch -- the
+# only streaming-sketch query whose estimates are bit-deterministic)
+# ---------------------------------------------------------------------------
+
+
+def s12_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import cms_estimate
+    from ..streaming.jobs import stream_cms_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s12_")
+    try:
+        src = f"{scratch}/src"
+        ev.select("event_id", "user_id").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store = f"{scratch}/partials"
+        q = (
+            stream_cms_partials(stream, store, "user_id")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(store)
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+        top = counts.orderBy(
+            F.col("exact_n").desc(), F.col("user_id").asc()
+        ).limit(_A95_K)
+        w = Window.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        top = top.withColumn("pos", F.row_number().over(w))
+        est = cms_estimate(top, merged, "user_id", depth=_CMS_DEPTH)
+        out = est.select(
+            "user_id",
+            "pos",
+            "exact_n",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias(
+                "overestimate"
+            ),
+            (F.col("cms_est") >= F.col("exact_n")).alias("cms_ok"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# the stream-maintained sketch equals the batch-built one exactly (linear
+# merge), so s12 shares a95's full oracle verbatim
+QUERIES["s12_stream_cms_topk"] = QuerySpec(s12_stream_cms_topk, _a95_sql())

@@ -422,3 +422,33 @@ def stream_count_partials(
         p.write.mode("overwrite").parquet(f"{store_path}/__bid={batch_id}")
 
     return stream_df.writeStream.foreachBatch(write_partials)
+
+
+def stream_cms_partials(
+    stream_df: DataFrame,
+    store_path: str,
+    key_col: str,
+):
+    """Continuous count-min maintenance: each micro-batch aggregates to
+    per-key counts, folds them into a ``depth x width`` counter table
+    (``operators.sketches.cms_counters``), and overwrites its
+    deterministic ``__bid=<batch_id>`` subdir (effectively-once under
+    at-least-once replay, like the sketch/bitmap/count siblings).
+
+    CMS is LINEAR: summing per-batch counter cells equals the sketch of
+    the full stream, so merge-on-read is one groupBy over
+    O(batches x depth x width) KB-sized rows -- and unlike the HLL
+    partials the merged sketch is bit-deterministic, which is why
+    ``s12_stream_cms_topk`` carries a full-strength DuckDB oracle rather
+    than error-bound booleans.
+    """
+    from ..operators.sketches import cms_counters
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = batch_df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+        cms = cms_counters(counts, key_col, "n")
+        cms.write.mode("overwrite").parquet(f"{store_path}/__bid={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(write_partials)

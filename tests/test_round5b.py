@@ -74,3 +74,42 @@ def test_containment_stop_gram_cap_drops_boilerplate(spark):
     # without the cap the shared gram links all pairs; with it, none survive
     assert len(uncapped) > 0
     assert len(capped) == 0
+
+
+def test_stream_cms_partials_merge_equals_batch_sketch(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.streaming.jobs import (
+        stream_cms_partials,
+    )
+
+    rows = [(i, i % 17) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, k long")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "partials")
+    q = (
+        stream_cms_partials(stream, store, "k")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    merged = {
+        (r.j, r.bucket): r.cnt
+        for r in spark.read.parquet(store)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    batch = {
+        (r.j, r.bucket): r.cnt
+        for r in cms_counters(
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n")), "k", "n"
+        ).collect()
+    }
+    # linearity: summed per-batch counters == counters of the full input
+    assert merged == batch
