@@ -113,3 +113,51 @@ def grouped_ols(
         )
 
     return gframe.groupBy(*group_cols).applyInPandas(fit, out_schema)
+
+
+def debounce(
+    df,
+    key_col: str,
+    ts_us_col: str,
+    order_col: str,
+    gap_us: int,
+):
+    """Per-key sequential debounce: keep a row iff >= ``gap_us`` has passed
+    since the last KEPT row of the same key.
+
+    This is the canonical case where Spark's built-ins genuinely cannot
+    express the semantics: the keep decision depends on the last *kept*
+    timestamp, a running suppression that no window frame or
+    ``session_window`` models (a session extends while inter-event gaps
+    are small; debounce re-arms from the kept anchor, so events at
+    t=0,3,6 with gap 5 keep {0, 6} but form ONE session).  Hence
+    ``applyInPandas``: Arrow ships each key group to Python once, the
+    linear scan runs over a sorted group, and the output is deterministic
+    for any partitioning because groups are disjoint.
+
+    At 100 TB the shuffle is one hash(key) exchange and state is one
+    timestamp per group -- same cost shape as a windowed dedup; the
+    Python loop is O(rows per key).
+
+    Output: input columns + ``kept`` boolean.
+    """
+    import pandas as pd  # noqa: F811 (Arrow worker re-import)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", kept boolean"
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_us_col, order_col]).reset_index(drop=True)
+        kept = []
+        last = None
+        for t in pdf[ts_us_col]:
+            if last is None or t - last >= gap_us:
+                kept.append(True)
+                last = t
+            else:
+                kept.append(False)
+        pdf["kept"] = kept
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(scan, out_schema)

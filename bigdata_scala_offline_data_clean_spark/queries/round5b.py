@@ -658,3 +658,51 @@ def s12_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stream-maintained sketch equals the batch-built one exactly (linear
 # merge), so s12 shares a95's full oracle verbatim
 QUERIES["s12_stream_cms_topk"] = QuerySpec(s12_stream_cms_topk, _a95_sql())
+
+# ---------------------------------------------------------------------------
+# a103 -- per-user sequential debounce (applyInPandas; recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+_A103_GAP_US = 7 * 24 * 3600 * 1_000_000  # re-arm window: 7 days
+
+
+def a103_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-suppression dedup: keep an event iff >= 7 days have passed
+    since the user's last KEPT event.  The keep decision depends on the
+    last kept anchor (not the previous event), which no window frame or
+    session_window expresses -- the documented applyInPandas case
+    (``operators/pandas_ops.debounce``).  The oracle replays the same
+    scan as a DuckDB recursive CTE over per-user row_numbers, so even
+    this sequential Python operator gets exact cross-engine verification.
+    """
+    from ..operators.pandas_ops import debounce
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    d = debounce(base, "user_id", "ts_us", "event_id", _A103_GAP_US)
+    return d.select("user_id", "event_id", "kept")
+
+
+A103_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, event_id, ts_us, TRUE AS kept, ts_us AS last_kept
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.event_id, e.ts_us,
+         e.ts_us - r.last_kept >= {_A103_GAP_US} AS kept,
+         CASE WHEN e.ts_us - r.last_kept >= {_A103_GAP_US}
+              THEN e.ts_us ELSE r.last_kept END AS last_kept
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, event_id, kept FROM r
+"""
+
+
+QUERIES["a103_debounce"] = QuerySpec(a103_debounce, A103_SQL)

@@ -113,3 +113,22 @@ def test_stream_cms_partials_merge_equals_batch_sketch(spark, tmp_path):
     }
     # linearity: summed per-batch counters == counters of the full input
     assert merged == batch
+
+
+def test_debounce_rearms_from_kept_anchor(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.pandas_ops import (
+        debounce,
+    )
+
+    # t = 0, 3, 6 with gap 5: a session window would merge all three
+    # (gaps of 3 < 5); debounce keeps {0, 6} because it re-arms from the
+    # last KEPT anchor, not the previous event
+    df = spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 3), (1, 12, 6), (2, 20, 0)],
+        "user_id long, event_id long, ts_us long",
+    )
+    out = {
+        r.event_id: r.kept
+        for r in debounce(df, "user_id", "ts_us", "event_id", 5).collect()
+    }
+    assert out == {10: True, 11: False, 12: True, 20: True}

@@ -203,6 +203,8 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c42_backfill_plan": ((), ("CartesianProduct",), None),
     # dedup eval: gram/fingerprint equi-joins only, never all-pairs
     "a102_dedup_eval": ((), ("NestedLoop", "CartesianProduct"), None),
+    # debounce: one hash(user) exchange into the Arrow group scan, no joins
+    "a103_debounce": (("FlatMapGroupsInPandas",), ("Join",), 1),
 }
 
 
