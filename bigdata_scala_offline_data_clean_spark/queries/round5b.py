@@ -706,3 +706,62 @@ SELECT user_id, event_id, kept FROM r
 
 
 QUERIES["a103_debounce"] = QuerySpec(a103_debounce, A103_SQL)
+
+# ---------------------------------------------------------------------------
+# c43 -- multi-granularity EXACT distinct from ONE set of shared bitmap
+# partials (the rollup-reuse play: one event scan serves three levels)
+# ---------------------------------------------------------------------------
+
+
+def c43_bitmap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users by event_type, by day, and in total -- all three
+    OR-merged from the SAME (event_type, day, bucket) bitmap partials, so
+    the 100 TB event stream is scanned exactly once and each additional
+    rollup level costs only a KB-scale re-merge of stored partials.  The
+    c28/a87/a93 partial-reuse pattern generalized across granularities;
+    bitmap partials keep it oracle-exact (no sketch tolerance).
+    """
+    from ..operators.sketches import bitmap_distinct_partials, merge_bitmap_distinct
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", day_str("ts"))
+    # eager checkpoint = the "store partials" step: the event scan runs
+    # exactly once, and the three rollup merges below read the KB-scale
+    # materialized partials (in production they read the warehouse table)
+    partials = bitmap_distinct_partials(
+        e, ["event_type"], "day", "user_id"
+    ).localCheckpoint(eager=True)
+
+    by_type = merge_bitmap_distinct(partials, ["event_type"]).select(
+        F.lit("by_type").alias("level"),
+        F.col("event_type").alias("key"),
+        "distinct_count",
+    )
+    by_day = merge_bitmap_distinct(partials, ["day"]).select(
+        F.lit("by_day").alias("level"),
+        F.col("day").alias("key"),
+        "distinct_count",
+    )
+    total = merge_bitmap_distinct(partials, []).select(
+        F.lit("total").alias("level"),
+        F.lit("all").alias("key"),
+        "distinct_count",
+    )
+    return by_type.unionByName(by_day).unionByName(total)
+
+
+C43_SQL = """
+SELECT 'by_type' AS level, event_type AS key,
+       count(DISTINCT user_id) AS distinct_count
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'by_day' AS level, strftime(ts, '%Y%m%d') AS key,
+       count(DISTINCT user_id) AS distinct_count
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'total' AS level, 'all' AS key, count(DISTINCT user_id) AS distinct_count
+FROM events
+"""
+
+
+QUERIES["c43_bitmap_cube"] = QuerySpec(c43_bitmap_cube, C43_SQL)

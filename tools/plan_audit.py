@@ -205,6 +205,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a102_dedup_eval": ((), ("NestedLoop", "CartesianProduct"), None),
     # debounce: one hash(user) exchange into the Arrow group scan, no joins
     "a103_debounce": (("FlatMapGroupsInPandas",), ("Join",), 1),
+    # bitmap cube: three merges read the checkpointed partials -- no
+    # joins, no Expand, and the event scan appears exactly once upstream
+    "c43_bitmap_cube": ((), ("Join", "Expand"), None),
 }
 
 
