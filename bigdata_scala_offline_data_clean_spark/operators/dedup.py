@@ -834,3 +834,66 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (the PPJoin family):
+    exact Jaccard >= ``threshold`` over word ``n``-gram shingle sets, with
+    candidates from a rarest-grams-first prefix index instead of the full
+    inverted index (shingle sets keep cross-document overlap sparse, so
+    the candidate set stays near the true-pair count).
+
+    Theorem (prefix filter): order every token set by one global total
+    order; if J(x, y) >= t, the first ``|x| - ceil(t*|x|) + 1`` tokens of
+    x and the corresponding prefix of y must share at least one token.
+    Indexing ONLY prefixes shrinks the self-join input by ~t of every
+    set, and ordering by ascending corpus frequency puts the RAREST
+    tokens in the prefix, so the surviving join keys are precisely the
+    low-collision ones -- the frequent-token d^2 blow-up that forces
+    ``containment_pairs``' stop-gram cap never enters the index at all.
+    Exact at any scale (no cap, no tolerance): skipped tokens are
+    provably non-discriminating, not dropped data.
+
+    The global order is (corpus count ASC, token ASC) compared
+    lexicographically -- no global rank window anywhere; the only windows
+    are per-document prefix row_numbers.  ``threshold`` is applied with
+    integer arithmetic (ceil(t*n) = (t_num*n + t_den-1) div t_den for
+    t = 6/10) so both engines cut identical prefixes.
+
+    Output: (a, b, jaccard) with a < b, exact int/int division.
+    """
+    from pyspark.sql import Window
+
+    t_num, t_den = int(round(threshold * 10)), 10
+    toks = shingles(df, id_col, text_col, n)
+    cnt = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    sized = toks.join(cnt, "gram")
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("gram").asc())
+    )
+    pref = (
+        sized.withColumn("__n", n)
+        .withColumn("__pos", pos)
+        .where(
+            F.col("__pos")
+            <= F.col("__n") - F.expr(f"({t_num} * __n + {t_den - 1}) div {t_den}") + 1
+        )
+        .select(id_col, "gram")
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("a"), "gram")
+        .join(pref.select(F.col(id_col).alias("b"), "gram"), "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(cands, toks, id_col).where(
+        F.col("jaccard") >= threshold
+    )

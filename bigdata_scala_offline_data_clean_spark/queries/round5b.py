@@ -765,3 +765,59 @@ FROM events
 
 
 QUERIES["c43_bitmap_cube"] = QuerySpec(c43_bitmap_cube, C43_SQL)
+
+# ---------------------------------------------------------------------------
+# a104 -- prefix-filtering set-similarity join (PPJoin-style candidates)
+# ---------------------------------------------------------------------------
+
+_A104_N, _A104_T = 3, 0.7
+
+
+def a104_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, n=_A104_N, threshold=_A104_T)
+
+
+A104_SQL = f"""
+WITH t0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), toksf AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_A104_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_A104_N - 1}], ' ')))) AS gram
+  FROM t0
+), cnt AS (
+  SELECT gram, count(*) AS df FROM toksf GROUP BY gram
+), sized AS (
+  SELECT t.doc_id, t.gram, c.df,
+         count(*) OVER (PARTITION BY t.doc_id) AS n,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY c.df ASC, t.gram ASC) AS pos
+  FROM toksf t JOIN cnt c ON c.gram = t.gram
+), pref AS (
+  SELECT doc_id, gram FROM sized
+  WHERE pos <= n - ((7 * n + 9) // 10) + 1
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM pref l JOIN pref r ON l.gram = r.gram AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM toksf GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cands c
+  JOIN toksf ga ON ga.doc_id = c.a
+  JOIN toksf gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b
+)
+SELECT * FROM (
+  SELECT i.a, i.b, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+) WHERE jaccard >= {_A104_T}
+"""
+
+
+QUERIES["a104_prefix_filter_join"] = QuerySpec(a104_prefix_filter_join, A104_SQL)

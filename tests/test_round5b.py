@@ -132,3 +132,30 @@ def test_debounce_rearms_from_kept_anchor(spark):
         for r in debounce(df, "user_id", "ts_us", "event_id", 5).collect()
     }
     assert out == {10: True, 11: False, 12: True, 20: True}
+
+
+def test_prefix_filter_matches_full_inverted_index(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different document about spark plans"),
+        (4, "a completely different document about spark physics"),
+        (5, "unrelated text with no overlap at all whatsoever here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in prefix_filter_pairs(d, n=3, threshold=0.5).collect()
+    }
+    # prefix filtering is exact: identical result set to the full index
+    assert pref == full
+    assert (1, 2) in pref

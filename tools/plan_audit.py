@@ -208,6 +208,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # bitmap cube: three merges read the checkpointed partials -- no
     # joins, no Expand, and the event scan appears exactly once upstream
     "c43_bitmap_cube": ((), ("Join", "Expand"), None),
+    # prefix-filter join: gram equi-joins only (prefix index + verify),
+    # never an all-pairs plan
+    "a104_prefix_filter_join": ((), ("NestedLoop", "CartesianProduct"), None),
 }
 
 
