@@ -821,3 +821,103 @@ SELECT * FROM (
 
 
 QUERIES["a104_prefix_filter_join"] = QuerySpec(a104_prefix_filter_join, A104_SQL)
+
+# ---------------------------------------------------------------------------
+# a105 -- time-series resample with LINEAR INTERPOLATION (a66 forward-fills;
+# interpolation reconstructs between known anchors -- the other half of the
+# resampling toolkit)
+# ---------------------------------------------------------------------------
+
+
+def a105_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue per event type with deterministically
+    "missing" days (day-of-month % 5 == 3 simulates failed loads)
+    linearly interpolated between the neighboring known days.
+
+    All frames after the first agg are calendar x type sized; the
+    prev/next anchors come from two windows sharing one hash(event_type)
+    exchange.  Interpolation arithmetic is integer cents x integer days
+    with ONE double division at the end, so both engines produce
+    bit-identical values.  Leading/trailing gaps (no anchor on one side)
+    stay NULL -- interpolation never extrapolates.
+    """
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        e.groupBy(F.to_date(day_str("ts"), "yyyyMMdd").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    known = daily.where(F.dayofmonth("d") % 5 != 3)
+    cal = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = cal.join(known, "d", "left")
+    w = Window.orderBy("d")  # single series post-agg; per-type in general
+    prev_c = F.last("cents", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_d = F.last(F.when(F.col("cents").isNotNull(), F.col("d")), True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_c = F.first("cents", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_d = F.first(F.when(F.col("cents").isNotNull(), F.col("d")), True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    interp = prev_c + (next_c - prev_c) * F.datediff(
+        F.col("d"), prev_d
+    ) / F.datediff(next_d, prev_d)
+    out = grid.select(
+        F.date_format("d", "yyyyMMdd").alias("day"),
+        "cents",
+        F.col("cents").isNull().alias("is_interpolated"),
+        F.round(
+            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+            .otherwise(interp),
+            6,
+        ).alias("filled_cents"),
+    )
+    return out
+
+
+A105_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), known AS (
+  SELECT * FROM daily WHERE EXTRACT(day FROM d) % 5 <> 3
+), cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
+    INTERVAL 1 DAY))::DATE AS d
+), grid AS (
+  SELECT c.d, k.cents FROM cal c LEFT JOIN known k ON k.d = c.d
+), anch AS (
+  SELECT d, cents,
+    last_value(cents IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+    last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+    first_value(cents IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+    first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid
+)
+SELECT strftime(d, '%Y%m%d') AS day, cents,
+       cents IS NULL AS is_interpolated,
+       round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                  ELSE pc + (nc - pc) * (d - pd) / (nd - pd) END, 6)
+         AS filled_cents
+FROM anch
+"""
+
+
+QUERIES["a105_interpolate"] = QuerySpec(a105_interpolate, A105_SQL)

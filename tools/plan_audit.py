@@ -211,6 +211,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # prefix-filter join: gram equi-joins only (prefix index + verify),
     # never an all-pairs plan
     "a104_prefix_filter_join": ((), ("NestedLoop", "CartesianProduct"), None),
+    # interpolation: calendar-sized frames post-agg; grid join never
+    # cartesian
+    "a105_interpolate": ((), ("CartesianProduct",), None),
 }
 
 
