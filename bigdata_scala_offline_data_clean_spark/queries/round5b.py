@@ -921,3 +921,95 @@ FROM anch
 
 
 QUERIES["a105_interpolate"] = QuerySpec(a105_interpolate, A105_SQL)
+
+# ---------------------------------------------------------------------------
+# c44 -- time travel: immutable versioned snapshots + as-of reads + diff
+# ---------------------------------------------------------------------------
+
+
+def c44_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table round trip (``Warehouse.write_version`` /
+    ``read_version``): snapshot v1 is the full customer table; v2 deletes
+    every 10th key and bumps BUILDING balances.  Both snapshots stay
+    readable -- the reproducible-training-runs contract -- and the diff
+    (deletes via anti-join, updates via balance comparison) runs between
+    two pinned versions, not against mutable state.  Sums are
+    decimal-exact; one row out.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.catalog import Warehouse
+    from ._util import dsum
+
+    c = load_table(spark, sf_dir, "customer")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c44_")
+    try:
+        wh = Warehouse(spark, scratch)
+        v1 = wh.write_version(c, "dwd", "cust_snap")
+        upd = c.where(F.col("c_custkey") % 10 != 0).withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 10
+            ).otherwise(F.col("c_acctbal")),
+        )
+        v2 = wh.write_version(upd, "dwd", "cust_snap")
+        r1 = wh.read_version("dwd", "cust_snap", v1)
+        r2 = wh.read_version("dwd", "cust_snap")  # latest == v2
+        deleted = r1.join(r2.select("c_custkey"), "c_custkey", "left_anti")
+        changed = r1.select(
+            "c_custkey", F.col("c_acctbal").alias("__b1")
+        ).join(
+            r2.select("c_custkey", F.col("c_acctbal").alias("__b2")),
+            "c_custkey",
+        ).where(F.col("__b1") != F.col("__b2"))
+        out = (
+            r1.agg(
+                F.count(F.lit(1)).alias("n_v1"),
+                dsum("c_acctbal").alias("bal_v1"),
+            )
+            .crossJoin(
+                r2.agg(
+                    F.count(F.lit(1)).alias("n_v2"),
+                    dsum("c_acctbal").alias("bal_v2"),
+                )
+            )
+            .crossJoin(deleted.agg(F.count(F.lit(1)).alias("n_deleted")))
+            .crossJoin(changed.agg(F.count(F.lit(1)).alias("n_updated")))
+            .select(
+                F.lit(v1).alias("v_first"),
+                F.lit(v2).alias("v_latest"),
+                "n_v1",
+                "n_v2",
+                "bal_v1",
+                "bal_v2",
+                "n_deleted",
+                "n_updated",
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C44_SQL = """
+WITH v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 10
+              ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % 10 <> 0
+)
+SELECT 1 AS v_first, 2 AS v_latest,
+       (SELECT count(*) FROM customer) AS n_v1,
+       (SELECT count(*) FROM v2) AS n_v2,
+       (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM customer) AS bal_v1,
+       (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM v2)
+         AS bal_v2,
+       (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0) AS n_deleted,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey % 10 <> 0 AND c_mktsegment = 'BUILDING') AS n_updated
+"""
+
+
+QUERIES["c44_time_travel"] = QuerySpec(c44_time_travel, C44_SQL)

@@ -182,6 +182,48 @@ class Warehouse:
             "partitionOverwriteMode", "static"
         ).partitionBy("etl_date").parquet(self.path(layer, table))
 
+    # -- versioned (time-travel) tables -------------------------------------
+
+    def write_version(self, df: DataFrame, layer: str, table: str) -> int:
+        """Immutable snapshot write: each call lands a new ``_v=N``
+        directory and never mutates prior versions -- the Iceberg/Delta
+        snapshot idea reduced to its storage essence.  Readers pin a
+        version for reproducible training runs (the dataset a model was
+        trained on stays readable forever); writers never block readers
+        because nothing is rewritten in place.  Returns the new version.
+        """
+        n = (self.latest_version(layer, table) or 0) + 1
+        df.write.mode("errorifexists").parquet(
+            os.path.join(self.path(layer, table), f"_v={n}")
+        )
+        return n
+
+    def list_versions(self, layer: str, table: str) -> list[int]:
+        fs, hpath = self._fs_and_path(self.path(layer, table))
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("_v="):
+                out.append(int(name[3:]))
+        return sorted(out)
+
+    def latest_version(self, layer: str, table: str) -> int | None:
+        vs = self.list_versions(layer, table)
+        return vs[-1] if vs else None
+
+    def read_version(
+        self, layer: str, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Time-travel read: a specific snapshot, or the latest."""
+        v = version if version is not None else self.latest_version(layer, table)
+        if v is None:
+            raise ValueError(f"no versions of {layer}.{table}")
+        return self.spark.read.parquet(
+            os.path.join(self.path(layer, table), f"_v={v}")
+        )
+
     # -- physical-layout management (the knobs that matter at 100 TB) -------
 
     def write_bucketed(

@@ -159,3 +159,19 @@ def test_prefix_filter_matches_full_inverted_index(spark):
     # prefix filtering is exact: identical result set to the full index
     assert pref == full
     assert (1, 2) in pref
+
+
+def test_versioned_warehouse_time_travel(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a2")], "k long, v string")
+    assert wh.list_versions("dwd", "t") == []
+    v1 = wh.write_version(df1, "dwd", "t")
+    v2 = wh.write_version(df2, "dwd", "t")
+    assert (v1, v2) == (1, 2)
+    assert wh.list_versions("dwd", "t") == [1, 2]
+    # old snapshots stay readable after new writes
+    assert wh.read_version("dwd", "t", 1).count() == 2
+    assert wh.read_version("dwd", "t").count() == 1  # latest
