@@ -1013,3 +1013,74 @@ SELECT 1 AS v_first, 2 AS v_latest,
 
 
 QUERIES["c44_time_travel"] = QuerySpec(c44_time_travel, C44_SQL)
+
+# ---------------------------------------------------------------------------
+# c45 -- point-in-time (PIT) dimension enrichment: the feature-store
+# correctness problem.  Facts must see the dimension value that was valid
+# AT event time, never a later one (training-serving leakage otherwise).
+# ---------------------------------------------------------------------------
+
+
+def c45_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each purchase with the user's status (their latest
+    signup/error event) as of the purchase timestamp.  The slowly-changing
+    "dimension" is the status changelog; the join is ``temporal.asof_join``
+    -- both sides shuffle once on user_id, no broadcast, no nested loop --
+    and a purchase before any status row keeps NULL (no leakage from the
+    future).  The oracle uses DuckDB's native ASOF LEFT JOIN, so the two
+    engines verify each other's point-in-time semantics.
+    """
+    from ..operators.temporal import asof_join
+    from ._util import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    status = (
+        ev.where(F.col("event_type").isin("signup", "error"))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("s"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("s.event_type").alias("status"),
+            F.col("s.event_id").alias("status_event_id"),
+        )
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        fact,
+        status,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["status", "status_event_id"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        "status",
+        "status_event_id",
+    )
+
+
+C45_SQL = """
+WITH status AS (
+  SELECT user_id, ts,
+         arg_max(event_type, event_id) AS status,
+         max(event_id) AS status_event_id
+  FROM events WHERE event_type IN ('signup', 'error')
+  GROUP BY user_id, ts
+), fact AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       s.status, s.status_event_id
+FROM fact f
+ASOF LEFT JOIN status s ON f.user_id = s.user_id AND f.ts >= s.ts
+"""
+
+
+QUERIES["c45_pit_enrich"] = QuerySpec(c45_pit_enrich, C45_SQL)

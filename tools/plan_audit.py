@@ -214,6 +214,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # interpolation: calendar-sized frames post-agg; grid join never
     # cartesian
     "a105_interpolate": ((), ("CartesianProduct",), None),
+    # PIT enrichment rides the as-of union+window: no join node at all,
+    # never a nested loop / range cartesian
+    "c45_pit_enrich": ((), ("NestedLoop", "CartesianProduct"), 2),
 }
 
 
