@@ -90,6 +90,13 @@ HEADLINE = [
     "a99_containment_dedup",
     "a100_length_gini",
     "c40_compaction_plan",
+    "a101_ab_test",
+    "a102_dedup_eval",
+    "a103_debounce",
+    "a104_prefix_filter_join",
+    "c43_bitmap_cube",
+    "c45_pit_enrich",
+    "s12_stream_cms_topk",
 ]
 
 

@@ -120,3 +120,55 @@ def scd2_merge(
         F.lit(True).alias("is_current"),
     )
     return hist.select(*kept.columns).unionByName(kept).unionByName(opened)
+
+
+def scd3_merge(
+    dim_df: DataFrame,
+    updates_df: DataFrame,
+    key: str,
+    attr_col: str,
+    prev_col: str | None = None,
+) -> DataFrame:
+    """SCD type 3: apply one update batch keeping ONE level of history in
+    a previous-value column (``prev_<attr>`` by default).
+
+    Where SCD-2 appends interval rows (full history, growing table) and
+    SCD-1 overwrites (no history), SCD-3 keeps the table exactly
+    key-sized with the prior value beside the current one -- the shape
+    reporting teams use for "segment vs previous segment" comparisons.
+    Semantics per key:
+
+    - update with a DIFFERENT value: attr <- new, prev <- old
+    - update with the SAME value: unchanged (prev keeps its old content)
+    - no update: row passes through untouched
+    - ``updates_df`` must be deduped to one row per key (same contract as
+      ``scd2_merge``)
+
+    One equi-join on the key; daily update batches broadcast under AQE,
+    so the dimension never re-shuffles for maintenance.
+    """
+    prev_col = prev_col or f"prev_{attr_col}"
+    if prev_col not in dim_df.columns:
+        dim_df = dim_df.withColumn(
+            prev_col, F.lit(None).cast(dim_df.schema[attr_col].dataType)
+        )
+    u = updates_df.select(
+        F.col(key), F.col(attr_col).alias("__new")
+    )
+    j = dim_df.join(u, key, "left")
+    changed = F.col("__new").isNotNull() & ~F.col("__new").eqNullSafe(
+        F.col(attr_col)
+    )
+    out_cols = []
+    for c in dim_df.columns:
+        if c == attr_col:
+            out_cols.append(
+                F.when(changed, F.col("__new")).otherwise(F.col(attr_col)).alias(c)
+            )
+        elif c == prev_col:
+            out_cols.append(
+                F.when(changed, F.col(attr_col)).otherwise(F.col(prev_col)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return j.select(*out_cols)

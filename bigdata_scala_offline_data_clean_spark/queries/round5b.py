@@ -1,27 +1,34 @@
-"""Round-5 second batch: count-min heavy hitters, containment dedup,
-corpus length-inequality stats, and compaction planning.
+"""Round-5 second batch.
 
 - a95 count-min heavy hitters: the mergeable frequency-sketch shape
   (fixed ``depth x width`` counter table, merge = SUM) point-queried for
-  the exact top-k keys, with the CMS over-count pinned as data
-  (``cms_est >= exact_n`` is a deterministic CMS invariant, checked by
-  the oracle as a boolean column).
-- a99 containment dedup: asymmetric |S(a) & S(b)| / |S(a)| over shingle
-  sets -- the quote/boilerplate detector symmetric Jaccard misses --
-  with the stop-gram cap that bounds the inverted-index blowup at scale.
-- a100 length Gini: per-language Gini coefficient of document token
-  counts (corpus length-inequality diagnostic for mixture design); the
-  rank window is partitioned by language, integer-exact sums, one
-  double division at the end.
-- c40 compaction plan: the OPTIMIZE bin-packing planner -- per
-  partition, sequential files fold into target-size bins via a
-  cumulative-row-count window.  At 100 TB the input is the file-stats
-  metadata table (KB per partition); deriving stats from rows here is
-  the fixture stand-in, and the planner itself never touches data.
+  the exact top-k keys; ``cms_est >= exact_n`` is oracle-checked.
+- a99 containment dedup: asymmetric |S(a) & S(b)| / |S(a)| -- the
+  quote/boilerplate detector symmetric Jaccard misses -- with the
+  stop-gram cap bounding the inverted-index blowup.
+- a100 length Gini: per-language corpus length-inequality diagnostic.
+- a101 A/B readout: decimal-exact moments, Welch z, significance.
+- a102 dedup-detector evaluation: SimHash predictions vs exact Jaccard
+  truth -- precision/recall/F1 in one query.
+- a103 sequential debounce: the applyInPandas case (re-arms from the
+  last KEPT anchor); oracle = DuckDB recursive CTE.
+- a104 prefix-filtering set-similarity join (PPJoin family): provably
+  exact candidates from a rarest-grams-first prefix index.
+- a105 linear-interpolation resample: the complement of a66's ffill.
+- c40 compaction plan: OPTIMIZE bin-packing over file stats.
+- c41 partition health: volume vs trailing baseline, nulls, freshness.
+- c42 backfill plan: calendar anti-join + gaps-and-islands ranges.
+- c43 bitmap cube: one event scan -> stored partials -> three exact
+  rollup levels.
+- c44 time travel: immutable versioned snapshots + as-of reads + diff.
+- c45 point-in-time enrichment: facts see the dimension value valid AT
+  event time (oracle = DuckDB native ASOF JOIN).
+- s12 streaming count-min maintenance: linear merge == global sketch,
+  the one streaming sketch with a full-strength oracle.
 
-All four have full DuckDB oracles: the CMS buckets are md5 hex-byte
-arithmetic (the ``simhash`` nibble trick), divisions are double-on-exact-
-integers, and every window carries a total-order tie-break.
+All carry full DuckDB oracles: md5 hex-byte bucket arithmetic (the
+``simhash`` nibble trick), decimal-exact sums, double division only on
+exact integers, and a total-order tie-break on every window.
 """
 
 from __future__ import annotations
@@ -1084,3 +1091,142 @@ ASOF LEFT JOIN status s ON f.user_id = s.user_id AND f.ts >= s.ts
 
 
 QUERIES["c45_pit_enrich"] = QuerySpec(c45_pit_enrich, C45_SQL)
+
+# ---------------------------------------------------------------------------
+# c46 -- SCD type 3: one-level previous-value history (key-sized table)
+# ---------------------------------------------------------------------------
+
+
+def c46_scd3_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-3 merge on the customer dimension: every 3rd key moves to
+    segment 'MACHINERY' (a no-op for keys already there -- prev must NOT
+    churn on same-value updates).  Two updates are exercised: the first
+    populates prev, the second proves prev tracks only real changes.
+    """
+    from ..operators.scd2 import scd3_merge
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    u1 = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("MACHINERY").alias("c_mktsegment")
+    )
+    after1 = scd3_merge(c, u1, "c_custkey", "c_mktsegment")
+    u2 = c.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.lit("HOUSEHOLD").alias("c_mktsegment")
+    )
+    after2 = scd3_merge(after1, u2, "c_custkey", "c_mktsegment")
+    return after2.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("prev_c_mktsegment").alias("prev_segment"),
+    )
+
+
+C46_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment AS seg FROM customer
+), step1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 AND seg <> 'MACHINERY'
+              THEN 'MACHINERY' ELSE seg END AS seg,
+         CASE WHEN c_custkey % 3 = 0 AND seg <> 'MACHINERY'
+              THEN seg ELSE NULL END AS prev
+  FROM base
+), step2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 AND seg <> 'HOUSEHOLD'
+              THEN 'HOUSEHOLD' ELSE seg END AS seg,
+         CASE WHEN c_custkey % 5 = 0 AND seg <> 'HOUSEHOLD'
+              THEN seg ELSE prev END AS prev
+  FROM step1
+)
+SELECT c_custkey, seg AS segment, prev AS prev_segment FROM step2
+"""
+
+
+QUERIES["c46_scd3_update"] = QuerySpec(c46_scd3_update, C46_SQL)
+
+# ---------------------------------------------------------------------------
+# a106 -- rolling 7-day Pearson correlation between two daily metrics
+# ---------------------------------------------------------------------------
+
+
+def a106_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation of daily purchase revenue vs daily click count
+    -- the metric-coupling monitor ("did revenue decouple from traffic
+    this week?").  The event scan is ONE groupBy; every rolling window
+    runs over the daily aggregate (one row per day), with integer-exact
+    sums (cents x counts) folded into the Pearson formula and a single
+    double division at the end.
+    """
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(day_str("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("bigint").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    # a 1-day window (or a constant metric) has zero variance: corr is
+    # undefined -> NULL, not an ANSI divide-by-zero
+    corr = F.when(den != 0, F.round(num / den, 6))
+    return daily.select(
+        "day",
+        "x",
+        "y",
+        n.alias("n_days"),
+        corr.alias("corr7"),
+    )
+
+
+A106_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y%m%d') AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT day, x, y,
+    count(*) OVER w AS n_days,
+    CAST(sum(x) OVER w AS BIGINT) AS sx,
+    CAST(sum(y) OVER w AS BIGINT) AS sy,
+    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, x, y, n_days,
+       CASE WHEN sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)) = 0
+            THEN NULL
+            ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
+       END AS corr7
+FROM r
+"""
+
+
+QUERIES["a106_rolling_corr"] = QuerySpec(a106_rolling_corr, A106_SQL)

@@ -175,3 +175,22 @@ def test_versioned_warehouse_time_travel(spark, tmp_path):
     # old snapshots stay readable after new writes
     assert wh.read_version("dwd", "t", 1).count() == 2
     assert wh.read_version("dwd", "t").count() == 1  # latest
+
+
+def test_scd3_merge_tracks_only_real_changes(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.scd2 import scd3_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k long, seg string"
+    )
+    # 1: real change; 2: same-value update (no churn); 3: no update
+    u = spark.createDataFrame([(1, "X"), (2, "B")], "k long, seg string")
+    out = {r.k: (r.seg, r.prev_seg) for r in scd3_merge(dim, u, "k", "seg").collect()}
+    assert out == {1: ("X", "A"), 2: ("B", None), 3: ("C", None)}
+    # second merge: prev only moves on another real change
+    dim2 = scd3_merge(dim, u, "k", "seg")
+    u2 = spark.createDataFrame([(1, "Y"), (3, "C")], "k long, seg string")
+    out2 = {
+        r.k: (r.seg, r.prev_seg) for r in scd3_merge(dim2, u2, "k", "seg").collect()
+    }
+    assert out2 == {1: ("Y", "X"), 2: ("B", None), 3: ("C", None)}

@@ -217,6 +217,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # PIT enrichment rides the as-of union+window: no join node at all,
     # never a nested loop / range cartesian
     "c45_pit_enrich": ((), ("NestedLoop", "CartesianProduct"), 2),
+    # SCD-3: key equi-joins only (update batches broadcast under AQE)
+    "c46_scd3_update": ((), ("NestedLoop", "CartesianProduct", "SortMergeJoin"), None),
+    # rolling corr: one event groupBy; windows run over the daily table
+    "a106_rolling_corr": ((), ("Join",), None),
 }
 
 
