@@ -180,6 +180,29 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a88_decayed_sum": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # attribution: ONE user window over the combined stream -- no join
+    # anywhere, one hash(user) exchange
+    "a91_attribution": ((), ("Join",), 1),
+    # quantile normalization: per-group frames broadcast back; no
+    # cartesian, no re-shuffle of the scan via SMJ
+    "a92_quantile_normalize": ((), ("CartesianProduct",), None),
+    # sliding distinct: the broadcast day-list range join runs over
+    # bitmap ROWS (KB-scale, the a87 shape) -- the event stream itself is
+    # never self-joined; only a true cartesian is forbidden
+    "a93_sliding_distinct": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # skew report: agg + TakeOrdered, never a global sort of raw events
+    "a94_key_skew_report": ((), ("CartesianProduct",), None),
+    # contamination: the benchmark gram side must broadcast
+    "a96_contamination_score": (("BroadcastHashJoin",), ("CartesianProduct",), None),
+    # label majority: grouped struct-argmax, no joins
+    "a97_label_majority": ((), ("Join",), None),
+    # MAD: two distributed-median passes; no all-pairs, no single-task
+    # value sort (NO_GLOBAL_WINDOW below)
+    "a98_mad_outliers": ((), ("CartesianProduct",), None),
+    # rolling ingest dedup: digest-only history join, never the bodies
+    "c39_rolling_ingest_dedup": ((), ("CartesianProduct", "NestedLoop"), None),
     # CMS heavy hitters: the <=depth*width counter table must broadcast
     # into the point-query join; top-k is TakeOrdered, never a global sort
     "a95_cms_heavy_hitters": (
@@ -233,6 +256,7 @@ NO_GLOBAL_WINDOW = {
     "a57_equidepth_histogram",
     "a78_pagerank",
     "a95_cms_heavy_hitters",
+    "a98_mad_outliers",
     "a100_length_gini",
     "c40_compaction_plan",
 }
