@@ -1230,3 +1230,61 @@ FROM r
 
 
 QUERIES["a106_rolling_corr"] = QuerySpec(a106_rolling_corr, A106_SQL)
+
+# ---------------------------------------------------------------------------
+# a107 -- behavioral sequence-pattern mining (MATCH_RECOGNIZE-lite): ordered
+# per-user event paths searched for adjacency patterns
+# ---------------------------------------------------------------------------
+
+_A107_CAP = 50  # first N events per user; bounds the path string
+
+
+def a107_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type path (a61's sort-inside-the-aggregation
+    trick -- ONE groupBy, no window, no second shuffle) searched for
+    consecutive patterns: the view>click>purchase funnel adjacency and
+    the click>purchase conversion count (string-arithmetic occurrence
+    count, integer-exact in both engines).  The path is capped at the
+    first 50 events so state per user is bounded at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(seq, lambda x: x["event_type"]), 1, _A107_CAP
+        ),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), path.alias("__path")
+    )
+    pat = "click>purchase"
+    n_conv = (
+        F.length("__path") - F.length(F.replace(F.col("__path"), F.lit(pat)))
+    ) / F.lit(len(pat))
+    return g.select(
+        "user_id",
+        "n_events",
+        F.col("__path").contains("view>click>purchase").alias("has_funnel"),
+        n_conv.cast("bigint").alias("n_click_then_purchase"),
+    )
+
+
+A107_SQL = f"""
+WITH g AS (
+  SELECT user_id, count(*) AS n_events,
+         array_to_string(list(event_type ORDER BY ts, event_id)[:{_A107_CAP}],
+                         '>') AS path
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       contains(path, 'view>click>purchase') AS has_funnel,
+       CAST((len(path) - len(replace(path, 'click>purchase', '')))
+            / len('click>purchase') AS BIGINT) AS n_click_then_purchase
+FROM g
+"""
+
+
+QUERIES["a107_sequence_pattern"] = QuerySpec(a107_sequence_pattern, A107_SQL)

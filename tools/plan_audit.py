@@ -242,6 +242,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c45_pit_enrich": ((), ("NestedLoop", "CartesianProduct"), 2),
     # SCD-3: key equi-joins only (update batches broadcast under AQE)
     "c46_scd3_update": ((), ("NestedLoop", "CartesianProduct", "SortMergeJoin"), None),
+    # sequence pattern: ONE groupBy (sort inside the aggregation buffer),
+    # no window, no join, a single hash(user) exchange
+    "a107_sequence_pattern": ((), ("Join", "Window"), 1),
     # rolling corr: one event groupBy; windows run over the daily table
     "a106_rolling_corr": ((), ("Join",), None),
 }
