@@ -1291,3 +1291,147 @@ FROM g
 
 
 QUERIES["a107_sequence_pattern"] = QuerySpec(a107_sequence_pattern, A107_SQL)
+
+# ---------------------------------------------------------------------------
+# a108 -- weighted median (weighted quantiles: the statistic
+# exact_percentiles doesn't cover -- each value counts with a weight)
+# ---------------------------------------------------------------------------
+
+
+def a108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag: the
+    smallest value whose cumulative weight reaches half the group total
+    (2*cumw >= total in integer arithmetic -- no 0.5 float anywhere).
+    The cumulative window is PARTITIONED by flag with a total-order
+    tie-break; weights and cents are exact integers end-to-end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wspec = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    cum = base.withColumn("cumw", F.sum("w").over(wspec))
+    tot = base.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
+    j = cum.join(F.broadcast(tot), "l_returnflag").where(
+        2 * F.col("cumw") >= F.col("tot")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.min("cents").alias("wmedian_cents"),
+        F.max("tot").alias("total_weight"),
+    )
+
+
+A108_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, cents, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag
+                           ORDER BY cents, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumw
+  FROM base
+), tot AS (
+  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tot FROM base GROUP BY 1
+)
+SELECT c.l_returnflag,
+       CAST(min(c.cents) AS BIGINT) AS wmedian_cents,
+       CAST(max(t.tot) AS BIGINT) AS total_weight
+FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
+WHERE 2 * c.cumw >= t.tot
+GROUP BY c.l_returnflag
+"""
+
+
+QUERIES["a108_weighted_median"] = QuerySpec(a108_weighted_median, A108_SQL)
+
+# ---------------------------------------------------------------------------
+# c47 -- orphan quarantine + late-arriving dimension repair
+# ---------------------------------------------------------------------------
+
+
+def c47_orphan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase referential-integrity flow: orders whose customer is
+    missing at load time are QUARANTINED (not dropped, not loaded
+    dirty); when the late dimension batch lands, quarantined rows
+    re-validate and move to REPAIRED; keys that never arrive stay
+    ORPHAN for the audit report.  Both phases are digest-light key
+    anti-joins -- fact bodies never join twice: phase 2 re-validates
+    only the quarantined subset.
+    """
+    from ._util import dsum
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    # dim as of load time: every 7th key arrives late
+    dim_at_load = c.where(F.col("c_custkey") % 7 != 0)
+    loaded = o.join(
+        dim_at_load.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    quarantined = o.join(
+        dim_at_load.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    # late batch: the missing keys minus those that never arrive
+    late_batch = c.where(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 14 != 0)
+    )
+    repaired = quarantined.join(
+        late_batch.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    orphan = quarantined.join(
+        late_batch.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+
+    def summary(df: DataFrame, status: str) -> DataFrame:
+        return df.agg(
+            F.lit(status).alias("status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+
+    return (
+        summary(loaded, "loaded")
+        .unionByName(summary(repaired, "repaired"))
+        .unionByName(summary(orphan, "orphan"))
+    )
+
+
+C47_SQL = """
+WITH tagged AS (
+  SELECT o_totalprice,
+         CASE WHEN o_custkey % 7 <> 0 THEN 'loaded'
+              WHEN o_custkey % 14 <> 0 THEN 'repaired'
+              ELSE 'orphan' END AS status
+  FROM orders
+)
+SELECT s.status,
+       COALESCE(t.n_orders, 0) AS n_orders,
+       t.sum_total
+FROM (VALUES ('loaded'), ('repaired'), ('orphan')) AS s(status)
+LEFT JOIN (
+  SELECT status, count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+  FROM tagged GROUP BY status
+) t ON t.status = s.status
+"""
+
+
+QUERIES["c47_orphan_repair"] = QuerySpec(c47_orphan_repair, C47_SQL)

@@ -245,6 +245,16 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # sequence pattern: ONE groupBy (sort inside the aggregation buffer),
     # no window, no join, a single hash(user) exchange
     "a107_sequence_pattern": ((), ("Join", "Window"), 1),
+    # weighted median: per-flag cumulative window + broadcast totals --
+    # the scan never re-shuffles via SMJ
+    "a108_weighted_median": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), None,
+    ),
+    # orphan repair: key semi/anti joins only; phase 2 touches only the
+    # quarantined subset
+    "c47_orphan_repair": (
+        ("LeftSemi", "LeftAnti"), ("NestedLoop", "CartesianProduct"), None,
+    ),
     # rolling corr: one event groupBy; windows run over the daily table
     "a106_rolling_corr": ((), ("Join",), None),
 }
