@@ -1435,3 +1435,163 @@ LEFT JOIN (
 
 
 QUERIES["c47_orphan_repair"] = QuerySpec(c47_orphan_repair, C47_SQL)
+
+# ---------------------------------------------------------------------------
+# a109 -- train-only-fit feature scaling (the fit/transform leak guard)
+# ---------------------------------------------------------------------------
+
+
+def a109_train_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling whose bounds are FIT ON THE TRAIN SPLIT ONLY and
+    applied to both splits -- the fit/transform separation that keeps
+    eval rows from leaking into preprocessing statistics.  Bounds are a
+    per-group frame broadcast back over the scan (one agg + one
+    broadcast join); eval rows outside the train range surface as
+    ``in_train_range = false`` with a clipped companion instead of
+    silently stretching the scale.  Integer-cent arithmetic, one double
+    division.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_custkey") % 5 != 0).alias("is_train"),
+    )
+    bounds = (
+        o.where("is_train")
+        .groupBy("o_orderpriority")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    j = o.join(F.broadcast(bounds), "o_orderpriority")
+    span = F.col("hi") - F.col("lo")
+    scaled = F.when(
+        span != 0, (F.col("cents") - F.col("lo")).cast("double") / span
+    )
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "is_train",
+        F.round(scaled, 6).alias("scaled"),
+        F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), scaled)), 6).alias(
+            "scaled_clipped"
+        ),
+        F.col("cents").between(F.col("lo"), F.col("hi")).alias("in_train_range"),
+    )
+
+
+A109_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_custkey % 5 <> 0 AS is_train
+  FROM orders
+), bounds AS (
+  SELECT o_orderpriority, min(cents) AS lo, max(cents) AS hi
+  FROM o WHERE is_train GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.is_train,
+       round(CASE WHEN hi - lo <> 0
+                  THEN CAST(cents - lo AS DOUBLE) / (hi - lo) END, 6)
+         AS scaled,
+       round(greatest(0.0, least(1.0,
+             CASE WHEN hi - lo <> 0
+                  THEN CAST(cents - lo AS DOUBLE) / (hi - lo) END)), 6)
+         AS scaled_clipped,
+       cents BETWEEN lo AND hi AS in_train_range
+FROM o JOIN bounds USING (o_orderpriority)
+"""
+
+
+QUERIES["a109_train_scaler"] = QuerySpec(a109_train_scaler, A109_SQL)
+
+# ---------------------------------------------------------------------------
+# c48 -- CDC net-effect compaction: collapse a day's change log to one net
+# operation per key before it ever touches the (100 TB) base merge
+# ---------------------------------------------------------------------------
+
+
+def c48_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse an intra-batch CDC log to its net effect per key:
+    insert-then-delete vanishes, insert-then-updates fold to one INSERT
+    with the final payload, update chains fold to one UPDATE, anything
+    ending in delete is one DELETE.  The merge that follows then touches
+    each key ONCE -- compaction cost is one groupBy over the (small)
+    batch, and the savings is paid on the base-table merge.  Ops derive
+    deterministically from the events fixture (signup=I, error=D,
+    else U); first/last resolve via min_by/max_by on the (ts, event_id)
+    total order -- no window, ONE aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # total-order sequence as a zero-padded string (string order ==
+    # numeric order): DuckDB's arg_min/arg_max cannot order by a struct,
+    # and epoch_us * shift + event_id would overflow BIGINT
+    seq = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    log = ev.select(
+        "user_id",
+        seq.alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value"),
+    )
+    g = log.groupBy("user_id").agg(
+        F.min_by("op", "seq").alias("first_op"),
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("value", "seq").alias("last_value"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    net_op = (
+        F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), None)
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+    )
+    out = g.withColumn("net_op", net_op).where(F.col("net_op").isNotNull())
+    return out.select(
+        "user_id",
+        "net_op",
+        F.when(F.col("net_op") != "D", F.round("last_value", 6)).alias(
+            "net_value"
+        ),
+        "n_ops",
+    )
+
+
+C48_SQL = """
+WITH log AS (
+  SELECT user_id,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS seq,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         value
+  FROM events
+), g AS (
+  SELECT user_id,
+         arg_min(op, seq) AS first_op,
+         arg_max(op, seq) AS last_op,
+         arg_max(value, seq) AS last_value,
+         count(*) AS n_ops
+  FROM log GROUP BY user_id
+), net AS (
+  SELECT user_id,
+         CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+              WHEN first_op = 'I' THEN 'I'
+              WHEN last_op = 'D' THEN 'D'
+              ELSE 'U' END AS net_op,
+         last_value, n_ops
+  FROM g
+)
+SELECT user_id, net_op,
+       CASE WHEN net_op <> 'D' THEN round(last_value, 6) END AS net_value,
+       n_ops
+FROM net WHERE net_op IS NOT NULL
+"""
+
+
+QUERIES["c48_cdc_compact"] = QuerySpec(c48_cdc_compact, C48_SQL)

@@ -255,6 +255,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c47_orphan_repair": (
         ("LeftSemi", "LeftAnti"), ("NestedLoop", "CartesianProduct"), None,
     ),
+    # train-fit scaler: per-group bounds broadcast back over the scan
+    "a109_train_scaler": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), None,
+    ),
+    # CDC compaction: ONE aggregation, no window, no join
+    "c48_cdc_compact": ((), ("Join", "Window"), 2),
     # rolling corr: one event groupBy; windows run over the daily table
     "a106_rolling_corr": ((), ("Join",), None),
 }
