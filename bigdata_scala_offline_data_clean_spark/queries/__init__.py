@@ -61,10 +61,28 @@ _FRONT = [
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import analytics, cleaning, extensions, parity, round5, round5b, streaming_q
+    from . import (
+        analytics,
+        cleaning,
+        extensions,
+        parity,
+        round5,
+        round5b,
+        round6,
+        streaming_q,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (parity, analytics, cleaning, streaming_q, extensions, round5, round5b):
+    for mod in (
+        parity,
+        analytics,
+        cleaning,
+        streaming_q,
+        extensions,
+        round5,
+        round5b,
+        round6,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
