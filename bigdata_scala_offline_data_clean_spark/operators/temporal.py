@@ -26,13 +26,17 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) sharing the key ``on``.
+    ``direction="forward"`` mirrors it: the EARLIEST right row with
+    ``right_ts >= left_ts`` (``>`` when strict) -- the "next event after"
+    lookup (e.g. first fulfillment after an order).
 
     Returns the left columns + ``payload`` columns (null when no prior
     right row exists).  Right-side timestamp ties resolve deterministically
-    to the greatest payload struct.
+    to the greatest payload struct (least, under ``forward``).
 
     Scale: both sides shuffle once on ``on``; the window is one ascending
     sort per key partition.  No broadcast, no nested loop -- the plan is
@@ -58,10 +62,18 @@ def asof_join(
 
     # At equal ts: non-strict sorts right (0) before left (1) so the left
     # row sees it; strict reverses, hiding equal-timestamp right rows.
+    # Forward = the same single window pass over the opposite time order
+    # (approaching left_ts from above), so "last seen" = nearest-after.
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+    if direction == "backward":
+        t_order, p_order = F.col("__t").asc(), F.col("__p").asc_nulls_first()
+    elif direction == "forward":
+        t_order, p_order = F.col("__t").desc(), F.col("__p").desc_nulls_first()
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), side_order, F.col("__p").asc_nulls_first())
+        .orderBy(t_order, side_order, p_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))

@@ -371,3 +371,529 @@ FROM tiled GROUP BY 1, 2, 3
 """
 
 QUERIES["a118_rfm_segments"] = QuerySpec(a118_rfm_segments, A118_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a114 -- canonical selection: keep the best-quality doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_A114_N, _A114_THRESHOLD = 3, 0.2
+
+
+def a114_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=_A114_N, threshold=_A114_THRESHOLD)
+    clusters = dedup_clusters(d, pairs)
+    # survivorship by quality (longest doc), NOT first-id -- the struct-max
+    # is a mergeable agg, so canonical selection adds one groupBy on the
+    # cluster id, no window over the corpus
+    scored = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    best = scored.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))).alias(
+            "__b"
+        ),
+    )
+    return (
+        best.where(F.col("cluster_size") >= 2)
+        .select(
+            "rep_id",
+            "cluster_size",
+            (-F.col("__b.nid")).cast("bigint").alias("keep_doc_id"),
+            F.col("__b.n_chars").alias("keep_n_chars"),
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
+def _a114_sql() -> str:
+    from .analytics import _a08_sql
+
+    a08 = _a08_sql().strip().rstrip("\n")
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{a08}
+), sym AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+), clusters AS (
+  SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
+), scored AS (
+  SELECT c.rep_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.rep_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.rep_id) AS cluster_size
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT rep_id, cluster_size, CAST(doc_id AS BIGINT) AS keep_doc_id,
+       n_chars AS keep_n_chars, cluster_size - 1 AS n_dropped
+FROM scored WHERE rn = 1 AND cluster_size >= 2
+"""
+
+
+QUERIES["a114_canonical_selection"] = QuerySpec(
+    a114_canonical_selection, _a114_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# a115 -- embedding centroid drift: per-label cosine between corpus halves
+# ---------------------------------------------------------------------------
+
+_A115_DRIFT = 0.995
+
+
+def a115_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    # centroid = decimal-exact per-dim sums / count: the algebraic shape
+    # (sum, n) that map-side combines -- at 100 TB each (label, half, dim)
+    # cell reduces before the exchange, so the shuffle is O(labels*dims)
+    sums = ex.groupBy("label", "half", "dim").agg(
+        F.sum(F.round(F.col("val").cast("double"), 9).cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        "label",
+        "half",
+        "dim",
+        (F.col("s").cast("double") / F.col("n")).alias("c"),
+        "n",
+    )
+    c0 = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    c1 = cent.where(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    j = c0.join(c1, ["label", "dim"])
+    agg = j.groupBy("label").agg(
+        F.max("n0").alias("n_half0"),
+        F.max("n1").alias("n_half1"),
+        F.sum(F.round(F.col("c0") * F.col("c1"), 9).cast(_DEC))
+        .cast("double")
+        .alias("dot"),
+        F.sum(F.round(F.col("c0") * F.col("c0"), 9).cast(_DEC))
+        .cast("double")
+        .alias("s0"),
+        F.sum(F.round(F.col("c1") * F.col("c1"), 9).cast(_DEC))
+        .cast("double")
+        .alias("s1"),
+    )
+    cos = F.round(F.col("dot") / (F.sqrt("s0") * F.sqrt("s1")), 6)
+    return agg.select(
+        "label",
+        "n_half0",
+        "n_half1",
+        cos.alias("centroid_cosine"),
+        (cos < _A115_DRIFT).alias("drifted"),
+    )
+
+
+A115_SQL = f"""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), sums AS (
+  SELECT label, half, dim,
+         sum(CAST(round(val, 9) AS DECIMAL(28,9))) AS s, count(*) AS n
+  FROM ex GROUP BY 1, 2, 3
+), cent AS (
+  SELECT label, half, dim, CAST(s AS DOUBLE) / n AS c, n FROM sums
+), j AS (
+  SELECT a.label, a.dim, a.c AS c0, b.c AS c1, a.n AS n0, b.n AS n1
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+), agg AS (
+  SELECT label, max(n0) AS n_half0, max(n1) AS n_half1,
+         CAST(sum(CAST(round(c0 * c1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(round(c0 * c0, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s0,
+         CAST(sum(CAST(round(c1 * c1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s1
+  FROM j GROUP BY 1
+)
+SELECT label, n_half0, n_half1,
+       round(dot / (sqrt(s0) * sqrt(s1)), 6) AS centroid_cosine,
+       round(dot / (sqrt(s0) * sqrt(s1)), 6) < {_A115_DRIFT} AS drifted
+FROM agg
+"""
+
+QUERIES["a115_centroid_shift"] = QuerySpec(a115_centroid_shift, A115_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a117 -- forward as-of join: first click AT/AFTER each purchase
+# ---------------------------------------------------------------------------
+
+
+def a117_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+    from ._util import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_event_id", "click_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts"),
+        "click_event_id",
+        ts_str("click_ts").alias("click_ts"),
+    )
+
+
+A117_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_event_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.user_id, p.event_id, p.ts, c.click_event_id, c.click_ts,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY c.click_ts ASC, c.click_event_id ASC) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.click_ts >= p.ts
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       click_event_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM j WHERE rn = 1
+"""
+
+QUERIES["a117_asof_forward"] = QuerySpec(a117_asof_forward, A117_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a119 -- kNN label classification (leave-one-out over the embedding corpus)
+# ---------------------------------------------------------------------------
+
+_A119_K, _A119_NQ = 5, 50
+
+
+def a119_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _A119_NQ)
+    knn = cosine_topk(e, q, k=_A119_K)
+    # vote = one groupBy over the k*nq neighbor rows; label lookup joins
+    # are broadcasts of the (tiny) query frame / corpus labels
+    labeled = knn.join(
+        e.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")),
+        "n_id",
+    )
+    votes = labeled.groupBy("q_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = votes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    truth = e.where(F.col("vec_id") < _A119_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    per_q = pred.join(truth, "q_id").select(
+        "q_id",
+        "true_label",
+        F.col("n_label").alias("pred_label"),
+        "votes",
+        (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
+    acc = per_q.agg(
+        F.round(
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)) / F.count(F.lit(1)), 4
+        ).alias("accuracy")
+    )
+    return per_q.crossJoin(F.broadcast(acc))
+
+
+def _a119_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
+    )
+    qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
+    qc = dot.format(a="qv", b="cv")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS true_label, embedding AS qv
+  FROM embeddings WHERE vec_id < {_A119_NQ}
+), c AS (
+  SELECT vec_id AS n_id, label AS n_label, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT q_id, n_id, n_label,
+         round({qc} / (sqrt({qq}) * sqrt({cc})), 6) AS cosine
+  FROM c, q WHERE q_id <> n_id
+), ranked AS (
+  SELECT q_id, n_label,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT q_id, n_label, count(*) AS votes
+  FROM ranked WHERE rank <= {_A119_K} GROUP BY 1, 2
+), pred AS (
+  SELECT q_id, n_label, votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, n_label ASC) AS rn
+  FROM votes
+), per_q AS (
+  SELECT p.q_id, q.true_label, p.n_label AS pred_label, p.votes,
+         p.n_label = q.true_label AS correct
+  FROM pred p JOIN q USING (q_id) WHERE p.rn = 1
+), acc AS (
+  SELECT round(sum(CASE WHEN correct THEN 1 ELSE 0 END) / count(*), 4)
+           AS accuracy
+  FROM per_q
+)
+SELECT q_id, true_label, pred_label, votes, correct, accuracy
+FROM per_q CROSS JOIN acc
+"""
+
+
+QUERIES["a119_knn_classify"] = QuerySpec(a119_knn_classify, _a119_sql())
+
+
+# ---------------------------------------------------------------------------
+# c49 -- MERGE INTO: predicate-driven matched-update/delete + insert
+# ---------------------------------------------------------------------------
+
+
+def c49_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    source = (
+        o.where(k % 5 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(k % 9 == 0).select(
+                (k + 2000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(9.99).alias("o_totalprice"),
+            )
+        )
+    )
+    return merge_into(
+        target,
+        source,
+        "o_orderkey",
+        delete_cond=lambda t, s: t["o_orderstatus"] == "F",
+        update_cond=lambda t, s: s["o_totalprice"] > 1000.0,
+        insert_cond=lambda t, s: s["o_totalprice"] < 100.0,
+    )
+
+
+C49_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), s AS (
+  SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice + 500.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 2000000, 'N', 9.99
+  FROM orders WHERE o_orderkey % 9 = 0
+), j AS (
+  SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         t.o_orderkey IS NOT NULL AS has_t, s.o_orderkey IS NOT NULL AS has_s,
+         t.o_orderstatus AS t_status, t.o_totalprice AS t_price,
+         s.o_orderstatus AS s_status, s.o_totalprice AS s_price
+  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN has_t AND has_s AND s_price > 1000.0 THEN s_status
+            WHEN has_t THEN t_status ELSE s_status END AS o_orderstatus,
+       CASE WHEN has_t AND has_s AND s_price > 1000.0 THEN s_price
+            WHEN has_t THEN t_price ELSE s_price END AS o_totalprice
+FROM j
+WHERE NOT (has_t AND has_s AND t_status = 'F')
+  AND (has_t OR s_price < 100.0)
+"""
+
+QUERIES["c49_merge_into"] = QuerySpec(c49_merge_into, C49_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c50 -- k-anonymity generalization ladder (local recoding, 3 rungs)
+# ---------------------------------------------------------------------------
+
+_C50_K = 10
+
+
+def c50_generalize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    re = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    c = cu.select("c_custkey", "c_nationkey", "c_mktsegment").join(
+        F.broadcast(na), "c_nationkey"
+    ).join(F.broadcast(re), "n_regionkey")
+    # rung 0: (nation, segment); failing groups promote to (region,
+    # segment); still-failing promote to ('*', segment).  Counts at each
+    # rung cover only the rows that reached it (local recoding); every
+    # rung is a groupBy + broadcast join of a group-sized frame
+    l0 = c.groupBy("n_name", "c_mktsegment").agg(F.count(F.lit(1)).alias("n0"))
+    c0 = c.join(F.broadcast(l0), ["n_name", "c_mktsegment"])
+    out0 = (
+        c0.where(F.col("n0") >= _C50_K)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("n_name").alias("qi_geo"),
+            "c_mktsegment",
+            F.lit(0).alias("gen_level"),
+            "n_rows",
+            F.lit(True).alias("k_ok"),
+        )
+    )
+    rem1 = c0.where(F.col("n0") < _C50_K)
+    l1 = rem1.groupBy("r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    c1 = rem1.join(F.broadcast(l1), ["r_name", "c_mktsegment"])
+    out1 = (
+        c1.where(F.col("n1") >= _C50_K)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("r_name").alias("qi_geo"),
+            "c_mktsegment",
+            F.lit(1).alias("gen_level"),
+            "n_rows",
+            F.lit(True).alias("k_ok"),
+        )
+    )
+    out2 = (
+        c1.where(F.col("n1") < _C50_K)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("*").alias("qi_geo"),
+            "c_mktsegment",
+            F.lit(2).alias("gen_level"),
+            "n_rows",
+            (F.col("n_rows") >= _C50_K).alias("k_ok"),
+        )
+    )
+    return out0.unionByName(out1).unionByName(out2)
+
+
+C50_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, n_name, r_name, c_mktsegment
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+), l0 AS (
+  SELECT n_name, c_mktsegment, count(*) AS n0 FROM c GROUP BY 1, 2
+), c0 AS (
+  SELECT c.*, l0.n0 FROM c JOIN l0 USING (n_name, c_mktsegment)
+), out0 AS (
+  SELECT n_name AS qi_geo, c_mktsegment, 0 AS gen_level,
+         count(*) AS n_rows, TRUE AS k_ok
+  FROM c0 WHERE n0 >= {_C50_K} GROUP BY 1, 2
+), rem1 AS (
+  SELECT * FROM c0 WHERE n0 < {_C50_K}
+), l1 AS (
+  SELECT r_name, c_mktsegment, count(*) AS n1 FROM rem1 GROUP BY 1, 2
+), c1 AS (
+  SELECT rem1.*, l1.n1 FROM rem1 JOIN l1 USING (r_name, c_mktsegment)
+), out1 AS (
+  SELECT r_name AS qi_geo, c_mktsegment, 1 AS gen_level,
+         count(*) AS n_rows, TRUE AS k_ok
+  FROM c1 WHERE n1 >= {_C50_K} GROUP BY 1, 2
+), out2 AS (
+  SELECT '*' AS qi_geo, c_mktsegment, 2 AS gen_level,
+         count(*) AS n_rows, count(*) >= {_C50_K} AS k_ok
+  FROM c1 WHERE n1 < {_C50_K} GROUP BY c_mktsegment
+)
+SELECT * FROM out0 UNION ALL SELECT * FROM out1 UNION ALL SELECT * FROM out2
+"""
+
+QUERIES["c50_generalize_kanon"] = QuerySpec(c50_generalize_kanon, C50_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c51 -- crawl health report: per-source dedup/quality/language rollup
+# ---------------------------------------------------------------------------
+
+_C51_MAX_DUP, _C51_MIN_CHARS = 0.5, 100
+
+
+def c51_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("__chars"),
+    )
+    dup_rate = F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6)
+    avg_chars = F.round(F.col("__chars") / F.col("n_docs"), 6)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        dup_rate.alias("dup_rate"),
+        "n_langs",
+        avg_chars.alias("avg_chars"),
+        ((dup_rate < _C51_MAX_DUP) & (avg_chars >= _C51_MIN_CHARS)).alias(
+            "healthy"
+        ),
+    )
+
+
+C51_SQL = f"""
+WITH agg AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+         count(DISTINCT lang) AS n_langs, sum(n_chars) AS chars
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_unique,
+       round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate,
+       n_langs,
+       round(CAST(chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+       round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) < {_C51_MAX_DUP}
+         AND round(CAST(chars AS DOUBLE) / n_docs, 6) >= {_C51_MIN_CHARS}
+         AS healthy
+FROM agg
+"""
+
+QUERIES["c51_crawl_health"] = QuerySpec(c51_crawl_health, C51_SQL)
