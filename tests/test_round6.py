@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.diff import merge_into
+from bigdata_scala_offline_data_clean_spark.operators.temporal import asof_join
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, status string, price double")
+
+
+def test_merge_into_update_delete_insert(spark):
+    target = _t(spark, [(1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0)])
+    source = _t(spark, [(2, "M", 99.0), (3, "M", 5.0), (4, "N", 40.0)])
+    out = merge_into(
+        target,
+        source,
+        "k",
+        delete_cond=lambda t, s: t["status"] == "F",
+        update_cond=lambda t, s: s["price"] > 10.0,
+    )
+    got = {r.k: (r.status, r.price) for r in out.collect()}
+    # 1: untouched; 2: matched + target F -> deleted; 3: matched but source
+    # price <= 10 -> target kept; 4: unmatched source -> inserted
+    assert got == {1: ("O", 10.0), 3: ("O", 30.0), 4: ("N", 40.0)}
+
+
+def test_merge_into_insert_condition_filters(spark):
+    target = _t(spark, [(1, "O", 10.0)])
+    source = _t(spark, [(2, "N", 5.0), (3, "N", 50.0)])
+    out = merge_into(
+        target, source, "k", insert_cond=lambda t, s: s["price"] < 10.0
+    )
+    assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_merge_into_defaults_update_always_insert_always(spark):
+    target = _t(spark, [(1, "O", 10.0)])
+    source = _t(spark, [(1, "U", 11.0), (2, "N", 12.0)])
+    got = {r.k: (r.status, r.price) for r in merge_into(target, source, "k").collect()}
+    assert got == {1: ("U", 11.0), 2: ("N", 12.0)}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k string, t bigint, v string")
+
+
+def test_asof_forward_picks_nearest_after(spark):
+    left = _ev(spark, [("a", 10, "L1"), ("a", 25, "L2")])
+    right = _ev(spark, [("a", 5, "R0"), ("a", 12, "R1"), ("a", 30, "R2")])
+    out = asof_join(
+        left,
+        right.select("k", "t", F.col("v").alias("rv")),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        payload=["rv"],
+        direction="forward",
+    )
+    got = {r.v: r.rv for r in out.collect()}
+    assert got == {"L1": "R1", "L2": "R2"}
+
+
+def test_asof_forward_equal_ts_included_unless_strict(spark):
+    left = _ev(spark, [("a", 10, "L")])
+    right = _ev(spark, [("a", 10, "R_eq"), ("a", 11, "R_next")])
+    base = dict(on="k", left_ts="t", right_ts="t", payload=["rv"])
+    r = right.select("k", "t", F.col("v").alias("rv"))
+    nonstrict = asof_join(left, r, direction="forward", **base).collect()
+    assert nonstrict[0].rv == "R_eq"
+    strict = asof_join(left, r, direction="forward", strict=True, **base).collect()
+    assert strict[0].rv == "R_next"
+
+
+def test_asof_forward_no_future_row_gives_null(spark):
+    left = _ev(spark, [("a", 50, "L")])
+    right = _ev(spark, [("a", 5, "R_past")])
+    out = asof_join(
+        left,
+        right.select("k", "t", F.col("v").alias("rv")),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        payload=["rv"],
+        direction="forward",
+    ).collect()
+    assert out[0].rv is None
+
+
+def test_asof_backward_unchanged(spark):
+    left = _ev(spark, [("a", 10, "L")])
+    right = _ev(spark, [("a", 5, "R1"), ("a", 9, "R2"), ("a", 11, "R3")])
+    out = asof_join(
+        left,
+        right.select("k", "t", F.col("v").alias("rv")),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        payload=["rv"],
+    ).collect()
+    assert out[0].rv == "R2"

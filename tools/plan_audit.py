@@ -263,6 +263,31 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c48_cdc_compact": ((), ("Join", "Window"), 2),
     # rolling corr: one event groupBy; windows run over the daily table
     "a106_rolling_corr": ((), ("Join",), None),
+    # --- round 6 ---
+    # char entropy: two grouped aggs on doc-keyed data, no join anywhere
+    "a110_char_entropy": ((), ("Join",), 3),
+    # Zipf fit: the corpus reduces to the (tiny) vocab before any window
+    "a111_zipf_fit": ((), ("Join",), None),
+    # novelty: first-seen agg + gram equi-join; never an all-pairs plan
+    "a113_ngram_novelty": ((), ("NestedLoop", "CartesianProduct"), None),
+    # chi2: cell/marginal frames broadcast; lineitem scanned once, no SMJ
+    "a116_chi2_independence": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    # RFM: ntiles over the per-customer agg; anchor broadcast; no SMJ
+    "a118_rfm_segments": ((), ("SortMergeJoin", "CartesianProduct"), None),
+    # canonical selection: cluster map + quality joins stay equi-joins
+    "a114_canonical_selection": ((), ("NestedLoop", "CartesianProduct"), None),
+    # centroid drift: algebraic per-dim sums; halves equi-join on (label,dim)
+    "a115_centroid_shift": ((), ("NestedLoop", "CartesianProduct"), None),
+    # forward as-of: same union+window shape as q14 -- no join node at all
+    "a117_asof_forward": ((), ("NestedLoop", "CartesianProduct"), 2),
+    # kNN: query batch broadcast (BNLJ), never a cartesian
+    "a119_knn_classify": (("BroadcastNestedLoopJoin",), ("CartesianProduct",), None),
+    # MERGE INTO: one full-outer SMJ on the key; no per-row rescans
+    "c49_merge_into": (("SortMergeJoin",), ("NestedLoop", "CartesianProduct"), None),
+    # k-anon ladder: dims + rung-count frames broadcast; no SMJ anywhere
+    "c50_generalize_kanon": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
+    # crawl health: one grouped agg, no join
+    "c51_crawl_health": ((), ("Join",), 2),
 }
 
 
