@@ -107,6 +107,13 @@ HEADLINE = [
     "c43_bitmap_cube",
     "c45_pit_enrich",
     "s12_stream_cms_topk",
+    # r6 additions (extend-only)
+    "a110_char_entropy",  # per-char explode: the widest Generate in the repo
+    "a113_ngram_novelty",  # gram-keyed agg + join at corpus scale
+    "a114_canonical_selection",  # jaccard pairs + CC + survivorship composite
+    "a119_knn_classify",  # brute-force kNN vote (broadcast query batch)
+    "c49_merge_into",  # full-outer MERGE on the key
+    "c50_generalize_kanon",  # 3-rung local-recoding ladder
 ]
 
 

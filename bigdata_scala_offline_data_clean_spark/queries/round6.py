@@ -897,3 +897,367 @@ FROM agg
 """
 
 QUERIES["c51_crawl_health"] = QuerySpec(c51_crawl_health, C51_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a120 -- market-basket association rules over order brand baskets
+# ---------------------------------------------------------------------------
+
+_A120_TOPK, _A120_MIN_SUPP = 20, 2
+
+
+def a120_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    # basket = distinct brands per order: the item universe is tiny (25
+    # brands) so every support frame below broadcasts; the only big
+    # shuffles are the basket distinct and the okey self-join, both keyed
+    # on l_orderkey and bounded by basket size (pairs per order ~ |basket|^2
+    # with |basket| <= 25, not corpus-quadratic)
+    baskets = (
+        li.join(F.broadcast(pa.select("p_partkey", "p_brand")),
+                li.l_partkey == pa.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_orders = baskets.agg(F.countDistinct("okey").alias("n"))
+    item_supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("supp"))
+    a = baskets.select("okey", F.col("item").alias("item_a"))
+    b = baskets.select("okey", F.col("item").alias("item_b"))
+    pair_supp = (
+        a.join(b, "okey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= _A120_MIN_SUPP)
+    )
+    rules = (
+        pair_supp.join(
+            F.broadcast(item_supp.select(F.col("item").alias("item_a"),
+                                         F.col("supp").alias("a_n"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_supp.select(F.col("item").alias("item_b"),
+                                         F.col("supp").alias("b_n"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    conf = F.col("pair_n") / F.col("a_n")
+    lift = conf * F.col("n") / F.col("b_n")
+    out = rules.select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        F.round(F.col("pair_n") / F.col("n"), 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+    )
+    top = out.orderBy(
+        F.col("pair_n").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(_A120_TOPK)
+    w = Window.orderBy(
+        F.col("pair_n").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return top.withColumn("pos", F.row_number().over(w))
+
+
+A120_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_orders AS (
+  SELECT count(DISTINCT okey) AS n FROM baskets
+), item_supp AS (
+  SELECT item, count(*) AS supp FROM baskets GROUP BY 1
+), pair_supp AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_n
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_A120_MIN_SUPP}
+), rules AS (
+  SELECT item_a, item_b, pair_n,
+         round(CAST(pair_n AS DOUBLE) / n.n, 6) AS support,
+         round(CAST(pair_n AS DOUBLE) / sa.supp, 6) AS confidence,
+         round(CAST(pair_n AS DOUBLE) / sa.supp * n.n / sb.supp, 6) AS lift,
+         row_number() OVER (ORDER BY pair_n DESC, item_a ASC, item_b ASC)
+           AS pos
+  FROM pair_supp
+  JOIN item_supp sa ON sa.item = item_a
+  JOIN item_supp sb ON sb.item = item_b
+  CROSS JOIN n_orders n
+)
+SELECT item_a, item_b, pair_n, support, confidence, lift, pos
+FROM rules WHERE pos <= {_A120_TOPK}
+"""
+
+QUERIES["a120_basket_rules"] = QuerySpec(a120_basket_rules, A120_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a121 -- lang-id evaluation: confusion matrix of a05 vs the labeled lang
+# ---------------------------------------------------------------------------
+
+
+def a121_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = language_id(d).select("doc_id", "lang", "predicted_lang")
+    conf = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    acc = pred.agg(
+        F.round(
+            F.sum(F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy")
+    )
+    return conf.crossJoin(F.broadcast(acc)).select(
+        "lang", "predicted_lang", "n_docs", "accuracy"
+    )
+
+
+def _a121_sql() -> str:
+    from .analytics import _a05_sql
+
+    a05 = _a05_sql().strip().rstrip("\n")
+    return f"""
+WITH pred AS (
+{a05}
+), joined AS (
+  SELECT d.lang, p.predicted_lang FROM documents d JOIN pred p USING (doc_id)
+), acc AS (
+  SELECT round(sum(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END)
+               / count(*), 6) AS accuracy
+  FROM joined
+)
+SELECT lang, predicted_lang, count(*) AS n_docs, any_value(acc.accuracy)
+         AS accuracy
+FROM joined CROSS JOIN acc
+GROUP BY lang, predicted_lang, acc.accuracy
+"""
+
+
+QUERIES["a121_langid_eval"] = QuerySpec(a121_langid_eval, _a121_sql())
+
+
+# ---------------------------------------------------------------------------
+# a122 -- daily volume anomaly: trailing-window z-score (current excluded)
+# ---------------------------------------------------------------------------
+
+_A122_MIN_PRIOR, _A122_Z = 4, 2.0
+
+
+def a122_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        day_str("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # trailing frame EXCLUDES the current row, so the baseline can't absorb
+    # the anomaly it is scoring; windows run over the (days x types) table
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_prior")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_prior").cast("double")) / (
+        F.col("n_prior") - 1
+    )
+    z = F.when(
+        (F.col("n_prior") >= _A122_MIN_PRIOR) & (var > 0),
+        F.round((F.col("n") - mean) / F.sqrt(var), 6),
+    )
+    return stats.select(
+        "day",
+        "event_type",
+        "n",
+        "n_prior",
+        F.round(mean, 6).alias("trailing_mean"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= _A122_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+A122_SQL = f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y%m%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT day, event_type, n,
+         count(*) OVER w AS n_prior,
+         sum(n) OVER w AS s,
+         sum(n * n) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n, n_prior,
+       round(CAST(s AS DOUBLE) / n_prior, 6) AS trailing_mean,
+       CASE WHEN n_prior >= {_A122_MIN_PRIOR}
+                 AND (ss - s * s / CAST(n_prior AS DOUBLE)) / (n_prior - 1) > 0
+            THEN round((n - CAST(s AS DOUBLE) / n_prior)
+                       / sqrt((ss - s * s / CAST(n_prior AS DOUBLE))
+                              / (n_prior - 1)), 6)
+       END AS z,
+       coalesce(abs(CASE WHEN n_prior >= {_A122_MIN_PRIOR}
+                 AND (ss - s * s / CAST(n_prior AS DOUBLE)) / (n_prior - 1) > 0
+            THEN round((n - CAST(s AS DOUBLE) / n_prior)
+                       / sqrt((ss - s * s / CAST(n_prior AS DOUBLE))
+                              / (n_prior - 1)), 6)
+       END) >= {_A122_Z}, FALSE) AS is_anomaly
+FROM stats
+"""
+
+QUERIES["a122_volume_anomaly"] = QuerySpec(a122_volume_anomaly, A122_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a123 -- Jaccard threshold sensitivity curve (dedup-tuning diagnostic)
+# ---------------------------------------------------------------------------
+
+_A123_N, _A123_FLOOR = 3, 0.1
+
+
+def a123_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=_A123_N, threshold=_A123_FLOOR)
+    # identical double -> identical floor in both engines (the jaccard is
+    # one division of exact ints); curve frame is <=10 rows, so the
+    # cumulative window is the documented small-frame exception
+    bucketed = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bucketed.select(
+        (F.col("bucket") / 10.0).alias("threshold_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("n_pairs_at_or_above"),
+    )
+
+
+def _a123_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_A123_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_A123_N - 1}], ' ')))) AS gram
+  FROM toks
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b
+), pairs AS (
+  SELECT CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+), bucketed AS (
+  SELECT CAST(floor(jaccard * 10) AS INTEGER) AS bucket, count(*) AS n_pairs
+  FROM pairs WHERE jaccard >= {_A123_FLOOR} GROUP BY 1
+)
+SELECT bucket / 10.0 AS threshold_lo, n_pairs,
+       sum(n_pairs) OVER (ORDER BY bucket DESC
+                          ROWS UNBOUNDED PRECEDING) AS n_pairs_at_or_above
+FROM bucketed
+"""
+
+
+QUERIES["a123_jaccard_threshold_curve"] = QuerySpec(
+    a123_jaccard_threshold_curve, _a123_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# c52 -- early-arriving facts: inferred dimension members + reconciliation
+# ---------------------------------------------------------------------------
+
+
+def c52_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    # initial dim load is missing every 7th key; facts referencing them
+    # must not be dropped or quarantined -- the Kimball fix is to insert
+    # placeholder ("inferred") members, then reconcile when the late dim
+    # batch lands.  All joins are key equi-joins; the anti-join side is
+    # fact-distinct keys (small), so the dim never re-shuffles.
+    dim = cu.where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    fact_keys = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    missing = fact_keys.join(dim.select("c_custkey"), "c_custkey", "left_anti")
+    inferred = missing.select(
+        "c_custkey",
+        F.lit("UNKNOWN").alias("c_name"),
+        F.lit(-1).alias("c_nationkey"),
+        F.lit(True).alias("was_inferred"),
+    )
+    dim2 = dim.withColumn("was_inferred", F.lit(False)).unionByName(inferred)
+    late = cu.select(
+        "c_custkey",
+        F.col("c_name").alias("real_name"),
+        F.col("c_nationkey").alias("real_nation"),
+    )
+    j = dim2.join(late, "c_custkey", "left")
+    fix = F.col("was_inferred") & F.col("real_name").isNotNull()
+    return j.select(
+        "c_custkey",
+        F.when(fix, F.col("real_name")).otherwise(F.col("c_name")).alias("c_name"),
+        F.when(fix, F.col("real_nation"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+        "was_inferred",
+        fix.alias("reconciled"),
+    )
+
+
+C52_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey % 7 <> 0
+), fact_keys AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+), inferred AS (
+  SELECT f.c_custkey, 'UNKNOWN' AS c_name, -1 AS c_nationkey,
+         TRUE AS was_inferred
+  FROM fact_keys f LEFT JOIN dim d USING (c_custkey)
+  WHERE d.c_custkey IS NULL
+), dim2 AS (
+  SELECT c_custkey, c_name, c_nationkey, FALSE AS was_inferred FROM dim
+  UNION ALL SELECT * FROM inferred
+)
+SELECT d.c_custkey,
+       CASE WHEN d.was_inferred AND c.c_name IS NOT NULL
+            THEN c.c_name ELSE d.c_name END AS c_name,
+       CASE WHEN d.was_inferred AND c.c_name IS NOT NULL
+            THEN c.c_nationkey ELSE d.c_nationkey END AS c_nationkey,
+       d.was_inferred,
+       d.was_inferred AND c.c_name IS NOT NULL AS reconciled
+FROM dim2 d LEFT JOIN customer c USING (c_custkey)
+"""
+
+QUERIES["c52_inferred_members"] = QuerySpec(c52_inferred_members, C52_SQL)
