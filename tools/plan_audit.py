@@ -288,6 +288,24 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c50_generalize_kanon": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
     # crawl health: one grouped agg, no join
     "c51_crawl_health": ((), ("Join",), 2),
+    # basket rules: brand dim + support frames broadcast (the 1-row
+    # n_orders scalar rides a benign BroadcastNestedLoopJoin); the only
+    # big shuffles key on l_orderkey; never a cartesian
+    "a120_basket_rules": (
+        ("BroadcastHashJoin",), ("CartesianProduct",), None,
+    ),
+    # lang-id eval: marker scoring is a projection; accuracy scalar
+    # broadcast -- no shuffle of the corpus beyond the confusion groupBy
+    "a121_langid_eval": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # volume anomaly: one event groupBy; trailing windows run on the
+    # (days x types) table
+    "a122_volume_anomaly": ((), ("Join",), None),
+    # threshold curve: gram equi-joins only (a08 machinery)
+    "a123_jaccard_threshold_curve": ((), ("NestedLoop", "CartesianProduct"), None),
+    # inferred members: key equi-joins; anti-join side is fact-distinct keys
+    "c52_inferred_members": ((), ("NestedLoop", "CartesianProduct"), None),
 }
 
 
