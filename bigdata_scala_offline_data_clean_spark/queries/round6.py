@@ -1261,3 +1261,225 @@ FROM dim2 d LEFT JOIN customer c USING (c_custkey)
 """
 
 QUERIES["c52_inferred_members"] = QuerySpec(c52_inferred_members, C52_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a124 -- excess-inventory suppliers (TPC-H Q20 shape: decorrelated
+# correlated aggregate -- per-(part,supp) totals vs 1.5x the part average)
+# ---------------------------------------------------------------------------
+
+_A124_FACTOR = 1.5
+
+
+def a124_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    # the correlated "quantity > 1.5 * avg for that part" must decorrelate
+    # to agg + equi-join: ps and pavg share the l_partkey hash
+    # partitioning, so the join reuses the grouping exchange
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq")
+    )
+    pavg = ps.groupBy("l_partkey").agg(
+        (F.sum("sq").cast("double") / F.count(F.lit(1))).alias("avg_sq")
+    )
+    qual = ps.join(pavg, "l_partkey").where(
+        F.col("sq").cast("double") > _A124_FACTOR * F.col("avg_sq")
+    )
+    per_supp = qual.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_excess_parts"),
+        F.sum("sq").cast("double").alias("excess_qty"),
+    )
+    return per_supp.join(
+        F.broadcast(su.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+        "l_suppkey",
+    ).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "s_name",
+        "n_excess_parts",
+        "excess_qty",
+    )
+
+
+A124_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem GROUP BY 1, 2
+), pavg AS (
+  SELECT l_partkey, CAST(sum(sq) AS DOUBLE) / count(*) AS avg_sq
+  FROM ps GROUP BY 1
+), qual AS (
+  SELECT ps.* FROM ps JOIN pavg USING (l_partkey)
+  WHERE CAST(sq AS DOUBLE) > {_A124_FACTOR} * avg_sq
+), per_supp AS (
+  SELECT l_suppkey, count(*) AS n_excess_parts,
+         CAST(sum(sq) AS DOUBLE) AS excess_qty
+  FROM qual GROUP BY 1
+)
+SELECT l_suppkey AS s_suppkey, s_name, n_excess_parts, excess_qty
+FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+"""
+
+QUERIES["a124_excess_inventory"] = QuerySpec(a124_excess_inventory, A124_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a125 -- ABC (Pareto) analysis: brand revenue classes per supplier region
+# ---------------------------------------------------------------------------
+
+_A125_A, _A125_B = 0.8, 0.95
+
+
+def a125_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    dims = (
+        su.join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "r_name")
+    )
+    rev = (
+        li.join(F.broadcast(pa.select("p_partkey", "p_brand")),
+                li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(dims), "l_suppkey")
+        .groupBy("r_name", "p_brand")
+        .agg(
+            # exact decimal product (operands cast BEFORE multiplying --
+            # casting the double product would round half-up vs DuckDB's
+            # half-even)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).alias("rev")
+        )
+    )
+    # cumulative share runs over the (regions x brands) aggregate -- a
+    # bounded frame; the corpus never enters a window
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("rev").desc(), F.col("p_brand").asc()
+    )
+    tot = Window.partitionBy("r_name")
+    share = F.sum("rev").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).cast("double") / F.sum("rev").over(tot).cast("double")
+    cls = (
+        F.when(share <= _A125_A, "A")
+        .when(share <= _A125_B, "B")
+        .otherwise("C")
+    )
+    return rev.select(
+        "r_name",
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
+
+
+A125_SQL = f"""
+WITH rev AS (
+  SELECT r_name, p_brand,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT r_name, p_brand, CAST(rev AS DOUBLE) AS revenue,
+         CAST(sum(rev) OVER (PARTITION BY r_name
+                             ORDER BY rev DESC, p_brand ASC
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+  FROM rev
+)
+SELECT r_name, p_brand, revenue, round(share, 6) AS cum_share,
+       CASE WHEN share <= {_A125_A} THEN 'A'
+            WHEN share <= {_A125_B} THEN 'B' ELSE 'C' END AS abc_class
+FROM shares
+"""
+
+QUERIES["a125_abc_analysis"] = QuerySpec(a125_abc_analysis, A125_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s13 -- streaming volume-anomaly maintenance: daily count partials kept
+# current by the stream; the trailing z-score reads the merged counts
+# ---------------------------------------------------------------------------
+
+
+def s13_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import stream_count_partials
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s13_")
+    try:
+        src = f"{scratch}/src"
+        e.select(day_str("ts").alias("day"), "event_type").repartition(4)\
+            .write.parquet(src)
+        stream = spark.readStream.schema(
+            "day string, event_type string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        store = f"{scratch}/partials"
+        q = (
+            stream_count_partials(stream, store, ["day", "event_type"])
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        daily = (
+            spark.read.parquet(store)
+            .groupBy("day", "event_type")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        # identical scoring to a122, fed by the streamed partials instead
+        # of a batch scan -- the oracle is shared verbatim
+        w = (
+            Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        )
+        stats = daily.select(
+            "day",
+            "event_type",
+            "n",
+            F.count(F.lit(1)).over(w).alias("n_prior"),
+            F.sum("n").over(w).alias("s"),
+            F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        )
+        mean = F.col("s").cast("double") / F.col("n_prior")
+        var = (
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n_prior").cast("double")
+        ) / (F.col("n_prior") - 1)
+        z = F.when(
+            (F.col("n_prior") >= _A122_MIN_PRIOR) & (var > 0),
+            F.round((F.col("n") - mean) / F.sqrt(var), 6),
+        )
+        out = stats.select(
+            "day",
+            "event_type",
+            "n",
+            "n_prior",
+            F.round(mean, 6).alias("trailing_mean"),
+            z.alias("z"),
+            F.coalesce(F.abs(z) >= _A122_Z, F.lit(False)).alias("is_anomaly"),
+        )
+        rows = out.collect()  # materialize before rmtree (documented)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+QUERIES["s13_stream_anomaly"] = QuerySpec(s13_stream_anomaly, A122_SQL)
