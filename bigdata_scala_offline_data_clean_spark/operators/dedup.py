@@ -588,14 +588,39 @@ def ngram_jaccard_pairs(
     Candidate generation = self-join on gram (docs sharing >=1 gram); exact
     at any scale where gram frequencies are bounded -- pair high-frequency
     grams with a stopword-gram cap upstream if needed.
+
+    Single-pass: grams per doc are distinct, so the matching-row count of
+    the gram self-join IS |intersection| -- no candidate distinct, no
+    second gram join to re-derive intersections (jaccard_verify stays for
+    LSH-band candidates, whose pair frame does not come from a gram join).
+    Halves the gram-table shuffles vs the candidates+verify form (a114
+    bench: 12.9s -> measured below).
     """
     sh = shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = sh.select(F.col(id_col).alias("a"), "gram")
     b = sh.select(F.col(id_col).alias("b"), "gram")
-    pairs = (
-        a.join(b, "gram").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return jaccard_verify(pairs, sh, id_col).where(F.col("jaccard") >= threshold)
+    ca = counts.select(F.col(id_col).alias("a"), F.col("n_grams").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
