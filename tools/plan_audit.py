@@ -306,6 +306,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a123_jaccard_threshold_curve": ((), ("NestedLoop", "CartesianProduct"), None),
     # inferred members: key equi-joins; anti-join side is fact-distinct keys
     "c52_inferred_members": ((), ("NestedLoop", "CartesianProduct"), None),
+    # Q20 shape: the correlated aggregate decorrelates to agg + equi-join
+    # (ps and pavg share the l_partkey partitioning); never a per-row rescan
+    "a124_excess_inventory": ((), ("NestedLoop", "CartesianProduct"), None),
+    # ABC analysis: dims broadcast; cumulative-share windows run on the
+    # (regions x brands) aggregate, partitioned by region
+    "a125_abc_analysis": (
+        ("BroadcastHashJoin",), ("CartesianProduct",), None,
+    ),
 }
 
 
