@@ -1483,3 +1483,323 @@ def s13_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["s13_stream_anomaly"] = QuerySpec(s13_stream_anomaly, A122_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a126 -- MinHash-LSH candidate evaluation: precision/recall vs exact truth
+# ---------------------------------------------------------------------------
+
+
+def a126_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", _MH_SHINGLE).persist()
+    cands = candidate_pairs(
+        lsh_bands(minhash_signatures(sh, "doc_id", _MH_N), "doc_id", _MH_N,
+                  _MH_BANDS),
+        "doc_id",
+    )
+    # exact truth: single-pass shared-gram jaccard over the SAME shingle
+    # frame (the all-pairs-above-threshold ground set LSH approximates)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sh.select(F.col("doc_id").alias("a"), "gram")
+    b = sh.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            counts.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("n_a")),
+            "a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("n_b")),
+            "b",
+        )
+        .where(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= _MH_THRESHOLD
+        )
+        .select("a", "b")
+    )
+    tp = cands.join(truth, ["a", "b"], "inner").count()
+    n_cands, n_truth = cands.count(), truth.count()
+    sh.unpersist()
+    prec = tp / n_cands if n_cands else 0.0
+    rec = tp / n_truth if n_truth else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return spark.createDataFrame(
+        [(n_cands, n_truth, tp, round(prec, 6), round(rec, 6), round(f1, 6))],
+        "n_cands bigint, n_truth bigint, tp bigint, "
+        "precision double, recall double, f1 double",
+    )
+
+
+def _a126_sql() -> str:
+    from ..operators.dedup import _MH_MOD, _mh_consts
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    rows = _MH_N // _MH_BANDS
+    base = "CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)"
+    mins = ",\n         ".join(
+        f"min(({a} * {base} + {b}) % {_MH_MOD}) AS mh_{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(_MH_N))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + i}" for i in range(rows))
+        + ")) AS band_sig FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_MH_SHINGLE - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_MH_SHINGLE - 1}], ' ')))) AS gram
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_inter
+  FROM grams ga JOIN grams gb
+    ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+  WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= {_MH_THRESHOLD}
+), m AS (
+  SELECT (SELECT count(*) FROM cands) AS n_cands,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cands JOIN truth USING (a, b)) AS tp
+)
+SELECT n_cands, n_truth, tp,
+       round(CASE WHEN n_cands > 0 THEN CAST(tp AS DOUBLE) / n_cands
+                  ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth
+                  ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN tp > 0 THEN
+           2.0 * (CAST(tp AS DOUBLE) / n_cands) * (CAST(tp AS DOUBLE) / n_truth)
+           / (CAST(tp AS DOUBLE) / n_cands + CAST(tp AS DOUBLE) / n_truth)
+           ELSE 0.0 END, 6) AS f1
+FROM m
+"""
+
+
+QUERIES["a126_lsh_recall_eval"] = QuerySpec(a126_lsh_recall_eval, _a126_sql())
+
+
+# ---------------------------------------------------------------------------
+# a127 -- dedup impact report: docs/chars kept after exact + near dedup
+# ---------------------------------------------------------------------------
+
+
+def a127_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    clusters = dedup_clusters(d, pairs)
+    scored = clusters.join(d.select("doc_id", "text", "n_chars"), "doc_id")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_exact_unique"),
+        F.countDistinct("rep_id").alias("n_neardup_clusters"),
+        F.sum("n_chars").alias("chars_before"),
+        F.sum(
+            F.when(F.col("rep_id") == F.col("doc_id"), F.col("n_chars")).otherwise(0)
+        ).alias("chars_kept"),
+        F.round(
+            F.sum(
+                F.when(F.col("rep_id") == F.col("doc_id"), F.col("n_chars")).otherwise(
+                    0
+                )
+            )
+            / F.sum("n_chars"),
+            6,
+        ).alias("kept_ratio"),
+    )
+
+
+def _a127_sql() -> str:
+    from .analytics import _a25_sql
+
+    a25 = _a25_sql().strip().rstrip("\n")
+    # the full a25 statement (itself WITH RECURSIVE ... SELECT) nests
+    # verbatim as this CTE's body
+    return f"""
+WITH clusters AS MATERIALIZED (
+{a25}
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT d.text) AS n_exact_unique,
+       count(DISTINCT c.rep_id) AS n_neardup_clusters,
+       sum(d.n_chars) AS chars_before,
+       sum(CASE WHEN c.rep_id = c.doc_id THEN d.n_chars ELSE 0 END)
+         AS chars_kept,
+       round(sum(CASE WHEN c.rep_id = c.doc_id THEN d.n_chars ELSE 0 END)
+             / sum(d.n_chars), 6) AS kept_ratio
+FROM clusters c JOIN documents d USING (doc_id)
+"""
+
+
+QUERIES["a127_dedup_impact"] = QuerySpec(a127_dedup_impact, _a127_sql())
+
+
+# ---------------------------------------------------------------------------
+# a128 -- exact-k deterministic stratified sample (eval-set construction)
+# ---------------------------------------------------------------------------
+
+_A128_K = 10
+
+
+def a128_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # hash-ordered row_number: exactly k per stratum, deterministic across
+    # engines and runs (no rand()); the window partitions by stratum so
+    # each group sorts independently
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("a128"))),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("draw_rank"))
+        .where(F.col("draw_rank") <= _A128_K)
+    )
+
+
+A128_SQL = f"""
+SELECT doc_id, lang, draw_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR),
+                                                   'a128')), doc_id ASC)
+           AS draw_rank
+  FROM documents
+) WHERE draw_rank <= {_A128_K}
+"""
+
+QUERIES["a128_exact_k_sample"] = QuerySpec(a128_exact_k_sample, A128_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c53 -- write-audit-publish: staging batches gated by expectations
+# ---------------------------------------------------------------------------
+
+_C53_MIN_ROWS = 100
+
+
+def c53_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # batch 1: the clean daily load; batch 2: a poisoned load (negated
+    # prices for every 11th key) that the gate must hold back.  The
+    # "publish" is modeled as the gated union -- only batches with every
+    # expectation green contribute rows downstream.
+    b1 = o.select("o_orderkey", "o_totalprice").withColumn("batch_id", F.lit(1))
+    b2 = (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .withColumn("batch_id", F.lit(2))
+    )
+    both = b1.unionByName(b2)
+    audit = both.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_null_keys"
+        ),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "n_negative_prices"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_dup_keys"),
+    )
+    passed = (
+        (F.col("n_rows") >= _C53_MIN_ROWS)
+        & (F.col("n_null_keys") == 0)
+        & (F.col("n_negative_prices") == 0)
+        & (F.col("n_dup_keys") == 0)
+    )
+    gate = audit.select("batch_id", passed.alias("published"))
+    published_rows = (
+        both.join(gate.where(F.col("published")), "batch_id")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("published_rows"))
+    )
+    return (
+        audit.join(gate, "batch_id")
+        .join(published_rows, "batch_id", "left")
+        .select(
+            "batch_id",
+            "n_rows",
+            "n_null_keys",
+            "n_negative_prices",
+            "n_dup_keys",
+            "published",
+            F.coalesce("published_rows", F.lit(0)).alias("published_rows"),
+        )
+    )
+
+
+C53_SQL = f"""
+WITH batches AS (
+  SELECT 1 AS batch_id, o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT 2, o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN -o_totalprice
+              ELSE o_totalprice END
+  FROM orders
+), audit AS (
+  SELECT batch_id, count(*) AS n_rows,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_keys,
+         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+           AS n_negative_prices,
+         count(*) - count(DISTINCT o_orderkey) AS n_dup_keys
+  FROM batches GROUP BY 1
+)
+SELECT batch_id, n_rows, n_null_keys, n_negative_prices, n_dup_keys,
+       (n_rows >= {_C53_MIN_ROWS} AND n_null_keys = 0
+        AND n_negative_prices = 0 AND n_dup_keys = 0) AS published,
+       CASE WHEN n_rows >= {_C53_MIN_ROWS} AND n_null_keys = 0
+                 AND n_negative_prices = 0 AND n_dup_keys = 0
+            THEN n_rows ELSE 0 END AS published_rows
+FROM audit
+"""
+
+QUERIES["c53_write_audit_publish"] = QuerySpec(
+    c53_write_audit_publish, C53_SQL
+)
