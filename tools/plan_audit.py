@@ -314,6 +314,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a125_abc_analysis": (
         ("BroadcastHashJoin",), ("CartesianProduct",), None,
     ),
+    # dedup impact: LSH band/gram equi-joins only, never all-pairs
+    "a127_dedup_impact": ((), ("NestedLoop", "CartesianProduct"), None),
+    # exact-k sample: one window exchange on the stratum key, no join
+    "a128_exact_k_sample": ((), ("Join",), 1),
+    # write-audit-publish: audit/gate frames are batch-sized; no cartesian
+    "c53_write_audit_publish": ((), ("CartesianProduct", "NestedLoop"), None),
 }
 
 
