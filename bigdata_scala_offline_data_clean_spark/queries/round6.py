@@ -1803,3 +1803,192 @@ FROM audit
 QUERIES["c53_write_audit_publish"] = QuerySpec(
     c53_write_audit_publish, C53_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a129 -- stop-gram statistics: corpus-frequent shingles (the max_gram_df
+# tuning input for containment/inverted-index dedup)
+# ---------------------------------------------------------------------------
+
+_A129_N, _A129_TOPK = 3, 20
+
+
+def a129_stop_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    sh = shingles(d, "doc_id", "text", _A129_N)
+    df_counts = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    top = df_counts.orderBy(
+        F.col("doc_freq").desc(), F.col("gram").asc()
+    ).limit(_A129_TOPK)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+    return top.withColumn("pos", F.row_number().over(w)).select(
+        "gram",
+        "doc_freq",
+        "pos",
+        F.round(F.col("doc_freq") / F.lit(n_docs), 6).alias("doc_share"),
+        # a gram in d docs emits d^2 candidate rows in an inverted-index
+        # self-join: surface the blowup the stop-gram cap would remove
+        (F.col("doc_freq") * F.col("doc_freq")).alias("pair_blowup"),
+    )
+
+
+A129_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_A129_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_A129_N - 1}], ' ')))) AS gram
+  FROM toks
+), df_counts AS (
+  SELECT gram, count(*) AS doc_freq FROM grams GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), ranked AS (
+  SELECT gram, doc_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, gram ASC) AS pos
+  FROM df_counts
+)
+SELECT gram, doc_freq, pos,
+       round(CAST(doc_freq AS DOUBLE) / n.n_docs, 6) AS doc_share,
+       doc_freq * doc_freq AS pair_blowup
+FROM ranked CROSS JOIN n WHERE pos <= {_A129_TOPK}
+"""
+
+QUERIES["a129_stop_gram_stats"] = QuerySpec(a129_stop_gram_stats, A129_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a130 -- weekday-seasonal baseline backtest: volume forecast = mean of the
+# trailing 4 same-weekday observations, scored against actuals
+# ---------------------------------------------------------------------------
+
+_A130_LOOKBACK = 4
+
+
+def a130_weekday_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(day_str("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dow = F.dayofweek(F.to_date("day", "yyyyMMdd"))
+    # seasonal window partitions by weekday: the frame is the trailing 4
+    # SAME-weekday days, excluding the scored day -- windows run over the
+    # daily aggregate, never the event scan
+    w = (
+        Window.partitionBy("dow").orderBy("day").rowsBetween(-_A130_LOOKBACK, -1)
+    )
+    scored = daily.withColumn("dow", dow).select(
+        "day",
+        "dow",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+        F.sum("n").over(w).alias("s"),
+    )
+    forecast = F.round(F.col("s").cast("double") / F.col("n_obs"), 6)
+    return scored.where(F.col("n_obs") >= 1).select(
+        "day",
+        "dow",
+        "n",
+        "n_obs",
+        forecast.alias("forecast"),
+        F.round(F.abs(F.col("n") - forecast), 6).alias("abs_error"),
+        F.round(F.abs(F.col("n") - forecast) / F.col("n"), 6).alias("ape"),
+    )
+
+
+A130_SQL = f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y%m%d') AS day, count(*) AS n
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT day, dayofweek(strptime(day, '%Y%m%d')) + 1 AS dow, n,
+         count(*) OVER w AS n_obs,
+         sum(n) OVER w AS s
+  FROM daily
+  WINDOW w AS (PARTITION BY dayofweek(strptime(day, '%Y%m%d'))
+               ORDER BY day
+               ROWS BETWEEN {_A130_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT day, dow, n, n_obs,
+       round(CAST(s AS DOUBLE) / n_obs, 6) AS forecast,
+       round(abs(n - CAST(s AS DOUBLE) / n_obs), 6) AS abs_error,
+       round(abs(n - CAST(s AS DOUBLE) / n_obs) / n, 6) AS ape
+FROM scored WHERE n_obs >= 1
+"""
+
+QUERIES["a130_weekday_baseline"] = QuerySpec(a130_weekday_baseline, A130_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c54 -- GDPR subject-access export: every row held about one user, tagged
+# with provenance (the read-side complement of c35's retraction/delete)
+# ---------------------------------------------------------------------------
+
+_C54_USER = 42
+
+
+def c54_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import ts_str
+
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    # each source filters on the subject key BEFORE projecting to the
+    # common export schema -- predicate pushdown reaches every scan, so
+    # the export reads only the subject's row groups at any table size
+    lit_user = F.lit(_C54_USER)
+    profile = cu.where(F.col("c_custkey") == _C54_USER).select(
+        F.lit("customer").alias("source_table"),
+        F.col("c_custkey").cast("string").alias("record_key"),
+        F.concat_ws(
+            "|", F.col("c_name"), F.col("c_mktsegment"),
+            F.col("c_acctbal").cast("string"),
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("event_time"),
+    )
+    orders_rows = o.where(F.col("o_custkey") == _C54_USER).select(
+        F.lit("orders").alias("source_table"),
+        F.col("o_orderkey").cast("string").alias("record_key"),
+        F.concat_ws(
+            "|", F.col("o_orderstatus"), F.col("o_totalprice").cast("string")
+        ).alias("payload"),
+        ts_str("o_orderdate").alias("event_time"),
+    )
+    event_rows = e.where(F.col("user_id") == lit_user).select(
+        F.lit("events").alias("source_table"),
+        F.col("event_id").cast("string").alias("record_key"),
+        F.concat_ws("|", F.col("event_type"), F.col("value").cast("string")).alias(
+            "payload"
+        ),
+        ts_str("ts").alias("event_time"),
+    )
+    return profile.unionByName(orders_rows).unionByName(event_rows)
+
+
+C54_SQL = f"""
+SELECT 'customer' AS source_table, CAST(c_custkey AS VARCHAR) AS record_key,
+       concat_ws('|', c_name, c_mktsegment, CAST(c_acctbal AS VARCHAR))
+         AS payload,
+       CAST(NULL AS VARCHAR) AS event_time
+FROM customer WHERE c_custkey = {_C54_USER}
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS VARCHAR),
+       concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR)),
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+FROM orders WHERE o_custkey = {_C54_USER}
+UNION ALL
+SELECT 'events', CAST(event_id AS VARCHAR),
+       concat_ws('|', event_type, CAST(value AS VARCHAR)),
+       strftime(ts, '%Y-%m-%d %H:%M:%S')
+FROM events WHERE user_id = {_C54_USER}
+"""
+
+QUERIES["c54_subject_access_export"] = QuerySpec(
+    c54_subject_access_export, C54_SQL
+)
