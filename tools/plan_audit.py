@@ -320,6 +320,16 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a128_exact_k_sample": ((), ("Join",), 1),
     # write-audit-publish: audit/gate frames are batch-sized; no cartesian
     "c53_write_audit_publish": ((), ("CartesianProduct", "NestedLoop"), None),
+    # stop grams: one gram groupBy + TakeOrdered, never a global sort
+    "a129_stop_gram_stats": (("TakeOrderedAndProject",), ("Join",), None),
+    # weekday baseline: windows over the daily aggregate only
+    "a130_weekday_baseline": ((), ("Join",), None),
+    # subject export: the subject-key predicate must reach every scan
+    "c54_subject_access_export": (
+        ("EqualTo(c_custkey,42)", "EqualTo(o_custkey,42)", "EqualTo(user_id,42)"),
+        ("Join",),
+        0,
+    ),
 }
 
 
