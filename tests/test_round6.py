@@ -100,3 +100,76 @@ def test_asof_backward_unchanged(spark):
         payload=["rv"],
     ).collect()
     assert out[0].rv == "R2"
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_k_sample_exactly_k_per_stratum(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import (
+        _A128_K,
+        a128_exact_k_sample,
+    )
+
+    out = a128_exact_k_sample(spark, SF_DIR)
+    per = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    langs = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, n_total in langs.items():
+        assert per[lang] == min(_A128_K, n_total)
+
+
+def test_generalize_kanon_every_group_resolved(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import (
+        _C50_K,
+        c50_generalize_kanon,
+    )
+
+    rows = c50_generalize_kanon(spark, SF_DIR).collect()
+    for r in rows:
+        # rungs 0/1 only emit k-satisfying groups; rung 2 reports honestly
+        if r.gen_level < 2:
+            assert r.k_ok and r.n_rows >= _C50_K, r
+        assert r.gen_level in (0, 1, 2)
+
+
+def test_merge_into_query_consistent_with_clauses(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import c49_merge_into
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+
+    out = c49_merge_into(spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders")
+    # matched 'F' targets deleted: no key that is %5==0 with status F survives
+    f_matched = {
+        r.o_orderkey
+        for r in o.where(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderstatus") == "F")
+        ).collect()
+    }
+    surviving = {r.o_orderkey for r in out.collect()}
+    assert not (f_matched & surviving)
+    # inserted keys (+2000000) all present
+    inserts = {
+        r.o_orderkey + 2000000
+        for r in o.where(F.col("o_orderkey") % 9 == 0).collect()
+    }
+    assert inserts <= surviving
+
+
+def test_char_entropy_bounds(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import (
+        a110_char_entropy,
+    )
+
+    rows = a110_char_entropy(spark, SF_DIR).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= math.log2(r.distinct_chars) + 1e-6, r
