@@ -1992,3 +1992,87 @@ FROM events WHERE user_id = {_C54_USER}
 QUERIES["c54_subject_access_export"] = QuerySpec(
     c54_subject_access_export, C54_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a131 -- cross-source duplicate overlap: which sources mirror each other
+# ---------------------------------------------------------------------------
+
+
+_A131_N = 3
+
+
+def a131_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    # (gram, source) pairs dedup BEFORE the self-join, so a shingle
+    # repeated within one source counts once; join fan-out is bounded by
+    # |sources|^2 per gram (sources are few), never corpus-quadratic
+    ds = (
+        shingles(d, "source", "text", _A131_N)
+        .select(F.col("gram").alias("dg"), "source")
+        .distinct()
+    )
+    a = ds.select("dg", F.col("source").alias("source_a"))
+    b = ds.select("dg", F.col("source").alias("source_b"))
+    shared = (
+        a.join(b, "dg")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    totals = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_texts"))
+    return (
+        shared.join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"),
+                                      F.col("n_texts").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"),
+                                      F.col("n_texts").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared_grams")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+A131_SQL = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+), ds AS (
+  SELECT DISTINCT dg, source FROM (
+    SELECT source, unnest(list_distinct(
+      list_transform(generate_series(1, greatest(len(t) - {_A131_N - 1}, 1)),
+                     i -> array_to_string(t[i:i+{_A131_N - 1}], ' ')))) AS dg
+    FROM toks
+  )
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_grams
+  FROM ds a JOIN ds b ON a.dg = b.dg AND a.source < b.source
+  GROUP BY 1, 2
+), totals AS (
+  SELECT source, count(*) AS n_texts FROM ds GROUP BY 1
+)
+SELECT source_a, source_b, n_shared_grams,
+       ta.n_texts AS n_a, tb.n_texts AS n_b,
+       round(CAST(n_shared_grams AS DOUBLE)
+             / least(ta.n_texts, tb.n_texts), 6) AS overlap_coef
+FROM shared
+JOIN totals ta ON ta.source = source_a
+JOIN totals tb ON tb.source = source_b
+"""
+
+QUERIES["a131_source_overlap"] = QuerySpec(a131_source_overlap, A131_SQL)
