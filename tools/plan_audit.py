@@ -330,6 +330,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("Join",),
         0,
     ),
+    # source overlap: gram equi-join over the (gram, source) distinct
+    # frame; totals broadcast; never an all-pairs plan
+    "a131_source_overlap": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
