@@ -114,6 +114,9 @@ HEADLINE = [
     "a119_knn_classify",  # brute-force kNN vote (broadcast query batch)
     "c49_merge_into",  # full-outer MERGE on the key
     "c50_generalize_kanon",  # 3-rung local-recoding ladder
+    "a124_excess_inventory",  # Q20-shape decorrelated correlated aggregate
+    "a125_abc_analysis",  # star joins + per-region Pareto windows
+    "c54_subject_access_export",  # pushdown showcase: 3 scans, 0 exchanges
 ]
 
 
