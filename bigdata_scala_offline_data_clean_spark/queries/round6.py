@@ -2076,3 +2076,87 @@ JOIN totals tb ON tb.source = source_b
 """
 
 QUERIES["a131_source_overlap"] = QuerySpec(a131_source_overlap, A131_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a112 -- sketch set algebra: theta-intersection audience overlap, exact
+# companion + self-verifying error bound (the a27 trick: the estimate
+# itself is non-portable, so the driver-checked columns are the exact
+# values plus booleans that go red if the sketch ever drifts)
+# ---------------------------------------------------------------------------
+
+_A112_REL = 0.05  # theta intersections are exact-mode at testdata scale
+
+
+def a112_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    # HLL only unions; theta sketches close the set algebra -- the
+    # intersection estimate comes from the per-type sketches alone (KB
+    # each), while the exact companion re-keys the (type, user) frame once
+    sk = tu.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("ska"),
+        F.col("n_users").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("skb"),
+        F.col("n_users").alias("n_b"),
+    )
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("ska", "skb")
+            ).alias("__est"),
+        )
+    )
+    ua = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    j = est.join(exact, ["type_a", "type_b"])
+    tol = F.greatest(F.lit(2.0), F.col("exact_overlap") * _A112_REL)
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "exact_overlap",
+        (F.abs(F.col("__est") - F.col("exact_overlap")) <= tol).alias("est_ok"),
+    )
+
+
+A112_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), totals AS (
+  SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1
+), exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_overlap
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, ta.n_users AS n_a, tb.n_users AS n_b,
+       exact_overlap, TRUE AS est_ok
+FROM exact
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b
+"""
+
+QUERIES["a112_sketch_overlap"] = QuerySpec(a112_sketch_overlap, A112_SQL)
