@@ -335,6 +335,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a131_source_overlap": (
         ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # theta overlap: the pair join runs over the KB-sized sketch frame
+    # (broadcast); the exact companion is a user-keyed equi-join
+    "a112_sketch_overlap": ((), ("CartesianProduct",), None),
 }
 
 
