@@ -2160,3 +2160,116 @@ JOIN totals tb ON tb.event_type = type_b
 """
 
 QUERIES["a112_sketch_overlap"] = QuerySpec(a112_sketch_overlap, A112_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a132 -- fixed-seed k-means (2 unrolled iterations, FULL oracle): unlike
+# a16's data-trained IVF (rows-only by design), seeding with the first k
+# vectors and keeping distances as exact decimals makes every assignment
+# bit-identical across engines -- the iterative-ML primitive with a real
+# correctness gate
+# ---------------------------------------------------------------------------
+
+_A132_K = 4
+
+
+def a132_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "__xf")
+    ).select("vec_id", "dim", F.col("__xf").cast("double").alias("x"))
+    cents0 = vecs.where(F.col("vec_id") < _A132_K).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("x").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # centroids are k x dims rows (KB) -> broadcast; distances are
+        # decimal-exact sums of rounded squared diffs, so the argmin
+        # comparison (and its cluster-asc tie-break) is engine-portable
+        d = vecs.join(F.broadcast(cents), "dim")
+        dist = d.groupBy("vec_id", "cluster").agg(
+            F.sum(
+                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 9)
+                .cast(_DEC)
+            ).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("cluster").asc()
+        )
+        return (
+            dist.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    a1 = assign(cents0)
+    # update = decimal-exact per-dim means (algebraic: map-side combinable)
+    cents1 = (
+        vecs.join(a1, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("c")
+        )
+    )
+    a2 = assign(cents1)
+    sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        a2.join(a1.withColumnRenamed("cluster", "__c1"), "vec_id")
+        .join(F.broadcast(sizes), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            (F.col("__c1") != F.col("cluster")).alias("moved"),
+            "cluster_size",
+        )
+    )
+
+
+A132_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), cents0 AS (
+  SELECT vec_id AS cluster, dim, x AS c FROM vecs WHERE vec_id < {_A132_K}
+), d1 AS (
+  SELECT v.vec_id, c.cluster,
+         sum(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(28,9)))
+           AS dist
+  FROM vecs v JOIN cents0 c USING (dim) GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), cents1 AS (
+  SELECT a1.cluster, v.dim,
+         round(CAST(sum(CAST(v.x AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
+           AS c
+  FROM vecs v JOIN a1 USING (vec_id) GROUP BY 1, 2
+), d2 AS (
+  SELECT v.vec_id, c.cluster,
+         sum(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(28,9)))
+           AS dist
+  FROM vecs v JOIN cents1 c USING (dim) GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT cluster, count(*) AS cluster_size FROM a2 GROUP BY 1
+)
+SELECT a2.vec_id, a2.cluster, a1.cluster <> a2.cluster AS moved,
+       s.cluster_size
+FROM a2
+JOIN a1 USING (vec_id)
+JOIN sizes s ON s.cluster = a2.cluster
+"""
+
+QUERIES["a132_kmeans_fixed"] = QuerySpec(a132_kmeans_fixed, A132_SQL)
