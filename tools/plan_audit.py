@@ -338,6 +338,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # theta overlap: the pair join runs over the KB-sized sketch frame
     # (broadcast); the exact companion is a user-keyed equi-join
     "a112_sketch_overlap": ((), ("CartesianProduct",), None),
+    # k-means: centroids broadcast per iteration (k x dims KB rows);
+    # assignments are groupBy + per-vec window, never an all-pairs plan
+    "a132_kmeans_fixed": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
