@@ -1,21 +1,31 @@
-"""Round-6 batch: corpus-statistics, drift, and warehouse-merge queries.
+"""Round-6 queries: corpus statistics, drift, evaluation, and merges.
 
-- a110 character entropy: the Shannon-entropy gibberish detector every
-  web-scale curation pipeline runs (CCNet/Gopher-style); per-term
-  ``round(.,9) -> DECIMAL`` sums keep the float path order-independent.
-- a111 Zipf fit: log-log OLS slope of the token rank/frequency curve --
-  a corpus-health diagnostic (natural text tracks slope ~ -1).
-- a113 n-gram novelty: per-document fraction of 3-grams first seen in
-  that document (corpus ordered by doc_id) -- the "new information"
-  curve used to decide when a crawl snapshot stops adding value.
-- a116 chi-squared independence: returnflag x linestatus contingency
-  table with per-cell contributions and the decimal-summed statistic.
-- a118 RFM segmentation: recency/frequency/monetary quintiles -- the
-  classic behavioral-cohort labeling job, reduced to segment rollups.
+Corpus / text statistics: a110 char entropy (gibberish detector), a111
+Zipf fit, a113 n-gram novelty, a129 stop-gram stats, a131 cross-source
+3-gram overlap matrix, c51 crawl health.
+
+Dedup / similarity: a114 canonical selection (best-quality survivor per
+near-dup cluster), a123 Jaccard threshold curve, a126 LSH candidate
+precision/recall, a127 dedup impact report, a119 kNN label vote, a115
+embedding centroid drift, a132 fixed-seed k-means (FULL oracle -- the
+iterative-ML primitive), a112 theta-sketch intersection overlap.
+
+Analytics: a116 chi-squared independence, a118 RFM segmentation, a120
+market-basket rules, a121 lang-id confusion matrix, a122 trailing
+z-score volume anomaly, a124 TPC-H-Q20-shape decorrelation, a125 ABC /
+Pareto classes, a128 exact-k stratified sample, a130 weekday-seasonal
+baseline backtest, a117 forward as-of join.
+
+Warehouse / pipeline: c49 MERGE INTO (predicate WHEN-clauses), c50
+k-anonymity generalization ladder, c52 inferred dimension members, c53
+write-audit-publish gate, c54 GDPR subject-access export, s13 streaming
+volume-anomaly maintenance (shares a122's oracle verbatim).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
--> final ``round(., 6)`` on deterministic double arithmetic.
+-> final ``round(., 6)`` on deterministic double arithmetic; decimal
+PRODUCTS cast operands before multiplying (Spark rounds the double
+product half-up, DuckDB half-even).
 """
 
 from __future__ import annotations
