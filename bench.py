@@ -32,6 +32,15 @@ where scheduling dominates; at cluster scale the added work is
 O(no-in-edge nodes) per round, not O(edges).
 """
 
+"""
+Round 6: the headline grew 57 -> 66 (extend-only). ngram_jaccard_pairs
+was rewritten single-pass (count shared grams in the first self-join
+instead of candidates+re-join): a114 12.9s -> ~2.0s, a102 11.8s -> ~2.3s
+cold at sf0.1. On the 42 r4-shared names the clean-machine total measured
+52.8 -> 54.0s; the only >0.5s mover is a78 (the documented round-5
+dangling-node correctness fix, noisy between 6.4-8.2s run-to-run).
+"""
+
 from __future__ import annotations
 
 import json
