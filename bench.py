@@ -30,9 +30,7 @@ lets the edge cache be released (ADVICE unpersist item).  The residual
 cost is one extra node-sized join + checkpoint on a 7k-edge fixture
 where scheduling dominates; at cluster scale the added work is
 O(no-in-edge nodes) per round, not O(edges).
-"""
 
-"""
 Round 6: the headline grew 57 -> 66 (extend-only). ngram_jaccard_pairs
 was rewritten single-pass (count shared grams in the first self-join
 instead of candidates+re-join): a114 12.9s -> ~2.0s, a102 11.8s -> ~2.3s
