@@ -2283,3 +2283,157 @@ JOIN sizes s ON s.cluster = a2.cluster
 """
 
 QUERIES["a132_kmeans_fixed"] = QuerySpec(a132_kmeans_fixed, A132_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a133 -- multi-hop BFS reachability (bounded frontier expansion): minimum
+# hop count <= 3 from a fixed source set over the part-supplier bipartite
+# graph.  The scale pattern for distributed graph queries: each hop is ONE
+# edge equi-join on the frontier; hop = min over the unrolled frontiers.
+# ---------------------------------------------------------------------------
+
+_A133_MOD, _A133_HOPS = 500, 3
+
+
+def a133_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    # typed node ids: part p -> 2p, supplier s -> 2s+1 (bipartite union)
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("u"),
+        (F.col("l_suppkey") * 2 + 1).alias("v"),
+    ).distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    h0 = pa.where(F.col("p_partkey") % _A133_MOD == 0).select(
+        (F.col("p_partkey") * 2).alias("node")
+    )
+    frontiers = [h0.select("node", F.lit(0).alias("hop"))]
+    cur = h0
+    for k in range(1, _A133_HOPS + 1):
+        cur = (
+            edges.join(cur.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        frontiers.append(cur.select("node", F.lit(k).alias("hop")))
+    allhops = frontiers[0]
+    for f in frontiers[1:]:
+        allhops = allhops.unionByName(f)
+    out = allhops.groupBy("node").agg(F.min("hop").alias("hop"))
+    return out.select(
+        "node", "hop", (F.col("node") % 2 == 0).alias("is_part")
+    )
+
+
+A133_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v FROM lineitem
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), h0 AS (
+  SELECT p_partkey * 2 AS node FROM part WHERE p_partkey % {_A133_MOD} = 0
+), h1 AS (
+  SELECT DISTINCT e.v AS node FROM edges e JOIN h0 ON e.u = h0.node
+), h2 AS (
+  SELECT DISTINCT e.v AS node FROM edges e JOIN h1 ON e.u = h1.node
+), h3 AS (
+  SELECT DISTINCT e.v AS node FROM edges e JOIN h2 ON e.u = h2.node
+), allhops AS (
+  SELECT node, 0 AS hop FROM h0
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+  UNION ALL SELECT node, 3 FROM h3
+)
+SELECT node, min(hop) AS hop, node % 2 = 0 AS is_part
+FROM allhops GROUP BY node
+"""
+
+QUERIES["a133_bfs_hops"] = QuerySpec(a133_bfs_hops, A133_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a134 -- linear multi-touch attribution: every click in the 30 minutes
+# BEFORE a purchase shares the purchase value equally (a91 is last-touch;
+# linear is the other standard model).  Same bucketed range join as q15.
+# ---------------------------------------------------------------------------
+
+
+def a134_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    touched = range_join_bucketed(
+        clicks,
+        windows,
+        on="user_id",
+        left_ts="ts",
+        range_start="win_start",
+        range_end="win_end",
+        payload=["purchase_event_id", "purchase_value"],
+    )
+    # clicks strictly before the purchase ([ts-30min, ts)); equal credit =
+    # value / n_touches -- one double division of a double by an exact int,
+    # per-term rounded then decimal-summed per click (order-independent)
+    per_purchase = touched.groupBy("purchase_event_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = touched.join(F.broadcast(per_purchase), "purchase_event_id")
+    return (
+        credited.groupBy("click_event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases_touched"),
+            F.sum(
+                F.round(F.col("purchase_value") / F.col("n_touches"), 9).cast(_DEC)
+            )
+            .cast("double")
+            .alias("total_credit"),
+        )
+        .select(
+            "click_event_id",
+            "user_id",
+            "n_purchases_touched",
+            F.round("total_credit", 6).alias("total_credit"),
+        )
+    )
+
+
+A134_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), touched AS (
+  SELECT c.click_event_id, c.user_id, p.purchase_event_id, p.purchase_value
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 30 MINUTES
+   AND c.ts < p.ts
+), per_purchase AS (
+  SELECT purchase_event_id, count(*) AS n_touches
+  FROM touched GROUP BY 1
+)
+SELECT click_event_id, user_id,
+       count(*) AS n_purchases_touched,
+       round(CAST(sum(CAST(round(purchase_value / n_touches, 9)
+                           AS DECIMAL(28,9))) AS DOUBLE), 6) AS total_credit
+FROM touched JOIN per_purchase USING (purchase_event_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["a134_linear_attribution"] = QuerySpec(
+    a134_linear_attribution, A134_SQL
+)
