@@ -8,13 +8,15 @@ Dedup / similarity: a114 canonical selection (best-quality survivor per
 near-dup cluster), a123 Jaccard threshold curve, a126 LSH candidate
 precision/recall, a127 dedup impact report, a119 kNN label vote, a115
 embedding centroid drift, a132 fixed-seed k-means (FULL oracle -- the
-iterative-ML primitive), a112 theta-sketch intersection overlap.
+iterative-ML primitive), a112 theta-sketch intersection overlap, a133
+multi-hop BFS reachability (one frontier equi-join per hop).
 
 Analytics: a116 chi-squared independence, a118 RFM segmentation, a120
 market-basket rules, a121 lang-id confusion matrix, a122 trailing
 z-score volume anomaly, a124 TPC-H-Q20-shape decorrelation, a125 ABC /
 Pareto classes, a128 exact-k stratified sample, a130 weekday-seasonal
-baseline backtest, a117 forward as-of join.
+baseline backtest, a117 forward as-of join, a134 linear multi-touch
+attribution (q15's bucketed range join).
 
 Warehouse / pipeline: c49 MERGE INTO (predicate WHEN-clauses), c50
 k-anonymity generalization ladder, c52 inferred dimension members, c53

@@ -343,6 +343,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a132_kmeans_fixed": (
         ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # BFS: each hop is one frontier equi-join on the edge table -- an
+    # all-pairs plan here would defeat the frontier bound
+    "a133_bfs_hops": ((), ("CartesianProduct", "NestedLoop"), None),
+    # linear attribution: bucketed range join (q15 machinery) + broadcast
+    # per-purchase touch counts; no unbounded time-range nested loop
+    "a134_linear_attribution": ((), ("CartesianProduct", "NestedLoop"), None),
 }
 
 
