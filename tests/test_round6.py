@@ -173,3 +173,59 @@ def test_char_entropy_bounds(spark):
 
     for r in rows:
         assert 0.0 <= r.entropy_bits <= math.log2(r.distinct_chars) + 1e-6, r
+
+
+# --- differential test: merge_into vs a Python dict model ----------------
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+MERGE_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_mrow = st.tuples(
+    st.integers(0, 5),  # key
+    st.sampled_from(["O", "F", "M"]),  # status
+    st.integers(0, 40).map(float),  # price
+)
+# unique keys per side (MERGE requires at most one source row per key)
+_mrows = st.lists(_mrow, min_size=0, max_size=8, unique_by=lambda r: r[0])
+
+
+def _merge_model(target, source):
+    out = {k: (s, p) for k, s, p in target}
+    for k, s, p in source:
+        if k in out:
+            if out[k][0] == "F":  # delete_cond: matched target status F
+                del out[k]
+            elif p > 10.0:  # update_cond: source price > 10
+                out[k] = (s, p)
+        elif p < 35.0:  # insert_cond: source price < 35
+            out[k] = (s, p)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestMergeIntoModel:
+    @MERGE_SETTINGS
+    @given(target=_mrows, source=_mrows)
+    def test_matches_model(self, spark, target, source):
+        schema = "k bigint, status string, price double"
+        t = spark.createDataFrame(target, schema)
+        s = spark.createDataFrame(source, schema)
+        got = {
+            r.k: (r.status, r.price)
+            for r in merge_into(
+                t,
+                s,
+                "k",
+                delete_cond=lambda tc, sc: tc["status"] == "F",
+                update_cond=lambda tc, sc: sc["price"] > 10.0,
+                insert_cond=lambda tc, sc: sc["price"] < 35.0,
+            ).collect()
+        }
+        assert got == _merge_model(target, source)
