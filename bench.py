@@ -124,6 +124,8 @@ HEADLINE = [
     "a124_excess_inventory",  # Q20-shape decorrelated correlated aggregate
     "a125_abc_analysis",  # star joins + per-region Pareto windows
     "c54_subject_access_export",  # pushdown showcase: 3 scans, 0 exchanges
+    "a132_kmeans_fixed",  # 2 unrolled iterations, broadcast centroids
+    "a133_bfs_hops",  # 3 frontier joins over the bipartite edge table
 ]
 
 
