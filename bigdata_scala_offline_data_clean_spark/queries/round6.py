@@ -2190,6 +2190,10 @@ def a132_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "__xf")
     ).select("vec_id", "dim", F.col("__xf").cast("double").alias("x"))
+    # the per-dim frame feeds 5 consumers (seed centroids, 2 assignment
+    # rounds, the update); persist so the explode runs once (lazy-builder
+    # persist policy, SCALE.md Cache lifecycle)
+    vecs = vecs.persist()
     cents0 = vecs.where(F.col("vec_id") < _A132_K).select(
         F.col("vec_id").alias("cluster"), "dim", F.col("x").alias("c")
     )
