@@ -2443,3 +2443,187 @@ GROUP BY 1, 2
 QUERIES["a134_linear_attribution"] = QuerySpec(
     a134_linear_attribution, A134_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a135 -- vocabulary coverage curve: corpus token coverage at candidate
+# vocab sizes (the tokenizer-sizing diagnostic behind a63/a79)
+# ---------------------------------------------------------------------------
+
+_A135_SIZES = (10, 20, 40, 80, 160)
+
+
+def a135_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # rank + cumulative token mass over the (tiny) vocab table; coverage at
+    # size s = share of corpus tokens covered by the top-s vocab entries
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = freq.select(
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    total = freq.agg(F.sum("n").alias("total"))
+    sizes = spark.createDataFrame(
+        [(s,) for s in _A135_SIZES], "vocab_size int"
+    )
+    at_size = (
+        ranked.join(F.broadcast(sizes), ranked.rank <= sizes.vocab_size)
+        .groupBy("vocab_size")
+        .agg(F.max("cum").alias("covered"), F.max("rank").alias("ranks_used"))
+    )
+    return (
+        at_size.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered",
+            F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
+A135_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1
+), ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+         sum(n) OVER (ORDER BY n DESC, tok ASC ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM freq
+), total AS (
+  SELECT sum(n) AS total FROM freq
+), sizes AS (
+  SELECT unnest({list(_A135_SIZES)}) AS vocab_size
+)
+SELECT vocab_size, max(cum) AS covered,
+       round(CAST(max(cum) AS DOUBLE) / any_value(t.total), 6) AS coverage
+FROM ranked JOIN sizes ON rank <= vocab_size CROSS JOIN total t
+GROUP BY vocab_size
+"""
+
+QUERIES["a135_vocab_coverage_curve"] = QuerySpec(
+    a135_vocab_coverage_curve, A135_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# c55 -- shuffle-partition advisor: recommended partition counts per table
+# from row counts and estimated row widths (target 128 MB per partition)
+# ---------------------------------------------------------------------------
+
+_C55_TARGET_MB = 128
+
+
+def c55_shuffle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def profile(df: DataFrame, name: str, width_expr) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(width_expr.cast("bigint")).alias("est_bytes"),
+        )
+
+    # width estimates: fixed numeric/ts columns + measured string lengths
+    # (one agg per table -- the advisor reads stats, it never re-shuffles)
+    prof = (
+        profile(li, "lineitem", F.lit(80) + F.length("l_returnflag")
+                + F.length("l_linestatus"))
+        .unionByName(profile(o, "orders", F.lit(48)
+                             + F.length("o_orderstatus")
+                             + F.length("o_orderpriority")))
+        .unionByName(profile(e, "events", F.lit(40) + F.length("event_type")
+                             + F.length("props")))
+        .unionByName(profile(d, "documents", F.lit(16) + F.length("text")
+                             + F.length("lang") + F.length("source")))
+    )
+    target = _C55_TARGET_MB * 1024 * 1024
+    rec = F.greatest(
+        F.lit(1), F.ceil(F.col("est_bytes") / F.lit(target)).cast("bigint")
+    )
+    return prof.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        rec.alias("recommended_partitions"),
+        F.round(F.col("est_bytes") / F.col("n_rows"), 6).alias("est_row_bytes"),
+    )
+
+
+C55_SQL = f"""
+WITH prof AS (
+  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+         sum(80 + length(l_returnflag) + length(l_linestatus)) AS est_bytes
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', count(*),
+         sum(48 + length(o_orderstatus) + length(o_orderpriority))
+  FROM orders
+  UNION ALL
+  SELECT 'events', count(*), sum(40 + length(event_type) + length(props))
+  FROM events
+  UNION ALL
+  SELECT 'documents', count(*),
+         sum(16 + length(text) + length(lang) + length(source))
+  FROM documents
+)
+SELECT table_name, n_rows, est_bytes,
+       greatest(1, CAST(ceil(CAST(est_bytes AS DOUBLE)
+                             / {_C55_TARGET_MB * 1024 * 1024}) AS BIGINT))
+         AS recommended_partitions,
+       round(CAST(est_bytes AS DOUBLE) / n_rows, 6) AS est_row_bytes
+FROM prof
+"""
+
+QUERIES["c55_shuffle_advisor"] = QuerySpec(c55_shuffle_advisor, C55_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a136 -- label balance weights: inverse-frequency resampling weights per
+# class (the balance-target complement of a49's given-target mixture)
+# ---------------------------------------------------------------------------
+
+
+def a136_label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    return (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            "n",
+            "max_n",
+            F.round(F.col("max_n") / F.col("n"), 6).alias("weight"),
+            (F.col("n") * 2 < F.col("max_n")).alias("underrepresented"),
+        )
+    )
+
+
+A136_SQL = """
+WITH counts AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+), mx AS (
+  SELECT max(n) AS max_n FROM counts
+)
+SELECT label, n, max_n,
+       round(CAST(max_n AS DOUBLE) / n, 6) AS weight,
+       n * 2 < max_n AS underrepresented
+FROM counts CROSS JOIN mx
+"""
+
+QUERIES["a136_label_balance_weights"] = QuerySpec(
+    a136_label_balance_weights, A136_SQL
+)
