@@ -349,6 +349,13 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # linear attribution: bucketed range join (q15 machinery) + broadcast
     # per-purchase touch counts; no unbounded time-range nested loop
     "a134_linear_attribution": ((), ("CartesianProduct", "NestedLoop"), None),
+    # vocab coverage: windows over the vocab table; the sizes frame is a
+    # broadcast theta-join (tiny literal list), never a real cartesian
+    "a135_vocab_coverage_curve": ((), ("CartesianProduct",), None),
+    # shuffle advisor: one agg per table, a union of 1-row frames
+    "c55_shuffle_advisor": ((), ("Join",), None),
+    # balance weights: one groupBy + 1-row max broadcast
+    "a136_label_balance_weights": ((), ("CartesianProduct",), None),
 }
 
 
