@@ -16,12 +16,14 @@ market-basket rules, a121 lang-id confusion matrix, a122 trailing
 z-score volume anomaly, a124 TPC-H-Q20-shape decorrelation, a125 ABC /
 Pareto classes, a128 exact-k stratified sample, a130 weekday-seasonal
 baseline backtest, a117 forward as-of join, a134 linear multi-touch
-attribution (q15's bucketed range join).
+attribution (q15's bucketed range join), a135 vocab coverage curve,
+a136 label balance weights.
 
 Warehouse / pipeline: c49 MERGE INTO (predicate WHEN-clauses), c50
 k-anonymity generalization ladder, c52 inferred dimension members, c53
-write-audit-publish gate, c54 GDPR subject-access export, s13 streaming
-volume-anomaly maintenance (shares a122's oracle verbatim).
+write-audit-publish gate, c54 GDPR subject-access export, c55
+shuffle-partition advisor, s13 streaming volume-anomaly maintenance
+(shares a122's oracle verbatim).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
