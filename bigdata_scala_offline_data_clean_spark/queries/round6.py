@@ -2629,3 +2629,297 @@ FROM counts CROSS JOIN mx
 QUERIES["a136_label_balance_weights"] = QuerySpec(
     a136_label_balance_weights, A136_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a137 -- trigram LM with stupid backoff (train/heldout split): the
+# next-rung LM quality signal above a55's bigram (tri -> 0.4*bigram ->
+# 0.16*Laplace-unigram), scored on docs the model never saw
+# ---------------------------------------------------------------------------
+
+_A137_ALPHA_N, _A137_ALPHA_D = 4, 10  # backoff alpha = 0.4, exact rational
+
+
+def a137_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    train = d.where(F.col("doc_id") % 10 != 0)
+    held = d.where(F.col("doc_id") % 10 == 0)
+
+    def grams(src: DataFrame, n: int) -> DataFrame:
+        return (
+            src.where(F.size(toks) >= n)
+            .select("doc_id", F.explode(word_ngrams(toks, n)).alias("gram"))
+        )
+
+    c3 = grams(train, 3).groupBy("gram").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = grams(train, 2).groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = train.select(F.explode(toks).alias("w")).where(F.col("w") != "")
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    nv = uni.agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("w").alias("v")
+    )
+    occ = grams(held, 3).select(
+        "doc_id",
+        "gram",
+        F.substring_index("gram", " ", 2).alias("prefix2"),
+        F.substring_index("gram", " ", -2).alias("last2"),
+        F.substring_index("gram", " ", -1).alias("w3"),
+        F.substring_index(F.substring_index("gram", " ", 2), " ", -1).alias("w2"),
+    )
+    # every count table keys on train n-grams (broadcast-or-shuffle
+    # equi-joins); the CASE backoff ladder is a projection, never a join
+    j = (
+        occ.join(c3.withColumnRenamed("gram", "gram3"),
+                 occ.gram == F.col("gram3"), "left")
+        .join(c2.select(F.col("gram").alias("prefix2"), F.col("c2").alias("cp")),
+              "prefix2", "left")
+        .join(c2.select(F.col("gram").alias("last2"), F.col("c2").alias("cl2")),
+              "last2", "left")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")),
+              "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("cw3")),
+              "w3", "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    alpha = F.lit(_A137_ALPHA_N) / F.lit(_A137_ALPHA_D)
+    p = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("cp"))
+        .when(
+            F.col("cl2").isNotNull(), alpha * F.col("cl2") / F.col("cw2")
+        )
+        .otherwise(
+            alpha
+            * alpha
+            * (F.coalesce(F.col("cw3"), F.lit(0)) + 1)
+            / (F.col("n_tokens") + F.col("v"))
+        )
+    )
+    scored = j.select("doc_id", F.round(F.log(p), 9).alias("logp"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.sum(F.col("logp").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )
+
+
+A137_SQL = f"""
+WITH train AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 10 <> 0
+), held AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 10 = 0
+), c3 AS (
+  SELECT gram, count(*) AS c3 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS gram
+    FROM train WHERE len(t) >= 3
+  ) GROUP BY gram
+), c2 AS (
+  SELECT gram, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS gram
+    FROM train WHERE len(t) >= 2
+  ) GROUP BY gram
+), uni AS (
+  SELECT unnest(t) AS w FROM train
+), c1 AS (
+  SELECT w, count(*) AS c1 FROM uni WHERE w <> '' GROUP BY w
+), nv AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT w) AS v FROM uni WHERE w <> ''
+), occ AS (
+  SELECT doc_id, gram,
+         array_to_string(string_split(gram, ' ')[1:2], ' ') AS prefix2,
+         array_to_string(string_split(gram, ' ')[2:3], ' ') AS last2,
+         string_split(gram, ' ')[3] AS w3,
+         string_split(gram, ' ')[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))) AS gram
+    FROM held WHERE len(t) >= 3
+  )
+), scored AS (
+  SELECT o.doc_id,
+         round(ln(CASE
+           WHEN g3.c3 IS NOT NULL THEN CAST(g3.c3 AS DOUBLE) / cp.c2
+           WHEN gl.c2 IS NOT NULL THEN
+             0.4 * CAST(gl.c2 AS DOUBLE) / w2c.c1
+           ELSE 0.4 * 0.4 * (coalesce(w3c.c1, 0) + 1)
+                / CAST(nv.n_tokens + nv.v AS DOUBLE)
+         END), 9) AS logp
+  FROM occ o
+  LEFT JOIN c3 g3 ON g3.gram = o.gram
+  LEFT JOIN c2 cp ON cp.gram = o.prefix2
+  LEFT JOIN c2 gl ON gl.gram = o.last2
+  LEFT JOIN c1 w2c ON w2c.w = o.w2
+  LEFT JOIN c1 w3c ON w3c.w = o.w3
+  CROSS JOIN nv
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(CAST(logp AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+         AS avg_logprob,
+       round(exp(-(CAST(sum(CAST(logp AS DECIMAL(28,9))) AS DOUBLE)
+                   / count(*))), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES["a137_trigram_backoff"] = QuerySpec(a137_trigram_backoff, A137_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a138 -- near-dup cluster-size distribution: how much of the corpus sits
+# in clusters of each size (the dedup power-law diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def a138_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    clusters = dedup_clusters(d, pairs)
+    sizes = clusters.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    # two tiny grouped rollups over the cluster map -- the histogram and
+    # its doc-mass column come from one frame, no window over the corpus
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def _a138_sql() -> str:
+    from .analytics import _a25_sql
+
+    a25 = _a25_sql().strip().rstrip("\n")
+    return f"""
+WITH clusters AS MATERIALIZED (
+{a25}
+), sizes AS (
+  SELECT rep_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+QUERIES["a138_cluster_sizes"] = QuerySpec(a138_cluster_sizes, _a138_sql())
+
+
+# ---------------------------------------------------------------------------
+# c56 -- table checksum + write-path verification: order-independent
+# XOR-of-row-digests checksum, recomputed after a parquet round trip
+# ---------------------------------------------------------------------------
+
+
+def _row_digest(cols) -> "F.Column":
+    """Order-independent row digest: first 8 md5 hex chars -> BIGINT.
+
+    XOR-aggregating these is commutative/associative, so the table
+    checksum is partitioning-independent -- the migration-verification
+    primitive (c24 checks values row-by-row; this is the O(1)-output
+    form that scales to tables too big to diff)."""
+    canon = F.concat_ws("|", *cols)
+    return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+
+
+def c56_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ._util import day_str
+
+    o = load_table(spark, sf_dir, "orders")
+    canon_cols = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        day_str("o_orderdate"),
+    ]
+    src = o.select(
+        _row_digest(canon_cols).alias("dg"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        day_str("o_orderdate").alias("o_day"),
+    )
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c56_")
+    try:
+        src.drop("dg").write.parquet(f"{scratch}/copy")
+        back = spark.read.parquet(f"{scratch}/copy")
+        back_cs = back.agg(
+            F.bit_xor(
+                _row_digest(
+                    [
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_day"),
+                    ]
+                )
+            ).alias("copy_checksum"),
+            F.count(F.lit(1)).alias("copy_rows"),
+        )
+        orig_cs = src.agg(
+            F.bit_xor("dg").alias("checksum"), F.count(F.lit(1)).alias("n_rows")
+        )
+        out = (
+            orig_cs.crossJoin(back_cs)
+            .select(
+                F.lit("orders").alias("table_name"),
+                "n_rows",
+                "checksum",
+                (F.col("checksum") == F.col("copy_checksum")).alias(
+                    "roundtrip_checksum_ok"
+                ),
+                (F.col("n_rows") == F.col("copy_rows")).alias(
+                    "roundtrip_count_ok"
+                ),
+            )
+        )
+        rows = out.collect()  # materialize before rmtree (documented)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+C56_SQL = """
+WITH dg AS (
+  SELECT CAST(('0x' || substr(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           o_orderstatus, strftime(o_orderdate, '%Y%m%d'))), 1, 8)) AS BIGINT)
+           AS dg
+  FROM orders
+)
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       bit_xor(dg) AS checksum,
+       TRUE AS roundtrip_checksum_ok,
+       TRUE AS roundtrip_count_ok
+FROM dg
+"""
+
+QUERIES["c56_table_checksum"] = QuerySpec(c56_table_checksum, C56_SQL)
