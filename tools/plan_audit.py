@@ -356,6 +356,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c55_shuffle_advisor": ((), ("Join",), None),
     # balance weights: one groupBy + 1-row max broadcast
     "a136_label_balance_weights": ((), ("CartesianProduct",), None),
+    # trigram LM: count-table equi-joins + a projection backoff ladder
+    # (the 1-row N/V scalar rides the accepted BroadcastNestedLoopJoin
+    # shape, as in a64); never a true cartesian
+    "a137_trigram_backoff": ((), ("CartesianProduct",), None),
+    # cluster sizes: LSH band equi-joins + two grouped rollups
+    "a138_cluster_sizes": ((), ("NestedLoop", "CartesianProduct"), None),
 }
 
 
