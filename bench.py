@@ -31,12 +31,13 @@ cost is one extra node-sized join + checkpoint on a 7k-edge fixture
 where scheduling dominates; at cluster scale the added work is
 O(no-in-edge nodes) per round, not O(edges).
 
-Round 6: the headline grew 57 -> 66 (extend-only). ngram_jaccard_pairs
+Round 6: the headline grew 57 -> 68 (extend-only). ngram_jaccard_pairs
 was rewritten single-pass (count shared grams in the first self-join
 instead of candidates+re-join): a114 12.9s -> ~2.0s, a102 11.8s -> ~2.3s
 cold at sf0.1. On the 42 r4-shared names the clean-machine total measured
-52.8 -> 54.0s; the only >0.5s mover is a78 (the documented round-5
-dangling-node correctness fix, noisy between 6.4-8.2s run-to-run).
+49.1-54.0s across runs (0.93-1.02x vs r4's 52.8); the only >0.5s mover is
+a78 (the documented round-5 dangling-node correctness fix, noisy between
+5.2-8.2s run-to-run).
 """
 
 from __future__ import annotations
