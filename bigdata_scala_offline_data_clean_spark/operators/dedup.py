@@ -594,9 +594,23 @@ def ngram_jaccard_pairs(
     second gram join to re-derive intersections (jaccard_verify stays for
     LSH-band candidates, whose pair frame does not come from a gram join).
     Halves the gram-table shuffles vs the candidates+verify form (a114
-    bench: 12.9s -> measured below).
+    bench: 12.9s -> ~2.0s at sf0.1).
     """
     sh = shingles(df, id_col, text_col, n)
+    return jaccard_pairs_from_shingles(sh, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def jaccard_pairs_from_shingles(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact all-pairs Jaccard from a prebuilt DISTINCT-gram shingle frame.
+
+    One gram self-join: the matching-row count per (a, b) is the
+    intersection size (grams per doc are distinct), union from per-doc
+    counts.  Callers that reuse the shingle frame for other stages (a126's
+    LSH evaluation) persist it and pass it in; threshold filtering is the
+    caller's.
+    """
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = sh.select(F.col(id_col).alias("a"), "gram")
     b = sh.select(F.col(id_col).alias("b"), "gram")
@@ -619,7 +633,6 @@ def ngram_jaccard_pairs(
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -164,9 +164,17 @@ def merge_into(
     t_map = {c: F.col(f"__t_{c}") for c in data_cols}
     s_map = {c: F.col(f"__s_{c}") for c in data_cols}
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-    upd = update_cond(t_map, s_map) if update_cond is not None else F.lit(True)
-    dele = delete_cond(t_map, s_map) if delete_cond is not None else F.lit(False)
-    ins = insert_cond(t_map, s_map) if insert_cond is not None else F.lit(True)
+    # SQL MERGE treats a NULL WHEN-clause predicate as NOT satisfied (the
+    # row falls through to the next clause) -- coalesce to false so a
+    # nullable column in a condition can never silently delete/skip a row
+    def _cond(fn, default: bool):
+        if fn is None:
+            return F.lit(default)
+        return F.coalesce(fn(t_map, s_map), F.lit(False))
+
+    upd = _cond(update_cond, True)
+    dele = _cond(delete_cond, False)
+    ins = _cond(insert_cond, True)
     keep = F.when(matched, ~dele).when(F.col("__s").isNotNull(), ins).otherwise(
         F.lit(True)
     )

@@ -1064,15 +1064,14 @@ QUERIES["a121_langid_eval"] = QuerySpec(a121_langid_eval, _a121_sql())
 _A122_MIN_PRIOR, _A122_Z = 4, 2.0
 
 
-def a122_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._util import day_str
+def _score_daily_anomaly(daily: DataFrame) -> DataFrame:
+    """Trailing 7-day z-score over a (day, event_type, n) daily table.
 
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        day_str("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    # trailing frame EXCLUDES the current row, so the baseline can't absorb
-    # the anomaly it is scoring; windows run over the (days x types) table
+    Shared verbatim by a122 (batch scan) and s13 (streamed count
+    partials); the trailing frame EXCLUDES the current row, so the
+    baseline can't absorb the anomaly it is scoring.  Windows run over
+    the (days x types) aggregate, never the event scan.
+    """
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -1103,6 +1102,16 @@ def a122_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) >= _A122_Z, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def a122_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        day_str("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return _score_daily_anomaly(daily)
 
 
 A122_SQL = f"""
@@ -1461,35 +1470,8 @@ def s13_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("n"))
         )
         # identical scoring to a122, fed by the streamed partials instead
-        # of a batch scan -- the oracle is shared verbatim
-        w = (
-            Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-        )
-        stats = daily.select(
-            "day",
-            "event_type",
-            "n",
-            F.count(F.lit(1)).over(w).alias("n_prior"),
-            F.sum("n").over(w).alias("s"),
-            F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
-        )
-        mean = F.col("s").cast("double") / F.col("n_prior")
-        var = (
-            F.col("ss") - F.col("s") * F.col("s") / F.col("n_prior").cast("double")
-        ) / (F.col("n_prior") - 1)
-        z = F.when(
-            (F.col("n_prior") >= _A122_MIN_PRIOR) & (var > 0),
-            F.round((F.col("n") - mean) / F.sqrt(var), 6),
-        )
-        out = stats.select(
-            "day",
-            "event_type",
-            "n",
-            "n_prior",
-            F.round(mean, 6).alias("trailing_mean"),
-            z.alias("z"),
-            F.coalesce(F.abs(z) >= _A122_Z, F.lit(False)).alias("is_anomaly"),
-        )
+        # of a batch scan -- one shared helper, one shared oracle
+        out = _score_daily_anomaly(daily)
         rows = out.collect()  # materialize before rmtree (documented)
         return spark.createDataFrame(rows, out.schema)
     finally:
@@ -1522,29 +1504,11 @@ def a126_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact truth: single-pass shared-gram jaccard over the SAME shingle
     # frame (the all-pairs-above-threshold ground set LSH approximates)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = sh.select(F.col("doc_id").alias("a"), "gram")
-    b = sh.select(F.col("doc_id").alias("b"), "gram")
-    inter = (
-        a.join(b, "gram")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    from ..operators.dedup import jaccard_pairs_from_shingles
+
     truth = (
-        inter.join(
-            counts.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("n_a")),
-            "a",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("n_b")),
-            "b",
-        )
-        .where(
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            >= _MH_THRESHOLD
-        )
+        jaccard_pairs_from_shingles(sh, "doc_id")
+        .where(F.col("jaccard") >= _MH_THRESHOLD)
         .select("a", "b")
     )
     tp = cands.join(truth, ["a", "b"], "inner").count()
@@ -1768,24 +1732,19 @@ def c53_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_negative_prices") == 0)
         & (F.col("n_dup_keys") == 0)
     )
-    gate = audit.select("batch_id", passed.alias("published"))
-    published_rows = (
-        both.join(gate.where(F.col("published")), "batch_id")
-        .groupBy("batch_id")
-        .agg(F.count(F.lit(1)).alias("published_rows"))
-    )
-    return (
-        audit.join(gate, "batch_id")
-        .join(published_rows, "batch_id", "left")
-        .select(
-            "batch_id",
-            "n_rows",
-            "n_null_keys",
-            "n_negative_prices",
-            "n_dup_keys",
-            "published",
-            F.coalesce("published_rows", F.lit(0)).alias("published_rows"),
-        )
+    # publishing is all-or-nothing per batch, so published_rows is
+    # derivable from the audit frame (the oracle's CASE does the same) --
+    # no second scan of the staging batches, no extra join
+    return audit.select(
+        "batch_id",
+        "n_rows",
+        "n_null_keys",
+        "n_negative_prices",
+        "n_dup_keys",
+        passed.alias("published"),
+        F.when(passed, F.col("n_rows")).otherwise(F.lit(0)).alias(
+            "published_rows"
+        ),
     )
 
 
@@ -1831,18 +1790,22 @@ def a129_stop_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).alias("__n_docs"))
     sh = shingles(d, "doc_id", "text", _A129_N)
     df_counts = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     top = df_counts.orderBy(
         F.col("doc_freq").desc(), F.col("gram").asc()
     ).limit(_A129_TOPK)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
-    return top.withColumn("pos", F.row_number().over(w)).select(
+    # corpus size folds into the plan as a 1-row broadcast (no separate
+    # d.count() job scanning documents twice)
+    return top.withColumn("pos", F.row_number().over(w)).crossJoin(
+        F.broadcast(n)
+    ).select(
         "gram",
         "doc_freq",
         "pos",
-        F.round(F.col("doc_freq") / F.lit(n_docs), 6).alias("doc_share"),
+        F.round(F.col("doc_freq") / F.col("__n_docs"), 6).alias("doc_share"),
         # a gram in d docs emits d^2 candidate rows in an inverted-index
         # self-join: surface the blowup the stop-gram cap would remove
         (F.col("doc_freq") * F.col("doc_freq")).alias("pair_blowup"),
@@ -1904,15 +1867,17 @@ def a130_weekday_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_obs"),
         F.sum("n").over(w).alias("s"),
     )
-    forecast = F.round(F.col("s").cast("double") / F.col("n_obs"), 6)
+    # round only at OUTPUT: error terms use the unrounded quotient exactly
+    # as the SQL does, so 6-decimal boundary cases cannot diverge
+    q = F.col("s").cast("double") / F.col("n_obs")
     return scored.where(F.col("n_obs") >= 1).select(
         "day",
         "dow",
         "n",
         "n_obs",
-        forecast.alias("forecast"),
-        F.round(F.abs(F.col("n") - forecast), 6).alias("abs_error"),
-        F.round(F.abs(F.col("n") - forecast) / F.col("n"), 6).alias("ape"),
+        F.round(q, 6).alias("forecast"),
+        F.round(F.abs(F.col("n") - q), 6).alias("abs_error"),
+        F.round(F.abs(F.col("n") - q) / F.col("n"), 6).alias("ape"),
     )
 
 
@@ -2023,8 +1988,15 @@ def a131_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (gram, source) pairs dedup BEFORE the self-join, so a shingle
     # repeated within one source counts once; join fan-out is bounded by
     # |sources|^2 per gram (sources are few), never corpus-quadratic
+    # shingle keyed on doc_id so spread_narrow_scan widens the gram
+    # explode across the cluster (partitioning by the handful of sources
+    # would collapse it onto <=|sources| tasks), then project to
+    # (gram, source) and dedup
+    sh = shingles(
+        d.select("doc_id", "source", "text"), "doc_id", "text", _A131_N
+    )
     ds = (
-        shingles(d, "source", "text", _A131_N)
+        sh.join(d.select("doc_id", "source"), "doc_id")
         .select(F.col("gram").alias("dg"), "source")
         .distinct()
     )

@@ -229,3 +229,27 @@ class TestMergeIntoModel:
             ).collect()
         }
         assert got == _merge_model(target, source)
+
+
+def test_merge_into_null_condition_is_not_satisfied(spark):
+    # SQL MERGE: a NULL WHEN-clause predicate means NOT satisfied -- the
+    # row must fall through, never be deleted/skipped
+    target = spark.createDataFrame(
+        [(1, "O", 10.0)], "k bigint, status string, price double"
+    )
+    source = spark.createDataFrame(
+        [(1, None, 99.0), (2, None, 5.0)], "k bigint, status string, price double"
+    )
+    out = merge_into(
+        target,
+        source,
+        "k",
+        # status is NULL on the source rows -> both conds evaluate NULL
+        delete_cond=lambda t, s: s["status"] == "X",
+        update_cond=lambda t, s: s["status"] == "Y",
+        insert_cond=lambda t, s: s["status"] == "Z",
+    )
+    got = {r.k: (r.status, r.price) for r in out.collect()}
+    # key 1: matched, delete NULL->false, update NULL->false -> target kept;
+    # key 2: unmatched, insert NULL->false -> not inserted
+    assert got == {1: ("O", 10.0)}

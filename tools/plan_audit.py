@@ -320,8 +320,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a128_exact_k_sample": ((), ("Join",), 1),
     # write-audit-publish: audit/gate frames are batch-sized; no cartesian
     "c53_write_audit_publish": ((), ("CartesianProduct", "NestedLoop"), None),
-    # stop grams: one gram groupBy + TakeOrdered, never a global sort
-    "a129_stop_gram_stats": (("TakeOrderedAndProject",), ("Join",), None),
+    # stop grams: one gram groupBy + TakeOrdered, never a global sort;
+    # the 1-row corpus-size scalar rides the accepted BNLJ broadcast
+    "a129_stop_gram_stats": (
+        ("TakeOrderedAndProject",), ("CartesianProduct",), None,
+    ),
     # weekday baseline: windows over the daily aggregate only
     "a130_weekday_baseline": ((), ("Join",), None),
     # subject export: the subject-key predicate must reach every scan
