@@ -582,12 +582,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity join via the shared-gram inverted index.
 
-    Candidate generation = self-join on gram (docs sharing >=1 gram); exact
-    at any scale where gram frequencies are bounded -- pair high-frequency
-    grams with a stopword-gram cap upstream if needed.
+    Candidate generation = self-join on gram (docs sharing >=1 gram).
+    Cost is Theta(true near-dup pairs): under a 10x corpus replication
+    that multiplied TRUE pairs ~980x (every doc gains 9 near-identical
+    replicas), wall time grew only 23.5x -- sub-linear in emitted pairs.
+    When duplicate mass grows linearly with the corpus the join does too;
+    what CAN blow up independently of true pairs is a gram shared by d
+    unrelated docs (~d^2/2 join rows) -- pass ``max_gram_df`` so such
+    corpus-frequent grams leave the shingle universe entirely BEFORE the
+    self-join (sizes and intersections stay consistent, same contract as
+    ``containment_pairs``; a129 reports the offending grams), or use the
+    MinHash-LSH path (``a07``/``c20``), whose banded candidates are also
+    pair-bounded.
 
     Single-pass: grams per doc are distinct, so the matching-row count of
     the gram self-join IS |intersection| -- no candidate distinct, no
@@ -597,6 +607,14 @@ def ngram_jaccard_pairs(
     bench: 12.9s -> ~2.0s at sf0.1).
     """
     sh = shingles(df, id_col, text_col, n)
+    if max_gram_df is not None:
+        keep = (
+            sh.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        sh = sh.join(keep, "gram")
     return jaccard_pairs_from_shingles(sh, id_col).where(
         F.col("jaccard") >= threshold
     )

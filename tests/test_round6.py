@@ -253,3 +253,25 @@ def test_merge_into_null_condition_is_not_satisfied(spark):
     # key 1: matched, delete NULL->false, update NULL->false -> target kept;
     # key 2: unmatched, insert NULL->false -> not inserted
     assert got == {1: ("O", 10.0)}
+
+
+def test_ngram_jaccard_max_gram_df_drops_stop_grams(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # docs 1/2 share ONLY the ubiquitous gram (in every doc); docs 3/4 are
+    # real near-dups sharing rare grams
+    stop = "the common gram"
+    rows = [
+        (1, stop + " alpha beta gamma delta"),
+        (2, stop + " epsilon zeta eta theta"),
+        (3, "rare unique words here exactly matching mostly " + stop),
+        (4, "rare unique words here exactly matching almost " + stop),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = ngram_jaccard_pairs(d, n=3, threshold=0.05, max_gram_df=3)
+    got = {(r.a, r.b) for r in capped.collect()}
+    # the 4-doc stop grams are gone: 1-2 no longer pair; 3-4 still do
+    assert (1, 2) not in got
+    assert (3, 4) in got
