@@ -275,3 +275,44 @@ def test_ngram_jaccard_max_gram_df_drops_stop_grams(spark):
     # the 4-doc stop grams are gone: 1-2 no longer pair; 3-4 still do
     assert (1, 2) not in got
     assert (3, 4) in got
+
+
+def test_kmeans_query_handles_empty_cluster(spark, tmp_path):
+    # seed vectors 0..3; all points sit near seed 0 -> clusters 1-3 empty
+    # after round 1; the query must not crash or emit phantom clusters
+    import os
+    rows = []
+    for i in range(12):
+        base = [0.0] * 8
+        base[0] = 1.0 + (i % 3) * 1e-4
+        rows.append((i, base, 0))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    p = os.path.join(str(tmp_path), "embeddings.parquet")
+    df.write.parquet(p)
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import a132_kmeans_fixed
+
+    out = a132_kmeans_fixed(spark, str(tmp_path)).collect()
+    assert len(out) == 12
+    assert {r.cluster for r in out} <= {0, 1, 2, 3}
+    # sizes are consistent with the assignment
+    from collections import Counter
+    sizes = Counter(r.cluster for r in out)
+    for r in out:
+        assert r.cluster_size == sizes[r.cluster]
+
+
+def test_row_digest_checksum_order_independent(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import _row_digest
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"name{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "k bigint, v string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "k bigint, v string").repartition(3)
+    cols = [F.col("k").cast("string"), F.col("v")]
+    ca = a.agg(F.bit_xor(_row_digest(cols)).alias("cs")).first().cs
+    cb = b.agg(F.bit_xor(_row_digest(cols)).alias("cs")).first().cs
+    assert ca == cb
+    # a single changed row flips the checksum
+    c = spark.createDataFrame(rows[:-1] + [(99, "tampered")], "k bigint, v string")
+    cc = c.agg(F.bit_xor(_row_digest(cols)).alias("cs")).first().cs
+    assert cc != ca
