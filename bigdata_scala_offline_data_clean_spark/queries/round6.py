@@ -2895,3 +2895,196 @@ FROM dg
 """
 
 QUERIES["c56_table_checksum"] = QuerySpec(c56_table_checksum, C56_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a139 -- PSI drift on price deciles: the model-monitoring standard for a
+# continuous column (c34's KL covers categorical histograms)
+# ---------------------------------------------------------------------------
+
+_A139_BUCKETS = 10
+
+
+def a139_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice"
+    )
+    # decile bounds from the BASELINE half: ntile over (price, key) -- a
+    # total order, so both engines cut identical deciles; bounds are the
+    # per-decile max, a 10-row broadcast frame
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    tiled = base.select(
+        "o_totalprice", F.ntile(_A139_BUCKETS).over(w).alias("bucket")
+    )
+    bounds = tiled.groupBy("bucket").agg(
+        F.max("o_totalprice").alias("hi")
+    )
+    n_base = tiled.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_base"))
+
+    # assign the current half by counting bounds strictly below the price
+    # (bucket = 1 + #bounds < price, capped at the last decile)
+    assigned = (
+        cur.join(F.broadcast(bounds.where(F.col("bucket") < _A139_BUCKETS)),
+                 F.col("o_totalprice") > F.col("hi"), "left")
+        .groupBy("o_orderkey")
+        .agg(
+            (F.least(
+                F.sum(F.when(F.col("hi").isNotNull(), 1).otherwise(0)) + 1,
+                F.lit(_A139_BUCKETS),
+            )).alias("bucket")
+        )
+    )
+    n_cur = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_cur"))
+    tot = base.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        cur.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    j = (
+        n_base.join(n_cur, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    # Laplace-smoothed shares: zero buckets can't blow up ln(); every term
+    # is a deterministic double of exact ints, rounded -> decimal-summed
+    p1 = (F.col("n_base") + 1).cast("double") / (F.col("nb") + _A139_BUCKETS)
+    p2 = (F.col("n_cur") + 1).cast("double") / (F.col("nc") + _A139_BUCKETS)
+    term = F.round((p2 - p1) * F.log(p2 / p1), 9)
+    cells = j.select(
+        "bucket", "n_base", "n_cur", term.alias("__t")
+    )
+    psi = cells.agg(
+        F.sum(F.col("__t").cast(_DEC)).cast("double").alias("__psi")
+    )
+    return cells.crossJoin(F.broadcast(psi)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round("__t", 6).alias("psi_term"),
+        F.round("__psi", 6).alias("psi_total"),
+        (F.round(F.col("__psi"), 6) < 0.1).alias("stable"),
+    )
+
+
+A139_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), cur AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+), tiled AS (
+  SELECT o_totalprice,
+         ntile({_A139_BUCKETS}) OVER (ORDER BY o_totalprice ASC,
+                                      o_orderkey ASC) AS bucket
+  FROM base
+), bounds AS (
+  SELECT bucket, max(o_totalprice) AS hi FROM tiled
+  WHERE bucket < {_A139_BUCKETS} GROUP BY 1
+), n_base AS (
+  SELECT bucket, count(*) AS n_base FROM tiled GROUP BY 1
+), assigned AS (
+  SELECT c.o_orderkey,
+         least(1 + sum(CASE WHEN b.hi IS NOT NULL THEN 1 ELSE 0 END),
+               {_A139_BUCKETS}) AS bucket
+  FROM cur c LEFT JOIN bounds b ON c.o_totalprice > b.hi
+  GROUP BY 1
+), n_cur AS (
+  SELECT bucket, count(*) AS n_cur FROM assigned GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM base) AS nb, (SELECT count(*) FROM cur) AS nc
+), cells AS (
+  SELECT coalesce(nb.bucket, ncr.bucket) AS bucket,
+         coalesce(nb.n_base, 0) AS n_base, coalesce(ncr.n_cur, 0) AS n_cur,
+         round(((coalesce(ncr.n_cur, 0) + 1)
+                  / CAST(t.nc + {_A139_BUCKETS} AS DOUBLE)
+                - (coalesce(nb.n_base, 0) + 1)
+                  / CAST(t.nb + {_A139_BUCKETS} AS DOUBLE))
+               * ln(((coalesce(ncr.n_cur, 0) + 1)
+                     / CAST(t.nc + {_A139_BUCKETS} AS DOUBLE))
+                    / ((coalesce(nb.n_base, 0) + 1)
+                       / CAST(t.nb + {_A139_BUCKETS} AS DOUBLE))), 9) AS t
+  FROM n_base nb FULL OUTER JOIN n_cur ncr USING (bucket) CROSS JOIN tot t
+), psi AS (
+  SELECT CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE) AS psi FROM cells
+)
+SELECT bucket, n_base, n_cur, round(t, 6) AS psi_term,
+       round(psi, 6) AS psi_total, round(psi, 6) < 0.1 AS stable
+FROM cells CROSS JOIN psi
+"""
+
+QUERIES["a139_psi_drift"] = QuerySpec(a139_psi_drift, A139_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a140 -- week-over-week top movers: largest absolute brand-revenue deltas
+# ---------------------------------------------------------------------------
+
+_A140_TOPK = 10
+
+
+def a140_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(pa.select("p_partkey", "p_brand")),
+                li.l_partkey == pa.p_partkey)
+        .groupBy(
+            F.date_format(F.date_trunc("week", "l_shipdate"), "yyyy-MM-dd")
+            .alias("week"),
+            "p_brand",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    # lag runs over the (weeks x brands) aggregate; deltas are exact
+    # decimals, so ordering ties resolve identically in both engines
+    w = Window.partitionBy("p_brand").orderBy("week")
+    deltas = weekly.select(
+        "week",
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).alias("__d"),
+    ).where(F.col("__d").isNotNull())
+    top = deltas.orderBy(
+        F.abs("__d").desc(), F.col("week").asc(), F.col("p_brand").asc()
+    ).limit(_A140_TOPK)
+    rw = Window.orderBy(
+        F.abs("__d").desc(), F.col("week").asc(), F.col("p_brand").asc()
+    )
+    return top.withColumn("pos", F.row_number().over(rw)).select(
+        "week",
+        "p_brand",
+        "revenue",
+        F.col("__d").cast("double").alias("wow_delta"),
+        "pos",
+    )
+
+
+A140_SQL = f"""
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d') AS week,
+         p_brand,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT week, p_brand, CAST(rev AS DOUBLE) AS revenue,
+         rev - lag(rev) OVER (PARTITION BY p_brand ORDER BY week) AS d
+  FROM weekly
+), ranked AS (
+  SELECT week, p_brand, revenue, CAST(d AS DOUBLE) AS wow_delta,
+         row_number() OVER (ORDER BY abs(d) DESC, week ASC, p_brand ASC)
+           AS pos
+  FROM deltas WHERE d IS NOT NULL
+)
+SELECT week, p_brand, revenue, wow_delta, pos
+FROM ranked WHERE pos <= {_A140_TOPK}
+"""
+
+QUERIES["a140_topk_movers"] = QuerySpec(a140_topk_movers, A140_SQL)
