@@ -365,6 +365,16 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a137_trigram_backoff": ((), ("CartesianProduct",), None),
     # cluster sizes: LSH band equi-joins + two grouped rollups
     "a138_cluster_sizes": ((), ("NestedLoop", "CartesianProduct"), None),
+    # PSI: decile bounds are a <=10-row broadcast theta-join (accepted
+    # BNLJ shape); the halves never join each other row-to-row (the one
+    # SMJ is the bucket-count full-outer over two <=10-row frames --
+    # full outer cannot broadcast)
+    "a139_psi_drift": ((), ("CartesianProduct",), None),
+    # movers: lag over the (weeks x brands) aggregate + TakeOrdered
+    "a140_topk_movers": (
+        ("TakeOrderedAndProject", "BroadcastHashJoin"),
+        ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
