@@ -79,44 +79,41 @@ def deterministic_shuffle(
     )
 
 
-def equidepth_histogram(
-    df: DataFrame, col: str, n_buckets: int = 10
+def ranked_value_counts(
+    counts: DataFrame,
+    value_col: str = "v",
+    count_col: str = "cnt",
+    n_slices: int = 256,
 ) -> DataFrame:
-    """Exact equi-depth histogram over an integer-domain column.
+    """Two-level distributed rank over a per-VALUE count table.
 
-    The scalable exact-quantile construction: aggregate to per-VALUE
-    counts first (one shuffle, output = |distinct values| rows -- for
-    bounded-precision metrics that is orders of magnitude below the row
-    count), then rank the small value table with an ordinary window and
-    assign each value group to bucket ``(rank_before * k) div N``.  Rows
-    of one value never split across buckets, so heavy ties produce the
-    documented uneven depths instead of nondeterministic splits.  Pure
-    integer arithmetic end to end -- oracle-exact.
+    Input: one row per distinct value with its row count.  Output: the
+    same rows plus ``rank_before`` (rows sorting strictly below the first
+    row of this value group, ascending by ``value_col``) and ``n_total``
+    (total row count) -- everything a quantile/tile/cume computation
+    needs, WITHOUT an unpartitioned window over the value table:
 
-    The value-table ranking is two-level (round-5 fix: the previous
-    revision cumulative-summed the WHOLE distinct-value table through one
-    unpartitioned window -- fine for low-cardinality metrics, a
-    single-task sort for a continuous column whose distinct count grows
-    with the data):
-
-    1. range-partition the values into ~256 ordered slices (equi-width on
-       the value domain, derived from a broadcast 1-row min/max frame --
-       fully declarative, no driver collect),
-    2. per-slice totals, made plan-evidently bounded with ``limit(257)``
-       (<= 256 slices exist, so the limit is a no-op that lets the plan
-       audit SEE the bound) -> cumulative slice offsets via a window over
-       that bounded frame, broadcast-joined back,
+    1. range-partition the values into ~``n_slices`` ordered slices
+       (equi-width on the value domain from a broadcast 1-row min/max
+       frame -- fully declarative, no driver collect),
+    2. per-slice totals, made plan-evidently bounded with
+       ``limit(n_slices + 1)`` (a no-op that lets the plan audit SEE the
+       bound) -> cumulative slice offsets via a window over that bounded
+       frame, broadcast-joined back,
     3. ``rank_before`` = slice offset + intra-slice cumulative count, with
-       the big window partitioned by slice -- max task |distinct|/256.
+       the big window partitioned by slice -- max task |distinct| /
+       ``n_slices``.
+
+    ``value_col`` must be non-null and numeric-comparable (the slice
+    assignment casts to double; the cast is monotone, and equal doubles
+    from distinct values merely share a slice, which the intra-slice sort
+    then orders exactly).
     """
-    n_slices = 256
-    counts = df.groupBy(F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    v, cnt = value_col, count_col
     mm = counts.agg(
-        F.min("v").alias("__lo"),
-        F.max("v").alias("__hi"),
-        F.sum("cnt").alias("__nt"),
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+        F.sum(cnt).alias("__nt"),
     )
     sliced = counts.crossJoin(F.broadcast(mm)).withColumn(
         "__s",
@@ -124,7 +121,7 @@ def equidepth_histogram(
             F.least(
                 F.lit(n_slices - 1),
                 F.floor(
-                    (F.col("v").cast("double") - F.col("__lo").cast("double"))
+                    (F.col(v).cast("double") - F.col("__lo").cast("double"))
                     / (
                         (F.col("__hi").cast("double") - F.col("__lo").cast("double"))
                         / F.lit(float(n_slices))
@@ -135,8 +132,8 @@ def equidepth_histogram(
     )
     slice_tot = (
         sliced.groupBy("__s")
-        .agg(F.sum("cnt").alias("__n"))
-        .limit(n_slices + 1)  # provable no-op: <= 256 slice groups exist
+        .agg(F.sum(cnt).alias("__n"))
+        .limit(n_slices + 1)  # provable no-op: <= n_slices slice groups exist
     )
     woff = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     offs = slice_tot.withColumn(
@@ -144,17 +141,44 @@ def equidepth_histogram(
     ).select("__s", "__off")
     w = (
         Window.partitionBy("__s")
-        .orderBy("v")
+        .orderBy(v)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = sliced.join(F.broadcast(offs), "__s").select(
-        "v",
-        "cnt",
-        (F.col("__off") + F.coalesce(F.sum("cnt").over(w), F.lit(0))).alias(
+    return sliced.join(F.broadcast(offs), "__s").select(
+        v,
+        cnt,
+        (F.col("__off") + F.coalesce(F.sum(cnt).over(w), F.lit(0))).alias(
             "rank_before"
         ),
         F.col("__nt").alias("n_total"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Exact equi-depth histogram over an integer-domain column.
+
+    The scalable exact-quantile construction: aggregate to per-VALUE
+    counts first (one shuffle, output = |distinct values| rows -- for
+    bounded-precision metrics that is orders of magnitude below the row
+    count), then rank the small value table and assign each value group
+    to bucket ``(rank_before * k) div N``.  Rows of one value never split
+    across buckets, so heavy ties produce the documented uneven depths
+    instead of nondeterministic splits.  Pure integer arithmetic end to
+    end -- oracle-exact.
+
+    The value-table ranking is the shared two-level construction
+    ``ranked_value_counts`` (round-5 fix: the previous revision
+    cumulative-summed the WHOLE distinct-value table through one
+    unpartitioned window -- fine for low-cardinality metrics, a
+    single-task sort for a continuous column whose distinct count grows
+    with the data).
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = ranked_value_counts(counts)
     # integer floor-div keeps the assignment exact at any N (the double
     # division form would round above 2^53)
     bucket = F.expr(f"(rank_before * {int(n_buckets)}) div n_total")
@@ -166,6 +190,107 @@ def equidepth_histogram(
             F.max("v").alias("hi"),
         )
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_col: str,
+    *,
+    ascending: bool = True,
+    tie_cols: tuple[str, ...] | list[str] = (),
+    tile_col: str = "tile",
+    n_slices: int = 256,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_col [DESC], tie_cols)`` --
+    row-for-row identical to the SQL window -- without funneling the data
+    through one task.
+
+    The unpartitioned-``ntile`` scale problem: a global window sorts the
+    ENTIRE frame in a single task.  This construction exploits that a
+    tile assignment only needs each row's global rank, and that rows
+    sharing an ``order_col`` value occupy CONSECUTIVE ranks:
+
+    1. collapse to per-value counts (one map-side-combining shuffle;
+       heavy ties become single rows),
+    2. rank the value table with the two-level slice construction
+       (``ranked_value_counts`` -- max task |distinct| / ``n_slices``),
+    3. value groups whose rank range [rank_before+1, rank_before+cnt]
+       falls inside ONE tile take that tile wholesale -- no tie-break
+       needed, because ntile assigns those rows identically under any
+       intra-value order,
+    4. only the <= n-1 "straddling" values (a value group crossing a tile
+       boundary) need intra-value positions: a window partitioned by the
+       straddling VALUE, ordered by ``tie_cols`` -- its largest task is
+       the biggest straddling group, not the table.  (Degenerate worst
+       case: a constant column straddles every boundary and the tie sort
+       IS a global sort -- exact ntile of a constant column is inherently
+       a total order over ties.)
+
+    ``order_col`` must be non-null.  ``tie_cols`` are ascending and must
+    make the order total for the straddling groups (pass the primary
+    key).  ``ascending=False`` negates the order column (numeric cols
+    only), matching ``ORDER BY order_col DESC, tie ASC``.  Returns ``df``
+    plus an int ``tile_col`` in 1..n.
+    """
+    ord_expr = F.col(order_col) if ascending else (-F.col(order_col))
+    b = df.withColumn("__ord", ord_expr)
+    # the value-count table feeds three consumers (min/max stats, slice
+    # totals, the ranked join); checkpoint it once so the data-sized
+    # groupBy runs once, not per consumer.  (Callers with an expensive
+    # input lineage should likewise persist/checkpoint `df` -- it is
+    # scanned by the count aggregate and both join-back branches.)
+    counts = (
+        b.groupBy("__ord")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rk = ranked_value_counts(
+        counts, value_col="__ord", count_col="__cnt", n_slices=n_slices
+    ).withColumnRenamed("rank_before", "__rb").withColumnRenamed(
+        "n_total", "__nt"
+    )
+
+    def tile_of(rank_sql: str):
+        # ntile semantics: q = N div n, rem = N % n; the first rem tiles
+        # hold q+1 rows.  Pure integer arithmetic (div), exact at any N;
+        # greatest(q,1) guards the (unreachable when r <= N) q=0 branch
+        # under ANSI division.
+        q = f"(__nt div {int(n)})"
+        rem = f"(__nt % {int(n)})"
+        cut = f"({rem} * ({q} + 1))"
+        return F.expr(
+            f"CASE WHEN {rank_sql} <= {cut}"
+            f" THEN ({rank_sql} + {q}) div ({q} + 1)"
+            f" ELSE {rem} + ({rank_sql} - {cut} + {q} - 1)"
+            f" div greatest({q}, 1) END"
+        ).cast("int")
+
+    tiles = rk.select(
+        "__ord",
+        "__rb",
+        "__nt",
+        tile_of("(__rb + 1)").alias("__tlo"),
+        tile_of("(__rb + __cnt)").alias("__thi"),
+    )
+    whole = tiles.where(F.col("__tlo") == F.col("__thi")).select(
+        "__ord", F.col("__tlo").alias(tile_col)
+    )
+    strad = tiles.where(F.col("__tlo") != F.col("__thi")).select(
+        "__ord", "__rb", "__nt"
+    )
+    out_cols = [*df.columns, tile_col]
+    part1 = b.join(whole, "__ord").select(*out_cols)
+    w = Window.partitionBy("__ord").orderBy(
+        *[F.col(c).asc() for c in tie_cols]
+    )
+    part2 = (
+        b.join(F.broadcast(strad), "__ord")
+        .withColumn("__r", F.col("__rb") + F.row_number().over(w))
+        .withColumn(tile_col, tile_of("__r"))
+        .select(*out_cols)
+    )
+    return part1.unionByName(part2)
 
 
 def exact_percentiles(

@@ -1,0 +1,124 @@
+"""Round-7 operator tests: distributed_ntile and frontier BFS.
+
+distributed_ntile replaces the unpartitioned ``ntile()`` windows flagged
+by the round-6 plan audit (a118/a139); bfs_hops replaces a133's
+re-expanding frontier loop.  Both must be row-for-row identical to the
+naive formulations.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.graph import bfs_hops
+from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+    distributed_ntile,
+)
+
+
+def _tiles(df, col):
+    return {r["id"]: r[col] for r in df.collect()}
+
+
+def test_distributed_ntile_matches_window_heavy_ties(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice([1, 1, 1, 2, 2, 3, 5, 8]), rng.random() * 100)
+        for i in range(503)
+    ]
+    df = spark.createDataFrame(rows, "id long, f long, m double")
+    for n in (4, 10):
+        for col, asc in (("f", True), ("f", False), ("m", False)):
+            w = Window.orderBy(
+                F.col(col).asc() if asc else F.col(col).desc(),
+                F.col("id").asc(),
+            )
+            exp = _tiles(
+                df.select("id", F.ntile(n).over(w).alias("t")), "t"
+            )
+            got = _tiles(
+                distributed_ntile(
+                    df, n, col, ascending=asc, tie_cols=["id"]
+                ).select("id", F.col("tile").alias("t")),
+                "t",
+            )
+            assert got == exp, (n, col, asc)
+
+
+def test_distributed_ntile_edge_cases(spark):
+    # constant column: every value group straddles -- tie order decides
+    const = spark.createDataFrame(
+        [(i, 7) for i in range(9)], "id long, v long"
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    exp = _tiles(const.select("id", F.ntile(4).over(w).alias("t")), "t")
+    got = _tiles(
+        distributed_ntile(const, 4, "v", tie_cols=["id"]).select(
+            "id", F.col("tile").alias("t")
+        ),
+        "t",
+    )
+    assert got == exp
+    # fewer rows than tiles: tile == rank
+    small = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "id long, v long"
+    )
+    got = _tiles(
+        distributed_ntile(small, 7, "v", tie_cols=["id"]).select(
+            "id", F.col("tile").alias("t")
+        ),
+        "t",
+    )
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_distributed_ntile_preserves_columns_and_count(spark):
+    df = spark.createDataFrame(
+        [(i, i % 13, f"x{i}") for i in range(100)],
+        "id long, v long, tag string",
+    )
+    out = distributed_ntile(df, 5, "v", tie_cols=["id"])
+    assert out.columns == ["id", "v", "tag", "tile"]
+    assert out.count() == 100
+    assert out.select("id").distinct().count() == 100
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "u long, v long")
+
+
+def test_bfs_chain_hop_distances(spark):
+    # 0-1-2-3-4-5 chain, seed {0}: hop == distance, capped at max_hops
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_dense_component_frontier_shrinks(spark):
+    # clique of 8: hop-1 frontier is the 7 other nodes, hop-2 frontier is
+    # EMPTY -- the visited-set subtraction stops re-expansion (the round-6
+    # implementation re-joined the whole component every hop)
+    nodes = list(range(8))
+    e = _edges(spark, [(a, b) for a in nodes for b in nodes if a < b])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = bfs_hops(e, seeds, 3)
+    per_hop = {
+        r.hop: r.n
+        for r in out.groupBy("hop").agg(F.count("*").alias("n")).collect()
+    }
+    # every node appears exactly once, at its min hop; no hop-2/3 rows
+    assert per_hop == {0: 1, 1: 7}
+    assert out.count() == out.select("node").distinct().count() == 8
+
+
+def test_bfs_multi_seed_min_hop(spark):
+    # two seeds at opposite ends of a chain: hops meet in the middle
+    e = _edges(spark, [(i, i + 1) for i in range(6)])
+    seeds = spark.createDataFrame([(0,), (6,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, 3).collect()}
+    assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}

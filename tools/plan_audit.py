@@ -272,8 +272,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a113_ngram_novelty": ((), ("NestedLoop", "CartesianProduct"), None),
     # chi2: cell/marginal frames broadcast; lineitem scanned once, no SMJ
     "a116_chi2_independence": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
-    # RFM: ntiles over the per-customer agg; anchor broadcast; no SMJ
-    "a118_rfm_segments": ((), ("SortMergeJoin", "CartesianProduct"), None),
+    # RFM: exact quintiles via distributed_ntile (r7) -- value-rank
+    # equi-joins may SMJ at scale (the monetary value table is
+    # customer-sized); the 1-row anchor rides the accepted BNLJ
+    # broadcast; only a true cartesian is wrong
+    "a118_rfm_segments": ((), ("CartesianProduct",), None),
     # canonical selection: cluster map + quality joins stay equi-joins
     "a114_canonical_selection": ((), ("NestedLoop", "CartesianProduct"), None),
     # centroid drift: algebraic per-dim sums; halves equi-join on (label,dim)
@@ -378,18 +381,24 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
 }
 
 
-# Queries whose plans must contain NO unpartitioned WindowExec (a global
-# window funnels the whole input through one task -- the canonical
-# scale-killer).  Checked structurally via partitionSpec(), since the
-# Window node's toString does not distinguish the two forms reliably.
-NO_GLOBAL_WINDOW = {
-    "a27_approx_stats",
-    "a57_equidepth_histogram",
-    "a78_pagerank",
-    "a95_cms_heavy_hitters",
-    "a98_mad_outliers",
-    "a100_length_gini",
-    "c40_compaction_plan",
+# Round-7 generic rule (VERDICT r6 task #2): EVERY registry query's plan
+# must be free of unpartitioned WindowExec nodes that are not provably
+# bounded by a limit()/TakeOrdered ancestor (a global window funnels the
+# whole input through one task -- the canonical scale-killer).  Checked
+# structurally via partitionSpec(), since the Window node's toString does
+# not distinguish the two forms reliably.  Bounded post-agg frames carry
+# a provable-no-op .limit(k) so the bound is plan-visible (equidepth's
+# slice offsets, filter_funnel's k stages, a123's <=11 jaccard buckets);
+# the remaining documented exceptions are CALENDAR-grain frames, which
+# grow with the time horizon, not the data volume:
+GLOBAL_WINDOW_ALLOWLIST = {
+    "c41_partition_health": "trailing health window over the per-day "
+    "aggregate (calendar-sized)",
+    "c42_backfill_plan": "cumulative window over the calendar-day frame "
+    "after the first aggregation",
+    "a105_interpolate": "interpolation windows over the calendar-day grid",
+    "a106_rolling_corr": "rolling-correlation windows over the per-day "
+    "aggregate",
 }
 
 
@@ -436,14 +445,26 @@ def main() -> int:
     spark = build_session(app_name="plan_audit")
     specs = all_queries()
     failures = 0
-    for name, (expect, forbid, max_exch) in EXPECTATIONS.items():
-        df = specs[name].spark(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    n_checks = 0
+    for name, spec in specs.items():
+        expect, forbid, max_exch = EXPECTATIONS.get(name, ((), (), None))
+        try:
+            df = spec.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # a broken query is a failed gate
+            failures += 1
+            n_checks += 1
+            print(f"FAIL {name}: plan build error {type(exc).__name__}: {exc}")
+            continue
         problems = []
-        if name in NO_GLOBAL_WINDOW:
-            gw = _n_global_windows(df)
-            if gw:
-                problems.append(f"{gw} unpartitioned WindowExec node(s)")
+        # generic unpartitioned-window rule: applies to EVERY query
+        gw = _n_global_windows(df)
+        if gw and name not in GLOBAL_WINDOW_ALLOWLIST:
+            problems.append(
+                f"{gw} unpartitioned non-limit-bounded WindowExec node(s)"
+            )
+        if not gw and name in GLOBAL_WINDOW_ALLOWLIST:
+            print(f"note {name}: GLOBAL_WINDOW_ALLOWLIST entry is stale")
         for e in expect:
             if e not in plan:
                 problems.append(f"missing {e!r}")
@@ -455,12 +476,16 @@ def main() -> int:
             problems.append(f"{n_exch} exchanges > {max_exch}")
         pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
         status = "ok  " if not problems else "FAIL"
+        n_checks += 1
         if problems:
             failures += 1
-        print(f"{status} {name}: exch={n_exch} pushed={len(pushed)}"
-              + (f"  [{'; '.join(problems)}]" if problems else ""))
+        if problems or name in EXPECTATIONS:
+            print(f"{status} {name}: exch={n_exch} pushed={len(pushed)}"
+                  + (f"  [{'; '.join(problems)}]" if problems else ""))
     spark.stop()
-    print(f"\n{len(EXPECTATIONS) - failures}/{len(EXPECTATIONS)} plan checks green")
+    print(f"\n{n_checks - failures}/{n_checks} plan checks green "
+          f"({len(EXPECTATIONS)} expectation rows; window rule over all "
+          f"{len(specs)} queries, {len(GLOBAL_WINDOW_ALLOWLIST)} allowlisted)")
     return 1 if failures else 0
 
 
