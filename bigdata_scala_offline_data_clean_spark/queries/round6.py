@@ -2870,8 +2870,18 @@ def _row_digest(cols) -> "F.Column":
     XOR-aggregating these is commutative/associative, so the table
     checksum is partitioning-independent -- the migration-verification
     primitive (c24 checks values row-by-row; this is the O(1)-output
-    form that scales to tables too big to diff)."""
-    canon = F.concat_ws("|", *cols)
+    form that scales to tables too big to diff).
+
+    Each column is coalesced to a NUL-prefixed sentinel BEFORE concat_ws
+    (round-7, per round-6 advice): concat_ws silently SKIPS nulls, so
+    ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise collide.  The
+    c56 columns happen to be non-null TPC-H fields, but the primitive is
+    reusable on nullable columns; the DuckDB oracle mirrors the sentinel
+    (chr(0) || 'NULL')."""
+    canon = F.concat_ws(
+        "|",
+        *[F.coalesce(c.cast("string"), F.lit("\x00NULL")) for c in cols],
+    )
     return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
 
 
@@ -2938,8 +2948,11 @@ def c56_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 C56_SQL = """
 WITH dg AS (
   SELECT CAST(('0x' || substr(md5(concat_ws('|',
-           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-           o_orderstatus, strftime(o_orderdate, '%Y%m%d'))), 1, 8)) AS BIGINT)
+           coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(o_orderstatus, chr(0) || 'NULL'),
+           coalesce(strftime(o_orderdate, '%Y%m%d'), chr(0) || 'NULL'))),
+           1, 8)) AS BIGINT)
            AS dg
   FROM orders
 )

@@ -116,6 +116,38 @@ def test_bfs_dense_component_frontier_shrinks(spark):
     assert out.count() == out.select("node").distinct().count() == 8
 
 
+def test_merge_into_strict_raises_on_duplicate_source_keys(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from bigdata_scala_offline_data_clean_spark.operators.diff import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.0)], "k bigint, status string, price double"
+    )
+    dup_source = spark.createDataFrame(
+        [(1, "b", 2.0), (1, "c", 3.0)], "k bigint, status string, price double"
+    )
+    # lenient default: join multiplicity -- documented divergence
+    assert merge_into(target, dup_source, "k").count() == 2
+    # strict: SQL MERGE's "multiple source rows matched" at execution
+    with pytest.raises((PySparkException, Py4JJavaError)) as ei:
+        merge_into(target, dup_source, "k", strict=True).count()
+    assert "multiple source rows matched" in str(ei.value)
+    # strict with unique source keys: unchanged result
+    uniq = spark.createDataFrame(
+        [(1, "b", 2.0), (2, "n", 4.0)], "k bigint, status string, price double"
+    )
+    got = {
+        r.k: (r.status, r.price)
+        for r in merge_into(target, uniq, "k", strict=True).collect()
+    }
+    assert got == {1: ("b", 2.0), 2: ("n", 4.0)}
+
+
 def test_bfs_multi_seed_min_hop(spark):
     # two seeds at opposite ends of a chain: hops meet in the middle
     e = _edges(spark, [(i, i + 1) for i in range(6)])

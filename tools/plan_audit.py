@@ -266,8 +266,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # --- round 6 ---
     # char entropy: two grouped aggs on doc-keyed data, no join anywhere
     "a110_char_entropy": ((), ("Join",), 3),
-    # Zipf fit: the corpus reduces to the (tiny) vocab before any window
-    "a111_zipf_fit": ((), ("Join",), None),
+    # Zipf fit (r7): corpus reduces to the min_freq>=2 vocab; the rank
+    # decomposes via the distinct-frequency table, whose freq->offset map
+    # equi-joins back (shares the hash(freq) partitioning with the
+    # intra-group window); the 1-row min/max slice frame rides the
+    # accepted BNLJ broadcast -- only a true cartesian is wrong
+    "a111_zipf_fit": ((), ("CartesianProduct",), None),
     # novelty: first-seen agg + gram equi-join; never an all-pairs plan
     "a113_ngram_novelty": ((), ("NestedLoop", "CartesianProduct"), None),
     # chi2: cell/marginal frames broadcast; lineitem scanned once, no SMJ
