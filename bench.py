@@ -31,6 +31,16 @@ cost is one extra node-sized join + checkpoint on a 7k-edge fixture
 where scheduling dominates; at cluster scale the added work is
 O(no-in-edge nodes) per round, not O(edges).
 
+a78 variance pinned (round 7, VERDICT r6 task #5): A/B'd eager vs lazy
+per-round localCheckpoints -- three fresh-process runs each measured
+6.07-7.63s (lazy) vs 6.50-7.58s (eager): no structural difference, so
+the checkpoint mode is NOT the cause.  Six same-session repeats after
+warmup: a78 7.94-8.99s (+-6%) while the non-iterative control
+a07 ran 2.46-3.47s (+-8%) at host load-average ~9.5 -- the spread is
+proportional SHARED-BOX load, amortized over the longest headline
+query, not a scheduler race in the rank-frame checkpoints.  Eager
+checkpoints kept (clearer per-round job boundaries at identical cost).
+
 Round 6: the headline grew 57 -> 68 (extend-only). ngram_jaccard_pairs
 was rewritten single-pass (count shared grams in the first self-join
 instead of candidates+re-join): a114 12.9s -> ~2.0s, a102 11.8s -> ~2.3s

@@ -136,7 +136,7 @@ def pagerank(
                 F.lit(base).cast("bigint")
                 + F.expr(f"({d_num} * sum(c)) div {d_den}")
             ).alias("pr")
-        ).unionByName(no_in).localCheckpoint(eager=False)
+        ).unionByName(no_in).localCheckpoint(eager=True)
     # one final backfill restores the full source universe in the output
     # (no-in-edge nodes sit at the base rank); eager checkpoint
     # materializes the node-sized result so the edge cache can be released
