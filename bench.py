@@ -137,6 +137,11 @@ HEADLINE = [
     "c54_subject_access_export",  # pushdown showcase: 3 scans, 0 exchanges
     "a132_kmeans_fixed",  # 2 unrolled iterations, broadcast centroids
     "a133_bfs_hops",  # 3 frontier joins over the bipartite edge table
+    # r7 additions (extend-only; VERDICT r6 task #7)
+    "a139_psi_drift",  # distributed_ntile decile bounds + smoothed PSI
+    "a140_topk_movers",  # week-over-week lag + TakeOrdered
+    "c53_write_audit_publish",  # WAP gate: audit frames + quarantine split
+    "a131_source_overlap",  # gram-keyed source-pair overlap matrix
 ]
 
 
