@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round5,
         round5b,
         round6,
+        round7,
         streaming_q,
     )
 
@@ -82,6 +83,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round5,
         round5b,
         round6,
+        round7,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -3016,6 +3016,17 @@ def a139_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = base.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
         cur.agg(F.count(F.lit(1)).alias("nc"))
     )
+    return _psi_report(n_base, n_cur, tot)
+
+
+def _psi_report(n_base: DataFrame, n_cur: DataFrame, tot: DataFrame) -> DataFrame:
+    """PSI cells + total from per-bucket count frames.
+
+    Shared by a139 (batch) and s14 (streamed current-half counts): inputs
+    are ``(bucket, n_base)``, ``(bucket, n_cur)`` and a 1-row ``(nb, nc)``
+    totals frame; output is the canonical a139 report, so both queries
+    verify against the same oracle.
+    """
     j = (
         n_base.join(n_cur, "bucket", "full_outer")
         .select(

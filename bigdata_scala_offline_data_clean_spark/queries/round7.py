@@ -1,0 +1,585 @@
+"""Round-7 queries: distributed-tile reports, curation quality rules,
+cohort/funnel analytics, exact grouped quantiles, and a streamed PSI.
+
+a141 price decile report (distributed_ntile over the DATA-SIZED lineitem
+frame -- the operator the round-7 a118/a139 fix introduced, exercised as
+a first-class query), a142 intra-document repetition (Gopher/C4-style
+duplicate-3-gram quality rule, computed entirely map-side), a143 monthly
+cohort retention, a144 view->click->purchase funnel conversion, a145
+ship-latency grouped exact percentiles (operators/ordering
+grouped_exact_percentiles vs DuckDB quantile_cont), a146 supplier
+revenue concentration (Herfindahl-Hirschman index per nation), a147
+weekday seasonality indices, s14 streamed PSI (a139's report fed by
+streamed current-half partials; shares a139's oracle verbatim, the
+s13/a122 pattern).
+
+All floats follow the repo rule (``_util`` docstring): per-term
+``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
+-> final ``round(., 6)``; decimal PRODUCTS cast operands before
+multiplying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ._util import dsum, load_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_DEC = "decimal(28,9)"
+
+
+# ---------------------------------------------------------------------------
+# a141 -- price decile report: distributed_ntile over the raw lineitem
+# frame (data-sized -- exactly the shape the unpartitioned-window plan
+# gate forbids; the two-level value rank makes it scale-safe)
+# ---------------------------------------------------------------------------
+
+
+def a141_price_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import distributed_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    tiled = distributed_ntile(
+        li,
+        10,
+        "l_extendedprice",
+        tie_cols=["l_orderkey", "l_linenumber"],
+        tile_col="decile",
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+A141_SQL = """
+WITH tiled AS (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                         l_linenumber ASC) AS decile
+  FROM lineitem
+)
+SELECT decile, count(*) AS n_rows,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM tiled GROUP BY decile
+"""
+
+QUERIES["a141_price_decile_report"] = QuerySpec(
+    a141_price_decile_report, A141_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# a142 -- intra-document repetition: duplicate-3-gram fraction per doc
+# (the Gopher/C4 repetition quality rule), rolled up per language.  The
+# gram arrays never explode: total and distinct gram counts are two
+# ``size()`` calls in ONE projection, so the whole rule is map-side and
+# the only shuffle is the per-language rollup.
+# ---------------------------------------------------------------------------
+
+_A142_N = 3
+_A142_FLAG = 0.2  # dup fraction above which a doc is repetition-flagged
+
+
+def a142_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = word_ngrams(toks, _A142_N)
+    n_g = F.size(grams)
+    d_g = F.size(F.array_distinct(grams))
+    dup = F.round(
+        F.lit(1.0) - d_g.cast("double") / n_g.cast("double"), 9
+    )
+    per_doc = d.select("lang", dup.alias("dup_frac"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("dup_frac").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dup_frac"),
+        F.sum(
+            F.when(F.col("dup_frac") > _A142_FLAG, 1).otherwise(0)
+        ).alias("n_flagged"),
+    )
+
+
+A142_SQL = f"""
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT lang,
+         list_transform(generate_series(1, greatest(len(t) - {_A142_N - 1}, 1)),
+                        i -> array_to_string(t[i:i+{_A142_N - 1}], ' ')) AS g
+  FROM toks
+), per_doc AS (
+  SELECT lang,
+         round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                     / CAST(len(g) AS DOUBLE), 9) AS dup_frac
+  FROM grams
+)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(CAST(dup_frac AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean_dup_frac,
+       sum(CASE WHEN dup_frac > {_A142_FLAG} THEN 1 ELSE 0 END) AS n_flagged
+FROM per_doc GROUP BY lang
+"""
+
+QUERIES["a142_doc_repetition"] = QuerySpec(a142_doc_repetition, A142_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a143 -- monthly cohort retention: customers grouped by first-order
+# month; share still ordering k months later.  Month arithmetic is pure
+# integers (year*12 + month-1) so both engines cut identical cohorts.
+# ---------------------------------------------------------------------------
+
+_A143_MAX_K = 6
+
+
+def a143_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+    ).distinct()  # one row per (customer, active month)
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        om.join(first, "o_custkey")
+        .select("m0", (F.col("m") - F.col("m0")).alias("months_since"))
+        .where(F.col("months_since") <= _A143_MAX_K)
+        .groupBy("m0", "months_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "m0").select(
+        F.format_string(
+            "%04d-%02d", (F.col("m0") / 12).cast("int"), F.col("m0") % 12 + 1
+        ).alias("cohort_month"),
+        "months_since",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+A143_SQL = f"""
+WITH om AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1
+), sizes AS (
+  SELECT m0, count(*) AS cohort_size FROM first GROUP BY 1
+), act AS (
+  SELECT f.m0, om.m - f.m0 AS months_since, count(*) AS n_active
+  FROM om JOIN first f USING (o_custkey)
+  WHERE om.m - f.m0 <= {_A143_MAX_K}
+  GROUP BY 1, 2
+)
+SELECT printf('%04d-%02d', a.m0 // 12, a.m0 % 12 + 1) AS cohort_month,
+       a.months_since, a.n_active, s.cohort_size,
+       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM act a JOIN sizes s USING (m0)
+"""
+
+QUERIES["a143_cohort_retention"] = QuerySpec(a143_cohort_retention, A143_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a144 -- ordered funnel conversion: users whose first view precedes
+# their first click precedes their first purchase.  ONE groupBy(user)
+# with conditional min-timestamps, then a 1-row fold -- no joins, no
+# windows, no per-step passes.
+# ---------------------------------------------------------------------------
+
+
+def a144_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_v"),
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("t_c"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_p"),
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("t_v").isNotNull(), 1).otherwise(0)).alias(
+            "n_viewers"
+        ),
+        F.sum(
+            F.when(F.col("t_v") < F.col("t_c"), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_v") < F.col("t_c")) & (F.col("t_c") < F.col("t_p")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+    return agg.select(
+        "n_viewers",
+        "n_view_click",
+        "n_full_funnel",
+        F.round(F.col("n_view_click") / F.col("n_viewers"), 6).alias(
+            "click_rate"
+        ),
+        F.round(F.col("n_full_funnel") / F.col("n_viewers"), 6).alias(
+            "funnel_rate"
+        ),
+    )
+
+
+A144_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_v,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+), agg AS (
+  SELECT sum(CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END) AS n_viewers,
+         sum(CASE WHEN t_v < t_c THEN 1 ELSE 0 END) AS n_view_click,
+         sum(CASE WHEN t_v < t_c AND t_c < t_p THEN 1 ELSE 0 END)
+           AS n_full_funnel
+  FROM per_user
+)
+SELECT n_viewers, n_view_click, n_full_funnel,
+       round(CAST(n_view_click AS DOUBLE) / n_viewers, 6) AS click_rate,
+       round(CAST(n_full_funnel AS DOUBLE) / n_viewers, 6) AS funnel_rate
+FROM agg
+"""
+
+QUERIES["a144_funnel_conversion"] = QuerySpec(a144_funnel_conversion, A144_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a145 -- ship-latency exact grouped percentiles: p25/p50/p90 of
+# (shipdate - orderdate) days per linestatus, via the declarative
+# grouped_exact_percentiles construction (no per-group value buffers) --
+# bit-identical to DuckDB's quantile_cont.
+# ---------------------------------------------------------------------------
+
+_A145_QS = [0.25, 0.5, 0.9]
+
+
+def a145_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import grouped_exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+        "l_orderkey",
+    ).select(
+        "l_linestatus",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lat_days"),
+    )
+    out = grouped_exact_percentiles(lat, ["l_linestatus"], "lat_days", _A145_QS)
+    return out.select(
+        "l_linestatus",
+        "q",
+        F.round("value", 6).alias("lat_days_q"),
+    )
+
+
+A145_SQL = """
+WITH lat AS (
+  SELECT l_linestatus,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_linestatus, CAST(0.25 AS DOUBLE) AS q,
+       round(quantile_cont(lat_days, 0.25), 6) AS lat_days_q
+FROM lat GROUP BY 1
+UNION ALL
+SELECT l_linestatus, CAST(0.5 AS DOUBLE) AS q,
+       round(quantile_cont(lat_days, 0.5), 6) AS lat_days_q
+FROM lat GROUP BY 1
+UNION ALL
+SELECT l_linestatus, CAST(0.9 AS DOUBLE) AS q,
+       round(quantile_cont(lat_days, 0.9), 6) AS lat_days_q
+FROM lat GROUP BY 1
+"""
+
+QUERIES["a145_ship_latency_quantiles"] = QuerySpec(
+    a145_ship_latency_quantiles, A145_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# a146 -- supplier revenue concentration per nation: Herfindahl-Hirschman
+# index over supplier revenue shares.  Two chained aggregations (supplier
+# rollup -> nation rollup); the share terms follow the decimal-product +
+# round-9 decimal-sum discipline.
+# ---------------------------------------------------------------------------
+
+
+def a146_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(
+                s.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+            ),
+            "s_nationkey",
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("sup_rev")
+        )
+    )
+    nat = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("sup_rev").alias("nat_rev"),
+        F.max("sup_rev").alias("top_rev"),
+    )
+    shares = rev.join(F.broadcast(nat.select("n_name", "nat_rev")), "n_name")
+    hhi = shares.groupBy("n_name").agg(
+        F.sum(
+            F.round(
+                (
+                    F.col("sup_rev").cast("double")
+                    / F.col("nat_rev").cast("double")
+                )
+                * (
+                    F.col("sup_rev").cast("double")
+                    / F.col("nat_rev").cast("double")
+                ),
+                9,
+            ).cast(_DEC)
+        )
+        .cast("double")
+        .alias("hhi_raw")
+    )
+    return nat.join(F.broadcast(hhi), "n_name").select(
+        "n_name",
+        "n_suppliers",
+        F.round(
+            F.col("top_rev").cast("double") / F.col("nat_rev").cast("double"),
+            6,
+        ).alias("top_share"),
+        F.round("hhi_raw", 6).alias("hhi"),
+    )
+
+
+A146_SQL = """
+WITH rev AS (
+  SELECT n.n_name, l.l_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS sup_rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT n_name, count(*) AS n_suppliers, sum(sup_rev) AS nat_rev,
+         max(sup_rev) AS top_rev
+  FROM rev GROUP BY 1
+), hhi AS (
+  SELECT r.n_name,
+         CAST(sum(CAST(round((CAST(r.sup_rev AS DOUBLE)
+                              / CAST(t.nat_rev AS DOUBLE))
+                             * (CAST(r.sup_rev AS DOUBLE)
+                                / CAST(t.nat_rev AS DOUBLE)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hhi_raw
+  FROM rev r JOIN nat t USING (n_name)
+  GROUP BY 1
+)
+SELECT n.n_name, n.n_suppliers,
+       round(CAST(n.top_rev AS DOUBLE) / CAST(n.nat_rev AS DOUBLE), 6)
+         AS top_share,
+       round(h.hhi_raw, 6) AS hhi
+FROM nat n JOIN hhi h USING (n_name)
+"""
+
+QUERIES["a146_hhi_concentration"] = QuerySpec(a146_hhi_concentration, A146_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a147 -- weekday seasonality indices: average daily event volume per
+# weekday relative to the overall daily average.  One day-grain
+# aggregation; everything after runs on the <=7-row weekday frame.
+# ---------------------------------------------------------------------------
+
+
+def a147_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import day_str
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(day_str("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wk = daily.select(
+        F.date_format(F.to_date("day", "yyyyMMdd"), "EEEE").alias("weekday"),
+        "n",
+    )
+    per_wd = wk.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_events"),
+    )
+    overall = daily.agg(
+        F.sum("n").alias("tot_events"), F.count(F.lit(1)).alias("tot_days")
+    )
+    return per_wd.crossJoin(F.broadcast(overall)).select(
+        "weekday",
+        "n_days",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n_days"), 6).alias("daily_avg"),
+        F.round(
+            (F.col("n_events") / F.col("n_days"))
+            / (F.col("tot_events") / F.col("tot_days")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+A147_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y%m%d') AS day, count(*) AS n
+  FROM events GROUP BY 1
+), wk AS (
+  SELECT strftime(strptime(day, '%Y%m%d'), '%A') AS weekday, n FROM daily
+), per_wd AS (
+  SELECT weekday, count(*) AS n_days, sum(n) AS n_events
+  FROM wk GROUP BY 1
+), overall AS (
+  SELECT sum(n) AS tot_events, count(*) AS tot_days FROM daily
+)
+SELECT weekday, n_days, n_events,
+       round(CAST(n_events AS DOUBLE) / n_days, 6) AS daily_avg,
+       round((CAST(n_events AS DOUBLE) / n_days)
+             / (CAST(tot_events AS DOUBLE) / tot_days), 6) AS seasonal_index
+FROM per_wd CROSS JOIN overall
+"""
+
+QUERIES["a147_weekday_seasonality"] = QuerySpec(
+    a147_weekday_seasonality, A147_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# s14 -- streamed PSI: a139's drift report with the CURRENT half's bucket
+# counts maintained by a streaming count-partials job (the s13/a122
+# pattern: identical scoring, one shared oracle).  Decile bounds come
+# from the batch baseline via distributed_ntile; the stream assigns
+# buckets with a pure projection over the <=9 broadcast bound literals
+# (a documented bounded collect), so the stream side never joins.
+# ---------------------------------------------------------------------------
+
+
+def s14_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ordering import distributed_ntile
+    from ..streaming.jobs import stream_count_partials
+    from .round6 import _A139_BUCKETS, _psi_report
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice"
+    )
+    tiled = distributed_ntile(
+        base, _A139_BUCKETS, "o_totalprice", tie_cols=["o_orderkey"],
+        tile_col="bucket",
+    ).select("o_totalprice", "bucket")
+    n_base = tiled.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_base"))
+    # <=9 interior bounds: a bounded driver fetch (documented), turned
+    # into literals so the streaming side is a pure projection
+    bounds = sorted(
+        r["hi"]
+        for r in tiled.where(F.col("bucket") < _A139_BUCKETS)
+        .groupBy("bucket")
+        .agg(F.max("o_totalprice").alias("hi"))
+        .collect()
+    )
+    bucket_expr = F.least(
+        F.lit(1)
+        + sum(
+            (F.col("o_totalprice") > F.lit(b)).cast("int") for b in bounds
+        ),
+        F.lit(_A139_BUCKETS),
+    )
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s14_")
+    try:
+        src = f"{scratch}/src"
+        cur.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("o_orderkey long, o_totalprice double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(bucket_expr.alias("bucket"))
+        )
+        store = f"{scratch}/partials"
+        q = (
+            stream_count_partials(stream, store, ["bucket"])
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        n_cur = (
+            spark.read.parquet(store)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("n_cur"))
+        )
+        tot = base.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+            cur.agg(F.count(F.lit(1)).alias("nc"))
+        )
+        out = _psi_report(n_base, n_cur, tot)
+        rows = out.collect()  # materialize before rmtree (documented)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+from .round6 import A139_SQL as _A139_SQL_SHARED  # noqa: E402
+
+QUERIES["s14_stream_psi"] = QuerySpec(s14_stream_psi, _A139_SQL_SHARED)

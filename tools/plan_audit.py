@@ -382,6 +382,35 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("TakeOrderedAndProject", "BroadcastHashJoin"),
         ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # --- round 7 ---
+    # decile report: distributed_ntile value-rank equi-joins (near-unique
+    # prices -> row-sized value table, SMJ is the honest plan at scale);
+    # the 1-row min/max frame rides the accepted BNLJ broadcast
+    "a141_price_decile_report": ((), ("CartesianProduct",), None),
+    # repetition rule: gram counts are two size() calls in ONE projection
+    # (no explode, no join); only the lang rollup exchanges
+    "a142_doc_repetition": ((), ("Join", "Generate"), 2),
+    # cohort retention: custkey equi-joins; cohort-size frame broadcast
+    "a143_cohort_retention": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
+    ),
+    # funnel: one groupBy(user) + a 1-row fold -- no joins at all
+    "a144_funnel_conversion": ((), ("Join",), 3),
+    # grouped percentiles: per-group stats broadcast; bucket-holding rank
+    # joins keep an equality component -- never a true cartesian
+    "a145_ship_latency_quantiles": ((), ("CartesianProduct",), None),
+    # HHI: supplier/nation dims and the nation-totals frame broadcast
+    "a146_hhi_concentration": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # seasonality: day-grain agg; the 1-row overall frame rides the BNLJ
+    "a147_weekday_seasonality": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
+    # streamed PSI: result materializes via the documented collect ->
+    # LocalTableScan (the s13 shape); nothing may cartesian upstream
+    "s14_stream_psi": ((), ("CartesianProduct",), None),
 }
 
 
