@@ -11,7 +11,9 @@ grouped_exact_percentiles vs DuckDB quantile_cont), a146 supplier
 revenue concentration (Herfindahl-Hirschman index per nation), a147
 weekday seasonality indices, s14 streamed PSI (a139's report fed by
 streamed current-half partials; shares a139's oracle verbatim, the
-s13/a122 pattern).
+s13/a122 pattern), a148 quality-score calibration deciles
+(distributed_ntile under heavy value ties), a149 inter-event dwell-time
+p50/p90 per event type (user-keyed lag + grouped exact percentiles).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
@@ -583,3 +585,123 @@ def s14_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .round6 import A139_SQL as _A139_SQL_SHARED  # noqa: E402
 
 QUERIES["s14_stream_psi"] = QuerySpec(s14_stream_psi, _A139_SQL_SHARED)
+
+
+# ---------------------------------------------------------------------------
+# a148 -- quality-score calibration: docs bucketed into score deciles
+# (distributed_ntile again, this time with HEAVY ties -- uniq_ratio is a
+# ratio of small ints, so whole value groups straddle tile boundaries),
+# then per-decile English rate vs mean score.
+# ---------------------------------------------------------------------------
+
+
+def a148_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import distributed_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    scored = d.select(
+        "doc_id", score.alias("score"), (F.col("lang") == "en").alias("is_en")
+    )
+    tiled = distributed_ntile(
+        scored, 10, "score", tie_cols=["doc_id"], tile_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.round("score", 9).cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_rate"),
+    )
+
+
+A148_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+         lang = 'en' AS is_en
+  FROM documents
+), tiled AS (
+  SELECT score, is_en,
+         ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT decile, count(*) AS n_docs,
+       round(CAST(sum(CAST(round(score, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean_score,
+       round(CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS en_rate
+FROM tiled GROUP BY decile
+"""
+
+QUERIES["a148_quality_calibration"] = QuerySpec(
+    a148_quality_calibration, A148_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# a149 -- inter-event dwell time: per-user gap to the previous event
+# (lag over the user partition -- the window is keyed, never global),
+# then exact p50/p90 of the gap per event type via
+# grouped_exact_percentiles.  Millisecond integers in both engines
+# (unix_millis / epoch_ms both truncate microseconds identically).
+# ---------------------------------------------------------------------------
+
+_A149_QS = [0.5, 0.9]
+
+
+def a149_dwell_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ordering import grouped_exact_percentiles
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+            ).alias("gap_ms"),
+        )
+        .where(F.col("gap_ms").isNotNull())
+    )
+    out = grouped_exact_percentiles(gaps, ["event_type"], "gap_ms", _A149_QS)
+    return out.select(
+        "event_type", "q", F.round("value", 6).alias("gap_ms_q")
+    )
+
+
+A149_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC,
+                                               event_id ASC)) AS gap_ms
+  FROM events
+)
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+       round(quantile_cont(gap_ms, 0.5), 6) AS gap_ms_q
+FROM gaps WHERE gap_ms IS NOT NULL GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+       round(quantile_cont(gap_ms, 0.9), 6) AS gap_ms_q
+FROM gaps WHERE gap_ms IS NOT NULL GROUP BY 1
+"""
+
+QUERIES["a149_dwell_time_quantiles"] = QuerySpec(
+    a149_dwell_time_quantiles, A149_SQL
+)

@@ -411,6 +411,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # streamed PSI: result materializes via the documented collect ->
     # LocalTableScan (the s13 shape); nothing may cartesian upstream
     "s14_stream_psi": ((), ("CartesianProduct",), None),
+    # calibration: distributed_ntile under heavy ties (ratio scores) --
+    # straddler groups sort intra-value only; never a cartesian
+    "a148_quality_calibration": ((), ("CartesianProduct",), None),
+    # dwell time: user-keyed lag window + grouped percentile machinery
+    # (per-group stats broadcast, rank joins keep equality components)
+    "a149_dwell_time_quantiles": ((), ("CartesianProduct",), None),
 }
 
 
