@@ -386,3 +386,40 @@ def test_grouped_exact_percentiles_match_numpy(spark, data, q):
             float(np.percentile(np.asarray(vs, dtype=np.float64), q * 100)),
             rel=1e-12, abs=1e-12,
         )
+
+
+nt_rows = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(0, 5)),  # (unique id, value)
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=nt_rows, n=st.sampled_from([2, 3, 7]),
+       asc=st.booleans())
+def test_distributed_ntile_matches_model(spark, data, n, asc):
+    """distributed_ntile vs a pure-Python ntile model: sort by
+    (value asc|desc, id asc), first N%n tiles get N//n+1 rows."""
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        distributed_ntile,
+    )
+
+    df = spark.createDataFrame(data, ["id", "v"])
+    got = {
+        r["id"]: r["tile"]
+        for r in distributed_ntile(
+            df, n, "v", ascending=asc, tie_cols=["id"], n_slices=4
+        ).collect()
+    }
+    order = sorted(data, key=lambda t: (t[1] if asc else -t[1], t[0]))
+    big, rem = divmod(len(order), n)
+    model, pos = {}, 0
+    for tile in range(1, n + 1):
+        size = big + (1 if tile <= rem else 0)
+        for _ in range(size):
+            model[order[pos][0]] = tile
+            pos += 1
+    assert got == model
