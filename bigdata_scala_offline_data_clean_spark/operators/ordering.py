@@ -227,14 +227,37 @@ def distributed_ntile(
        IS a global sort -- exact ntile of a constant column is inherently
        a total order over ties.)
 
-    ``order_col`` must be non-null.  ``tie_cols`` are ascending and must
-    make the order total for the straddling groups (pass the primary
-    key).  ``ascending=False`` negates the order column (numeric cols
-    only), matching ``ORDER BY order_col DESC, tie ASC``.  Returns ``df``
-    plus an int ``tile_col`` in 1..n.
+    ``order_col`` must be numeric (enforced at build time: the slice
+    assignment needs a monotone cast to double) and non-null (enforced at
+    execution via ``raise_error`` -- a null would silently vanish through
+    the inner value joins otherwise).  ``tie_cols`` are ascending and
+    must make the order total for the straddling groups (pass the primary
+    key).  ``ascending=False`` negates the order column, matching
+    ``ORDER BY order_col DESC, tie ASC``.  Returns ``df`` plus an int
+    ``tile_col`` in 1..n.
     """
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"distributed_ntile: order_col {order_col!r} must be numeric "
+            f"(got {dt.simpleString()}); the range-slice assignment needs "
+            "a monotone numeric domain"
+        )
     ord_expr = F.col(order_col) if ascending else (-F.col(order_col))
-    b = df.withColumn("__ord", ord_expr)
+    b = df.withColumn("__ord", ord_expr).where(
+        F.when(
+            F.col("__ord").isNull(),
+            F.raise_error(
+                F.lit(
+                    f"distributed_ntile: null {order_col} -- nulls have no "
+                    "tile under ntile ORDER BY semantics shared with the "
+                    "oracle; filter them first"
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+    )
     # the value-count table feeds three consumers (min/max stats, slice
     # totals, the ranked join); checkpoint it once so the data-sized
     # groupBy runs once, not per consumer.  (Callers with an expensive

@@ -86,6 +86,21 @@ def test_distributed_ntile_preserves_columns_and_count(spark):
     assert out.select("id").distinct().count() == 100
 
 
+def test_distributed_ntile_guards(spark):
+    import pytest
+
+    # non-numeric order column: build-time ValueError (the range slice
+    # needs a monotone numeric domain)
+    s = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(ValueError, match="must be numeric"):
+        distributed_ntile(s, 4, "s", tie_cols=["id"])
+    # null order value: execution-time raise_error instead of silently
+    # dropping the row through the inner value joins
+    d = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
+    with pytest.raises(Exception, match="null v|USER_RAISED"):
+        distributed_ntile(d, 4, "v", tie_cols=["id"]).collect()
+
+
 def _edges(spark, pairs):
     sym = pairs + [(b, a) for a, b in pairs]
     return spark.createDataFrame(sym, "u long, v long")
