@@ -13,7 +13,12 @@ weekday seasonality indices, s14 streamed PSI (a139's report fed by
 streamed current-half partials; shares a139's oracle verbatim, the
 s13/a122 pattern), a148 quality-score calibration deciles
 (distributed_ntile under heavy value ties), a149 inter-event dwell-time
-p50/p90 per event type (user-keyed lag + grouped exact percentiles).
+p50/p90 per event type (user-keyed lag + grouped exact percentiles),
+a150 growth accounting (new/retained/resurrected/churned stock-and-flow),
+a151 train/test split leakage (md5 hash split + digest & long-gram
+contamination probes), a152 per-source unigram KL drift (Laplace KL over
+the floor vocabulary without a vocab x sources materialization), c57
+bitemporal as-of lookup (transaction-time + valid-time point query).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
@@ -705,3 +710,384 @@ FROM gaps WHERE gap_ms IS NOT NULL GROUP BY 1
 QUERIES["a149_dwell_time_quantiles"] = QuerySpec(
     a149_dwell_time_quantiles, A149_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a150 -- growth accounting: each (customer, active month) classified as
+# new / retained / resurrected from the customer's previous active month
+# (user-keyed lag window); churned(m) = active(m-1) - retained(m), via a
+# month-on-month equi-join of the monthly aggregate (no calendar-frame
+# window).  The standard stock-and-flow decomposition of an active base.
+# ---------------------------------------------------------------------------
+
+
+def a150_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    staged = om.select(
+        "m",
+        F.lag("m").over(w).alias("prev"),
+    ).select(
+        "m",
+        F.when(F.col("prev").isNull(), F.lit("new"))
+        .when(F.col("m") - F.col("prev") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    monthly = staged.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.col("state") == "retained", 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(F.col("state") == "resurrected", 1).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    prev = monthly.select(
+        (F.col("m") + 1).alias("m"), F.col("n_active").alias("prev_active")
+    )
+    return monthly.join(prev, "m", "left").select(
+        F.format_string(
+            "%04d-%02d", (F.col("m") / 12).cast("int"), F.col("m") % 12 + 1
+        ).alias("month"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce("prev_active", F.lit(0)) - F.col("n_retained")
+        ).alias("n_churned"),
+    )
+
+
+A150_SQL = """
+WITH om AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders
+), staged AS (
+  SELECT m,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN m - prev = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM (SELECT m, lag(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev
+        FROM om)
+), monthly AS (
+  SELECT m, count(*) AS n_active,
+         sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS n_new,
+         sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+         sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+           AS n_resurrected
+  FROM staged GROUP BY m
+)
+SELECT printf('%04d-%02d', c.m // 12, c.m % 12 + 1) AS month,
+       c.n_active, c.n_new, c.n_retained, c.n_resurrected,
+       coalesce(p.n_active, 0) - c.n_retained AS n_churned
+FROM monthly c LEFT JOIN monthly p ON p.m = c.m - 1
+"""
+
+QUERIES["a150_growth_accounting"] = QuerySpec(a150_growth_accounting, A150_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a151 -- train/test split leakage: after the production md5 hash split
+# (c11's bucketing, not a modulo), how much test data leaks from train?
+# Two signals: exact text-digest collisions and shared long (8-token)
+# n-grams -- the near-verbatim overlap a contamination scan looks for.
+# Gram frames are doc-distinct shingles; both membership probes are
+# left_semi equi-joins on gram/digest, never row pairs.
+# ---------------------------------------------------------------------------
+
+_A151_N = 8
+
+
+def a151_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+    from ..operators.split import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = hash_split(d, {"train": 0.9, "test": 0.1})
+    dig = s.select("doc_id", "split", F.md5("text").alias("dg"))
+    tr_dg = dig.where(F.col("split") == "train").select("dg").distinct()
+    te_dg = dig.where(F.col("split") == "test")
+    exact = (
+        te_dg.join(tr_dg, "dg", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_test_exact_dup"))
+    )
+    sh = shingles(s, "doc_id", "text", _A151_N)
+    sh = sh.join(s.select("doc_id", "split"), "doc_id")
+    tr_g = sh.where(F.col("split") == "train").select("gram").distinct()
+    te_hit = (
+        sh.where(F.col("split") == "test")
+        .join(tr_g, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_test_gram_hit"))
+    )
+    counts = s.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "n_test"
+        ),
+    )
+    return (
+        counts.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(te_hit))
+        .select(
+            "n_train",
+            "n_test",
+            "n_test_exact_dup",
+            "n_test_gram_hit",
+            F.round(F.col("n_test_gram_hit") / F.col("n_test"), 6).alias(
+                "gram_leak_rate"
+            ),
+        )
+    )
+
+
+_A151_NIB = (
+    "(CASE WHEN ascii(substr(hh,{i},1)) >= 97 THEN ascii(substr(hh,{i},1))-87 "
+    "ELSE ascii(substr(hh,{i},1))-48 END)"
+)
+
+A151_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         md5('split|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_A151_NIB.format(i=1)} * 16 + {_A151_NIB.format(i=2)}
+                   < 230.4
+              THEN 'train' ELSE 'test' END AS split
+  FROM h
+), dig AS (
+  SELECT doc_id, split, md5(text) AS dg FROM s
+), exact AS (
+  SELECT count(*) AS n_test_exact_dup
+  FROM dig t
+  WHERE split = 'test'
+    AND dg IN (SELECT dg FROM dig WHERE split = 'train')
+), grams AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - {_A151_N - 1}, 1)),
+                   i -> array_to_string(t[i:i+{_A151_N - 1}], ' ')))) AS gram
+  FROM (SELECT doc_id, split, string_split(text, ' ') AS t FROM s)
+), te_hit AS (
+  SELECT count(DISTINCT g.doc_id) AS n_test_gram_hit
+  FROM grams g
+  WHERE g.split = 'test'
+    AND g.gram IN (SELECT gram FROM grams WHERE split = 'train')
+), counts AS (
+  SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM s
+)
+SELECT n_train, n_test, n_test_exact_dup, n_test_gram_hit,
+       round(CAST(n_test_gram_hit AS DOUBLE) / n_test, 6) AS gram_leak_rate
+FROM counts CROSS JOIN exact CROSS JOIN te_hit
+"""
+
+QUERIES["a151_split_leakage"] = QuerySpec(a151_split_leakage, A151_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a152 -- per-source unigram KL drift vs the corpus: Laplace-smoothed
+# KL(P_source || Q_corpus) over the min_freq>=2 vocabulary, WITHOUT
+# materializing |vocab| x |sources| rows.  The trick: missing tokens
+# share ONE smoothed probability p0 per source, so their contribution is
+# p0 * ((V - V_s) * ln(p0) - (L_all - L_s)) where L_all / L_s are
+# (corpus / present-token) sums of round(ln q, 9) -- everything reduces
+# to per-source aggregates plus one corpus-constant frame.
+# ---------------------------------------------------------------------------
+
+
+def a152_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    corpus = vocab.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("v")
+    )
+    vq = vocab.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_corpus") + F.col("v")).cast("double")
+            ),
+            9,
+        ).alias("lnq"),
+    )
+    l_all = vq.agg(
+        F.sum(F.col("lnq").cast(_DEC)).cast("double").alias("l_all")
+    )
+    st = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .join(vq, "tok")  # vocab membership + ln q in one equi-join
+    )
+    totals = st.groupBy("source").agg(
+        F.sum("cs").alias("n_s"), F.count(F.lit(1)).alias("v_s")
+    )
+    terms = st.join(F.broadcast(totals), "source").crossJoin(
+        F.broadcast(corpus)
+    )
+    p_s = (F.col("cs") + 1).cast("double") / (
+        F.col("n_s") + F.col("v")
+    ).cast("double")
+    present = terms.groupBy("source").agg(
+        F.sum(
+            F.round(p_s * (F.log(p_s) - F.col("lnq")), 9).cast(_DEC)
+        )
+        .cast("double")
+        .alias("present_sum"),
+        F.sum(F.col("lnq").cast(_DEC)).cast("double").alias("l_s"),
+    )
+    out = (
+        totals.join(present, "source")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(l_all))
+    )
+    p0 = F.lit(1.0) / (F.col("n_s") + F.col("v")).cast("double")
+    missing = p0 * (
+        (F.col("v") - F.col("v_s")).cast("double") * F.log(p0)
+        - (F.col("l_all") - F.col("l_s"))
+    )
+    return out.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.col("v_s").alias("vocab_used"),
+        F.round(F.col("present_sum") + missing, 6).alias("kl_vs_corpus"),
+    )
+
+
+A152_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), toks2 AS (
+  SELECT source, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks2 GROUP BY 1 HAVING count(*) >= 2
+), corpus AS (
+  SELECT sum(c) AS n_corpus, count(*) AS v FROM vocab
+), vq AS (
+  SELECT tok,
+         round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_corpus + v AS DOUBLE)), 9)
+           AS lnq
+  FROM vocab CROSS JOIN corpus
+), l_all AS (
+  SELECT CAST(sum(CAST(lnq AS DECIMAL(28,9))) AS DOUBLE) AS l_all FROM vq
+), st AS (
+  SELECT t.source, t.tok, count(*) AS cs
+  FROM toks2 t JOIN vocab USING (tok)
+  GROUP BY 1, 2
+), st2 AS (
+  SELECT st.source, st.cs, vq.lnq FROM st JOIN vq USING (tok)
+), totals AS (
+  SELECT source, sum(cs) AS n_s, count(*) AS v_s FROM st2 GROUP BY 1
+), present AS (
+  SELECT s.source,
+         CAST(sum(CAST(round(
+             (CAST(s.cs + 1 AS DOUBLE) / CAST(t.n_s + c.v AS DOUBLE))
+             * (ln(CAST(s.cs + 1 AS DOUBLE) / CAST(t.n_s + c.v AS DOUBLE))
+                - s.lnq), 9) AS DECIMAL(28,9))) AS DOUBLE) AS present_sum,
+         CAST(sum(CAST(s.lnq AS DECIMAL(28,9))) AS DOUBLE) AS l_s
+  FROM st2 s JOIN totals t USING (source) CROSS JOIN corpus c
+  GROUP BY 1
+)
+SELECT t.source, t.n_s AS n_tokens, t.v_s AS vocab_used,
+       round(p.present_sum
+             + (1.0 / CAST(t.n_s + c.v AS DOUBLE))
+               * (CAST(c.v - t.v_s AS DOUBLE)
+                  * ln(1.0 / CAST(t.n_s + c.v AS DOUBLE))
+                  - (la.l_all - p.l_s)), 6) AS kl_vs_corpus
+FROM totals t
+JOIN present p USING (source)
+CROSS JOIN corpus c CROSS JOIN l_all la
+"""
+
+QUERIES["a152_source_kl_drift"] = QuerySpec(a152_source_kl_drift, A152_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c57 -- bitemporal as-of lookup: "as KNOWN at T0, what version was VALID
+# at V0" over a two-time-dimension version table (transaction time =
+# record date, valid time = backdated effective date).  One filter + one
+# customer-keyed argmax window -- the standard bitemporal point lookup,
+# reconstructible for ANY (T0, V0) pair without mutating history.
+# ---------------------------------------------------------------------------
+
+_C57_T0 = "1997-06-30"  # as-known-at (transaction-time cutoff)
+_C57_V0 = "1997-05-31"  # valid-at (effective-date cutoff)
+
+
+def c57_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    versions = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("tx_date"),
+        F.date_sub(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 30).cast("int")
+        ).alias("valid_from"),
+    )
+    eligible = versions.where(
+        (F.col("tx_date") <= F.lit(_C57_T0))
+        & (F.col("valid_from") <= F.lit(_C57_V0))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("valid_from").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("version_key"),
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            "o_totalprice",
+        )
+    )
+
+
+C57_SQL = f"""
+WITH versions AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(o_orderdate AS DATE) AS tx_date,
+         CAST(o_orderdate AS DATE) - CAST(o_orderkey % 30 AS INTEGER)
+           AS valid_from
+  FROM orders
+), eligible AS (
+  SELECT * FROM versions
+  WHERE tx_date <= DATE '{_C57_T0}' AND valid_from <= DATE '{_C57_V0}'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY valid_from DESC,
+                               o_orderkey DESC) AS rn
+  FROM eligible
+)
+SELECT o_custkey, o_orderkey AS version_key,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from, o_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["c57_bitemporal_asof"] = QuerySpec(c57_bitemporal_asof, C57_SQL)

@@ -417,6 +417,17 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # dwell time: user-keyed lag window + grouped percentile machinery
     # (per-group stats broadcast, rank joins keep equality components)
     "a149_dwell_time_quantiles": ((), ("CartesianProduct",), None),
+    # growth accounting: customer-keyed lag window; churn via a
+    # month-on-month equi-join of the tiny monthly aggregate
+    "a150_growth_accounting": ((), ("CartesianProduct", "NestedLoop"), None),
+    # split leakage: digest/gram membership probes must be semi-joins;
+    # the 1-row leak counters ride the accepted BNLJ broadcast
+    "a151_split_leakage": (("LeftSemi",), ("CartesianProduct",), None),
+    # source KL: vocab/totals equi-joins + broadcast corpus constants
+    "a152_source_kl_drift": ((), ("CartesianProduct",), None),
+    # bitemporal as-of: one filter + one customer-keyed argmax window,
+    # no join anywhere
+    "c57_bitemporal_asof": ((), ("Join",), 2),
 }
 
 
