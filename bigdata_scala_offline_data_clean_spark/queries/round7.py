@@ -18,7 +18,10 @@ a150 growth accounting (new/retained/resurrected/churned stock-and-flow),
 a151 train/test split leakage (md5 hash split + digest & long-gram
 contamination probes), a152 per-source unigram KL drift (Laplace KL over
 the floor vocabulary without a vocab x sources materialization), c57
-bitemporal as-of lookup (transaction-time + valid-time point query).
+bitemporal as-of lookup (transaction-time + valid-time point query),
+a153 corpus distinct-n diversity, a154 int8 scalar-quantization error
+(per-dim ranges broadcast, floor bucketing for cross-engine exactness),
+c58 partition retention/expiry plan.
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
@@ -1091,3 +1094,194 @@ FROM ranked WHERE rn = 1
 """
 
 QUERIES["c57_bitemporal_asof"] = QuerySpec(c57_bitemporal_asof, C57_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a153 -- corpus distinct-n diversity: distinct / total n-gram ratios at
+# n = 1, 2, 3 (the standard generation-diversity metrics).  One explode +
+# one exact-distinct aggregate per n over the whole corpus.
+# ---------------------------------------------------------------------------
+
+
+def a153_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    parts = []
+    for n in (1, 2, 3):
+        g = d.select(
+            F.explode(word_ngrams(toks, n)).alias("gram")
+        )
+        parts.append(
+            g.agg(
+                F.lit(n).alias("n"),
+                F.count(F.lit(1)).alias("total_grams"),
+                F.countDistinct("gram").alias("distinct_grams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "n",
+        "total_grams",
+        "distinct_grams",
+        F.round(
+            F.col("distinct_grams") / F.col("total_grams"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def _a153_cte(n: int) -> str:
+    return f"""
+  SELECT {n} AS n, count(*) AS total_grams,
+         count(DISTINCT gram) AS distinct_grams
+  FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, greatest(len(t) - {n - 1}, 1)),
+      i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram
+    FROM (SELECT string_split(text, ' ') AS t FROM documents)
+  )"""
+
+
+A153_SQL = f"""
+WITH u AS (
+{_a153_cte(1)}
+  UNION ALL
+{_a153_cte(2)}
+  UNION ALL
+{_a153_cte(3)}
+)
+SELECT n, total_grams, distinct_grams,
+       round(CAST(distinct_grams AS DOUBLE) / total_grams, 6)
+         AS distinct_ratio
+FROM u
+"""
+
+QUERIES["a153_distinct_ngram_diversity"] = QuerySpec(
+    a153_distinct_ngram_diversity, A153_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# a154 -- int8 scalar-quantization error: per-dimension min/max ranges
+# (the 64-row frame broadcasts), 256-level floor bucketing with midpoint
+# reconstruction, per-label MSE + max squared error.  floor() (not
+# round(): Spark rounds half-up, DuckDB half-even) keeps the bucket
+# assignment bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def a154_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    dims = em.select(
+        "label", F.posexplode("embedding").alias("dim", "v0")
+    ).select("label", "dim", F.col("v0").cast("double").alias("x"))
+    mm = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    j = dims.join(F.broadcast(mm), "dim")
+    width = F.col("hi") - F.col("lo")
+    q = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor((F.col("x") - F.col("lo")) / width * 256).cast("int"),
+        )
+    )
+    deq = F.when(width == 0, F.col("lo")).otherwise(
+        F.col("lo") + (q.cast("double") + 0.5) * width / 256
+    )
+    err = F.round((F.col("x") - deq) * (F.col("x") - deq), 9)
+    return (
+        j.select("label", err.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(
+                F.sum(F.col("e").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mse"),
+            F.round(F.max("e"), 9).alias("max_sq_err"),
+        )
+    )
+
+
+A154_SQL = """
+WITH dims AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), mm AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim
+), e AS (
+  SELECT label,
+         round((x - CASE WHEN hi = lo THEN lo
+                         ELSE lo + (least(255, CAST(floor((x - lo)
+                                / (hi - lo) * 256) AS INTEGER)) + 0.5)
+                              * (hi - lo) / 256 END)
+               * (x - CASE WHEN hi = lo THEN lo
+                           ELSE lo + (least(255, CAST(floor((x - lo)
+                                  / (hi - lo) * 256) AS INTEGER)) + 0.5)
+                                * (hi - lo) / 256 END), 9) AS e
+  FROM dims JOIN mm USING (dim)
+)
+SELECT label, count(*) AS n_values,
+       round(CAST(sum(CAST(e AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
+         AS mse,
+       round(max(e), 9) AS max_sq_err
+FROM e GROUP BY label
+"""
+
+QUERIES["a154_quantization_error"] = QuerySpec(
+    a154_quantization_error, A154_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# c58 -- partition retention/expiry plan: day partitions of orders under
+# a "keep the last 90 days; keep first-of-month snapshots; expire the
+# rest" policy.  One day-grain aggregate + a broadcast 1-row max-day
+# frame -- the plan a table-maintenance service executes.
+# ---------------------------------------------------------------------------
+
+_C58_KEEP_DAYS = 90
+
+
+def c58_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import day_str
+
+    o = load_table(spark, sf_dir, "orders")
+    days = o.groupBy(day_str("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    anchor = days.agg(F.max("day").alias("max_day"))
+    j = days.crossJoin(F.broadcast(anchor))
+    recent = F.to_date("day", "yyyyMMdd") >= F.date_sub(
+        F.to_date("max_day", "yyyyMMdd"), _C58_KEEP_DAYS
+    )
+    monthly = F.substring("day", 7, 2) == "01"
+    action = (
+        F.when(recent, F.lit("keep_recent"))
+        .when(monthly, F.lit("keep_monthly"))
+        .otherwise(F.lit("expire"))
+    )
+    return j.select("day", "n_rows", action.alias("action"))
+
+
+C58_SQL = f"""
+WITH days AS (
+  SELECT strftime(o_orderdate, '%Y%m%d') AS day, count(*) AS n_rows
+  FROM orders GROUP BY 1
+), anchor AS (
+  SELECT max(day) AS max_day FROM days
+)
+SELECT day, n_rows,
+       CASE WHEN strptime(day, '%Y%m%d') >= strptime(max_day, '%Y%m%d')
+                 - INTERVAL {_C58_KEEP_DAYS} DAY THEN 'keep_recent'
+            WHEN substr(day, 7, 2) = '01' THEN 'keep_monthly'
+            ELSE 'expire' END AS action
+FROM days CROSS JOIN anchor
+"""
+
+QUERIES["c58_retention_expiry"] = QuerySpec(c58_retention_expiry, C58_SQL)

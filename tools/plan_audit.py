@@ -428,6 +428,19 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # bitemporal as-of: one filter + one customer-keyed argmax window,
     # no join anywhere
     "c57_bitemporal_asof": ((), ("Join",), 2),
+    # distinct-n diversity: three exact-distinct aggregates, no joins
+    "a153_distinct_ngram_diversity": ((), ("Join",), None),
+    # quantization error: the 64-row per-dim range frame broadcasts back
+    # onto the dim explode; never a re-shuffle of the values via SMJ
+    "a154_quantization_error": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # retention plan: day-grain agg; the 1-row max-day frame rides the
+    # accepted BNLJ broadcast
+    "c58_retention_expiry": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
 }
 
 
