@@ -142,6 +142,10 @@ HEADLINE = [
     "a140_topk_movers",  # week-over-week lag + TakeOrdered
     "c53_write_audit_publish",  # WAP gate: audit frames + quarantine split
     "a131_source_overlap",  # gram-keyed source-pair overlap matrix
+    "a141_price_decile_report",  # distributed_ntile over raw lineitem
+    "a148_quality_calibration",  # distributed_ntile under heavy ties
+    "a151_split_leakage",  # md5 split + digest/8-gram semi-join probes
+    "a152_source_kl_drift",  # algebraic Laplace KL, no vocab x sources
 ]
 
 
