@@ -41,6 +41,14 @@ proportional SHARED-BOX load, amortized over the longest headline
 query, not a scheduler race in the rank-frame checkpoints.  Eager
 checkpoints kept (clearer per-round job boundaries at identical cost).
 
+Round 7: the headline grew 68 -> 76 (extend-only; all 68 r6 names
+unchanged). New entries: the four VERDICT-r6-task-7 queries (a139, a140,
+c53, a131) plus four round-7 ops (a141/a148 distributed_ntile paths,
+a151 split leakage, a152 source KL).  a139 rose ~1.4 -> ~3.0s: that is
+the distributed_ntile fix replacing the single-task ntile window
+(VERDICT r6 finding #2) -- more stages at toy scale, no data-sized
+window at any scale; measured 1.0x wall at 10x data (SCALE.md).
+
 Round 6: the headline grew 57 -> 68 (extend-only). ngram_jaccard_pairs
 was rewritten single-pass (count shared grams in the first self-join
 instead of candidates+re-join): a114 12.9s -> ~2.0s, a102 11.8s -> ~2.3s
