@@ -21,7 +21,10 @@ the floor vocabulary without a vocab x sources materialization), c57
 bitemporal as-of lookup (transaction-time + valid-time point query),
 a153 corpus distinct-n diversity, a154 int8 scalar-quantization error
 (per-dim ranges broadcast, floor bucketing for cross-engine exactness),
-c58 partition retention/expiry plan.
+c58 partition retention/expiry plan, a155 deterministic weighted
+Bernoulli sample (salted-hash threshold), a156 bigram conditional
+entropy / perplexity per language, c59 CDC replay-idempotence audit
+(same batch applied twice must land on the same checksum).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums (order-independent)
@@ -1285,3 +1288,249 @@ FROM days CROSS JOIN anchor
 """
 
 QUERIES["c58_retention_expiry"] = QuerySpec(c58_retention_expiry, C58_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a155 -- deterministic weighted Bernoulli sample: each doc kept with
+# probability equal to its quality score, decided by a salted md5
+# threshold (no RNG state, reproducible on any cluster layout, ~2e-10
+# rate resolution).  Report realized vs expected keep rate per language.
+# ---------------------------------------------------------------------------
+
+_A155_SALT = "wsample"
+_A155_SCALE = 4294967296.0  # 2^32: _u32's range
+
+
+def a155_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import _u32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    scored = d.select("doc_id", "lang", score.alias("w"))
+    kept = _u32(F.col("doc_id"), _A155_SALT) < F.floor(
+        F.col("w") * _A155_SCALE
+    ).cast("bigint")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).alias("n_sampled"),
+        F.round(
+            F.sum(kept.cast("int")) / F.count(F.lit(1)), 6
+        ).alias("realized_rate"),
+        F.round(
+            F.sum(F.round("w", 9).cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("expected_rate"),
+    )
+
+
+A155_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS w
+  FROM documents
+), flagged AS (
+  SELECT lang, w,
+         CASE WHEN CAST(('0x' || substr(md5('{_A155_SALT}|'
+                    || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   < CAST(floor(w * {_A155_SCALE}) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM scored
+)
+SELECT lang, count(*) AS n_docs, sum(kept) AS n_sampled,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS realized_rate,
+       round(CAST(sum(CAST(round(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS expected_rate
+FROM flagged GROUP BY lang
+"""
+
+QUERIES["a155_weighted_sample"] = QuerySpec(a155_weighted_sample, A155_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a156 -- bigram conditional entropy per language: H(next | cur) =
+# -sum p(cur,next) ln(c(cur,next) / c(cur)), the text-predictability
+# rung between a110's char entropy and a137's trigram LM.  Bigram and
+# marginal counts share the (lang, cur) key prefix, so the conditional
+# join co-locates with the count exchange.
+# ---------------------------------------------------------------------------
+
+
+def a156_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bi = (
+        d.select("lang", F.explode(word_ngrams(toks, 2)).alias("gram"))
+        .where(F.col("gram").contains(" "))  # drop short-doc partials
+        .select(
+            "lang",
+            F.substring_index("gram", " ", 1).alias("cur"),
+            F.substring_index("gram", " ", -1).alias("nxt"),
+        )
+    )
+    pair = bi.groupBy("lang", "cur", "nxt").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    marg = pair.groupBy("lang", "cur").agg(F.sum("c2").alias("c1"))
+    tot = pair.groupBy("lang").agg(F.sum("c2").alias("n"))
+    terms = pair.join(marg, ["lang", "cur"]).join(F.broadcast(tot), "lang")
+    term = F.round(
+        (F.col("c2").cast("double") / F.col("n"))
+        * F.log(F.col("c2").cast("double") / F.col("c1")),
+        9,
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_bigrams"),
+            (-F.sum(term.cast(_DEC)).cast("double")).alias("__h"),
+        )
+        .select(
+            "lang",
+            "n_bigrams",
+            F.round("__h", 6).alias("h_cond"),
+            F.round(F.exp("__h"), 6).alias("perplexity"),
+        )
+    )
+
+
+A156_SQL = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT lang,
+         string_split(gram, ' ')[1] AS cur,
+         string_split(gram, ' ')[-1] AS nxt
+  FROM (
+    SELECT lang, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 1, 1)),
+      i -> array_to_string(t[i:i+1], ' '))) AS gram
+    FROM toks
+  )
+  WHERE contains(gram, ' ')
+), pair AS (
+  SELECT lang, cur, nxt, count(*) AS c2 FROM bi GROUP BY 1, 2, 3
+), marg AS (
+  SELECT lang, cur, sum(c2) AS c1 FROM pair GROUP BY 1, 2
+), tot AS (
+  SELECT lang, sum(c2) AS n FROM pair GROUP BY 1
+), terms AS (
+  SELECT p.lang,
+         round((CAST(p.c2 AS DOUBLE) / t.n)
+               * ln(CAST(p.c2 AS DOUBLE) / m.c1), 9) AS term,
+         t.n
+  FROM pair p
+  JOIN marg m ON p.lang = m.lang AND p.cur = m.cur
+  JOIN tot t ON p.lang = t.lang
+)
+SELECT lang, max(n) AS n_bigrams,
+       round(-CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+         AS h_cond,
+       round(exp(-CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE)), 6)
+         AS perplexity
+FROM terms GROUP BY lang
+"""
+
+QUERIES["a156_bigram_cond_entropy"] = QuerySpec(
+    a156_bigram_cond_entropy, A156_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# c59 -- CDC replay idempotence audit: applying the SAME change batch
+# twice must land on the SAME state (the at-least-once delivery
+# invariant behind every foreachBatch merge sink).  Both applications
+# run through operators/diff.apply_cdc; states compare by the
+# order-independent XOR-of-row-digests checksum (c56's primitive).
+# ---------------------------------------------------------------------------
+
+
+def c59_cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import apply_cdc
+    from .round6 import _row_digest
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 1)
+        .cast("double")
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    s1 = apply_cdc(base, changes, "o_orderkey")
+    s2 = apply_cdc(s1, changes, "o_orderkey")
+
+    def cs(df):
+        return df.agg(
+            F.bit_xor(
+                _row_digest(
+                    [
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_totalprice").cast("decimal(18,2)").cast(
+                            "string"
+                        ),
+                    ]
+                )
+            ).alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    a = cs(s1).select(
+        F.col("checksum").alias("checksum_once"),
+        F.col("n_rows").alias("rows_once"),
+    )
+    b = cs(s2).select(
+        F.col("checksum").alias("checksum_twice"),
+        F.col("n_rows").alias("rows_twice"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "rows_once",
+        "rows_twice",
+        "checksum_once",
+        (F.col("checksum_once") == F.col("checksum_twice")).alias(
+            "idempotent"
+        ),
+        (F.col("rows_once") == F.col("rows_twice")).alias("counts_match"),
+    )
+
+
+C59_SQL = """
+WITH state AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 != 0
+  UNION ALL
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE)
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 != 0
+), cs AS (
+  SELECT bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+           coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+           coalesce(o_orderstatus, chr(0) || 'NULL'),
+           coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    chr(0) || 'NULL'))), 1, 8)) AS BIGINT)) AS checksum,
+         count(*) AS n_rows
+  FROM state
+)
+SELECT n_rows AS rows_once, n_rows AS rows_twice,
+       checksum AS checksum_once,
+       TRUE AS idempotent, TRUE AS counts_match
+FROM cs
+"""
+
+QUERIES["c59_cdc_replay_idempotence"] = QuerySpec(
+    c59_cdc_replay_idempotence, C59_SQL
+)

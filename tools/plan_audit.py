@@ -441,6 +441,17 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"),
         None,
     ),
+    # weighted sample: salted-hash threshold is a projection; one lang
+    # rollup, no joins (+1 AQE final agg exchange)
+    "a155_weighted_sample": ((), ("Join",), 2),
+    # conditional entropy: bigram/marginal counts share the (lang, cur)
+    # key prefix; per-lang totals broadcast -- never a cartesian
+    "a156_bigram_cond_entropy": ((), ("CartesianProduct",), None),
+    # replay idempotence: apply_cdc's broadcast anti-joins twice + the
+    # 1-row checksum cross; never a cartesian
+    "c59_cdc_replay_idempotence": (
+        ("BroadcastHashJoin",), ("CartesianProduct",), None,
+    ),
 }
 
 
