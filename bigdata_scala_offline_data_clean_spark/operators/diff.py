@@ -157,13 +157,15 @@ def merge_into(
     per round-6 advice):
 
     - **Duplicate source keys**: SQL MERGE raises "multiple source rows
-      matched" when several source rows hit one target key; this operator
+      matched" when several source rows hit one TARGET row; this operator
       would instead emit one output row PER source row (join
       multiplicity).  Pass ``strict=True`` to get the SQL behavior: a
       per-key count rides the source shuffle and ``raise_error`` fires at
-      execution time on the first duplicate key.  The default stays
-      lenient for pre-deduplicated CDC feeds where the extra window pass
-      is wasted work (dedup upstream with ``etl.dedup_latest``).
+      execution time on the first duplicate key that matches a target row
+      (duplicate NOT-matched keys remain legal multi-row inserts, exactly
+      as in SQL MERGE).  The default stays lenient for pre-deduplicated
+      CDC feeds where the extra window pass is wasted work (dedup
+      upstream with ``etl.dedup_latest``).
     - **Clause precedence is fixed** at DELETE-before-UPDATE (a matched
       row satisfying both conditions is deleted); SQL evaluates WHEN
       clauses in caller-written order.  Callers porting a MERGE whose
@@ -183,16 +185,19 @@ def merge_into(
 
         # per-key source count; partitions on the same key as the merge
         # join, so the window shares (or AQE-reuses) that exchange.  The
-        # filter below is always-true but forces the expression to
-        # evaluate (an unreferenced column would be pruned), so the first
-        # duplicate key raises at execution time -- SQL MERGE's
-        # "multiple source rows matched" semantics.
+        # raise fires AFTER the join, only on rows where the duplicate
+        # source keys actually MATCH a target row -- SQL MERGE's
+        # "multiple source rows matched" condition; duplicate NOT-MATCHED
+        # keys are plain multi-row inserts and stay legal.
         wk = Window.partitionBy(*keys)
-        s_side = s_side.withColumn(
-            "__src_n", F.count(F.lit(1)).over(wk)
-        ).where(
+        s_side = s_side.withColumn("__src_n", F.count(F.lit(1)).over(wk))
+    j = t_side.join(s_side, keys, "full_outer")
+    if strict:
+        # always-true filter that forces the check expression to evaluate
+        # (an unreferenced column would be pruned away)
+        j = j.where(
             F.when(
-                F.col("__src_n") > 1,
+                F.col("__t").isNotNull() & (F.col("__src_n") > 1),
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -206,7 +211,6 @@ def merge_into(
                 ).isNull(),
             ).otherwise(F.lit(True))
         ).drop("__src_n")
-    j = t_side.join(s_side, keys, "full_outer")
     t_map = {c: F.col(f"__t_{c}") for c in data_cols}
     s_map = {c: F.col(f"__s_{c}") for c in data_cols}
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()

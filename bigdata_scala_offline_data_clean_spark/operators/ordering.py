@@ -228,15 +228,16 @@ def distributed_ntile(
        a total order over ties.)
 
     ``order_col`` must be numeric (enforced at build time: the slice
-    assignment needs a monotone cast to double) and non-null (enforced at
-    execution via ``raise_error`` -- a null would silently vanish through
-    the inner value joins otherwise).  ``tie_cols`` are ascending and
-    must make the order total for the straddling groups (pass the primary
-    key).  ``ascending=False`` negates the order column, matching
+    assignment needs a monotone cast to double) and non-null / non-NaN
+    (enforced at execution via ``raise_error`` -- a null would silently
+    vanish through the inner value joins, and a NaN would mis-slice).
+    ``tie_cols`` is REQUIRED (build-time error when empty): ascending
+    columns that make the order total for the straddling groups (pass
+    the primary key).  ``ascending=False`` negates the order column, matching
     ``ORDER BY order_col DESC, tie ASC``.  Returns ``df`` plus an int
     ``tile_col`` in 1..n.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
 
     dt = df.schema[order_col].dataType
     if not isinstance(dt, NumericType):
@@ -245,15 +246,29 @@ def distributed_ntile(
             f"(got {dt.simpleString()}); the range-slice assignment needs "
             "a monotone numeric domain"
         )
+    if not tie_cols:
+        raise ValueError(
+            "distributed_ntile: tie_cols must name at least one column "
+            "(normally the primary key) -- the straddling value groups "
+            "need a total order, and without a tie-break ntile itself is "
+            "nondeterministic and cannot match any oracle"
+        )
     ord_expr = F.col(order_col) if ascending else (-F.col(order_col))
+    # reject nulls (they would silently vanish through the inner value
+    # joins) and, for floating columns, NaN (it sorts LAST under SQL
+    # ORDER BY but would land in the lowest range slice -- a silent
+    # mis-tile rather than an error)
+    bad = F.col("__ord").isNull()
+    if isinstance(dt, (DoubleType, FloatType)):
+        bad = bad | F.isnan("__ord")
     b = df.withColumn("__ord", ord_expr).where(
         F.when(
-            F.col("__ord").isNull(),
+            bad,
             F.raise_error(
                 F.lit(
-                    f"distributed_ntile: null {order_col} -- nulls have no "
-                    "tile under ntile ORDER BY semantics shared with the "
-                    "oracle; filter them first"
+                    f"distributed_ntile: null/NaN {order_col} -- such rows "
+                    "have no well-defined tile under the ntile ORDER BY "
+                    "semantics shared with the oracle; filter them first"
                 )
             ).isNull(),
         ).otherwise(F.lit(True))

@@ -819,7 +819,12 @@ def a151_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.split import hash_split
 
     d = load_table(spark, sf_dir, "documents")
-    s = hash_split(d, {"train": 0.9, "test": 0.1})
+    # the split frame feeds 5 consumers and the 8-gram explode feeds 2 --
+    # checkpoint both so the scan+md5 and the shingle Generate run once
+    # (the a118/distributed_ntile shared-frame discipline)
+    s = hash_split(d, {"train": 0.9, "test": 0.1}).localCheckpoint(
+        eager=False
+    )
     dig = s.select("doc_id", "split", F.md5("text").alias("dg"))
     tr_dg = dig.where(F.col("split") == "train").select("dg").distinct()
     te_dg = dig.where(F.col("split") == "test")
@@ -828,7 +833,9 @@ def a151_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_test_exact_dup"))
     )
     sh = shingles(s, "doc_id", "text", _A151_N)
-    sh = sh.join(s.select("doc_id", "split"), "doc_id")
+    sh = sh.join(s.select("doc_id", "split"), "doc_id").localCheckpoint(
+        eager=False
+    )
     tr_g = sh.where(F.col("split") == "train").select("gram").distinct()
     te_hit = (
         sh.where(F.col("split") == "test")

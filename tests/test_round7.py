@@ -97,8 +97,17 @@ def test_distributed_ntile_guards(spark):
     # null order value: execution-time raise_error instead of silently
     # dropping the row through the inner value joins
     d = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
-    with pytest.raises(Exception, match="null v|USER_RAISED"):
+    with pytest.raises(Exception, match="null/NaN v|USER_RAISED"):
         distributed_ntile(d, 4, "v", tie_cols=["id"]).collect()
+    # NaN would mis-slice (sorts last, slices lowest): must also raise
+    nan = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id long, v double"
+    )
+    with pytest.raises(Exception, match="null/NaN v|USER_RAISED"):
+        distributed_ntile(nan, 4, "v", tie_cols=["id"]).collect()
+    # empty tie_cols: build-time error (straddlers need a total order)
+    with pytest.raises(ValueError, match="tie_cols"):
+        distributed_ntile(d, 4, "v")
 
 
 def _edges(spark, pairs):
@@ -152,6 +161,13 @@ def test_merge_into_strict_raises_on_duplicate_source_keys(spark):
     with pytest.raises((PySparkException, Py4JJavaError)) as ei:
         merge_into(target, dup_source, "k", strict=True).count()
     assert "multiple source rows matched" in str(ei.value)
+    # strict + duplicate keys that match NO target row: legal multi-row
+    # INSERT in SQL MERGE, must NOT raise (round-7 review fix)
+    ins_dups = spark.createDataFrame(
+        [(99, "x", 1.0), (99, "y", 2.0)],
+        "k bigint, status string, price double",
+    )
+    assert merge_into(target, ins_dups, "k", strict=True).count() == 3
     # strict with unique source keys: unchanged result
     uniq = spark.createDataFrame(
         [(1, "b", 2.0), (2, "n", 4.0)], "k bigint, status string, price double"

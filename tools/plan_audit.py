@@ -492,12 +492,47 @@ def _iter_nodes(node):
         yield from _iter_nodes(k)
 
 
+def _children(node):
+    kids = node.children()
+    kid_nodes = [kids.apply(i) for i in range(kids.size())]
+    if not kid_nodes:
+        for meth in ("executedPlan", "plan"):
+            try:
+                kid_nodes = [getattr(node, meth)()]
+                break
+            except Exception:
+                pass
+    return kid_nodes
+
+
+def _limit_bounded(window_node) -> bool:
+    """True iff a Limit/TakeOrdered bounds the window's input on the
+    DIRECT unary child path (descending only through single-child
+    nodes).  A Limit buried under a join's far side must NOT count --
+    that was the round-7 review loophole: ``big.join(dim.limit(5))``
+    followed by a global window would otherwise pass the gate while
+    still single-task-sorting the big side.  The windowed frame is only
+    provably bounded when the bound sits between the window and any
+    fan-in (joins/unions stop the walk).
+    """
+    node = window_node
+    while True:
+        kids = _children(node)
+        if len(kids) != 1:
+            return False  # join/union fan-in or leaf: no bound on path
+        node = kids[0]
+        name = node.nodeName()
+        if "TakeOrdered" in name or "Limit" in name:
+            return True
+
+
 def _n_global_windows(df) -> int:
     """Unpartitioned WindowExec nodes whose input is NOT limit-bounded.
 
-    A window over a TakeOrdered/Limit subtree runs over a bounded frame
-    (e.g. pos-numbering a top-20) -- that is the documented small-frame
-    exception, not a scale risk.
+    A window directly over a TakeOrdered/Limit frame runs over a bounded
+    input (e.g. pos-numbering a top-20) -- that is the documented
+    small-frame exception, not a scale risk.  The bound must sit on the
+    window's own unary child path (see ``_limit_bounded``).
     """
     n = 0
     for node in _iter_nodes(df._jdf.queryExecution().executedPlan()):
@@ -507,8 +542,7 @@ def _n_global_windows(df) -> int:
                     continue
             except Exception:
                 continue
-            sub = {k.nodeName() for k in _iter_nodes(node)}
-            if any("TakeOrdered" in s or "Limit" in s for s in sub):
+            if _limit_bounded(node):
                 continue
             n += 1
     return n
