@@ -156,16 +156,22 @@ def merge_into(
     Two deliberate divergences from ANSI/Delta MERGE (document-or-assert,
     per round-6 advice):
 
-    - **Duplicate source keys**: SQL MERGE raises "multiple source rows
-      matched" when several source rows hit one TARGET row; this operator
-      would instead emit one output row PER source row (join
-      multiplicity).  Pass ``strict=True`` to get the SQL behavior: a
-      per-key count rides the source shuffle and ``raise_error`` fires at
-      execution time on the first duplicate key that matches a target row
-      (duplicate NOT-matched keys remain legal multi-row inserts, exactly
-      as in SQL MERGE).  The default stays lenient for pre-deduplicated
-      CDC feeds where the extra window pass is wasted work (dedup
-      upstream with ``etl.dedup_latest``).
+    - **Duplicate source keys**: Delta/ANSI MERGE raises "multiple source
+      rows matched" when several source rows would actually MODIFY one
+      target row; the lenient default here instead emits one output row
+      PER source row (join multiplicity).  Pass ``strict=True`` to get
+      the Delta behavior, clause-conditions included (round-8 advice
+      fix -- the previous strict check raised on any duplicate matched
+      key even when ``update_cond``/``delete_cond`` excluded the extras):
+      ``raise_error`` fires at execution time only when >1 matched pair
+      satisfies an UPDATE/DELETE clause for the same key -- UNLESS every
+      such pair is a DELETE (all deletes of one row commute, which Delta
+      explicitly permits).  Matched pairs no clause modifies collapse to
+      ONE pass-through target row, and duplicate NOT-matched keys remain
+      legal multi-row inserts, exactly as in SQL MERGE.  The default
+      stays lenient for pre-deduplicated CDC feeds where the extra
+      window pass is wasted work (dedup upstream with
+      ``etl.dedup_latest``).
     - **Clause precedence is fixed** at DELETE-before-UPDATE (a matched
       row satisfying both conditions is deleted); SQL evaluates WHEN
       clauses in caller-written order.  Callers porting a MERGE whose
@@ -180,37 +186,7 @@ def merge_into(
     s_side = source.select(
         *keys, F.lit(True).alias("__s"), *[F.col(c).alias(f"__s_{c}") for c in data_cols]
     )
-    if strict:
-        from pyspark.sql import Window
-
-        # per-key source count; partitions on the same key as the merge
-        # join, so the window shares (or AQE-reuses) that exchange.  The
-        # raise fires AFTER the join, only on rows where the duplicate
-        # source keys actually MATCH a target row -- SQL MERGE's
-        # "multiple source rows matched" condition; duplicate NOT-MATCHED
-        # keys are plain multi-row inserts and stay legal.
-        wk = Window.partitionBy(*keys)
-        s_side = s_side.withColumn("__src_n", F.count(F.lit(1)).over(wk))
     j = t_side.join(s_side, keys, "full_outer")
-    if strict:
-        # always-true filter that forces the check expression to evaluate
-        # (an unreferenced column would be pruned away)
-        j = j.where(
-            F.when(
-                F.col("__t").isNotNull() & (F.col("__src_n") > 1),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "merge_into: multiple source rows matched key ("
-                        ),
-                        F.concat_ws(
-                            ", ", *[F.col(k).cast("string") for k in keys]
-                        ),
-                        F.lit(")"),
-                    )
-                ).isNull(),
-            ).otherwise(F.lit(True))
-        ).drop("__src_n")
     t_map = {c: F.col(f"__t_{c}") for c in data_cols}
     s_map = {c: F.col(f"__s_{c}") for c in data_cols}
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
@@ -225,6 +201,62 @@ def merge_into(
     upd = _cond(update_cond, True)
     dele = _cond(delete_cond, False)
     ins = _cond(insert_cond, True)
+    if strict:
+        from pyspark.sql import Window
+
+        # Delta's duplicate-match rule, conditions included (round-8
+        # advice fix): a (target, source) pair is MODIFYING when some
+        # WHEN MATCHED clause would fire for it.  >1 modifying pair per
+        # key is the ambiguity Delta raises on -- unless every modifying
+        # pair is a DELETE (deleting one row twice commutes).  The
+        # per-key counts ride windows over the join output, which the
+        # full-outer join already hash-partitioned on the key, so no new
+        # exchange.  A full-outer equi-join key group is homogeneous
+        # (all pairs matched, or all single-sided), so the window frames
+        # never mix matched and unmatched rows.
+        wk = Window.partitionBy(*keys)
+        j = (
+            j.withColumn("__mod", matched & (dele | upd))
+            .withColumn("__del", matched & dele)
+            .withColumn(
+                "__mod_n",
+                F.sum(F.when(F.col("__mod"), F.lit(1)).otherwise(F.lit(0))).over(wk),
+            )
+            .withColumn(
+                "__del_n",
+                F.sum(F.when(F.col("__del"), F.lit(1)).otherwise(F.lit(0))).over(wk),
+            )
+        )
+        # always-true filter that forces the check expression to evaluate
+        # (an unreferenced column would be pruned away)
+        j = j.where(
+            F.when(
+                (F.col("__mod_n") > 1) & (F.col("__mod_n") != F.col("__del_n")),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_into: multiple source rows matched key ("
+                        ),
+                        F.concat_ws(
+                            ", ", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(") and would modify the same target row"),
+                    )
+                ).isNull(),
+            ).otherwise(F.lit(True))
+        )
+        # Duplicate source keys that pass the gate still fan the matched
+        # target row out once per pair; SQL MERGE emits each target row
+        # once.  Keep the modifying pair(s) -- at most one unless all are
+        # commuting deletes -- else one representative pair (every
+        # non-modifying pair projects identical target values, so the
+        # row_number pick is content-neutral).
+        wrn = wk.orderBy(F.col("__mod").desc())
+        j = (
+            j.withColumn("__rn", F.row_number().over(wrn))
+            .where(~matched | F.col("__mod") | (F.col("__rn") == 1))
+            .drop("__mod", "__del", "__mod_n", "__del_n", "__rn")
+        )
     keep = F.when(matched, ~dele).when(F.col("__s").isNotNull(), ins).otherwise(
         F.lit(True)
     )

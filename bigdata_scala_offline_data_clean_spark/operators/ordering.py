@@ -175,8 +175,17 @@ def equidepth_histogram(
     single-task sort for a continuous column whose distinct count grows
     with the data).
     """
-    counts = df.groupBy(F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # NULLs are excluded up front (SQL histogram/aggregate semantics: a
+    # NULL has no position in the value order).  Round-8 advice fix: the
+    # previous revision let a NULL value group into the count table,
+    # where it inflated n_total via sum(cnt) but drew a NULL slice id
+    # and vanished through the slice equi-join -- every bucket boundary
+    # shifted.  ranked_value_counts documents the non-null precondition;
+    # this is the enforcement point for the histogram path.
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     ranked = ranked_value_counts(counts)
     # integer floor-div keeps the assignment exact at any N (the double
@@ -254,35 +263,67 @@ def distributed_ntile(
             "nondeterministic and cannot match any oracle"
         )
     ord_expr = F.col(order_col) if ascending else (-F.col(order_col))
-    # reject nulls (they would silently vanish through the inner value
+    b = df.withColumn("__ord", ord_expr)
+
+    # Reject nulls (they would silently vanish through the inner value
     # joins) and, for floating columns, NaN (it sorts LAST under SQL
     # ORDER BY but would land in the lowest range slice -- a silent
-    # mis-tile rather than an error)
-    bad = F.col("__ord").isNull()
-    if isinstance(dt, (DoubleType, FloatType)):
-        bad = bad | F.isnan("__ord")
-    b = df.withColumn("__ord", ord_expr).where(
-        F.when(
-            bad,
-            F.raise_error(
-                F.lit(
-                    f"distributed_ntile: null/NaN {order_col} -- such rows "
-                    "have no well-defined tile under the ntile ORDER BY "
-                    "semantics shared with the oracle; filter them first"
-                )
-            ).isNull(),
-        ).otherwise(F.lit(True))
-    )
-    # the value-count table feeds three consumers (min/max stats, slice
-    # totals, the ranked join); checkpoint it once so the data-sized
-    # groupBy runs once, not per consumer.  (Callers with an expensive
-    # input lineage should likewise persist/checkpoint `df` -- it is
-    # scanned by the count aggregate and both join-back branches.)
-    counts = (
+    # mis-tile rather than an error).
+    #
+    # Round-8 advice fix: the previous guard was a raise_error predicate
+    # on the row filter, which only fired because CombineFilters happened
+    # to keep the user conjunct ahead of the IsNotNull(__ord) that
+    # Catalyst infers from the downstream equi-joins -- an optimizer
+    # change reordering cheap null checks first would have short-circuited
+    # the raise and silently DROPPED the null rows.  The guard is now
+    # structural and order-independent: the bad-row COUNT is aggregated
+    # from the checkpointed value-count table (an RDD-scan boundary
+    # Catalyst cannot push inferred filters below, so the NULL/NaN groups
+    # are guaranteed to reach the aggregate) and becomes a POISON UNION
+    # child of the result -- a 1-row frame whose filter predicate raises
+    # when the count is nonzero and is false otherwise.  Proving that
+    # child empty requires executing the predicate, so the raise cannot
+    # be pruned, reordered around, or (the failure mode a per-row gate
+    # column has) skipped by AQE empty-relation propagation when the
+    # good-value side of the frame is empty.
+    def _bad(c):
+        cond = c.isNull()
+        if isinstance(dt, (DoubleType, FloatType)):
+            cond = cond | F.isnan(c)
+        return cond
+
+    # the value-count table feeds four consumers (the bad-row gate,
+    # min/max stats, slice totals, the ranked join); checkpoint it once
+    # so the data-sized groupBy runs once, not per consumer.  (Callers
+    # with an expensive input lineage should likewise persist/checkpoint
+    # `df` -- it is scanned by the count aggregate and both join-back
+    # branches.)
+    counts_all = (
         b.groupBy("__ord")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .localCheckpoint(eager=False)
     )
+    poison = (
+        counts_all.agg(
+            F.sum(
+                F.when(_bad(F.col("__ord")), F.col("__cnt")).otherwise(F.lit(0))
+            ).alias("__badn")
+        )
+        .where(
+            F.when(
+                F.col("__badn") > 0,
+                F.raise_error(
+                    F.lit(
+                        f"distributed_ntile: null/NaN {order_col} -- such "
+                        "rows have no well-defined tile under the ntile "
+                        "ORDER BY semantics shared with the oracle; filter "
+                        "them first"
+                    )
+                ).isNull(),
+            ).otherwise(F.lit(False))
+        )
+    )
+    counts = counts_all.where(~_bad(F.col("__ord")))
     rk = ranked_value_counts(
         counts, value_col="__ord", count_col="__cnt", n_slices=n_slices
     ).withColumnRenamed("rank_before", "__rb").withColumnRenamed(
@@ -328,7 +369,16 @@ def distributed_ntile(
         .withColumn(tile_col, tile_of("__r"))
         .select(*out_cols)
     )
-    return part1.unionByName(part2)
+    # the poison gate contributes zero rows (or raises); cast its 1-row
+    # frame to the output schema so the union resolves
+    poison_rows = poison.select(
+        *[
+            F.lit(None).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ],
+        F.lit(None).cast("int").alias(tile_col),
+    )
+    return part1.unionByName(part2).unionByName(poison_rows)
 
 
 def exact_percentiles(

@@ -505,36 +505,46 @@ def _children(node):
     return kid_nodes
 
 
-def _limit_bounded(window_node) -> bool:
-    """True iff a Limit/TakeOrdered bounds the window's input on the
-    DIRECT unary child path (descending only through single-child
-    nodes).  A Limit buried under a join's far side must NOT count --
-    that was the round-7 review loophole: ``big.join(dim.limit(5))``
-    followed by a global window would otherwise pass the gate while
-    still single-task-sorting the big side.  The windowed frame is only
-    provably bounded when the bound sits between the window and any
-    fan-in (joins/unions stop the walk).
+def _limit_bounded(window_node) -> tuple[bool, str]:
+    """(bounded, stop_node) -- bounded iff a Limit/TakeOrdered bounds the
+    window's input on the DIRECT unary child path (descending only
+    through single-child nodes).  A Limit buried under a join's far side
+    must NOT count -- that was the round-7 review loophole:
+    ``big.join(dim.limit(5))`` followed by a global window would
+    otherwise pass the gate while still single-task-sorting the big
+    side.  The windowed frame is only provably bounded when the bound
+    sits between the window and any fan-in (joins/unions stop the walk).
+
+    ``stop_node`` names where the walk terminated (round-8 advice fix):
+    _children treats a probe-failure/opaque-wrapper node as a leaf,
+    which is the SAFE direction (false FAIL, never false pass), but
+    without the name such a failure -- e.g. a future AQE stage type
+    exposing neither children() nor executedPlan()/plan() -- would be
+    undiagnosable from the gate message alone.
     """
     node = window_node
     while True:
         kids = _children(node)
         if len(kids) != 1:
-            return False  # join/union fan-in or leaf: no bound on path
+            return False, node.nodeName()  # fan-in / leaf / opaque wrapper
         node = kids[0]
         name = node.nodeName()
         if "TakeOrdered" in name or "Limit" in name:
-            return True
+            return True, name
 
 
-def _n_global_windows(df) -> int:
-    """Unpartitioned WindowExec nodes whose input is NOT limit-bounded.
+def _n_global_windows(df) -> tuple[int, list[str]]:
+    """(count, walk-stop node names) for unpartitioned WindowExec nodes
+    whose input is NOT limit-bounded.
 
     A window directly over a TakeOrdered/Limit frame runs over a bounded
     input (e.g. pos-numbering a top-20) -- that is the documented
     small-frame exception, not a scale risk.  The bound must sit on the
-    window's own unary child path (see ``_limit_bounded``).
+    window's own unary child path (see ``_limit_bounded``).  The stop
+    names make wrapper-node walk terminations diagnosable in the gate
+    message (round-8 advice fix).
     """
-    n = 0
+    n, stops = 0, []
     for node in _iter_nodes(df._jdf.queryExecution().executedPlan()):
         if node.nodeName() == "Window":
             try:
@@ -542,10 +552,12 @@ def _n_global_windows(df) -> int:
                     continue
             except Exception:
                 continue
-            if _limit_bounded(node):
+            bounded, stop = _limit_bounded(node)
+            if bounded:
                 continue
             n += 1
-    return n
+            stops.append(stop)
+    return n, stops
 
 
 def main() -> int:
@@ -566,10 +578,11 @@ def main() -> int:
             continue
         problems = []
         # generic unpartitioned-window rule: applies to EVERY query
-        gw = _n_global_windows(df)
+        gw, gw_stops = _n_global_windows(df)
         if gw and name not in GLOBAL_WINDOW_ALLOWLIST:
             problems.append(
                 f"{gw} unpartitioned non-limit-bounded WindowExec node(s)"
+                f" (walk stopped at: {', '.join(gw_stops)})"
             )
         if not gw and name in GLOBAL_WINDOW_ALLOWLIST:
             print(f"note {name}: GLOBAL_WINDOW_ALLOWLIST entry is stale")
