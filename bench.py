@@ -41,6 +41,18 @@ proportional SHARED-BOX load, amortized over the longest headline
 query, not a scheduler race in the rank-frame checkpoints.  Eager
 checkpoints kept (clearer per-round job boundaries at identical cost).
 
+Round 9: the headline grew 76 -> 83 (extend-only; the sweep-green
+round-7 tail a145/a149/a156/s14/c57/c58/c59 finally timed).  The
+ordering family's slice/bucket assignment switched equi-WIDTH ->
+equi-DEPTH (VERDICT r8 finding #1): every distributed_ntile /
+equidepth_histogram / exact_percentiles path now pays one
+approx_percentile sketch aggregate over its count table -- a small
+constant at any scale -- in exchange for the "max task ~|distinct| /
+n_slices" bound holding under outlier/heavy-tailed domains (before, one
+whale value collapsed all slices into one and resurrected the
+single-task sort at scale).  Expect a139/a141/a148/a57/a17 within noise
+of r8; tools/plan_audit.py now carries a standing slice-skew gate.
+
 Round 7: the headline grew 68 -> 76 (extend-only; all 68 r6 names
 unchanged). New entries: the four VERDICT-r6-task-7 queries (a139, a140,
 c53, a131) plus four round-7 ops (a141/a148 distributed_ntile paths,
@@ -154,6 +166,15 @@ HEADLINE = [
     "a148_quality_calibration",  # distributed_ntile under heavy ties
     "a151_split_leakage",  # md5 split + digest/8-gram semi-join probes
     "a152_source_kl_drift",  # algebraic Laplace KL, no vocab x sources
+    # r9 additions (extend-only; VERDICT r8 task #3 -- the sweep-green
+    # round-7 tail that never got timed)
+    "a145_ship_latency_quantiles",  # grouped_exact_percentiles (equi-depth)
+    "a149_dwell_time_quantiles",  # event dwell percentiles per type
+    "a156_bigram_cond_entropy",  # bigram/unigram joint-entropy cascade
+    "s14_stream_psi",  # streaming PSI vs the a139 batch reference bounds
+    "c57_bitemporal_asof",  # two-dimension as-of (valid time x known time)
+    "c58_retention_expiry",  # retention sweep: expiry + legal-hold carveout
+    "c59_cdc_replay_idempotence",  # apply_cdc twice == once (idempotence)
 ]
 
 

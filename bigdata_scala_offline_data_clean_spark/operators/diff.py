@@ -163,15 +163,21 @@ def merge_into(
       the Delta behavior, clause-conditions included (round-8 advice
       fix -- the previous strict check raised on any duplicate matched
       key even when ``update_cond``/``delete_cond`` excluded the extras):
-      ``raise_error`` fires at execution time only when >1 matched pair
-      satisfies an UPDATE/DELETE clause for the same key -- UNLESS every
-      such pair is a DELETE (all deletes of one row commute, which Delta
-      explicitly permits).  Matched pairs no clause modifies collapse to
-      ONE pass-through target row, and duplicate NOT-matched keys remain
-      legal multi-row inserts, exactly as in SQL MERGE.  The default
-      stays lenient for pre-deduplicated CDC feeds where the extra
-      window pass is wasted work (dedup upstream with
-      ``etl.dedup_latest``).
+      ``raise_error`` fires at execution time only when >1 SOURCE row
+      satisfies an UPDATE/DELETE clause against the same TARGET ROW --
+      UNLESS every such pair is a DELETE (all deletes of one row
+      commute, which Delta explicitly permits).  The ambiguity unit is
+      the target row, not the key (round-9 advice fix: the previous
+      per-KEY counts both spuriously raised when duplicate TARGET keys
+      -- legal in SQL MERGE -- were each matched by one modifying source
+      row, and silently collapsed duplicate unmodified target rows to
+      one): each target row is tagged with a unique id before the join,
+      and the counts/dedup partition by (key, target-id).  Matched pairs
+      no clause modifies collapse to ONE pass-through row per TARGET
+      row, and duplicate NOT-matched keys remain legal multi-row
+      inserts, exactly as in SQL MERGE.  The default stays lenient for
+      pre-deduplicated CDC feeds where the extra window pass is wasted
+      work (dedup upstream with ``etl.dedup_latest``).
     - **Clause precedence is fixed** at DELETE-before-UPDATE (a matched
       row satisfying both conditions is deleted); SQL evaluates WHEN
       clauses in caller-written order.  Callers porting a MERGE whose
@@ -180,8 +186,16 @@ def merge_into(
     """
     keys = [key] if isinstance(key, str) else list(key)
     data_cols = [c for c in target.columns if c not in keys]
+    # strict mode tags every TARGET row with a unique id before the join
+    # so the duplicate-match analysis partitions per target row, not per
+    # key (duplicate target keys are legal; duplicate modifying SOURCE
+    # rows per target row are the Delta error).  The id is transient --
+    # computed once at the scan, carried through the single join, never
+    # output -- so monotonically_increasing_id's partition-layout
+    # dependence cannot leak into results.
+    tid = [F.monotonically_increasing_id().alias("__tid")] if strict else []
     t_side = target.select(
-        *keys, F.lit(True).alias("__t"), *[F.col(c).alias(f"__t_{c}") for c in data_cols]
+        *keys, *tid, F.lit(True).alias("__t"), *[F.col(c).alias(f"__t_{c}") for c in data_cols]
     )
     s_side = source.select(
         *keys, F.lit(True).alias("__s"), *[F.col(c).alias(f"__s_{c}") for c in data_cols]
@@ -205,16 +219,22 @@ def merge_into(
         from pyspark.sql import Window
 
         # Delta's duplicate-match rule, conditions included (round-8
-        # advice fix): a (target, source) pair is MODIFYING when some
-        # WHEN MATCHED clause would fire for it.  >1 modifying pair per
-        # key is the ambiguity Delta raises on -- unless every modifying
-        # pair is a DELETE (deleting one row twice commutes).  The
-        # per-key counts ride windows over the join output, which the
-        # full-outer join already hash-partitioned on the key, so no new
-        # exchange.  A full-outer equi-join key group is homogeneous
-        # (all pairs matched, or all single-sided), so the window frames
-        # never mix matched and unmatched rows.
-        wk = Window.partitionBy(*keys)
+        # advice fix, re-scoped per TARGET ROW in round 9): a (target,
+        # source) pair is MODIFYING when some WHEN MATCHED clause would
+        # fire for it.  >1 modifying SOURCE row per TARGET ROW is the
+        # ambiguity Delta raises on -- unless every modifying pair is a
+        # DELETE (deleting one row twice commutes).  The counts ride
+        # windows partitioned by (key, __tid): HashPartitioning on the
+        # join key satisfies the clustered distribution of the superset
+        # (same key => same partition => same (key, __tid) co-located),
+        # so the windows still reuse the full-outer join's exchange --
+        # only a within-partition sort is added, no new shuffle.
+        # NOT-matched source rows carry a NULL __tid and share a frame
+        # per key, but __mod is false for every unmatched pair, so the
+        # gate cannot misfire there and the ~matched filter arm keeps
+        # them all (NULL-keyed duplicate sources included: NULLs never
+        # equi-match, so they fall through as legal multi-row inserts).
+        wk = Window.partitionBy(*keys, "__tid")
         j = (
             j.withColumn("__mod", matched & (dele | upd))
             .withColumn("__del", matched & dele)
@@ -245,12 +265,15 @@ def merge_into(
                 ).isNull(),
             ).otherwise(F.lit(True))
         )
-        # Duplicate source keys that pass the gate still fan the matched
+        # Duplicate source rows that pass the gate still fan the matched
         # target row out once per pair; SQL MERGE emits each target row
-        # once.  Keep the modifying pair(s) -- at most one unless all are
-        # commuting deletes -- else one representative pair (every
-        # non-modifying pair projects identical target values, so the
-        # row_number pick is content-neutral).
+        # once.  Per TARGET ROW, keep the modifying pair(s) -- at most
+        # one unless all are commuting deletes -- else one
+        # representative pair (every non-modifying pair projects
+        # identical target values, so the row_number pick is
+        # content-neutral).  Partitioning by (key, __tid) means distinct
+        # unmodified target rows each keep their own representative --
+        # duplicate target keys no longer collapse.
         wrn = wk.orderBy(F.col("__mod").desc())
         j = (
             j.withColumn("__rn", F.row_number().over(wrn))

@@ -3,11 +3,15 @@
 Pins the four round-7 ADVICE items:
 
 1. ``distributed_ntile``'s null/NaN guard is order-independent: the
-   bad-row count rides a broadcast gate into the ``__ord`` expression
-   itself, so the raise fires even on an ALL-bad frame (where a
-   filter-based guard has no surviving row to evaluate it) and cannot
-   be short-circuited by an optimizer reordering inferred IsNotNull
-   conjuncts ahead of it.
+   bad-row count is aggregated from the checkpointed value-count table
+   and becomes a POISON UNION child of the result (a 1-row frame whose
+   filter raises when the count is nonzero), so under full execution
+   the raise fires even on an ALL-bad frame (where a filter-based
+   guard has no surviving row to evaluate it) and cannot be
+   short-circuited by an optimizer reordering inferred IsNotNull
+   conjuncts ahead of it.  (Round 9 added a per-row raise gate on the
+   data rows as well, covering incremental-limit executions that never
+   schedule the poison partition -- tests/test_round9.py pins that.)
 2. ``equidepth_histogram`` excludes NULLs up front instead of letting a
    NULL value group inflate ``n_total`` while vanishing through the
    slice equi-join (which shifted every bucket boundary).
