@@ -53,6 +53,18 @@ whale value collapsed all slices into one and resurrected the
 single-task sort at scale).  Expect a139/a141/a148/a57/a17 within noise
 of r8; tools/plan_audit.py now carries a standing slice-skew gate.
 
+r8-regression A/B (round 9, VERDICT r8 task #8): the four r8 movers
+re-measured on a quiet host (load-average ~0.1) inside a full-headline
+run: a119 1.86->1.34s, a131 2.36->1.82s, c53 0.79->0.60s, c49
+0.58->0.50s -- all back to their r7 levels, confirming the r8 readings
+as shared-box load (the a78 band).  Notably c49 includes the round-9
+per-target-row strict-MERGE rewrite ((key, target-id) windows riding
+the same join exchange) at zero measured cost.  The equi-depth slicer
+first shipped with a size(filter(...)) bucket fold whose per-row array
+allocation cost a27 5.9x / a145 18s; the committed binary-search
+aggregate fold (see operators/ordering._bsearch_below_sql) brings them
+to ~1.4x / ~5s, the honest sketch cost of outlier robustness.
+
 Round 7: the headline grew 68 -> 76 (extend-only; all 68 r6 names
 unchanged). New entries: the four VERDICT-r6-task-7 queries (a139, a140,
 c53, a131) plus four round-7 ops (a141/a148 distributed_ntile paths,
@@ -175,6 +187,9 @@ HEADLINE = [
     "c57_bitemporal_asof",  # two-dimension as-of (valid time x known time)
     "c58_retention_expiry",  # retention sweep: expiry + legal-hold carveout
     "c59_cdc_replay_idempotence",  # apply_cdc twice == once (idempotence)
+    "a157_mad_outliers",  # median+MAD robust outliers (grouped percentiles)
+    "a158_winsorized_stats",  # exact [p05,p95] clamp + decimal sum
+    "a159_benford_drift",  # first-digit chi-square vs Benford
 ]
 
 

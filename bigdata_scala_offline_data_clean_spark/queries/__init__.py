@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round5b,
         round6,
         round7,
+        round9,
         streaming_q,
     )
 
@@ -84,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round5b,
         round6,
         round7,
+        round9,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

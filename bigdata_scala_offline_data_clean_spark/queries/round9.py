@@ -1,0 +1,231 @@
+"""Round-9 queries: robust statistics over the equi-depth percentile core.
+
+The round-9 ordering-family fix (equi-DEPTH slice/bucket boundaries,
+``operators/ordering.py``) exists so that percentile machinery keeps its
+task-size bound under exactly the distributions robust statistics are
+FOR -- outliers and heavy tails.  These queries exercise that machinery
+as first-class curation operators:
+
+a157 MAD outlier counts per event type (median + median-absolute-
+deviation via ``grouped_exact_percentiles`` -- the standard robust
+dispersion pair; the |x - med| deviation column is itself a heavy-tailed
+domain, the shape the equi-depth cut handles), a158 winsorized pricing
+stats (clamp at the exact [p05, p95] from ``exact_percentiles``, then
+decimal-exact clipped sum -- the standard outlier-taming transform for
+training-metric aggregation), a159 Benford first-digit drift
+(first-significant-digit distribution vs the Benford expectation with
+per-digit chi-square terms -- a classic synthetic-data / fraud screen;
+the expected shares are shared literals so both engines compute
+identical IEEE terms).
+
+All floats follow the repo rule (``_util`` docstring): per-term
+``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums -> final
+``round(., 6)``; percentile values interpolate bit-identically to
+DuckDB ``quantile_cont`` (asserted in tests), so downstream
+comparisons/clamps agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ._util import load_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_DEC = "decimal(28,9)"
+
+
+# ---------------------------------------------------------------------------
+# a157 -- MAD outliers per event type: med = median(v), mad = median(|v -
+# med|), outlier iff |v - med| > 3 * mad.  Both medians ride
+# grouped_exact_percentiles (no per-group value buffering); the group
+# stats frames are tiny and broadcast back onto the events.
+# ---------------------------------------------------------------------------
+
+
+def a157_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import grouped_exact_percentiles
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    med = grouped_exact_percentiles(ev, ["event_type"], "v", [0.5]).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = grouped_exact_percentiles(dev, ["event_type"], "d", [0.5]).select(
+        "event_type", F.col("value").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad_value"),
+        )
+    )
+
+
+A157_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1
+),
+dev AS (
+  SELECT ev.event_type, v, med, abs(v - med) AS d
+  FROM ev JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type AS event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS n_outliers,
+       round(MIN(med), 6) AS median_value,
+       round(MIN(mad), 6) AS mad_value
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+QUERIES["a157_mad_outliers"] = QuerySpec(a157_mad_outliers, A157_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a158 -- winsorized pricing stats: exact [p05, p95] bounds from
+# exact_percentiles (bounded driver state, no value buffer), clamp, then
+# a decimal-exact winsorized sum + clip counts.  The clamp bounds are
+# IEEE-identical to quantile_cont, so the boundary comparisons agree.
+# ---------------------------------------------------------------------------
+
+
+def a158_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = exact_percentiles(li, "l_extendedprice", [0.05, 0.95])
+    lo, hi = pct[0.05], pct[0.95]
+    v = F.col("l_extendedprice").cast("double")
+    w = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(v < F.lit(lo), 1).otherwise(0)).alias("n_clip_lo"),
+        F.sum(F.when(v > F.lit(hi), 1).otherwise(0)).alias("n_clip_hi"),
+        F.round(F.lit(lo), 6).alias("p05"),
+        F.round(F.lit(hi), 6).alias("p95"),
+        F.round(
+            F.sum(F.round(w, 9).cast(_DEC)).cast("double"), 6
+        ).alias("winsorized_sum"),
+    )
+
+
+A158_SQL = """
+WITH p AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+  FROM lineitem
+)
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clip_lo,
+       SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       round(MIN(lo), 6) AS p05,
+       round(MIN(hi), 6) AS p95,
+       round(CAST(SUM(CAST(round(LEAST(GREATEST(v, lo), hi), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE), 6)
+         AS winsorized_sum
+FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem) t, p
+"""
+
+QUERIES["a158_winsorized_stats"] = QuerySpec(a158_winsorized_stats, A158_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a159 -- Benford first-digit drift over order totals.  First significant
+# digit via floor -> bigint -> leading character (identical string
+# semantics in both engines; log10-free, so no cross-engine libm risk).
+# The Benford expectation log10(1 + 1/d) is pre-rounded to 6 dp in
+# Python and inlined as the SAME literal into both the Spark plan and
+# the oracle SQL -- both engines then run identical IEEE arithmetic for
+# the chi-square terms.
+# ---------------------------------------------------------------------------
+
+_BENFORD = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def a159_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    obs = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = obs.agg(F.sum("n_orders").alias("__nt"))
+    exp_map = F.create_map(
+        *[F.lit(x) for d, e in _BENFORD.items() for x in (str(d), e)]
+    )
+    chi = (
+        (F.col("obs_share") - F.col("exp_share"))
+        * (F.col("obs_share") - F.col("exp_share"))
+        / F.col("exp_share")
+    )
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("exp_share", exp_map[F.col("digit")])
+        .withColumn("obs_share", F.col("n_orders") / F.col("__nt"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round("obs_share", 6).alias("obs_share_r"),
+            F.col("exp_share"),
+            F.round(chi, 9).alias("chi2_term"),
+        )
+    )
+
+
+def _benford_case() -> str:
+    arms = " ".join(
+        f"WHEN digit = '{d}' THEN CAST({e!r} AS DOUBLE)"
+        for d, e in _BENFORD.items()
+    )
+    return f"CASE {arms} END"
+
+
+A159_SQL = f"""
+WITH obs AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS nt FROM obs),
+shares AS (
+  SELECT digit, n_orders,
+         CAST(n_orders AS DOUBLE) / nt AS obs_share,
+         {_benford_case()} AS exp_share
+  FROM obs, tot
+)
+SELECT digit, n_orders,
+       round(obs_share, 6) AS obs_share_r,
+       exp_share,
+       round((obs_share - exp_share) * (obs_share - exp_share) / exp_share, 9)
+         AS chi2_term
+FROM shares
+"""
+
+QUERIES["a159_benford_drift"] = QuerySpec(a159_benford_drift, A159_SQL)

@@ -269,3 +269,59 @@ def test_merge_strict_null_key_duplicate_sources_insert(spark):
     got = {(r.k, r.status, r.price) for r in out.collect()}
     assert got == {(1, "a", 1.0), (None, "x", 8.0), (None, "y", 9.0)}
     assert out.count() == 3
+
+
+def test_mad_composition_matches_numpy_model(spark):
+    # a157's median+MAD cascade vs a driver-side model on a frame with a
+    # deliberate per-group outlier (the domain shape the equi-depth
+    # boundaries exist for)
+    import numpy as np
+
+    rows = [
+        ("a", float(x)) for x in range(100)
+    ] + [("a", 1.0e9)] + [("b", float(x % 7)) for x in range(50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        grouped_exact_percentiles,
+    )
+
+    med = {
+        r["g"]: r["value"]
+        for r in grouped_exact_percentiles(df, ["g"], "v", [0.5]).collect()
+    }
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        assert med[g] == float(np.percentile(vals, 50, method="linear"))
+        devs = [abs(v - med[g]) for v in vals]
+        got_mad = grouped_exact_percentiles(
+            df.where(F.col("g") == g).withColumn(
+                "d", F.abs(F.col("v") - F.lit(med[g]))
+            ),
+            ["g"],
+            "d",
+            [0.5],
+        ).collect()[0]["value"]
+        assert got_mad == float(np.percentile(devs, 50, method="linear"))
+
+
+def test_exact_percentiles_inf_boundary_literals(spark):
+    # the driver-side boundary array can contain +-inf when the data
+    # does; the SQL literal formatting must keep the assignment monotone
+    # (double('Infinity') forms, not a NULL-casting 'inf' repr)
+    import math
+
+    rows = [(float(x),) for x in range(200)] + [
+        (float("inf"),),
+        (float("-inf"),),
+    ]
+    df = spark.createDataFrame(rows, ["m"])
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        exact_percentiles,
+    )
+
+    got = exact_percentiles(df, "m", [0.0, 0.5, 1.0], buckets=8)
+    assert got[0.0] == float("-inf")
+    assert got[1.0] == float("inf")
+    assert math.isfinite(got[0.5])

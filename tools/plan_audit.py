@@ -452,6 +452,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c59_cdc_replay_idempotence": (
         ("BroadcastHashJoin",), ("CartesianProduct",), None,
     ),
+    # round-9 robust-stats queries: grouped percentile cascades + 1-row
+    # broadcast stat frames; never a cartesian, windows all partitioned
+    "a157_mad_outliers": ((), ("CartesianProduct",), None),
+    "a158_winsorized_stats": ((), ("CartesianProduct",), None),
+    "a159_benford_drift": ((), ("CartesianProduct", "SortMergeJoin"), None),
 }
 
 
