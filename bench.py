@@ -190,6 +190,8 @@ HEADLINE = [
     "a157_mad_outliers",  # median+MAD robust outliers (grouped percentiles)
     "a158_winsorized_stats",  # exact [p05,p95] clamp + decimal sum
     "a159_benford_drift",  # first-digit chi-square vs Benford
+    "a160_embedding_dim_stats",  # per-dim mean/variance (posexplode + agg)
+    "c60_join_skew_audit",  # group-size distribution per join key
 ]
 
 

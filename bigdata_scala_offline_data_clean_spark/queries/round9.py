@@ -16,7 +16,12 @@ training-metric aggregation), a159 Benford first-digit drift
 (first-significant-digit distribution vs the Benford expectation with
 per-digit chi-square terms -- a classic synthetic-data / fraud screen;
 the expected shares are shared literals so both engines compute
-identical IEEE terms).
+identical IEEE terms), a160 per-dimension embedding mean/variance (the
+pre-whitening / feature-health pass before indexing or quantizing a
+vector corpus), c60 join-skew audit (max key share + p50/p99 group size
+per candidate join key -- the measurement a pipeline runs before picking
+broadcast/salting/AQE-skew join strategy; the operational counterpart of
+the round-9 ``slice_skew_gate``).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums -> final
@@ -229,3 +234,124 @@ FROM shares
 """
 
 QUERIES["a159_benford_drift"] = QuerySpec(a159_benford_drift, A159_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a160 -- per-dimension embedding statistics (mean / population variance):
+# the standard pre-whitening / feature-health pass before indexing or
+# quantizing a vector corpus.  One posexplode + one per-dim aggregate;
+# the (dim) key space is the embedding width, so the shuffle is tiny and
+# map-side partials do all the work.  Algebraic variance (E[x^2] -
+# E[x]^2) with the repo's round-then-decimal sum discipline keeps both
+# engines on identical IEEE doubles.
+# ---------------------------------------------------------------------------
+
+
+def a160_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    dims = em.select(F.posexplode("embedding").alias("dim", "v0")).select(
+        "dim", F.col("v0").cast("double").alias("x")
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.round(F.col("x"), 9).cast(_DEC)).alias("__sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast(_DEC)).alias("__sxx"),
+    )
+    mean = F.col("__sx").cast("double") / F.col("n_values")
+    meansq = F.col("__sxx").cast("double") / F.col("n_values")
+    return agg.select(
+        "dim",
+        "n_values",
+        F.round(mean, 6).alias("mean_x"),
+        F.round(meansq - mean * mean, 6).alias("var_x"),
+    )
+
+
+A160_SQL = """
+WITH dims AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+agg AS (
+  SELECT dim,
+         COUNT(*) AS n_values,
+         SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS sx,
+         SUM(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx
+  FROM dims GROUP BY dim
+)
+SELECT dim, n_values,
+       round(CAST(sx AS DOUBLE) / n_values, 6) AS mean_x,
+       round(CAST(sxx AS DOUBLE) / n_values
+             - (CAST(sx AS DOUBLE) / n_values)
+               * (CAST(sx AS DOUBLE) / n_values), 6) AS var_x
+FROM agg
+"""
+
+QUERIES["a160_embedding_dim_stats"] = QuerySpec(
+    a160_embedding_dim_stats, A160_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# c60 -- join-skew audit: for each candidate join key, the group-size
+# distribution stats that decide broadcast/salting/AQE-skew strategy
+# (max key share, p50/p99 group size).  The percentiles ride
+# exact_percentiles over the per-key COUNT table -- bounded driver
+# state at any key cardinality -- and interpolate bit-identically to
+# quantile_cont.  This is the measurement counterpart of the round-9
+# slice-skew gate: the audit a pipeline runs BEFORE picking a join plan.
+# ---------------------------------------------------------------------------
+
+_C60_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def c60_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.ordering import exact_percentiles
+
+    parts = []
+    for table, key in _C60_KEYS:
+        df = load_table(spark, sf_dir, table)
+        sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        pct = exact_percentiles(sizes, "n", [0.5, 0.99])
+        parts.append(
+            sizes.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("n").alias("n_rows"),
+                F.max("n").alias("max_group"),
+            ).select(
+                F.lit(key).alias("key_name"),
+                "n_groups",
+                "n_rows",
+                "max_group",
+                F.round(
+                    F.col("max_group").cast("double") / F.col("n_rows"), 9
+                ).alias("max_share"),
+                F.round(F.lit(pct[0.5]), 6).alias("p50_group"),
+                F.round(F.lit(pct[0.99]), 6).alias("p99_group"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _c60_arm(table: str, key: str) -> str:
+    return f"""
+SELECT '{key}' AS key_name,
+       COUNT(*) AS n_groups,
+       SUM(n) AS n_rows,
+       MAX(n) AS max_group,
+       round(CAST(MAX(n) AS DOUBLE) / SUM(n), 9) AS max_share,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS p50_group,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.99), 6) AS p99_group
+FROM (SELECT {key}, COUNT(*) AS n FROM {table} GROUP BY 1) s
+"""
+
+
+C60_SQL = " UNION ALL ".join(_c60_arm(t, k) for t, k in _C60_KEYS)
+
+QUERIES["c60_join_skew_audit"] = QuerySpec(c60_join_skew_audit, C60_SQL)

@@ -457,6 +457,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a157_mad_outliers": ((), ("CartesianProduct",), None),
     "a158_winsorized_stats": ((), ("CartesianProduct",), None),
     "a159_benford_drift": ((), ("CartesianProduct", "SortMergeJoin"), None),
+    # per-dim stats: one Generate + one tiny-key agg, no join at all
+    "a160_embedding_dim_stats": ((), ("Join",), None),
+    # skew audit: three per-key count aggs + 1-row stat frames
+    "c60_join_skew_audit": ((), ("CartesianProduct", "SortMergeJoin"), None),
 }
 
 
