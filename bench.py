@@ -192,6 +192,9 @@ HEADLINE = [
     "a159_benford_drift",  # first-digit chi-square vs Benford
     "a160_embedding_dim_stats",  # per-dim mean/variance (posexplode + agg)
     "c60_join_skew_audit",  # group-size distribution per join key
+    "a161_matryoshka_fidelity",  # norm retained by first-k dims (MRL audit)
+    "a162_kcore_peel",  # bounded k-core peeling on co-purchase edges
+    "a163_temperature_mixture",  # p^alpha language rebalance weights
 ]
 
 

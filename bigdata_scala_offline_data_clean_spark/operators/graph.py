@@ -78,6 +78,66 @@ def bfs_hops(
     return visited
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Per-round ``(round, n_nodes, n_edges, max_degree)`` summary of
+    bounded k-core peeling on an undirected canonical edge set.
+
+    Each round: degree = count over both edge orientations (one
+    aggregation), keep nodes with ``degree >= k``, keep edges whose BOTH
+    endpoints survive (two node-keyed equi-joins -- co-partitioned with
+    the degree aggregation on a cluster).  A fixed round budget keeps the
+    plan auditable the way ``pagerank`` does; full convergence is the
+    same loop run until ``n_edges`` stops changing.  Work per round is
+    proportional to SURVIVING edges, which shrinks monotonically -- the
+    property that makes peeling viable on 100 TB edge sets, where the
+    first round typically drops the long tail of degree-1 nodes.
+
+    The summary frames are 1-row aggregates (their crossJoin is a 1-row
+    broadcast, the repo-wide pattern); per-round edge/keep frames are
+    lazily checkpointed so lineage stays flat across rounds.  Empty
+    survivors yield ``(r, 0, 0, NULL)`` -- same as the SQL mirror.
+    """
+    from functools import reduce
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=False)
+    out = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).localCheckpoint(eager=False)
+        e = (
+            e.join(keep.select(F.col("node").alias("u")), "u")
+            .join(keep.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            keep.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.max("deg").alias("max_degree"),
+            )
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(r).alias("round"),
+                "n_nodes",
+                "n_edges",
+                "max_degree",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "u",

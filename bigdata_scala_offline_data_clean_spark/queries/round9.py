@@ -21,7 +21,14 @@ pre-whitening / feature-health pass before indexing or quantizing a
 vector corpus), c60 join-skew audit (max key share + p50/p99 group size
 per candidate join key -- the measurement a pipeline runs before picking
 broadcast/salting/AQE-skew join strategy; the operational counterpart of
-the round-9 ``slice_skew_gate``).
+the round-9 ``slice_skew_gate``), a161 Matryoshka truncation fidelity
+(norm share retained by the first k dims == cosine(full, truncation) --
+the MRL decision metric before ANN indexing), a162 bounded k-core
+peeling on the co-purchase graph (``operators/graph.kcore_peel``; the
+community-core extraction before clustering, work per round proportional
+to surviving edges), a163 temperature-scaled language mixture weights
+(p^alpha rebalance, the standard multilingual-pretraining upsampling of
+tail languages).
 
 All floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums -> final
@@ -355,3 +362,227 @@ FROM (SELECT {key}, COUNT(*) AS n FROM {table} GROUP BY 1) s
 C60_SQL = " UNION ALL ".join(_c60_arm(t, k) for t, k in _C60_KEYS)
 
 QUERIES["c60_join_skew_audit"] = QuerySpec(c60_join_skew_audit, C60_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a161 -- Matryoshka truncation fidelity: for each candidate truncation
+# width k, the share of the embedding norm retained by the first k
+# dimensions (which IS cosine(full, zero-padded-truncation)).  The
+# decision metric for MRL-style dimension reduction before ANN indexing:
+# pick the smallest k whose fidelity distribution clears the bar.  Pure
+# JVM-side aggregate/slice folds (same ordered-fold discipline as a10's
+# cosine oracle, so both engines produce identical IEEE doubles); one
+# tiny per-k aggregate, map-side partials do all the work.
+# ---------------------------------------------------------------------------
+
+_A161_KS = (8, 16, 32)
+_A161_DIM = 64
+
+
+def _sq_fold(col):
+    return F.aggregate(
+        col,
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+
+
+def a161_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    em = load_table(spark, sf_dir, "embeddings")
+    parts = []
+    for k in _A161_KS:
+        thr = round(math.sqrt(k / _A161_DIM), 6)
+        fid = em.select(
+            F.round(
+                F.sqrt(
+                    _sq_fold(F.slice(F.col("embedding"), 1, k))
+                    / _sq_fold(F.col("embedding"))
+                ),
+                9,
+            ).alias("__fid")
+        )
+        parts.append(
+            fid.agg(
+                F.lit(k).alias("trunc_k"),
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(
+                    F.sum(F.col("__fid").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean_fidelity"),
+                F.round(F.min("__fid"), 6).alias("min_fidelity"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("__fid") >= F.lit(thr), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("p_above_isotropic"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _a161_arm(k: int) -> str:
+    thr = round(math.sqrt(k / _A161_DIM), 6)
+    sq = (
+        "list_reduce(list_transform({col}, x -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, v) -> s + v)"
+    )
+    head = sq.format(col=f"list_slice(embedding, 1, {k})")
+    full = sq.format(col="embedding")
+    return f"""
+SELECT {k} AS trunc_k,
+       COUNT(*) AS n_vecs,
+       round(CAST(SUM(CAST(fid AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_fidelity,
+       round(MIN(fid), 6) AS min_fidelity,
+       round(CAST(SUM(CASE WHEN fid >= {thr} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS p_above_isotropic
+FROM (SELECT round(sqrt({head} / {full}), 9) AS fid FROM embeddings) s
+"""
+
+
+A161_SQL = " UNION ALL ".join(_a161_arm(k) for k in _A161_KS)
+
+QUERIES["a161_matryoshka_fidelity"] = QuerySpec(
+    a161_matryoshka_fidelity, A161_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# a162 -- bounded k-core peeling on the co-purchase graph (a69's edge
+# fixture: parts sharing an order, support >= 2, canonical u < v).  The
+# degree >= k filter-and-reduce round is the standard community-core
+# extraction before clustering; the per-round (n_nodes, n_edges,
+# max_degree) summary is the convergence audit.  Work per round is
+# proportional to surviving edges; see operators/graph.kcore_peel.
+# ---------------------------------------------------------------------------
+
+_A162_K = 3
+_A162_ROUNDS = 3
+_A162_SUPPORT = 2
+
+
+def a162_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _A162_SUPPORT)
+        .select("u", "v")
+    )
+    return kcore_peel(edges, k=_A162_K, rounds=_A162_ROUNDS)
+
+
+def _a162_sql() -> str:
+    stages = [
+        f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_A162_SUPPORT}
+)"""
+    ]
+    arms = []
+    for r in range(1, _A162_ROUNDS + 1):
+        p = r - 1
+        stages.append(
+            f"""d{r} AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p}) s
+  GROUP BY node
+),
+k{r} AS (SELECT * FROM d{r} WHERE deg >= {_A162_K}),
+e{r} AS (
+  SELECT e.u, e.v FROM e{p} e
+  JOIN k{r} a ON e.u = a.node
+  JOIN k{r} b ON e.v = b.node
+)"""
+        )
+        arms.append(
+            f"""SELECT {r} AS round,
+       (SELECT count(*) FROM k{r}) AS n_nodes,
+       (SELECT count(*) FROM e{r}) AS n_edges,
+       (SELECT max(deg) FROM k{r}) AS max_degree"""
+        )
+    return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+A162_SQL = _a162_sql()
+
+QUERIES["a162_kcore_peel"] = QuerySpec(a162_kcore_peel, A162_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a163 -- temperature-scaled language mixture weights: w_l = p_l^alpha /
+# sum(p^alpha) with alpha = 0.3, the standard multilingual-pretraining
+# rebalance (upsamples tail languages, caps head dominance).  Per-lang
+# counts are one tiny aggregate; the normalizer is a 1-row broadcast
+# frame.  The power terms follow the repo float rule -- round(.,9) ->
+# exact decimal sum -> double -- so the normalizer is order-independent
+# and identical across engines.
+# ---------------------------------------------------------------------------
+
+_A163_ALPHA = 0.3
+
+
+def a163_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("__tot"))
+    terms = counts.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("__tot")).alias("__p"),
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("__tot"),
+                  F.lit(_A163_ALPHA)),
+            9,
+        ).cast(_DEC).alias("__term"),
+    )
+    z = terms.agg(F.sum("__term").alias("__z"))
+    w = F.col("__term").cast("double") / F.col("__z").cast("double")
+    return terms.crossJoin(z).select(
+        "lang",
+        "n_docs",
+        F.round("__p", 6).alias("doc_share"),
+        F.round(w, 6).alias("sample_weight"),
+        F.round(w / F.col("__p"), 6).alias("boost"),
+    )
+
+
+A163_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_docs) AS tot FROM counts),
+terms AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / tot AS p,
+         CAST(round(power(CAST(n_docs AS DOUBLE) / tot, {_A163_ALPHA}), 9)
+              AS DECIMAL(28,9)) AS term
+  FROM counts, tot
+),
+z AS (SELECT SUM(term) AS z FROM terms)
+SELECT lang, n_docs,
+       round(p, 6) AS doc_share,
+       round(CAST(term AS DOUBLE) / CAST(z AS DOUBLE), 6) AS sample_weight,
+       round(CAST(term AS DOUBLE) / CAST(z AS DOUBLE) / p, 6) AS boost
+FROM terms, z
+"""
+
+QUERIES["a163_temperature_mixture"] = QuerySpec(
+    a163_temperature_mixture, A163_SQL
+)

@@ -325,3 +325,46 @@ def test_exact_percentiles_inf_boundary_literals(spark):
     assert got[0.0] == float("-inf")
     assert got[1.0] == float("inf")
     assert math.isfinite(got[0.5])
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: kcore_peel operator
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peel_triangle_with_pendant(spark):
+    # triangle {1,2,3} + pendant 4 hanging off 3: with k=2, round 1 drops
+    # the pendant (deg 1) and keeps the triangle; the core is then stable.
+    from bigdata_scala_offline_data_clean_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["u", "v"]
+    )
+    rows = {
+        r["round"]: (r["n_nodes"], r["n_edges"], r["max_degree"])
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert rows[1] == (3, 3, 3)  # node 3 had degree 3 entering round 1
+    assert rows[2] == (3, 3, 2)  # degrees recomputed on the peeled edges
+    assert rows[3] == (3, 3, 2)  # fixed point
+
+
+def test_kcore_peel_empties_cleanly(spark):
+    # a path graph has no 2-core: peeling must reach (0, 0, NULL) and
+    # stay there, matching the SQL mirror's empty-aggregate semantics.
+    from bigdata_scala_offline_data_clean_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+    rows = sorted(
+        kcore_peel(edges, k=2, rounds=3).collect(), key=lambda r: r["round"]
+    )
+    # round 1 keeps the two middle nodes (deg 2) but their edge needs BOTH
+    # endpoints kept -- edge (2,3) survives; round 2 degrees drop to 1 each
+    assert (rows[0]["n_nodes"], rows[0]["n_edges"]) == (2, 1)
+    assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (0, 0)
+    assert rows[1]["max_degree"] is None
+    assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (0, 0)

@@ -461,6 +461,17 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a160_embedding_dim_stats": ((), ("Join",), None),
     # skew audit: three per-key count aggs + 1-row stat frames
     "c60_join_skew_audit": ((), ("CartesianProduct", "SortMergeJoin"), None),
+    # per-k slice folds + tiny aggregates: no join anywhere
+    "a161_matryoshka_fidelity": ((), ("Join",), None),
+    # k-core rounds are node-keyed equi-joins; 1-row summary crossJoins
+    # are broadcast
+    "a162_kcore_peel": ((), ("CartesianProduct",), None),
+    # lang counts + two 1-row normalizer frames
+    "a163_temperature_mixture": (
+        (),
+        ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
 }
 
 
