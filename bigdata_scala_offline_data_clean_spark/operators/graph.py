@@ -78,6 +78,79 @@ def bfs_hops(
     return visited
 
 
+CO_MAX_BASKET = 64  # whale-basket bound for co-occurrence pair generation
+
+
+def co_purchase_edges(
+    items: DataFrame,
+    min_support: int = 2,
+    max_basket: int = CO_MAX_BASKET,
+    grp: str = "l_orderkey",
+    item: str = "l_partkey",
+) -> DataFrame:
+    """Canonical ``(u, v)`` co-occurrence edges (``u < v``) from an
+    ``(group, item)`` frame, with support- and whale-basket bounds.
+
+    Pair generation inside a group is quadratic in group size: one whale
+    basket with m items emits m^2/2 join rows before any support filter
+    can prune them -- the same single-key skew bomb class as the round-9
+    slicer finding, latent here because TPC-H baskets top out at 7
+    items.  Groups larger than ``max_basket`` are therefore EXCLUDED
+    before pairing (standard market-basket hygiene: a whale basket is
+    near-zero co-purchase signal and the dominant pair cost), bounding
+    worst-case pair fan-out per group at ``max_basket^2/2``.  The size
+    filter is one aggregation + one semi-join on the SAME group key as
+    the pair join, so a cluster co-partitions all three.
+
+    At every tested scale the bound never fires (baskets <= 7 << 64), so
+    results are identical with or without it; the SQL oracles mirror the
+    filter verbatim (`co_edges_cte`) to keep the declared semantics
+    honest rather than relying on the fixture never triggering it.
+    """
+    it = items.select(
+        F.col(grp).alias("g"), F.col(item).alias("i")
+    ).distinct()
+    ok = (
+        it.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .where(F.col("__bs") <= max_basket)
+        .select("g")
+    )
+    it = it.join(ok, "g")
+    a, b = it.alias("a"), it.alias("b")
+    return (
+        a.join(b, "g")
+        .where(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("u"), F.col("b.i").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+
+
+def co_edges_cte(
+    edge_name: str,
+    min_support: int = 2,
+    max_basket: int = CO_MAX_BASKET,
+) -> str:
+    """DuckDB-oracle mirror of ``co_purchase_edges`` over ``lineitem``:
+    CTE text defining ``items``/``ok_baskets``/``fitems``/``edge_name``.
+    Callers embed it as the head of a ``WITH`` chain."""
+    return f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ok_baskets AS (
+  SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= {max_basket}
+),
+fitems AS (
+  SELECT items.* FROM items JOIN ok_baskets USING (l_orderkey)
+),
+{edge_name} AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+)"""
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

@@ -263,18 +263,13 @@ _TRI_TOP = 20
 
 
 def a69_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import co_purchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
+    # whale-basket-bounded pair generation (round-9 hardening; the cap
+    # never fires on TPC-H's <= 7-item baskets, see graph.co_purchase_edges)
+    edges = co_purchase_edges(
+        li.select("l_orderkey", "l_partkey"), min_support=_TRI_MIN_SUPPORT
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -302,14 +297,11 @@ def a69_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-A69_SQL = f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
-), tri AS (
+def _a69_sql() -> str:
+    from ..operators.graph import co_edges_cte
+
+    return f"""
+WITH {co_edges_cte("e", min_support=_TRI_MIN_SUPPORT)}, tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e e1
   JOIN e e2 ON e1.v = e2.u
@@ -321,6 +313,9 @@ SELECT part, count(*) AS n_triangles
 FROM nodes GROUP BY part
 ORDER BY n_triangles DESC, part LIMIT {_TRI_TOP}
 """
+
+
+A69_SQL = _a69_sql()
 
 # ---------------------------------------------------------------------------
 # a70 -- UNPIVOT reshape: lineitem measures to long form, then aggregate per
@@ -961,27 +956,21 @@ _PR_ITERS = 5
 def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
+    from ..operators.graph import co_purchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    half = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-        # the symmetrizing union references this subtree twice; persist so
-        # the distinct + self-join + support agg runs once, not twice.
-        # NOT materialized here: pagerank's final eager checkpoint runs the
-        # whole DAG as one job, within which the persist dedups the two
-        # union branches -- a separate count() job re-measured as a ~2s
-        # pure cost once that checkpoint existed (it was a saving only
-        # under the old lazy-output shape)
-        .persist()
-    )
+    # whale-basket-bounded pair generation (round-9 hardening; the cap
+    # never fires on TPC-H baskets -- graph.co_purchase_edges).
+    # The symmetrizing union references this subtree twice; persist so
+    # the distinct + self-join + support agg runs once, not twice.
+    # NOT materialized here: pagerank's final eager checkpoint runs the
+    # whole DAG as one job, within which the persist dedups the two
+    # union branches -- a separate count() job re-measured as a ~2s
+    # pure cost once that checkpoint existed (it was a saving only
+    # under the old lazy-output shape)
+    half = co_purchase_edges(
+        li.select("l_orderkey", "l_partkey"), min_support=_TRI_MIN_SUPPORT
+    ).persist()
     edges = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pr = pagerank(edges, iters=_PR_ITERS)
     # pagerank eagerly checkpoints its final rank table, so the edge
@@ -999,17 +988,11 @@ def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a78_sql() -> str:
-    from ..operators.graph import PR_SCALE
+    from ..operators.graph import PR_SCALE, co_edges_cte
 
     base = (PR_SCALE * 15) // 100
     cte = [
-        f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-half AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
-), e AS (
+        f"""WITH {co_edges_cte("half", min_support=_TRI_MIN_SUPPORT)}, e AS (
   SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
 ), deg AS (
   SELECT u, count(*) AS deg FROM e GROUP BY u

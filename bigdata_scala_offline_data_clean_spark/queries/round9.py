@@ -467,34 +467,19 @@ _A162_SUPPORT = 2
 
 
 def a162_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import kcore_peel
+    from ..operators.graph import co_purchase_edges, kcore_peel
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _A162_SUPPORT)
-        .select("u", "v")
+    edges = co_purchase_edges(
+        li.select("l_orderkey", "l_partkey"), min_support=_A162_SUPPORT
     )
     return kcore_peel(edges, k=_A162_K, rounds=_A162_ROUNDS)
 
 
 def _a162_sql() -> str:
-    stages = [
-        f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e0 AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_A162_SUPPORT}
-)"""
-    ]
+    from ..operators.graph import co_edges_cte
+
+    stages = [co_edges_cte("e0", min_support=_A162_SUPPORT)]
     arms = []
     for r in range(1, _A162_ROUNDS + 1):
         p = r - 1

@@ -368,3 +368,44 @@ def test_kcore_peel_empties_cleanly(spark):
     assert (rows[1]["n_nodes"], rows[1]["n_edges"]) == (0, 0)
     assert rows[1]["max_degree"] is None
     assert (rows[2]["n_nodes"], rows[2]["n_edges"]) == (0, 0)
+
+
+def test_co_purchase_edges_whale_basket_bound(spark):
+    # a whale group emits no pairs (excluded before pairing); normal
+    # groups are unaffected.  This is the pair-generation counterpart of
+    # the round-9 slicer fix: one m-item basket is an m^2/2 join bomb.
+    from bigdata_scala_offline_data_clean_spark.operators.graph import (
+        co_purchase_edges,
+    )
+
+    rows = [(1, i) for i in range(100)]  # whale: 100 items, > max_basket
+    rows += [(2, 10), (2, 11), (3, 10), (3, 11)]  # support-2 pair (10,11)
+    items = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {
+        (r["u"], r["v"])
+        for r in co_purchase_edges(items, min_support=2).collect()
+    }
+    assert got == {(10, 11)}
+    # with the bound lifted, whale pairs flood back in ((10, 11) is also
+    # a whale pair, so the distinct edge count is exactly the whale's)
+    unbounded = co_purchase_edges(items, min_support=1, max_basket=1000)
+    assert unbounded.count() == 100 * 99 // 2
+
+
+def test_co_purchase_cap_inert_on_fixture(spark):
+    # TPC-H baskets top out well under the 64 cap, so the bounded build
+    # is provably identical to the unbounded one on the test data.
+    from bigdata_scala_offline_data_clean_spark.queries._util import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    max_basket = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_basket <= 64
