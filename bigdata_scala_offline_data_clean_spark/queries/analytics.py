@@ -2423,17 +2423,33 @@ FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
 
 def a61_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavior sequence: the first 10 events as an ordered path
-    string.  Order-sensitive aggregation WITHOUT a window: one groupBy
-    collects (ts, event_id, event_type) structs, array_sort orders them
-    inside the aggregation buffer -- no second shuffle, no row_number
-    pass, and the struct sort is deterministic via the event_id tie-break."""
+    string.  BOUNDED aggregation state (round-9 hardening): a bare
+    ``collect_list`` + post-slice buffers a whale user's ENTIRE event
+    history in one in-heap aggregation buffer before the cap trims it.
+    Instead, a per-key ``row_number`` window ranks events (its sort is
+    disk-spillable) and the aggregation collects only ``rn <= 10``
+    structs via a conditional collect (``collect_list`` skips NULLs), so
+    buffer state is <= 10 structs per user at ANY key skew.  The groupBy
+    rides the window's hash partitioning -- no second exchange -- and
+    ``n_events`` still counts ALL events.  ``array_sort`` restores
+    arrival order inside the capped buffer (deterministic via the
+    event_id tie-break)."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rn", F.row_number().over(w))
     seq = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "event_type"))
+        F.collect_list(
+            F.when(
+                F.col("__rn") <= 10,
+                F.struct("ts", "event_id", "event_type"),
+            )
+        )
     )
-    return ev.groupBy("user_id").agg(
+    return ranked.groupBy("user_id").agg(
         F.concat_ws(
-            ">", F.transform(F.slice(seq, 1, 10), lambda x: x["event_type"])
+            ">", F.transform(seq, lambda x: x["event_type"])
         ).alias("path"),
         F.count(F.lit(1)).alias("n_events"),
     )

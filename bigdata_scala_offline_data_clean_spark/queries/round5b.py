@@ -1243,24 +1243,33 @@ _A107_CAP = 50  # first N events per user; bounds the path string
 
 
 def a107_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user ordered event-type path (a61's sort-inside-the-aggregation
-    trick -- ONE groupBy, no window, no second shuffle) searched for
-    consecutive patterns: the view>click>purchase funnel adjacency and
-    the click>purchase conversion count (string-arithmetic occurrence
-    count, integer-exact in both engines).  The path is capped at the
-    first 50 events so state per user is bounded at any scale.
+    """Per-user ordered event-type path searched for consecutive
+    patterns: the view>click>purchase funnel adjacency and the
+    click>purchase conversion count (string-arithmetic occurrence count,
+    integer-exact in both engines).  BOUNDED aggregation state (round-9
+    hardening, same fix as a61): a per-key ``row_number`` window ranks
+    events (disk-spillable sort) and the aggregation collects only
+    ``rn <= 50`` structs via a conditional collect, so the in-heap
+    buffer holds <= 50 structs per user at ANY key skew -- a bare
+    ``collect_list`` + post-slice would buffer a whale user's entire
+    history first.  The groupBy rides the window's hash partitioning (no
+    second exchange); ``n_events`` still counts ALL events.
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rn", F.row_number().over(w))
     seq = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "event_type"))
+        F.collect_list(
+            F.when(
+                F.col("__rn") <= _A107_CAP,
+                F.struct("ts", "event_id", "event_type"),
+            )
+        )
     )
-    path = F.concat_ws(
-        ">",
-        F.slice(
-            F.transform(seq, lambda x: x["event_type"]), 1, _A107_CAP
-        ),
-    )
-    g = ev.groupBy("user_id").agg(
+    path = F.concat_ws(">", F.transform(seq, lambda x: x["event_type"]))
+    g = ranked.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), path.alias("__path")
     )
     pat = "click>purchase"

@@ -409,3 +409,43 @@ def test_co_purchase_cap_inert_on_fixture(spark):
         .collect()[0][0]
     )
     assert max_basket <= 64
+
+
+def test_a61_shape_whale_user_bounded_path(spark):
+    # the bounded-state rewrite must keep a61's exact semantics: path =
+    # first 10 events by (ts, event_id), n_events = ALL events -- pinned
+    # on a whale user whose history far exceeds the cap.
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(500):  # whale
+        rows.append((1, i, base + dt.timedelta(seconds=i), f"t{i % 7}"))
+    rows.append((2, 1000, base, "view"))
+    rows.append((2, 1001, base + dt.timedelta(seconds=1), "click"))
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rn", F.row_number().over(w))
+    seq = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__rn") <= 10,
+                F.struct("ts", "event_id", "event_type"),
+            )
+        )
+    )
+    got = {
+        r["user_id"]: (r["path"], r["n_events"])
+        for r in ranked.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">", F.transform(seq, lambda x: x["event_type"])
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got[1] == (">".join(f"t{i % 7}" for i in range(10)), 500)
+    assert got[2] == ("view>click", 2)

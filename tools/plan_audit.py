@@ -242,9 +242,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c45_pit_enrich": ((), ("NestedLoop", "CartesianProduct"), 2),
     # SCD-3: key equi-joins only (update batches broadcast under AQE)
     "c46_scd3_update": ((), ("NestedLoop", "CartesianProduct", "SortMergeJoin"), None),
-    # sequence pattern: ONE groupBy (sort inside the aggregation buffer),
-    # no window, no join, a single hash(user) exchange
-    "a107_sequence_pattern": ((), ("Join", "Window"), 1),
+    # sequence pattern (round-9 bounded-state rewrite): per-key
+    # row_number window caps the collected structs at 50/user, the
+    # groupBy rides the window's hash(user) partitioning -- still a
+    # single exchange, no join
+    "a107_sequence_pattern": (("Window",), ("Join",), 1),
     # weighted median: per-flag cumulative window + broadcast totals --
     # the scan never re-shuffles via SMJ
     "a108_weighted_median": (
