@@ -459,15 +459,26 @@ def oov_rate(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_tokens: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against a token vocabulary.
 
     The tokenizer-coverage check run before committing a vocab: per doc,
     ``n_tokens`` (non-empty occurrences), ``n_oov`` (occurrences whose
     token is absent from ``vocab``), ``oov_ratio`` (exact int/int division
-    rounded to 6).  The token stream joins ``vocab`` on the token -- a
-    vocabulary is small next to the corpus, so AQE broadcasts it and the
-    stream is never shuffled; the per-doc rollup keys on the doc id.
+    rounded to 6).
+
+    Scale shape (round-9 hardening): a tokenizer vocab (32k-256k
+    entries) is small next to the corpus, so the token stream
+    broadcast-joins it and is never shuffled.  But a CORPUS-DERIVED
+    vocab is unbounded -- forcing a broadcast of it is the OOM hazard,
+    not an optimization -- so the broadcast only happens when the vocab
+    provably fits ``max_broadcast_tokens`` (one bounded limit+count
+    probe, the repo's bounded-driver-fetch pattern).  Past the bound,
+    the probe side shrinks to per-(doc, token) counts first (far smaller
+    than the raw occurrence stream) and shuffle-joins token-to-token --
+    the two sides co-partition, and occurrence weights ride the count
+    column.  Both paths are row-identical (pytest pins the fallback).
     """
     from .etl import spread_narrow_scan
 
@@ -477,13 +488,25 @@ def oov_rate(
     # distinct() guards against a caller-supplied vocab with duplicate
     # tokens, which would fan out the token stream and inflate the counts
     v = vocab.select("token").distinct().withColumn("__in_vocab", F.lit(True))
-    joined = toks.join(F.broadcast(v), "token", "left")
+    small = (
+        max_broadcast_tokens is not None
+        and v.limit(max_broadcast_tokens + 1).count() <= max_broadcast_tokens
+    )
+    if small:
+        joined = toks.join(F.broadcast(v), "token", "left")
+        occ = F.lit(1)
+    else:
+        tok_counts = toks.groupBy(id_col, "token").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        joined = tok_counts.join(v, "token", "left")
+        occ = F.col("__n")
     return (
         joined.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(occ).alias("n_tokens"),
             F.sum(
-                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+                F.when(F.col("__in_vocab").isNull(), occ).otherwise(0)
             ).alias("n_oov"),
         )
         .withColumn(
@@ -506,9 +529,15 @@ def pmi_collocations(
     exact integers aggregated with map-side partials; only the final ln
     runs in floating point, on an expression written identically in the
     DuckDB oracle and rounded to 6.  Scale shape: one bigram-keyed count,
-    one token-keyed count, then two broadcast-sized marginal joins onto the
-    ``>= min_count`` gram table -- the corpus itself is scanned twice and
-    never self-joined.
+    one token-keyed count, then two token-keyed equi-joins of the
+    marginals onto the ``>= min_count`` gram table -- the corpus itself
+    is scanned twice and never self-joined.  The marginal table is
+    VOCABULARY-sized (unbounded on a web corpus), so the joins carry no
+    forced broadcast hint (round-9 hardening: forcing the broadcast of
+    an unbounded count table is the OOM hazard); both sides are
+    token-keyed count tables orders of magnitude smaller than the
+    corpus, and AQE broadcasts the marginals at runtime whenever they
+    measure small.
     """
     from .etl import spread_narrow_scan
 
@@ -529,10 +558,10 @@ def pmi_collocations(
     scored = (
         c12.withColumn("w1", parts.getItem(0))
         .withColumn("w2", parts.getItem(1))
-        .join(F.broadcast(c1.select(F.col("token").alias("w1"),
-                                    F.col("c").alias("c1"))), "w1")
-        .join(F.broadcast(c1.select(F.col("token").alias("w2"),
-                                    F.col("c").alias("c2"))), "w2")
+        .join(c1.select(F.col("token").alias("w1"),
+                        F.col("c").alias("c1")), "w1")
+        .join(c1.select(F.col("token").alias("w2"),
+                        F.col("c").alias("c2")), "w2")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "pmi",

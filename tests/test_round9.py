@@ -449,3 +449,33 @@ def test_a61_shape_whale_user_bounded_path(spark):
     }
     assert got[1] == (">".join(f"t{i % 7}" for i in range(10)), 500)
     assert got[2] == ("view>click", 2)
+
+
+def test_oov_rate_fallback_path_identical(spark):
+    # past max_broadcast_tokens the operator switches to the per-(doc,
+    # token) count shuffle join; both paths must be row-identical.
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        oov_rate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c oovx"),
+            (2, "c c oovy oovy oovy"),
+            (3, "a"),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",)], ["token"])
+    fast = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ratio"])
+        for r in oov_rate(docs, vocab).collect()
+    }
+    slow = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ratio"])
+        for r in oov_rate(docs, vocab, max_broadcast_tokens=2).collect()
+    }
+    assert fast == slow
+    assert fast[1] == (5, 1, 0.2)
+    assert fast[2] == (5, 3, 0.6)
+    assert fast[3] == (1, 0, 0.0)

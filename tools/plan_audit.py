@@ -142,11 +142,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # OOV: the vocab (offsets + token set) joins broadcast; the token
     # stream is never sort-merge-shuffled against it
     "a79_oov_rate": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
-    # PMI: unigram marginals + totals broadcast onto the >=min_count gram
-    # table; corpus scanned, never self-joined
-    "a80_pmi_collocations": (
-        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
-    ),
+    # PMI: token-keyed marginal joins onto the >=min_count gram table;
+    # corpus scanned, never self-joined.  The marginal table is
+    # vocabulary-sized, so the joins carry NO forced broadcast hint
+    # (round 9) -- AQE may broadcast or SMJ them at runtime; either is a
+    # count-table-sized join, so only CartesianProduct is forbidden.
+    "a80_pmi_collocations": ((), ("CartesianProduct",), None),
     # IVM: small delta sides broadcast against the accumulated state --
     # the big sides must not re-shuffle for maintenance (the old-x-old
     # base view may SMJ; that join is paid once, not per delta)
