@@ -46,10 +46,15 @@ def blocked_fuzzy_pairs(
     )
 
     if max_block is not None:
-        # one extra aggregation, same shuffle key as the join itself
+        # one extra aggregation, same shuffle key as the join itself.  The
+        # small-block key set is UNBOUNDED (it grows with the entity
+        # count), so no forced broadcast (round-9 hardening): the semi-
+        # join keys on the same block columns as the downstream self-
+        # join, so its exchange is reused, and AQE broadcasts the key set
+        # at runtime whenever it measures small.
         sizes = base.groupBy(*blocks).agg(F.count(F.lit(1)).alias("__bn"))
         base = base.join(
-            F.broadcast(sizes.where(F.col("__bn") <= max_block).drop("__bn")),
+            sizes.where(F.col("__bn") <= max_block).drop("__bn"),
             on=blocks,
             how="left_semi",
         )

@@ -128,7 +128,12 @@ def histogram_kl_drift(
     spikes ``kl_divergence`` even though every row passes row-level
     expectations.  Buckets are equal-width from the group's min/max (a
     per-group scalar frame broadcast back); probabilities are exact
-    integer ratios; each ``p * ln(p/q)`` term is rounded to 9 decimals and
+    integer ratios.  Broadcast contract: the joined histogram frames are
+    ``|group combinations| x n_buckets`` rows, so ``group_cols`` must be
+    a bounded monitoring dimension (source, lang, table) -- NOT a
+    high-cardinality key -- for the forced broadcasts to be sound; the
+    day-keyed probe side is the only corpus-scaling frame.  Each
+    ``p * ln(p/q)`` term is rounded to 9 decimals and
     summed through DECIMAL(28,9) (the a55 pattern) so the result is
     order-independent and engine-portable.  ``p_day = 0`` buckets
     contribute 0 and every observed day bucket exists in the group
