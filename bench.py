@@ -195,6 +195,12 @@ HEADLINE = [
     "a161_matryoshka_fidelity",  # norm retained by first-k dims (MRL audit)
     "a162_kcore_peel",  # bounded k-core peeling on co-purchase edges
     "a163_temperature_mixture",  # p^alpha language rebalance weights
+    "a164_hard_negative_mining",  # cross-label cosine top-k (broadcast batch)
+    "a165_char_class_census",  # integer char-class shares per source
+    "a166_token_fertility",  # BPE-ish tokens per word by language
+    "a167_source_reputation",  # m-estimate smoothed quality leaderboard
+    "a168_cross_source_leakage",  # digest-spread contamination per source
+    "a169_embedding_norm_outliers",  # median+MAD vector-norm health
 ]
 
 

@@ -94,6 +94,67 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-``k`` most
+    cosine-similar corpus vectors with a DIFFERENT label.
+
+    The standard mining step before contrastive / metric-learning
+    fine-tuning: "hard" negatives are the near-misses the model must learn
+    to separate.  Same shape as :func:`cosine_topk` -- the query batch is
+    broadcast with its labels, the corpus scans once map-side, and the
+    label-mismatch predicate rides the broadcast join condition so
+    same-label pairs are dropped before scoring.  Output: ``(q_id,
+    q_label, n_id, n_label, cosine, rank)``.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("__q_vec"),
+        _norm(F.col(vec_col)).alias("__q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("__c_vec"),
+        _norm(F.col(vec_col)).alias("__c_norm"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("n_id"))
+        & (F.col("q_label") != F.col("n_label")),
+    ).withColumn(
+        "cosine",
+        _dot(F.col("__q_vec"), F.col("__c_vec"))
+        / (F.col("__q_norm") * F.col("__c_norm")),
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "q_label", "n_id", "n_label", "cosine", "rank")
+    )
+
+
+def l2_norm(vec: Column) -> Column:
+    """Public L2-norm fold (sequential double fold -- deterministic,
+    mirrored by the oracle's ordered ``list_reduce``)."""
+    return _norm(vec)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

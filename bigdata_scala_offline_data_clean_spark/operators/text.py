@@ -78,6 +78,37 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_class_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-class census: counts of ASCII letters,
+    digits, spaces, and everything else (punctuation / symbols / non-ASCII).
+
+    The script/encoding health screen a crawl-curation pipeline runs
+    before tokenization -- digit-heavy docs are tables/logs, other-heavy
+    docs are markup/binary bleed-through.  Counts are integers computed by
+    length deltas of ``regexp_replace`` (one projection, zero shuffles,
+    whole-stage codegen), so every downstream share is a single exact
+    integer ratio -- no float accumulation anywhere.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, " ", ""))
+    return (
+        df.withColumn("n_chars_cls", n_chars)
+        .withColumn("n_alpha", n_alpha)
+        .withColumn("n_digit", n_digit)
+        .withColumn("n_space", n_space)
+        .withColumn(
+            "n_other",
+            F.col("n_chars_cls")
+            - F.col("n_alpha")
+            - F.col("n_digit")
+            - F.col("n_space"),
+        )
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-stopword language heuristic.
 

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round6,
         round7,
         round9,
+        round9b,
         streaming_q,
     )
 
@@ -86,6 +87,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round6,
         round7,
         round9,
+        round9b,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,137 @@
+"""Round-9b operator pins: hard-negative mining, char-class census,
+cross-source leakage, norm outliers.
+
+Each test builds a tiny hand-checkable frame and asserts the exact
+semantic the query family depends on -- same style as test_round9.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+    hard_negative_topk,
+    l2_norm,
+)
+from bigdata_scala_offline_data_clean_spark.operators.text import (
+    char_class_profile,
+)
+
+
+def test_hard_negative_excludes_same_label(spark):
+    # q0 (label 0) is identical to n1 (label 0) and n2 (label 1): the
+    # same-label twin must never appear; the cross-label twin ranks first.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),  # same label, cosine 1.0 -- excluded
+        (2, [1.0, 0.0], 1),  # different label, cosine 1.0 -- rank 1
+        (3, [0.0, 1.0], 1),  # orthogonal, rank 2
+        (4, [-1.0, 0.0], 2),  # opposite, rank 3
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_topk(e, e.where("vec_id = 0"), k=10).collect()
+    assert [r.n_id for r in out] == [2, 3, 4]
+    assert all(r.n_label != r.q_label for r in out)
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine == 1.0
+
+
+def test_hard_negative_k_and_tiebreak(spark):
+    # four equal-cosine negatives: ties break on n_id ascending, k caps.
+    rows = [(0, [1.0, 0.0], 0)] + [(i, [1.0, 0.0], 1) for i in range(1, 5)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_topk(e, e.where("vec_id = 0"), k=2).collect()
+    assert [r.n_id for r in out] == [1, 2]
+
+
+def test_char_class_counts_partition_text(spark):
+    df = spark.createDataFrame(
+        [(1, "ab1 2!"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in char_class_profile(df).collect()}
+    r1 = out[1]
+    assert (r1.n_alpha, r1.n_digit, r1.n_space, r1.n_other) == (2, 2, 1, 1)
+    assert r1.n_alpha + r1.n_digit + r1.n_space + r1.n_other == r1.n_chars_cls
+    r2 = out[2]
+    assert (r2.n_chars_cls, r2.n_other) == (0, 0)
+
+
+def test_l2_norm_matches_math(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    got = df.select(l2_norm(F.col("embedding")).alias("n")).first().n
+    assert got == pytest.approx(5.0, abs=1e-12)
+
+
+def test_cross_source_leakage_counts(spark):
+    # "dup" appears in src_a and src_b (leaked); "solo" twice within src_a
+    # only (NOT leaked -- same-source dups are a03's job, not leakage).
+    rows = [
+        (1, "dup", "src_a"),
+        (2, "dup", "src_b"),
+        (3, "solo", "src_a"),
+        (4, "solo", "src_a"),
+        (5, "only_b", "src_b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    h = d.select("source", F.md5(F.col("text")).alias("__h"))
+    spread = h.groupBy("__h").agg(F.countDistinct("source").alias("ns"))
+    per_src = (
+        h.join(spread, "__h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ns") >= 2, 1).otherwise(0)).alias("n_leaked"),
+        )
+        .collect()
+    )
+    got = {r.source: (r.n_docs, r.n_leaked) for r in per_src}
+    assert got == {"src_a": (3, 1), "src_b": (2, 1)}
+
+
+def test_norm_outlier_flagging(spark):
+    # 9 unit vectors + one 100x whale: the whale is the only 3-MAD outlier.
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        grouped_exact_percentiles,
+    )
+
+    rows = [(i, [1.0, float(i % 3) * 1e-3], 0) for i in range(9)]
+    rows.append((9, [100.0, 0.0], 0))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).select("label", F.round(l2_norm(F.col("embedding")), 9).alias("norm"))
+    med = grouped_exact_percentiles(e, ["label"], "norm", [0.5]).select(
+        "label", F.col("value").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "label").withColumn(
+        "d", F.abs(F.col("norm") - F.col("med"))
+    )
+    mad = grouped_exact_percentiles(dev, ["label"], "d", [0.5]).select(
+        "label", F.col("value").alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_out")
+        )
+        .first()
+    )
+    assert out.n_out == 1
+
+
+def test_m_estimate_shrinks_small_sources():
+    # pure-math pin of the a167 smoothing rule: a 2-doc source with
+    # perfect quality must rank below a 1000-doc source at 0.9 once the
+    # m=50 prior (global mean ~0.5) shrinks it.
+    m, prior = 50, 0.5
+    small = (2 * 1.0 + m * prior) / (2 + m)
+    large = (1000 * 0.9 + m * prior) / (1000 + m)
+    assert small < large
+    assert math.isclose(small, 27.0 / 52.0)

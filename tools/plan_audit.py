@@ -475,6 +475,29 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("CartesianProduct", "SortMergeJoin"),
         None,
     ),
+    # round-9b curation-health queries.
+    # hard-negative mining: labeled query batch broadcasts (a10 shape);
+    # the corpus must never cartesian against it
+    "a164_hard_negative_mining": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # char-class census / token fertility: single projection + one
+    # source/lang-keyed agg, no join at all (+1 AQE final agg exchange)
+    "a165_char_class_census": ((), ("Join",), 2),
+    "a166_token_fertility": ((), ("Join",), 2),
+    # reputation: the global-prior frame is a 1-row broadcast; never SMJ
+    "a167_source_reputation": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
+    # leakage: digest-group agg joins back on the SAME digest key -- the
+    # join must reuse that exchange (no cartesian, no nested loop)
+    "a168_cross_source_leakage": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
+    # norm outliers: a157's grouped-percentile cascade over norms;
+    # per-label stat frames broadcast
+    "a169_embedding_norm_outliers": ((), ("CartesianProduct",), None),
 }
 
 
@@ -634,9 +657,19 @@ def _slice_skew_gate(spark, n_slices: int = 256, threshold: float = 0.05):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Usage: plan_audit.py [sf_dir] [query ...] -- trailing names run a
+    # subset (the skew gate still runs; it is fixture-based, not per-query)
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = build_session(app_name="plan_audit")
     specs = all_queries()
+    if only:
+        unknown = only - specs.keys()
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        specs = {n: s for n, s in specs.items() if n in only}
     failures = 0
     n_checks = 0
     skew_problems = _slice_skew_gate(spark)
