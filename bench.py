@@ -201,6 +201,9 @@ HEADLINE = [
     "a167_source_reputation",  # m-estimate smoothed quality leaderboard
     "a168_cross_source_leakage",  # digest-spread contamination per source
     "a169_embedding_norm_outliers",  # median+MAD vector-norm health
+    "a170_waiting_suppliers",  # Q21-shape semi/anti self-joins
+    "a171_embedding_decontamination",  # eval-vs-train max-cosine screen
+    "a172_knn_label_noise",  # kNN majority-disagreement audit
 ]
 
 

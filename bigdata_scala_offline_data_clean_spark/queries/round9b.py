@@ -32,6 +32,17 @@ bodies, and the digest->source join reuses the digest-group exchange;
 a169's per-label stat frames are tiny broadcasts over the norm
 projection.
 
+Batch 2 (a170–a172): a170 waiting suppliers (TPC-H Q21 shape adapted to
+this schema -- "late" := shipped > 60 days after order date; the
+EXISTS / NOT EXISTS pair decorrelates to LeftSemi / LeftAnti hash joins
+sharing the l_orderkey exchange, top-100 TakeOrdered-bounded), a171
+embedding-level train/eval decontamination (max cross-split cosine vs a
+shared-literal threshold -- the vector twin of a45's n-gram screen;
+broadcast eval batch, corpus scans once), a172 kNN label-noise audit
+(share of k nearest neighbors disagreeing with a vector's own label,
+majority flagged by the integer rule ``2 * n_disagree >= k`` -- the
+confident-learning data-quality screen).
+
 Floats follow the repo rule (``_util`` docstring): per-term
 ``round(expr, 9)`` -> exact ``DECIMAL(28,9)`` sums -> final
 ``round(., 6)``; shares that can be one exact integer division are
@@ -441,4 +452,312 @@ GROUP BY 1
 
 QUERIES["a169_embedding_norm_outliers"] = QuerySpec(
     a169_embedding_norm_outliers, A169_SQL
+)
+
+
+# ---------------------------------------------------------------------------
+# a170 -- waiting suppliers (TPC-H Q21 shape, adapted: this schema has no
+# commit/receipt dates, so "late" := shipped > 60 days after order date).
+# The EXISTS / NOT EXISTS pair must decorrelate to LeftSemi / LeftAnti
+# hash joins sharing the l_orderkey exchange -- never a per-row rescan.
+# Top-100 leaderboard is TakeOrdered-bounded (supplier cardinality never
+# enters a window or a global sort).
+# ---------------------------------------------------------------------------
+
+_A170_LATE_DAYS, _A170_TOPK = 60, 100
+
+
+def a170_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    base = li.join(
+        o.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_A170_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    l1 = base.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    l2 = base.select(
+        F.col("l_orderkey").alias("__k2"), F.col("l_suppkey").alias("__s2")
+    )
+    l3 = base.where(F.col("late")).select(
+        F.col("l_orderkey").alias("__k3"), F.col("l_suppkey").alias("__s3")
+    )
+    waited = l1.join(
+        l2,
+        (l1["l_orderkey"] == F.col("__k2"))
+        & (l1["l_suppkey"] != F.col("__s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (l1["l_orderkey"] == F.col("__k3"))
+        & (l1["l_suppkey"] != F.col("__s3")),
+        "left_anti",
+    )
+    agg = waited.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    return (
+        agg.join(
+            F.broadcast(su.select("s_suppkey", "s_name")),
+            agg["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(_A170_TOPK)
+    )
+
+
+A170_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {_A170_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late
+), waited AS (
+  SELECT w.l_orderkey, w.l_suppkey FROM l1 w
+  WHERE EXISTS (SELECT 1 FROM li x
+                WHERE x.l_orderkey = w.l_orderkey
+                  AND x.l_suppkey <> w.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM li y
+                    WHERE y.l_orderkey = w.l_orderkey
+                      AND y.l_suppkey <> w.l_suppkey AND y.late)
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM waited JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT {_A170_TOPK}
+"""
+
+QUERIES["a170_waiting_suppliers"] = QuerySpec(a170_waiting_suppliers, A170_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a171 -- embedding-level train/eval decontamination: the vector twin of
+# a45's n-gram screen.  Eval items whose max cosine against the train
+# split clears the threshold are contaminated (an eval answer the model
+# saw in training, paraphrased).  The EVAL batch broadcasts (eval sets
+# are small by construction); the train corpus scans once map-side, and
+# only (q_id, max_cos) rows shuffle.  LSH (a11) is the documented scale
+# path when the eval set itself is large.
+# ---------------------------------------------------------------------------
+
+_DC_MOD, _DC_THRESH = 20, 0.42
+
+
+def a171_embedding_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % _DC_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("__q_vec"),
+        l2_norm(F.col("embedding")).alias("__q_norm"),
+    )
+    tr = e.where(F.col("vec_id") % _DC_MOD != 0).select(
+        F.col("embedding").alias("__c_vec"),
+        l2_norm(F.col("embedding")).alias("__c_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__q_vec"),
+            F.col("__c_vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    per_eval = (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn(
+            "cos", F.round(dot / (F.col("__q_norm") * F.col("__c_norm")), 6)
+        )
+        .groupBy("q_id", "q_label")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        per_eval.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.col("max_cos") >= _DC_THRESH, 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.sum(F.round(F.col("max_cos"), 9).cast(_DEC)).alias("__s"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_eval"), 6).alias(
+                "contamination_rate"
+            ),
+            F.round(F.col("__s").cast("double") / F.col("n_eval"), 6).alias(
+                "avg_max_cosine"
+            ),
+        )
+    )
+
+
+def _a171_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
+    )
+    qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
+    qc = dot.format(a="qv", b="cv")
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+  FROM embeddings WHERE vec_id % {_DC_MOD} = 0
+), tr AS (
+  SELECT embedding AS cv FROM embeddings WHERE vec_id % {_DC_MOD} <> 0
+), per_eval AS (
+  SELECT q_id, q_label,
+         max(round({qc} / (sqrt({qq}) * sqrt({cc})), 6)) AS max_cos
+  FROM tr, ev GROUP BY q_id, q_label
+)
+SELECT q_label AS label,
+       COUNT(*) AS n_eval,
+       SUM(CASE WHEN max_cos >= {_DC_THRESH} THEN 1 ELSE 0 END)
+         AS n_contaminated,
+       round(CAST(SUM(CASE WHEN max_cos >= {_DC_THRESH} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS contamination_rate,
+       round(CAST(SUM(CAST(round(max_cos, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_max_cosine
+FROM per_eval
+GROUP BY q_label
+"""
+
+
+QUERIES["a171_embedding_decontamination"] = QuerySpec(
+    a171_embedding_decontamination, _a171_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# a172 -- kNN label-noise audit (confident-learning screen): for each
+# audited vector, the share of its k nearest neighbors (cosine, whole
+# corpus minus self) carrying a DIFFERENT label; a vector is suspect when
+# a majority disagrees.  The audit batch broadcasts (bounded by
+# construction -- audits run on samples); suspect-ness is the integer
+# comparison 2 * n_disagree >= k, so no float thresholds anywhere.
+# ---------------------------------------------------------------------------
+
+_LN_MOD, _LN_K = 4, 5
+
+
+def a172_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = e.where(F.col("vec_id") % _LN_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("__q_vec"),
+        l2_norm(F.col("embedding")).alias("__q_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("__c_vec"),
+        l2_norm(F.col("embedding")).alias("__c_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__q_vec"),
+            F.col("__c_vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    knn = (
+        corpus.join(F.broadcast(cand), F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos", F.round(dot / (F.col("__q_norm") * F.col("__c_norm")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LN_K)
+    )
+    per_q = knn.groupBy("q_id", "q_label").agg(
+        F.sum(
+            F.when(F.col("n_label") != F.col("q_label"), 1).otherwise(0)
+        ).alias("n_disagree")
+    )
+    return (
+        per_q.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_audited"),
+            F.sum("n_disagree").alias("total_disagree"),
+            F.sum(
+                F.when(2 * F.col("n_disagree") >= _LN_K, 1).otherwise(0)
+            ).alias("n_suspect"),
+        )
+        .withColumn(
+            "avg_disagreement",
+            F.round(
+                F.col("total_disagree") / (F.col("n_audited") * _LN_K), 6
+            ),
+        )
+    )
+
+
+def _a172_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
+    )
+    qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
+    qc = dot.format(a="qv", b="cv")
+    return f"""
+WITH cand AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+  FROM embeddings WHERE vec_id % {_LN_MOD} = 0
+), c AS (
+  SELECT vec_id AS n_id, label AS n_label, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT q_id, q_label, n_id, n_label,
+         round({qc} / (sqrt({qq}) * sqrt({cc})), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round({qc} / (sqrt({qq}) * sqrt({cc})), 6) DESC,
+                    n_id ASC) AS rn
+  FROM c, cand WHERE q_id <> n_id
+), per_q AS (
+  SELECT q_id, q_label,
+         SUM(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END) AS n_disagree
+  FROM scored WHERE rn <= {_LN_K}
+  GROUP BY q_id, q_label
+)
+SELECT q_label AS label,
+       COUNT(*) AS n_audited,
+       SUM(n_disagree) AS total_disagree,
+       SUM(CASE WHEN 2 * n_disagree >= {_LN_K} THEN 1 ELSE 0 END)
+         AS n_suspect,
+       round(CAST(SUM(n_disagree) AS DOUBLE) / (COUNT(*) * {_LN_K}), 6)
+         AS avg_disagreement
+FROM per_q
+GROUP BY q_label
+"""
+
+
+QUERIES["a172_knn_label_noise"] = QuerySpec(
+    a172_knn_label_noise, _a172_sql()
 )

@@ -135,3 +135,99 @@ def test_m_estimate_shrinks_small_sources():
     large = (1000 * 0.9 + m * prior) / (1000 + m)
     assert small < large
     assert math.isclose(small, 27.0 / 52.0)
+
+
+def test_waiting_suppliers_semantics(spark, tmp_path):
+    # Order 1 (status F, 2 suppliers, only supplier 10 late)  -> counts.
+    # Order 2 (status F, 2 suppliers, both late)              -> excluded
+    #   (another supplier was also late).
+    # Order 3 (status F, 1 supplier, late)                    -> excluded
+    #   (single-supplier order).
+    # Order 4 (status O, 2 suppliers, one late)               -> excluded
+    #   (status filter).
+    from bigdata_scala_offline_data_clean_spark.queries.round9b import (
+        a170_waiting_suppliers,
+    )
+
+    sf = str(tmp_path)
+    orders = spark.createDataFrame(
+        [
+            (1, "F", "2024-01-01 00:00:00"),
+            (2, "F", "2024-01-01 00:00:00"),
+            (3, "F", "2024-01-01 00:00:00"),
+            (4, "O", "2024-01-01 00:00:00"),
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_orderstatus", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate"
+    )
+    late, ontime = "2024-06-01 00:00:00", "2024-01-15 00:00:00"
+    li = spark.createDataFrame(
+        [
+            (1, 10, late),
+            (1, 11, ontime),
+            (2, 10, late),
+            (2, 12, late),
+            (3, 13, late),
+            (4, 10, late),
+            (4, 14, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+    )
+    supp = spark.createDataFrame(
+        [(i, f"S{i}") for i in (10, 11, 12, 13, 14)],
+        "s_suppkey long, s_name string",
+    )
+    orders.write.parquet(f"{sf}/orders.parquet")
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    supp.write.parquet(f"{sf}/supplier.parquet")
+    out = {r.s_suppkey: r.numwait for r in a170_waiting_suppliers(spark, sf).collect()}
+    assert out == {10: 1}
+
+
+def test_decontamination_identical_vector_is_contaminated(spark):
+    # eval vec 0 has an exact twin in train (vec 1): max_cos == 1.0 >= any
+    # threshold; eval vec 20 is orthogonal to everything in train.
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        l2_norm,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # eval (0 % 20 == 0)
+        (20, [0.0, 1.0], 1),  # eval, orthogonal to train vec below
+        (1, [1.0, 0.0], 0),   # train twin of eval 0
+        (2, [1.0, 0.0], 1),   # train
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    ev = e.where("vec_id % 20 = 0").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    tr = e.where("vec_id % 20 != 0").select(
+        F.col("embedding").alias("cv"), l2_norm(F.col("embedding")).alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    got = {
+        r.q_id: r.mx
+        for r in tr.crossJoin(F.broadcast(ev))
+        .withColumn("cos", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+        .groupBy("q_id")
+        .agg(F.max("cos").alias("mx"))
+        .collect()
+    }
+    assert got[0] == 1.0
+    assert got[20] == 0.0
+
+
+def test_knn_majority_suspect_rule():
+    # integer rule: 2 * n_disagree >= k flags a majority (k=5 -> 3+).
+    k = 5
+    assert not (2 * 2 >= k)
+    assert 2 * 3 >= k

@@ -498,6 +498,21 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # norm outliers: a157's grouped-percentile cascade over norms;
     # per-label stat frames broadcast
     "a169_embedding_norm_outliers": ((), ("CartesianProduct",), None),
+    # Q21 shape: EXISTS/NOT EXISTS must decorrelate to semi/anti hash
+    # joins on the shared l_orderkey key; top-100 is TakeOrdered-bounded
+    "a170_waiting_suppliers": (
+        ("LeftSemi", "LeftAnti", "TakeOrderedAndProject"),
+        ("NestedLoop", "CartesianProduct"),
+        None,
+    ),
+    # decontamination / label-noise: the audited batch broadcasts (the
+    # accepted BNLJ over a tiny frame), never a cartesian
+    "a171_embedding_decontamination": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    "a172_knn_label_noise": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
 }
 
 
