@@ -204,6 +204,9 @@ HEADLINE = [
     "a170_waiting_suppliers",  # Q21-shape semi/anti self-joins
     "a171_embedding_decontamination",  # eval-vs-train max-cosine screen
     "a172_knn_label_noise",  # kNN majority-disagreement audit
+    "c61_l_diversity",  # distinct + entropy l-diversity per QI group
+    "c62_t_closeness",  # total-variation distance vs global distribution
+    "c63_dp_noisy_counts",  # seeded-Laplace DP release + utility audit
 ]
 
 

@@ -761,3 +761,253 @@ GROUP BY q_label
 QUERIES["a172_knn_label_noise"] = QuerySpec(
     a172_knn_label_noise, _a172_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 -- the privacy family beyond k-anonymity (c29/c50).  Same QI
+# convention as c29: (c_nationkey, c_mktsegment) with bal_bucket =
+# floor(c_acctbal / 2000) as the sensitive attribute.
+# ---------------------------------------------------------------------------
+
+_C61_L = 3
+_LOG2_3 = 1.584962500721156  # shared literal: log2(3), entropy threshold
+
+
+def c61_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + entropy l-diversity per QI group.
+
+    k-anonymity (c29) bounds group SIZE; l-diversity bounds what a group
+    reveals about the SENSITIVE attribute: every QI group must contain
+    >= l distinct sensitive values (distinct-l) and its sensitive
+    distribution must carry >= log2(l) bits of entropy (entropy-l, the
+    stronger form -- a group of [99x v1, 1x v2, 1x v3] passes distinct-3
+    but fails entropy-3).  One groupBy cascade on the QI key; the entropy
+    uses a110's count-identity (H = log2(n) - sum(cnt*log2 cnt)/n) so
+    every term is an integer-argument log, decimal-summed.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    )
+    counts = c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_group = counts.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("group_n"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.sum(
+            F.round(F.col("cnt") * F.log2("cnt"), 9).cast(_DEC)
+        ).alias("__s"),
+    )
+    ent = F.round(
+        F.log2("group_n") - F.col("__s").cast("double") / F.col("group_n"), 6
+    )
+    return per_group.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        "n_sensitive",
+        ent.alias("entropy_bits"),
+        (F.col("n_sensitive") >= _C61_L).alias("distinct_l_ok"),
+        (ent >= _LOG2_3).alias("entropy_l_ok"),
+    )
+
+
+C61_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+  FROM customer
+), counts AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS cnt
+  FROM c GROUP BY 1, 2, 3
+), per_group AS (
+  SELECT c_nationkey, c_mktsegment,
+         SUM(cnt) AS group_n,
+         COUNT(*) AS n_sensitive,
+         SUM(CAST(round(cnt * log2(cnt), 9) AS DECIMAL(28,9))) AS s
+  FROM counts GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, group_n, n_sensitive,
+       round(log2(group_n) - CAST(s AS DOUBLE) / group_n, 6)
+         AS entropy_bits,
+       n_sensitive >= {_C61_L} AS distinct_l_ok,
+       round(log2(group_n) - CAST(s AS DOUBLE) / group_n, 6) >= {_LOG2_3}
+         AS entropy_l_ok
+FROM per_group
+"""
+
+QUERIES["c61_l_diversity"] = QuerySpec(c61_l_diversity, C61_SQL)
+
+
+_C62_T = 0.2
+
+
+def c62_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: total-variation distance between each QI
+    group's sensitive-value distribution and the global one.
+
+    TV = 0.5 * sum_v |p_group(v) - p(v)|; values ABSENT from a group
+    contribute p(v), folded in via the identity sum_absent p(v) =
+    1 - sum_present p(v) -- so the join only ever touches (group, value)
+    pairs that exist.  The global value distribution is vocabulary-sized
+    (balance buckets) and broadcasts; the group totals reuse the QI-key
+    exchange; the corpus-size frame is a 1-row broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    )
+    counts = c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gtot = counts.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("gn")
+    )
+    gv = counts.groupBy("bal_bucket").agg(F.sum("cnt").alias("vcnt"))
+    n = counts.agg(F.sum("cnt").alias("N"))
+    j = (
+        counts.join(gtot, ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(gv), "bal_bucket")
+        .crossJoin(F.broadcast(n))
+    )
+    pg = F.col("cnt") / F.col("gn")
+    p = F.col("vcnt") / F.col("N")
+    agg = j.groupBy("c_nationkey", "c_mktsegment", "gn").agg(
+        F.sum(F.round(F.abs(pg - p), 9).cast(_DEC)).alias("__s1"),
+        F.sum(F.round(p, 9).cast(_DEC)).alias("__s2"),
+    )
+    tv = F.round(
+        0.5
+        * (
+            F.col("__s1").cast("double")
+            + (1.0 - F.col("__s2").cast("double"))
+        ),
+        6,
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("gn").alias("group_n"),
+        tv.alias("tv_distance"),
+        (tv <= _C62_T).alias("t_close_ok"),
+    )
+
+
+C62_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+  FROM customer
+), counts AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS cnt
+  FROM c GROUP BY 1, 2, 3
+), gtot AS (
+  SELECT c_nationkey, c_mktsegment, SUM(cnt) AS gn FROM counts GROUP BY 1, 2
+), gv AS (
+  SELECT bal_bucket, SUM(cnt) AS vcnt FROM counts GROUP BY 1
+), n AS (
+  SELECT SUM(cnt) AS N FROM counts
+), agg AS (
+  SELECT counts.c_nationkey, counts.c_mktsegment, gn,
+         SUM(CAST(round(abs(CAST(cnt AS DOUBLE) / gn
+                            - CAST(vcnt AS DOUBLE) / N), 9)
+                  AS DECIMAL(28,9))) AS s1,
+         SUM(CAST(round(CAST(vcnt AS DOUBLE) / N, 9)
+                  AS DECIMAL(28,9))) AS s2
+  FROM counts
+  JOIN gtot USING (c_nationkey, c_mktsegment)
+  JOIN gv USING (bal_bucket)
+  CROSS JOIN n
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, gn AS group_n,
+       round(0.5 * (CAST(s1 AS DOUBLE) + (1.0 - CAST(s2 AS DOUBLE))), 6)
+         AS tv_distance,
+       round(0.5 * (CAST(s1 AS DOUBLE) + (1.0 - CAST(s2 AS DOUBLE))), 6)
+         <= {_C62_T} AS t_close_ok
+FROM agg
+"""
+
+QUERIES["c62_t_closeness"] = QuerySpec(c62_t_closeness, C62_SQL)
+
+
+_C63_EPS = 0.5
+_C63_SEED = "dp9|"
+
+
+def c63_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-Laplace differentially-private release counts + utility
+    audit.
+
+    Count queries with sensitivity 1 get Laplace(1/eps) noise.  The
+    noise is DERIVED, not drawn: u = (hash32(seed|key) + 0.5) / 2^32 in
+    (0,1) (u can never be exactly 0.5, so sign() never sees 0), then the
+    Laplace inverse CDF -(1/eps)*sign(u-.5)*ln(1-2|u-.5|).  Deterministic
+    and engine-portable (md5-prefix hash, the dedup.py:44 oracle-twin
+    pattern), so the oracle pins the released values exactly.  A real
+    release publishes ONLY noisy_count; true_count/abs_error stay in the
+    private utility audit this query models.
+    """
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_C63_SEED),
+                    F.col("c_nationkey").cast("string"),
+                    F.lit("|"),
+                    F.col("c_mktsegment"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = F.round(
+        (-1.0 / _C63_EPS)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+        6,
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.round(F.abs(noise), 6).alias("abs_error"),
+    )
+
+
+C63_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS true_count
+  FROM customer GROUP BY 1, 2
+), h AS (
+  SELECT c_nationkey, c_mktsegment, true_count,
+         (CAST(('0x' || substr(md5('{_C63_SEED}'
+                || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+                1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+  FROM g
+), noised AS (
+  SELECT c_nationkey, c_mktsegment, true_count,
+         round((-1.0 / {_C63_EPS}) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+  FROM h
+)
+SELECT c_nationkey, c_mktsegment, true_count,
+       round(true_count + noise, 6) AS noisy_count,
+       round(abs(noise), 6) AS abs_error
+FROM noised
+"""
+
+QUERIES["c63_dp_noisy_counts"] = QuerySpec(c63_dp_noisy_counts, C63_SQL)

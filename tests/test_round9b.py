@@ -231,3 +231,79 @@ def test_knn_majority_suspect_rule():
     k = 5
     assert not (2 * 2 >= k)
     assert 2 * 3 >= k
+
+
+def test_entropy_l_stricter_than_distinct_l():
+    # [99x v1, 1x v2, 1x v3]: 3 distinct values (distinct-3 passes) but
+    # entropy well under log2(3) (entropy-3 fails) -- the c61 rationale.
+    import math as m
+
+    cnts, n = [99, 1, 1], 101
+    ent = m.log2(n) - sum(c * m.log2(c) for c in cnts) / n
+    assert len(cnts) >= 3
+    assert ent < m.log2(3)
+
+
+def test_tv_distance_includes_absent_values(spark):
+    # group A holds only v0 while the global distribution is 50/50 over
+    # {v0, v1}: TV must be 0.5 (|1-.5| + |0-.5| halved), which requires
+    # counting the ABSENT v1 via the 1 - sum_present(p) identity.
+    rows = [("A", 0), ("A", 0), ("B", 0), ("B", 1), ("B", 1), ("B", 0)]
+    c = spark.createDataFrame(rows, "g string, v long")
+    counts = c.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    gtot = counts.groupBy("g").agg(F.sum("cnt").alias("gn"))
+    gv = counts.groupBy("v").agg(F.sum("cnt").alias("vcnt"))
+    n = counts.agg(F.sum("cnt").alias("N"))
+    j = (
+        counts.join(gtot, "g")
+        .join(F.broadcast(gv), "v")
+        .crossJoin(F.broadcast(n))
+    )
+    pg, p = F.col("cnt") / F.col("gn"), F.col("vcnt") / F.col("N")
+    out = {
+        r.g: r.tv
+        for r in j.groupBy("g")
+        .agg(
+            F.sum(F.round(F.abs(pg - p), 9).cast("decimal(28,9)")).alias("s1"),
+            F.sum(F.round(p, 9).cast("decimal(28,9)")).alias("s2"),
+        )
+        .select(
+            "g",
+            F.round(
+                0.5
+                * (
+                    F.col("s1").cast("double")
+                    + (1.0 - F.col("s2").cast("double"))
+                ),
+                6,
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    # global p(v0)=2/3, p(v1)=1/3. A: |1 - 2/3| + |0 - 1/3| = 2/3 -> TV 1/3.
+    # B: p_B(v0)=1/2 -> (|1/2-2/3| + |1/2-1/3|)/2 = 1/6.
+    assert out["A"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["B"] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_dp_noise_is_deterministic_and_key_dependent(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round9b import (
+        c63_dp_noisy_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r.c_nationkey, r.c_mktsegment): r.noisy_count
+        for r in c63_dp_noisy_counts(spark, sf).collect()
+    }
+    b = {
+        (r.c_nationkey, r.c_mktsegment): r.noisy_count
+        for r in c63_dp_noisy_counts(spark, sf).collect()
+    }
+    assert a == b  # seeded, not drawn
+    # noise actually varies across keys (not a constant offset)
+    errs = {
+        round(r.abs_error, 6)
+        for r in c63_dp_noisy_counts(spark, sf).collect()
+    }
+    assert len(errs) > 1

@@ -513,6 +513,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a172_knn_label_noise": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
     ),
+    # privacy family: QI-keyed agg cascades, no join at all (c61/c63) /
+    # vocab-sized value frame + 1-row N broadcast riding the QI exchange
+    # (c62) -- never a cartesian or SMJ
+    "c61_l_diversity": ((), ("Join",), None),
+    "c62_t_closeness": (
+        (), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    "c63_dp_noisy_counts": ((), ("Join",), 2),
 }
 
 
