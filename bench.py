@@ -207,6 +207,8 @@ HEADLINE = [
     "c61_l_diversity",  # distinct + entropy l-diversity per QI group
     "c62_t_closeness",  # total-variation distance vs global distribution
     "c63_dp_noisy_counts",  # seeded-Laplace DP release + utility audit
+    "a173_item_cf",  # basket-cosine item similarity (whale-bounded)
+    "s15_stream_dp_release",  # count partials -> seeded-DP noisy release
 ]
 
 

@@ -1011,3 +1011,169 @@ FROM noised
 """
 
 QUERIES["c63_dp_noisy_counts"] = QuerySpec(c63_dp_noisy_counts, C63_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a173 -- item-item collaborative-filtering cosine: sim(u, v) =
+# co_count / sqrt(pop_u * pop_v) over order baskets.  Same whale-basket
+# hygiene as graph.co_purchase_edges (groups > max_basket are excluded
+# BEFORE pairing, bounding pair fan-out at max_basket^2/2 per order; the
+# oracle mirrors the filter verbatim).  Popularity joins are item-keyed;
+# the global top-50 is TakeOrdered-bounded.
+# ---------------------------------------------------------------------------
+
+_A173_SUPPORT, _A173_TOPK = 2, 50
+
+
+def a173_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import CO_MAX_BASKET
+
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
+    ).distinct()
+    ok = it.groupBy("g").agg(F.count(F.lit(1)).alias("__bs")).where(
+        F.col("__bs") <= CO_MAX_BASKET
+    )
+    fit = it.join(ok.select("g"), "g")
+    a = fit.select("g", F.col("i").alias("u"))
+    b = fit.select(F.col("g").alias("__g2"), F.col("i").alias("v"))
+    pairs = (
+        a.join(b, (a["g"] == F.col("__g2")) & (a["u"] < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .where(F.col("co_count") >= _A173_SUPPORT)
+    )
+    pop = fit.groupBy("i").agg(F.count(F.lit(1)).alias("pop"))
+    sim = (
+        pairs.join(pop.select(F.col("i").alias("u"), F.col("pop").alias("pop_u")), "u")
+        .join(pop.select(F.col("i").alias("v"), F.col("pop").alias("pop_v")), "v")
+        .select(
+            "u",
+            "v",
+            "co_count",
+            "pop_u",
+            "pop_v",
+            F.round(
+                F.col("co_count")
+                / F.sqrt(F.col("pop_u") * F.col("pop_v")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return sim.orderBy(
+        F.desc("cosine_sim"), F.asc("u"), F.asc("v")
+    ).limit(_A173_TOPK)
+
+
+def _a173_sql() -> str:
+    from ..operators.graph import CO_MAX_BASKET
+
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ok_baskets AS (
+  SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= {CO_MAX_BASKET}
+), fitems AS (
+  SELECT items.* FROM items JOIN ok_baskets USING (l_orderkey)
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS co_count
+  FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_A173_SUPPORT}
+), pop AS (
+  SELECT l_partkey AS i, count(*) AS pop FROM fitems GROUP BY 1
+)
+SELECT u, v, co_count, pu.pop AS pop_u, pv.pop AS pop_v,
+       round(co_count / sqrt(pu.pop * pv.pop), 6) AS cosine_sim
+FROM pairs JOIN pop pu ON pairs.u = pu.i JOIN pop pv ON pairs.v = pv.i
+ORDER BY cosine_sim DESC, u ASC, v ASC
+LIMIT {_A173_TOPK}
+"""
+
+
+QUERIES["a173_item_cf"] = QuerySpec(a173_item_cf, _a173_sql())
+
+
+# ---------------------------------------------------------------------------
+# s15 -- streaming differentially-private release: continuous grouped-
+# count partials (the s11 machinery, effectively-once per-batch_id
+# overwrite) merge into exact per-event-type counts, then the c63
+# seeded-Laplace derivation noises the release on read.  Because the
+# noise is DERIVED from the key (not drawn), the streaming release is
+# deterministic and carries a FULL oracle -- batch GROUP BY + the same
+# inverse-CDF formula.
+# ---------------------------------------------------------------------------
+
+_S15_EPS = 0.5
+_S15_SEED = "dps15|"
+
+
+def s15_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import stream_count_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s15_")
+    try:
+        src = f"{scratch}/src"
+        ev.select("event_id", "event_type").repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, event_type string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        store = f"{scratch}/partials"
+        q = (
+            stream_count_partials(stream, store, ["event_type"])
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(store)
+            .groupBy("event_type")
+            .agg(F.sum("cnt").alias("true_count"))
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_S15_SEED), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+        noise = F.round(
+            (-1.0 / _S15_EPS)
+            * F.signum(u - 0.5)
+            * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+            6,
+        )
+        out = merged.select(
+            "event_type",
+            "true_count",
+            F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S15_SQL = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
+), h AS (
+  SELECT event_type, true_count,
+         (CAST(('0x' || substr(md5('{_S15_SEED}' || event_type), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0 AS u
+  FROM g
+)
+SELECT event_type, true_count,
+       round(true_count
+             + round((-1.0 / {_S15_EPS}) * sign(u - 0.5)
+                     * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS noisy_count
+FROM h
+"""
+
+QUERIES["s15_stream_dp_release"] = QuerySpec(s15_stream_dp_release, S15_SQL)

@@ -307,3 +307,36 @@ def test_dp_noise_is_deterministic_and_key_dependent(spark):
         for r in c63_dp_noisy_counts(spark, sf).collect()
     }
     assert len(errs) > 1
+
+
+def test_item_cf_cosine_and_support(spark, tmp_path):
+    # baskets o1:{1,2}, o2:{1,2}, o3:{1,3}: pair (1,2) has co_count 2 and
+    # sim 2/sqrt(pop1*pop2) = 2/sqrt(6); (1,3) dies on min support 2.
+    from bigdata_scala_offline_data_clean_spark.queries.round9b import (
+        a173_item_cf,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    sf = str(tmp_path)
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    out = a173_item_cf(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.co_count, r.pop_u, r.pop_v) == (1, 2, 2, 3, 2)
+    assert r.cosine_sim == round(2 / (6 ** 0.5), 6)
+
+
+def test_stream_dp_release_deterministic(spark):
+    from bigdata_scala_offline_data_clean_spark.queries.round9b import (
+        s15_stream_dp_release,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.event_type: r.noisy_count for r in s15_stream_dp_release(spark, sf).collect()}
+    b = {r.event_type: r.noisy_count for r in s15_stream_dp_release(spark, sf).collect()}
+    assert a == b
+    t = {r.event_type: r.true_count for r in s15_stream_dp_release(spark, sf).collect()}
+    assert all(a[k] != t[k] for k in t)  # noise is never exactly zero

@@ -521,6 +521,13 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         (), ("CartesianProduct", "SortMergeJoin"), None,
     ),
     "c63_dp_noisy_counts": ((), ("Join",), 2),
+    # item CF: basket self-join + item-keyed popularity joins, whale
+    # baskets excluded before pairing; top-50 is TakeOrdered
+    "a173_item_cf": (
+        ("TakeOrderedAndProject",), ("CartesianProduct", "NestedLoop"), None,
+    ),
+    # streaming DP release reads merged partials: one keyed agg, no join
+    "s15_stream_dp_release": ((), ("Join",), None),
 }
 
 
