@@ -209,6 +209,7 @@ HEADLINE = [
     "c63_dp_noisy_counts",  # seeded-Laplace DP release + utility audit
     "a173_item_cf",  # basket-cosine item similarity (whale-bounded)
     "s15_stream_dp_release",  # count partials -> seeded-DP noisy release
+    "c64_erasure_cascade_plan",  # GDPR erasure dry-run (pushdown + semi-join)
 ]
 
 

@@ -1177,3 +1177,73 @@ FROM h
 """
 
 QUERIES["s15_stream_dp_release"] = QuerySpec(s15_stream_dp_release, S15_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c64 -- GDPR erasure-cascade plan: the delete counterpart of c54's
+# subject-access export.  For a deterministic subject cohort, count what
+# each table would erase and what the cascade strands (lineitems of
+# erased orders).  Every per-table count filters on the subject key
+# BEFORE aggregating, so pushdown reaches each scan; the order-key
+# bridge to lineitem is a semi-join on the orders slice.  A real
+# pipeline turns these counts into retraction batches
+# (operators/incremental.retraction merge) -- this query is the dry-run
+# audit that sizes them.
+# ---------------------------------------------------------------------------
+
+_C64_MOD, _C64_REM = 1000, 7
+
+
+def c64_erasure_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    subj = F.col("c_custkey") % _C64_MOD == _C64_REM
+    n_cust = cu.where(subj).agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_to_erase"),
+    )
+    o_slice = o.where(F.col("o_custkey") % _C64_MOD == _C64_REM)
+    n_ord = o_slice.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_to_erase"),
+    )
+    n_li = (
+        li.join(
+            o_slice.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        ).agg(
+            F.lit("lineitem_cascade").alias("table_name"),
+            F.count(F.lit(1)).alias("rows_to_erase"),
+        )
+    )
+    n_ev = ev.where(F.col("user_id") % _C64_MOD == _C64_REM).agg(
+        F.lit("events").alias("table_name"),
+        F.count(F.lit(1)).alias("rows_to_erase"),
+    )
+    return (
+        n_cust.unionByName(n_ord).unionByName(n_li).unionByName(n_ev)
+    )
+
+
+C64_SQL = f"""
+SELECT 'customer' AS table_name, count(*) AS rows_to_erase
+FROM customer WHERE c_custkey % {_C64_MOD} = {_C64_REM}
+UNION ALL
+SELECT 'orders', count(*) FROM orders
+WHERE o_custkey % {_C64_MOD} = {_C64_REM}
+UNION ALL
+SELECT 'lineitem_cascade', count(*) FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_custkey % {_C64_MOD} = {_C64_REM}
+)
+UNION ALL
+SELECT 'events', count(*) FROM events
+WHERE user_id % {_C64_MOD} = {_C64_REM}
+"""
+
+QUERIES["c64_erasure_cascade_plan"] = QuerySpec(
+    c64_erasure_cascade_plan, C64_SQL
+)

@@ -340,3 +340,52 @@ def test_stream_dp_release_deterministic(spark):
     assert a == b
     t = {r.event_type: r.true_count for r in s15_stream_dp_release(spark, sf).collect()}
     assert all(a[k] != t[k] for k in t)  # noise is never exactly zero
+
+
+def test_hard_negative_empty_query_batch(spark):
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    assert hard_negative_topk(e, e.where("vec_id < 0"), k=3).count() == 0
+
+
+def test_char_class_profile_empty_frame(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = char_class_profile(df)
+    assert out.count() == 0
+    assert {"n_chars_cls", "n_alpha", "n_digit", "n_space", "n_other"} <= set(
+        out.columns
+    )
+
+
+def test_erasure_cascade_counts(spark, tmp_path):
+    # subject 7: 1 customer row, 2 orders, 3 cascaded lineitems, 1 event;
+    # customer 8 is untouched.
+    from bigdata_scala_offline_data_clean_spark.queries.round9b import (
+        c64_erasure_cascade_plan,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(7,), (8,)], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(100, 7), (101, 7), (102, 8)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(100, 1), (100, 2), (101, 1), (102, 1)],
+        "l_orderkey long, l_linenumber long",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 7), (2, 8), (3, 1007)], "event_id long, user_id long"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.table_name: r.rows_to_erase
+        for r in c64_erasure_cascade_plan(spark, sf).collect()
+    }
+    assert got == {
+        "customer": 1,
+        "orders": 2,
+        "lineitem_cascade": 3,
+        "events": 2,  # user 1007 also matches % 1000 == 7 -- the cohort rule
+    }

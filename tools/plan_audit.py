@@ -528,6 +528,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     ),
     # streaming DP release reads merged partials: one keyed agg, no join
     "s15_stream_dp_release": ((), ("Join",), None),
+    # erasure plan: four pushed-down subject filters + one semi-join on
+    # the orders slice; 1-row agg frames union -- never a cartesian
+    "c64_erasure_cascade_plan": (
+        ("LeftSemi",), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
