@@ -210,6 +210,19 @@ HEADLINE = [
     "a173_item_cf",  # basket-cosine item similarity (whale-bounded)
     "s15_stream_dp_release",  # count partials -> seeded-DP noisy release
     "c64_erasure_cascade_plan",  # GDPR erasure dry-run (pushdown + semi-join)
+    "a174_min_cost_supplier",  # Q2 shape: per-part min-cost winner set
+    "a175_volume_shipping",  # Q7 shape: bilateral nation-pair volume
+    "a176_market_share",  # Q8 shape: CASE-share per order-year
+    "a177_custdist",  # Q13 shape: order-count distribution w/ zero bucket
+    "a178_top_supplier",  # Q15 shape: trailing-window revenue argmax
+    "a179_promo_share",  # Q14 shape: promo revenue share per month
+    "a180_bm25_topk",  # Okapi BM25 top terms per document
+    "a181_late_order_priority",  # Q4 shape: semi-join lateness census
+    "a182_disjunctive_band_revenue",  # Q19 shape: OR'd brand/size/qty bands
+    "a183_returned_top_customers",  # Q10 shape: returnflag top-20
+    "a184_discount_band_revenue",  # Q6 shape: scan-side band scalar agg
+    "a185_product_profit",  # Q9 shape: decimal profit by nation x year
+    "a186_positional_boilerplate",  # first/last-token mode per source
 ]
 
 

@@ -359,6 +359,78 @@ def tfidf_top_terms(
     )
 
 
+def bm25_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` Okapi BM25 terms per document (retrieval-grade keywords).
+
+    Same three-shuffle shape as :func:`tfidf_top_terms` -- (doc, term)
+    counts, vocab-sized document frequency, per-doc top-k window -- plus a
+    length-normalized saturation term BM25 adds over raw TF-IDF:
+
+        idf(t) = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)        [Robertson]
+        tfc(t, d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    The corpus scalars (N, sum of doc lengths) ride one broadcast 1-row
+    frame; ``avgdl`` is derived from exact BIGINT sums so the doubles both
+    engines divide are identical.  ``idf`` is rounded to 9 decimals before
+    the product (repo float rule) so ranking ties break identically.
+    """
+    from pyspark.sql import Window
+
+    from .etl import spread_narrow_scan
+
+    toksed = spread_narrow_scan(df, id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    )
+    tf = (
+        toksed.select(
+            id_col,
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "term", "__dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = toksed.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum(F.size("__toks").cast("bigint")).alias("__sumdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("__dft"))
+    nd = F.col("__nd").cast("double")
+    idf = F.round(
+        F.log((nd - F.col("__dft") + F.lit(0.5)) / (F.col("__dft") + F.lit(0.5)) + F.lit(1.0)),
+        9,
+    )
+    avgdl = F.col("__sumdl").cast("double") / nd
+    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("__score", idf * tfc)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.col("__dl").cast("bigint").alias("dl"),
+            F.round("__score", 6).alias("bm25"),
+            "rank",
+        )
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

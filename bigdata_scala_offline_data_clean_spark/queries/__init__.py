@@ -72,6 +72,8 @@ def all_queries() -> dict[str, QuerySpec]:
         round7,
         round9,
         round9b,
+        round9c,
+        round9d,
         streaming_q,
     )
 
@@ -88,6 +90,8 @@ def all_queries() -> dict[str, QuerySpec]:
         round7,
         round9,
         round9b,
+        round9c,
+        round9d,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -533,6 +533,75 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c64_erasure_cascade_plan": (
         ("LeftSemi",), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # TPC-H shapes (round 9c): dims broadcast, facts never self-join.
+    # Q2 shape: catalog groupBy + per-part window-min = 2 hash exchanges
+    # (the other 4 are dim broadcasts), top-100 TakeOrdered-bounded, no SMJ
+    "a174_min_cost_supplier": (
+        ("BroadcastHashJoin", "TakeOrderedAndProject"),
+        ("SortMergeJoin", "CartesianProduct"),
+        6,
+    ),
+    # Q7 shape: nation-pair slices broadcast onto the fact; the year agg
+    # is the only hash exchange (rest are the 5 dim broadcasts + AQE final)
+    "a175_volume_shipping": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), 7,
+    ),
+    # Q8 shape: all dims broadcast (7); one year-agg exchange + AQE final
+    "a176_market_share": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), 9,
+    ),
+    # Q13 shape: per-cust count + distribution hash exchanges + the kept-
+    # orders broadcast (+ AQE final)
+    "a177_custdist": ((), ("SortMergeJoin", "CartesianProduct"), 4),
+    # Q15 shape: 1-row max frames ride broadcast NLJs (the accepted c13
+    # pattern), never a cartesian
+    "a178_top_supplier": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # Q14 shape: one broadcast part join, one month-agg exchange (+ AQE
+    # final)
+    "a179_promo_share": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), 3,
+    ),
+    # BM25: per-doc top-k must prune via WindowGroupLimit before the
+    # window sort; corpus scalars ride a 1-row broadcast
+    "a180_bm25_topk": (
+        ("WindowGroupLimit",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # Q4 shape: the EXISTS must decorrelate to a LeftSemi hash join with
+    # the lateness range as residual -- never a per-row rescan
+    "a181_late_order_priority": (
+        ("LeftSemi",), ("NestedLoop", "CartesianProduct"), 3,
+    ),
+    # Q19 shape: one broadcast part join; the OR bands stay one residual
+    # filter (2 = agg single-partition + broadcast exchange)
+    "a182_disjunctive_band_revenue": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), 2,
+    ),
+    # Q10 shape: returnflag slice pushes to the scan; top-20 TakeOrdered
+    "a183_returned_top_customers": (
+        ("BroadcastHashJoin", "TakeOrderedAndProject", "l_returnflag"),
+        ("SortMergeJoin", "CartesianProduct"),
+        4,
+    ),
+    # Q6 shape: band filters push to the scan; the anchored-max frame is
+    # the accepted 1-row BNLJ; 3 = max agg + broadcast + final agg
+    "a184_discount_band_revenue": (
+        ("BroadcastNestedLoopJoin", "l_quantity"),
+        ("CartesianProduct", "SortMergeJoin"),
+        3,
+    ),
+    # Q9 shape: part slice + supplier + nation broadcast; one year agg
+    "a185_product_profit": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), 6,
+    ),
+    # positional boilerplate: mode pick prunes via WindowGroupLimit;
+    # totals broadcast back
+    "a186_positional_boilerplate": (
+        ("WindowGroupLimit", "BroadcastHashJoin"),
+        ("SortMergeJoin", "CartesianProduct"),
+        5,
+    ),
 }
 
 
