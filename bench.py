@@ -223,6 +223,7 @@ HEADLINE = [
     "a184_discount_band_revenue",  # Q6 shape: scan-side band scalar agg
     "a185_product_profit",  # Q9 shape: decimal profit by nation x year
     "a186_positional_boilerplate",  # first/last-token mode per source
+    "a187_simhash_hamming_census",  # value-collapsed Manku banded census
 ]
 
 

@@ -693,6 +693,105 @@ def simhash(
     return agg.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
+def simhash_hamming_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Count document pairs at each SimHash hamming distance <= k.
+
+    The Manku/Jain/Sarma near-dup detection scheme (WWW'07), value-
+    collapsed for scale: fingerprints are grouped first, so the banded
+    self-join runs over DISTINCT fingerprint values -- |values| rows, not
+    |docs| -- and pair counts multiply group sizes back at the end
+    (``cnt_a * cnt_b`` across values, ``C(cnt, 2)`` within a value).  The
+    same trick ``distributed_ntile`` uses: heavy fingerprint collisions
+    (template corpora) make the collapsed frame SMALLER, never a hotter
+    join.
+
+    Pigeonhole soundness: ``max_hamming < n_bands`` guarantees every pair
+    within the radius agrees on >= 1 of the ``n_bands`` equal-width bands
+    of the ``bits``-bit fingerprint, so band-equality candidates are a
+    superset of true pairs; exact ``bit_count(xor)`` then verifies.
+
+    Returns one row per hamming distance 0..max_hamming with the exact
+    number of document pairs at that distance.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole requires max_hamming < n_bands")
+    if bits % n_bands:
+        raise ValueError("n_bands must divide bits")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+
+    fp = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    groups = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("__cnt"))
+
+    # hamming 0: pairs within one fingerprint group
+    zero = groups.select(
+        F.lit(0).alias("hamming"),
+        (F.col("__cnt") * (F.col("__cnt") - 1) / 2).cast("bigint").alias(
+            "n_pairs"
+        ),
+    )
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = groups.select("simhash", "__cnt", F.explode(band_arr).alias("bv")).select(
+        "simhash", "__cnt", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    l = bands.select(
+        F.col("simhash").alias("__sh_a"),
+        F.col("__cnt").alias("__cnt_a"),
+        "band",
+        "val",
+    )
+    r = bands.select(
+        F.col("simhash").alias("__sh_b"),
+        F.col("__cnt").alias("__cnt_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        l.join(r, ["band", "val"])
+        .where(F.col("__sh_a") < F.col("__sh_b"))
+        .select("__sh_a", "__cnt_a", "__sh_b", "__cnt_b")
+        .distinct()
+    )
+    nonzero = (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))
+            ).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            "hamming",
+            (F.col("__cnt_a") * F.col("__cnt_b")).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        zero.unionByName(nonzero)
+        .groupBy("hamming")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+        .orderBy("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-level duplicated-segment removal (the C4 "repeated lines" filter)
 # ---------------------------------------------------------------------------

@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9b,
         round9c,
         round9d,
+        round9e,
         streaming_q,
     )
 
@@ -92,6 +93,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9b,
         round9c,
         round9d,
+        round9e,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

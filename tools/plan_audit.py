@@ -602,6 +602,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("SortMergeJoin", "CartesianProduct"),
         5,
     ),
+    # simhash census: the banded self-join runs over the value-collapsed
+    # fingerprint frame (equi-join on band/val) -- never a cartesian or
+    # nested loop over documents
+    "a187_simhash_hamming_census": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
