@@ -224,6 +224,7 @@ HEADLINE = [
     "a185_product_profit",  # Q9 shape: decimal profit by nation x year
     "a186_positional_boilerplate",  # first/last-token mode per source
     "a187_simhash_hamming_census",  # value-collapsed Manku banded census
+    "c65_bloom_prejoin",  # runtime-bloom-pruned shuffle join (cloned session)
 ]
 
 

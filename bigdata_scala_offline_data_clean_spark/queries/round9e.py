@@ -94,3 +94,76 @@ ORDER BY hamming
 QUERIES["a187_simhash_hamming_census"] = QuerySpec(
     a187_simhash_hamming_census, _a187_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# c65 -- runtime-bloom-pruned shuffle join.  The 100 TB pattern: when a
+# selective dim slice shuffle-joins a huge fact, Spark's InjectRuntimeFilter
+# builds an xxhash64 bloom filter over the creation side's join keys and
+# pushes a might_contain() semi-filter onto the FACT SCAN, so rows that
+# cannot match never enter the shuffle.  The bloom is a superset filter
+# (false positives only) and the join still verifies equality, so the
+# result is byte-identical to the plain join -- the oracle is plain SQL.
+#
+# The conf knobs live on a CLONED SparkSession (spark.newSession(): shared
+# catalog/JVM, separate SQLConf), so forcing the shuffle join and lowering
+# the injection thresholds to toy scale cannot leak into other queries in
+# the same sweep.  Plan-gated: might_contain + SortMergeJoin must appear.
+# ---------------------------------------------------------------------------
+
+
+def c65_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # toy-scale visibility: at 100 TB the defaults (creation side <= 10 MB,
+    # application side >= 10 GB) fire on their own; here both sides are KB
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    # the bloom pays when the join SHUFFLES (a broadcast join already
+    # prunes map-side); model the 100 TB shuffle-join case explicitly
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    li = load_table(s2, sf_dir, "lineitem")
+    o = load_table(s2, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+C65_SQL = """
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["c65_bloom_prejoin"] = QuerySpec(c65_bloom_prejoin, C65_SQL)

@@ -56,3 +56,20 @@ def test_census_pigeonhole_guards(spark):
         simhash_hamming_census(d, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError, match="divide"):
         simhash_hamming_census(d, bits=32, max_hamming=3, n_bands=5)
+
+
+def test_bloom_prejoin_isolates_session_confs(spark):
+    # c65 tunes bloom/broadcast confs on a CLONED session; the caller's
+    # session must keep its own values, and the returned plan must carry
+    # the runtime bloom semi-filter on the fact side.
+    from bigdata_scala_offline_data_clean_spark.queries.round9e import (
+        c65_bloom_prejoin,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = c65_bloom_prejoin(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "SortMergeJoin" in plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert df.count() > 0

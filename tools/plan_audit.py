@@ -608,6 +608,13 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a187_simhash_hamming_census": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # runtime bloom: the xxhash64 might_contain semi-filter must sit on
+    # the fact side of the shuffle join (the 100 TB shuffle-prune case)
+    "c65_bloom_prejoin": (
+        ("might_contain", "SortMergeJoin"),
+        ("CartesianProduct", "NestedLoop"),
+        None,
+    ),
 }
 
 
