@@ -225,6 +225,9 @@ HEADLINE = [
     "a186_positional_boilerplate",  # first/last-token mode per source
     "a187_simhash_hamming_census",  # value-collapsed Manku banded census
     "c65_bloom_prejoin",  # runtime-bloom-pruned shuffle join (cloned session)
+    "a188_important_parts",  # Q11 shape: HAVING vs global scalar fraction
+    "a189_priority_line_counts",  # Q12 shape: fact-fact CASE counts
+    "a190_supplier_relation_census",  # Q16 shape: count-distinct w/ NOT-IN
 ]
 
 

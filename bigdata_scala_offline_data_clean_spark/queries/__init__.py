@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9c,
         round9d,
         round9e,
+        round9f,
         streaming_q,
     )
 
@@ -94,6 +95,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9c,
         round9d,
         round9e,
+        round9f,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

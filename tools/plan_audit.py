@@ -615,6 +615,25 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("CartesianProduct", "NestedLoop"),
         None,
     ),
+    # Q11 shape: supplier/nation dims broadcast; the total frame is a
+    # 1-row broadcast (BNLJ accepted); never an SMJ or cartesian
+    "a188_important_parts": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), None,
+    ),
+    # Q12 shape: the lineitem-orders fact-fact join keys on the order
+    # key (AQE may legally convert it to broadcast at bench scale, so no
+    # join type is pinned); the max-anchor frame is a 1-row broadcast
+    # (BNLJ accepted) -- but never a cartesian
+    "a189_priority_line_counts": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # Q16 shape: blocklist exclusion is a broadcast LEFT ANTI; the part
+    # dim broadcasts pre-filtered; never an SMJ or cartesian
+    "a190_supplier_relation_census": (
+        ("LeftAnti", "BroadcastHashJoin"),
+        ("SortMergeJoin", "CartesianProduct"),
+        None,
+    ),
 }
 
 
