@@ -228,6 +228,9 @@ HEADLINE = [
     "a188_important_parts",  # Q11 shape: HAVING vs global scalar fraction
     "a189_priority_line_counts",  # Q12 shape: fact-fact CASE counts
     "a190_supplier_relation_census",  # Q16 shape: count-distinct w/ NOT-IN
+    "a191_triangle_census",  # degree-oriented triangle count (WWW'11)
+    "c66_zone_map_pruning",  # per-day zone-map data-skipping audit
+    "s16_stream_left_attribution",  # left-outer stream join + flush sentinel
 ]
 
 

@@ -284,3 +284,98 @@ def pagerank(
     )
     ed.unpersist()
     return out
+
+
+def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """One-row global triangle census over an undirected canonical
+    (``u < v``, deduped) edge set: ``(n_nodes, n_edges, n_wedges,
+    n_triangles, global_clustering)``.
+
+    Degree-ORIENTED enumeration (Suri & Vassilvitskii, WWW'11 "the curse
+    of the last reducer"): every edge is re-oriented from its lower-
+    degree endpoint to its higher-degree endpoint (ties broken by node
+    id), so out-degree is bounded by O(sqrt(m)) and the wedge self-join
+    emits O(m^1.5) candidates TOTAL regardless of skew -- a star node
+    with degree 10^6 generates zero wedges from its center, because all
+    its edges point INTO it.  The naive u<v three-way join, by contrast,
+    funnels every hub's full neighborhood through one reducer: the
+    canonical last-reducer skew bomb at 100 TB.  Each candidate wedge
+    (a->b, a->c) closes iff the oriented edge b->c exists (one hash
+    semi-join keyed on the pair).  Triangle counts are orientation-
+    invariant, so the DuckDB oracle may use the canonical-order 3-way
+    join and agree exactly.
+
+    ``n_wedges`` is the open-path count sum(deg*(deg-1)/2) (integer
+    exact, from the degree table alone); ``global_clustering`` is the
+    standard 3*triangles/wedges transitivity ratio -- the ONE IEEE
+    division in the output, rounded to 6.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    # orientation key (deg, node) totally orders endpoints; broadcast is
+    # NOT used -- deg is node-sized, so both joins shuffle on the node
+    # key and co-partition with the degree aggregation
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    lo_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("c"))
+    # wedge (b, c) ordered by node id so each unordered pair appears once;
+    # the closing edge may be oriented either way, so probe both keys
+    wedges = (
+        w1.join(w2, "s")
+        .where(F.col("b") < F.col("c"))
+        .select("b", "c")
+    )
+    closing = oriented.select(
+        F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
+    )
+    # closing edges are distinct (the input edge set is canonical and the
+    # orientation is a bijection on it), so LEFT SEMI keeps each closed
+    # wedge ROW exactly once -- and each triangle IS exactly one wedge row
+    # (its unique orientation-minimal apex), including two triangles that
+    # share the same (b, c) pair from different apexes (two rows survive)
+    tri = wedges.join(closing, ["b", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            F.expr("CAST(deg AS BIGINT) * (deg - 1) div 2")
+        ).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -205,3 +205,271 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 QUERIES["a190_supplier_relation_census"] = QuerySpec(
     a190_supplier_relation_census, A190_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a191 -- global triangle census on the co-purchase graph (a162's edge
+# fixture).  Spark runs degree-ORIENTED enumeration (Suri &
+# Vassilvitskii WWW'11 -- out-degree bounded by O(sqrt(m)), so a hub
+# node emits zero wedges from its center and no "last reducer" exists);
+# the oracle runs the canonical u<v three-way join, legal at toy scale,
+# and the counts agree exactly because triangle count is
+# orientation-invariant.  Clustering coefficient = 3*tri/wedges is the
+# one IEEE division, rounded to 6.
+# ---------------------------------------------------------------------------
+
+_A191_SUPPORT = 2
+
+
+def a191_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import co_purchase_edges, triangle_census
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = co_purchase_edges(
+        li.select("l_orderkey", "l_partkey"), min_support=_A191_SUPPORT
+    )
+    return triangle_census(edges)
+
+
+def _a191_sql() -> str:
+    from ..operators.graph import co_edges_cte
+
+    return f"""
+WITH {co_edges_cte("e", min_support=_A191_SUPPORT)},
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) s
+  GROUP BY 1
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+         AS n_wedges,
+       n_triangles,
+       round(3.0 * n_triangles
+             / (SELECT SUM((deg * (deg - 1)) // 2) FROM deg), 6)
+         AS global_clustering
+FROM tri
+"""
+
+
+QUERIES["a191_triangle_census"] = QuerySpec(a191_triangle_census, _a191_sql())
+
+
+# ---------------------------------------------------------------------------
+# c66 -- zone-map pruning audit: per-day partition min/max "zone maps"
+# over orders.o_totalprice, then each partition classified against a
+# band predicate the way a parquet/Delta reader's data-skipping pass
+# would -- 'pruned' (zone disjoint from the band: file never opened),
+# 'full' (zone inside the band: rows need no re-filter), 'partial'
+# (file opened and filtered).  The summary per class (partition count +
+# row count) is the standard layout-health readout deciding whether a
+# table needs clustering (see operators/layout.zorder_layout for the
+# fix this audit motivates).  One day-keyed aggregate + one class-keyed
+# aggregate; no join.
+# ---------------------------------------------------------------------------
+
+_C66_LO, _C66_HI = 50_000, 150_000
+
+
+def c66_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    zm = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "part_day"
+        )
+    ).agg(
+        F.min("o_totalprice").alias("__mn"),
+        F.max("o_totalprice").alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cls = (
+        F.when(
+            (F.col("__mx") < _C66_LO) | (F.col("__mn") > _C66_HI), "pruned"
+        )
+        .when(
+            (F.col("__mn") >= _C66_LO) & (F.col("__mx") <= _C66_HI), "full"
+        )
+        .otherwise("partial")
+    )
+    return (
+        zm.select(cls.alias("scan_class"), "__n")
+        .groupBy("scan_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("__n").alias("n_rows"),
+        )
+        .orderBy("scan_class")
+    )
+
+
+C66_SQL = f"""
+WITH zm AS (
+  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS part_day,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CASE WHEN mx < {_C66_LO} OR mn > {_C66_HI} THEN 'pruned'
+            WHEN mn >= {_C66_LO} AND mx <= {_C66_HI} THEN 'full'
+            ELSE 'partial' END AS scan_class,
+       count(*) AS n_partitions,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM zm
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["c66_zone_map_pruning"] = QuerySpec(c66_zone_map_pruning, C66_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s16 -- watermarked stream-stream LEFT OUTER interval join (attribution
+# with explicit non-conversions: every view emits exactly once, either
+# with its attributed click or null-padded).  Structured Streaming emits
+# outer results ONLY when the watermark passes left_ts + within, via the
+# engine's no-data batch -- so an availableNow run would withhold every
+# view inside the final watermark horizon and never match the batch
+# oracle.  The production fix is the FLUSH SENTINEL (heartbeat) pattern:
+# one view + one click event at max(ts) + 1 day under the reserved
+# user_id -1, dropped into the source dir next to the real file.  The
+# sentinel advances both sides' watermarks past every real row, the
+# no-data batch evicts and emits all state, and the sentinel rows
+# themselves are filtered from the output.  The oracle is then the plain
+# batch LEFT JOIN over the ORIGINAL events -- full-strength equality.
+# ---------------------------------------------------------------------------
+
+
+def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch drop dir: events.parquet symlink + the sentinel file,
+    written once (idempotent via a done-marker).  The sentinel parquet is
+    built with pyarrow against the file's EXACT arrow schema, so both
+    testdata vintages (ns-int64 and timestamp[us]) round-trip; its max-ts
+    anchor is one bounded driver fetch from a Spark aggregate."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    drop_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_flush_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    done = os.path.join(drop_dir, ".sentinel_done")
+    if os.path.exists(done):
+        return drop_dir
+    os.makedirs(drop_dir, exist_ok=True)
+    link = os.path.join(drop_dir, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    schema = pq.read_schema(src)
+    ts_type = schema.field("ts").type
+    raw = spark.read.parquet(src)
+    mx = raw.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row fetch
+    day_us = 86_400 * 10**6
+    if pa.types.is_integer(ts_type):  # TIMESTAMP(NANOS) vintage, ns-long
+        sent_ts = [int(mx) + day_us * 1000] * 2
+        ts_arr = pa.array(sent_ts, type=ts_type)
+    else:
+        import datetime
+
+        bump = datetime.timedelta(days=1)
+        ts_arr = pa.array([mx + bump, mx + bump], type=ts_type)
+    cols = []
+    for f in schema:
+        if f.name == "ts":
+            cols.append(ts_arr)
+        elif f.name == "event_id":
+            cols.append(pa.array([-1, -2], type=f.type))
+        elif f.name == "user_id":
+            cols.append(pa.array([-1, -1], type=f.type))
+        elif f.name == "event_type":
+            cols.append(pa.array(["view", "click"], type=f.type))
+        else:
+            cols.append(pa.nulls(2, type=f.type))
+    pq.write_table(
+        pa.Table.from_arrays(cols, schema=pa.schema(list(schema))),
+        os.path.join(drop_dir, "sentinel.parquet"),
+    )
+    open(done, "w").close()
+    return drop_dir
+
+
+def s16_stream_left_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.jobs import run_available_now, stream_stream_join
+    from ._util import ts_str
+
+    drop_dir = _s16_source_dir(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events")  # pins session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(raw_schema).parquet(drop_dir)
+    for c, t in ev.dtypes:
+        if c == "ts" and t == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            ev = ev.withColumn(c, F.col(c).cast("timestamp"))
+    ev = ev.select(*batch.columns)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = stream_stream_join(
+        views,
+        clicks,
+        "user_id",
+        "view_ts",
+        "click_ts",
+        "1 hour",
+        "15 minutes",
+        how="left_outer",
+    )
+    return (
+        run_available_now(joined, spark)
+        .where(F.col("user_id") >= 0)  # drop the flush sentinel
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            ts_str("view_ts").alias("view_ts"),
+            ts_str("click_ts").alias("click_ts"),
+        )
+    )
+
+
+S16_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events v
+LEFT JOIN events c
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+WHERE v.event_type = 'view'
+"""
+
+QUERIES["s16_stream_left_attribution"] = QuerySpec(
+    s16_stream_left_attribution, S16_SQL
+)

@@ -141,8 +141,9 @@ def stream_stream_join(
     right_ts: str,
     watermark: str = "1 hour",
     within: str = "15 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join bounded by an event-time range
+    """Watermarked stream-stream join bounded by an event-time range
     (the click-attribution pattern: right events within ``within`` after
     the matching left event).
 
@@ -151,6 +152,14 @@ def stream_stream_join(
     side buffers only rows inside the watermark horizon, so state is
     O(rate x horizon), not O(stream history).  Column names other than
     ``key`` must be pre-disambiguated by the caller.
+
+    ``how='left_outer'`` additionally emits a null-padded row for each
+    left event once the watermark passes ``left_ts + within`` (Spark
+    emits outer results ONLY on watermark advance, via the engine's
+    no-data batch after the last data batch) -- so under an
+    ``availableNow`` run, left rows inside the final watermark horizon
+    are withheld at termination unless the caller advances the watermark
+    past them (see s16's flush-sentinel pattern).
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark).withColumnRenamed(key, "__rkey")
@@ -159,7 +168,7 @@ def stream_stream_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop("__rkey")
+    return l.join(r, cond, how).drop("__rkey")
 
 
 def stream_enrich(

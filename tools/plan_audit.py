@@ -634,6 +634,18 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("SortMergeJoin", "CartesianProduct"),
         None,
     ),
+    # triangle census: wedge/closing joins are equi-joins on node/pair
+    # keys; the 1-row stat frames broadcast (BNLJ accepted); never a
+    # cartesian
+    "a191_triangle_census": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # zone-map audit: two keyed aggs + final sort, no join at all
+    "c66_zone_map_pruning": ((), ("Join",), 4),
+    # streaming left-outer attribution: the returned frame is the
+    # memory-sink readback (the streaming run happens inside); nothing
+    # heavier than a filter+project may sit on top
+    "s16_stream_left_attribution": ((), ("Join", "Exchange"), 0),
 }
 
 
