@@ -231,6 +231,7 @@ HEADLINE = [
     "a191_triangle_census",  # degree-oriented triangle count (WWW'11)
     "c66_zone_map_pruning",  # per-day zone-map data-skipping audit
     "s16_stream_left_attribution",  # left-outer stream join + flush sentinel
+    "a192_bpe_merges",  # BPE merge induction over the word-type table
 ]
 
 

@@ -682,3 +682,92 @@ def pmi_collocations(
         .limit(top)
         .select("gram", "c12", "c1", "c2", "pmi")
     )
+
+
+def bpe_merge_rounds(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First ``rounds`` BPE merges over the corpus (Sennrich et al.,
+    ACL'16 tokenizer induction): per round, the globally most frequent
+    adjacent symbol pair (ties broken lexicographically) becomes one new
+    symbol; output is one row per round ``(round, left_sym, right_sym,
+    merged_sym, pair_count)``.
+
+    The classic scale trick IS the algorithm: pair statistics ride the
+    word-TYPE frequency table (distinct words x freq), never the token
+    stream -- at 100 TB the corpus may hold 10^14 tokens but only 10^8
+    word types, so each round is one explode + one sum over a
+    vocab-sized frame, with the argmax a 1-row TakeOrdered broadcast
+    back into the merge step.  Pair counts are position-based (``aaa``
+    counts ``(a,a)`` twice, the standard counting rule); the merge is
+    greedy left-to-right via literal (non-regex) ``replace`` on the
+    space-separated symbol string, applied TWICE because a single
+    non-overlapping replace pass misses back-to-back sites sharing a
+    delimiter space (`` a b a b `` -- the first match consumes the
+    middle space).  Two passes fix every such chain a second round of
+    sites can produce; the SQL oracle applies the identical two-pass
+    expression, so both engines compute the same (documented) greedy
+    variant bit-for-bit.
+    """
+    wf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.sum(F.lit(1)).alias("freq"))
+    )
+    seq = wf.select(
+        "freq",
+        F.expr("array_join(regexp_extract_all(w, '.', 0), ' ')").alias("seq"),
+    ).localCheckpoint(eager=False)
+    out = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            seq.select(
+                "freq",
+                # slice-and-zip (NOT sequence(1, n-1): Spark's sequence
+                # counts DOWN when n-1 < 1, so 1-symbol words would
+                # explode); empty slices zip to an empty array safely
+                F.explode(
+                    F.expr(
+                        "zip_with("
+                        " slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1),"
+                        " slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1),"
+                        " (x, y) -> struct(x AS p1, y AS p2))"
+                    )
+                ).alias("z"),
+            )
+            .groupBy(F.col("z.p1").alias("p1"), F.col("z.p2").alias("p2"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), "p1", "p2"
+        ).limit(1).localCheckpoint(eager=False)
+        out.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("p1").alias("left_sym"),
+                F.col("p2").alias("right_sym"),
+                F.concat("p1", "p2").alias("merged_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        merge_once = (
+            "replace(concat(' ', {s}, ' '),"
+            " concat(' ', p1, ' ', p2, ' '), concat(' ', p1, p2, ' '))"
+        )
+        seq = (
+            seq.crossJoin(F.broadcast(top.select("p1", "p2")))
+            .select(
+                "freq",
+                F.expr(
+                    "trim(" + merge_once.format(s=merge_once.format(s="seq")) + ")"
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), out)

@@ -473,3 +473,73 @@ WHERE v.event_type = 'view'
 QUERIES["s16_stream_left_attribution"] = QuerySpec(
     s16_stream_left_attribution, S16_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a192 -- distributed BPE merge induction (Sennrich ACL'16): the first 3
+# tokenizer merges learned from the corpus.  Pair statistics ride the
+# word-TYPE frequency table (the classic BPE scale trick -- types, not
+# tokens), each round's argmax is a 1-row broadcast back into a literal
+# two-pass replace merge; the oracle unrolls the identical three rounds
+# as a CTE chain, so the greedy variant is bit-identical across engines
+# (see operators/text.bpe_merge_rounds for the two-pass rationale).
+# ---------------------------------------------------------------------------
+
+_A192_ROUNDS = 3
+
+
+def a192_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_merge_rounds
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_rounds(d, rounds=_A192_ROUNDS)
+
+
+def _a192_sql() -> str:
+    merge_once = (
+        "replace(concat(' ', {s}, ' '),"
+        " concat(' ', (SELECT p1 FROM top{r}), ' ', (SELECT p2 FROM top{r}), ' '),"
+        " concat(' ', (SELECT p1 FROM top{r}), (SELECT p2 FROM top{r}), ' '))"
+    )
+    stages = [
+        """wf AS (
+  SELECT w, CAST(SUM(1) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) s
+  WHERE length(w) > 0 GROUP BY 1
+),
+seq0 AS (
+  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS seq
+  FROM wf
+)"""
+    ]
+    arms = []
+    for r in range(1, _A192_ROUNDS + 1):
+        p = r - 1
+        inner = merge_once.format(s="seq", r=r)
+        two_pass = merge_once.format(s=inner, r=r)
+        stages.append(
+            f"""z{r} AS (
+  SELECT freq, unnest(list_zip(syms, syms[2:])) AS z
+  FROM (SELECT freq, string_split(seq, ' ') AS syms FROM seq{p}) t
+),
+pairs{r} AS (
+  SELECT z[1] AS p1, z[2] AS p2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM z{r} WHERE z[2] IS NOT NULL GROUP BY 1, 2
+),
+top{r} AS (
+  SELECT p1, p2, cnt FROM pairs{r} ORDER BY cnt DESC, p1, p2 LIMIT 1
+),
+seq{r} AS (
+  SELECT freq, trim({two_pass}) AS seq FROM seq{p}
+)"""
+        )
+        arms.append(
+            f"""SELECT {r} AS round,
+       p1 AS left_sym, p2 AS right_sym,
+       p1 || p2 AS merged_sym, cnt AS pair_count
+FROM top{r}"""
+        )
+    return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+QUERIES["a192_bpe_merges"] = QuerySpec(a192_bpe_merges, _a192_sql())

@@ -150,3 +150,61 @@ def test_s16_emits_non_conversions(spark):
     assert all(r.user_id >= 0 for r in rows)
     assert any(r.click_id is None for r in rows)  # non-conversions emitted
     assert any(r.click_id is not None for r in rows)  # conversions too
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction: differential against a literal Python reference of
+# the documented semantics (position-based pair counts over word-type
+# freq, lexicographic tie-break, greedy two-pass space-replace merge).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_ref(texts: list[str], rounds: int):
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: " ".join(w) for w in wf}
+    out = []
+    for r in range(1, rounds + 1):
+        cnt: Counter = Counter()
+        for w, f in wf.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += f
+        if not cnt:
+            break
+        # tie-break: max count, then SMALLEST (p1, p2)
+        top_n = max(cnt.values())
+        p1, p2 = min(k for k, v in cnt.items() if v == top_n)
+        out.append((r, p1, p2, p1 + p2, top_n))
+        pat, rep = f" {p1} {p2} ", f" {p1}{p2} "
+        for w in seqs:
+            inner = (" " + seqs[w] + " ").replace(pat, rep)
+            seqs[w] = (" " + inner + " ").replace(pat, rep).strip()
+    return out
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        # back-to-back merge sites + overlap chain ('aaaa', 'abab')
+        ["aaaa abab low lower", "low low lowest abab"],
+        # tie-break exercise: two pairs with equal weighted counts
+        ["xy xy", "uv uv"],
+        # single-char words must not blow up the pair explode
+        ["a b c a b", "a a ab"],
+    ],
+)
+def test_bpe_merges_match_reference(spark, texts):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        bpe_merge_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+        for r in bpe_merge_rounds(docs, rounds=3).orderBy("round").collect()
+    ]
+    assert got == _bpe_ref(texts, 3)

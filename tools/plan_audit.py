@@ -646,6 +646,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # memory-sink readback (the streaming run happens inside); nothing
     # heavier than a filter+project may sit on top
     "s16_stream_left_attribution": ((), ("Join", "Exchange"), 0),
+    # BPE merges: everything rides the vocab-sized word-type frame; the
+    # per-round argmax is TakeOrdered and merges broadcast back.  The
+    # per-round frames sit behind localCheckpoint boundaries, so the
+    # final plan text shows only the checkpointed union -- the gate can
+    # only pin the forbids
+    "a192_bpe_merges": (
+        (), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
