@@ -232,6 +232,7 @@ HEADLINE = [
     "c66_zone_map_pruning",  # per-day zone-map data-skipping audit
     "s16_stream_left_attribution",  # left-outer stream join + flush sentinel
     "a192_bpe_merges",  # BPE merge induction over the word-type table
+    "a193_ewma_cusum_volume",  # ordered-recursion folds (EWMA + CUSUM)
 ]
 
 

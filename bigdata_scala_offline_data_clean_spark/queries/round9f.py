@@ -1,6 +1,9 @@
-"""Round-9f queries: the last three TPC-H shapes (Q11, Q12, Q16).
+"""Round-9f queries: the last three TPC-H shapes (Q11, Q12, Q16), the
+degree-oriented triangle census (a191), zone-map pruning audit (c66),
+the left-outer stream join with flush sentinel (s16), BPE merge
+induction (a192), and EWMA/CUSUM ordered-recursion monitors (a193).
 
-With these the registry covers all 22 TPC-H query SHAPES (round-9c/9d
+With the TPC-H trio the registry covers all 22 TPC-H query SHAPES (9c/9d
 added Q2/Q4-Q10/Q13-Q15/Q17-Q22; Q1/Q3 have been in since analytics.py).
 As everywhere in this family, shapes are re-expressed over the driver
 testdata schema -- there is no partsupp table, so the part<->supplier
@@ -209,7 +212,9 @@ QUERIES["a190_supplier_relation_census"] = QuerySpec(
 
 # ---------------------------------------------------------------------------
 # a191 -- global triangle census on the co-purchase graph (a162's edge
-# fixture).  Spark runs degree-ORIENTED enumeration (Suri &
+# fixture).  Complements a69 (per-node triangle top-20 via the naive
+# canonical 3-way join) the way LSH complements exact dedup: a191 IS the
+# scale path.  Spark runs degree-ORIENTED enumeration (Suri &
 # Vassilvitskii WWW'11 -- out-degree bounded by O(sqrt(m)), so a hub
 # node emits zero wedges from its center and no "last reducer" exists);
 # the oracle runs the canonical u<v three-way join, legal at toy scale,
@@ -543,3 +548,92 @@ FROM top{r}"""
 
 
 QUERIES["a192_bpe_merges"] = QuerySpec(a192_bpe_merges, _a192_sql())
+
+
+# ---------------------------------------------------------------------------
+# a193 -- EWMA + one-sided CUSUM over the daily event-volume series, per
+# event type: the two classic ORDERED-RECURSION monitors (smoothing and
+# changepoint drift) that a plain window sum cannot express (EWMA's
+# closed form overflows for long series; CUSUM's max(0, .) reset is
+# inherently recursive).  The pattern: collect the ordered prefix frame
+# into a list (bounded -- the series is CALENDAR-sized per type, never
+# data-sized) and FOLD with the recursion, identical lambda in both
+# engines, so the IEEE operation order is pinned and results are
+# bit-identical.  The CUSUM target is the per-type mean, decimal-exact
+# (integer count sum / day count -- one IEEE division).
+# ---------------------------------------------------------------------------
+
+_A193_ALPHA = 0.3
+
+
+def a193_ewma_cusum_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        (
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("__mean")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = _A193_ALPHA
+    d = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "__xs", F.collect_list(F.col("n_events").cast("double")).over(w)
+    )
+    ewma = F.expr(
+        f"aggregate(slice(__xs, 2, size(__xs) - 1),"
+        f" CAST(__xs[0] AS DOUBLE),"
+        f" (acc, v) -> {1 - a}D * acc + {a}D * v)"
+    )
+    cusum = F.expr(
+        "aggregate(__xs, CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(CAST(0 AS DOUBLE), acc + v - __mean))"
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(ewma, 6).alias("ewma"),
+        F.round(cusum, 6).alias("cusum_pos"),
+    ).orderBy("event_type", "day")
+
+
+A193_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n
+  FROM daily GROUP BY 1
+), framed AS (
+  SELECT d.event_type, d.day, d.n_events, s.mean_n,
+         list(CAST(d.n_events AS DOUBLE)) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+  FROM daily d JOIN stats s USING (event_type)
+)
+SELECT event_type, day, n_events,
+       round(CAST(list_reduce(xs,
+             (acc, v) -> {1 - _A193_ALPHA} * acc + {_A193_ALPHA} * v)
+             AS DOUBLE), 6) AS ewma,
+       round(CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+             (acc, v) -> greatest(CAST(0 AS DOUBLE), acc + v - mean_n))
+             AS DOUBLE), 6) AS cusum_pos
+FROM framed
+ORDER BY event_type, day
+"""
+
+QUERIES["a193_ewma_cusum_volume"] = QuerySpec(
+    a193_ewma_cusum_volume, A193_SQL
+)

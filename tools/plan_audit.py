@@ -654,6 +654,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a192_bpe_merges": (
         (), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # EWMA/CUSUM folds: per-type mean broadcast onto the calendar-sized
+    # daily frame; the only window is PARTITIONED by event_type
+    "a193_ewma_cusum_volume": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
