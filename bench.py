@@ -233,6 +233,7 @@ HEADLINE = [
     "s16_stream_left_attribution",  # left-outer stream join + flush sentinel
     "a192_bpe_merges",  # BPE merge induction over the word-type table
     "a193_ewma_cusum_volume",  # ordered-recursion folds (EWMA + CUSUM)
+    "a194_spend_gini",  # per-nation Gini concentration (ranked decimal sum)
 ]
 
 

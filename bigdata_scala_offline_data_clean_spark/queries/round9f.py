@@ -637,3 +637,92 @@ ORDER BY event_type, day
 QUERIES["a193_ewma_cusum_volume"] = QuerySpec(
     a193_ewma_cusum_volume, A193_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# a194 -- Gini concentration of customer spend within each nation: the
+# standard inequality readout (used in curation to flag sources where a
+# few whales dominate the data).  Gini = sum((2 r_i - n - 1) x_i) /
+# (n * sum(x)) over values ranked ascending within the nation.  The rank
+# window is PARTITIONED by nation (key-bounded -- customers per nation,
+# never raw facts); spend aggregates once from orders before ranking.
+# Weighted terms follow the repo float rule: round(term, 9) ->
+# DECIMAL(28,9) sum -> one final IEEE division.
+# ---------------------------------------------------------------------------
+
+
+def a194_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("__spend"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_custkey", "__spend")
+    )
+    w = Window.partitionBy("n_name").orderBy("__spend", "o_custkey")
+    term = (
+        (F.lit(2) * F.row_number().over(w) - F.count(F.lit(1)).over(
+            Window.partitionBy("n_name")
+        ) - F.lit(1)).cast("decimal(28,9)")
+        * F.col("__spend").cast("decimal(28,9)")
+    )
+    ranked = spend.select(
+        "n_name",
+        F.round(term, 9).cast("decimal(38,9)").alias("__term"),
+        "__spend",
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("__term").alias("__num"),
+            F.sum("__spend").alias("__tot"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            F.round(
+                F.col("__num").cast("double")
+                / (
+                    F.col("n_customers").cast("double")
+                    * F.col("__tot").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+A194_SQL = """
+WITH spend AS (
+  SELECT n_name, o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_name, spend,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY spend, o_custkey) AS r,
+         count(*) OVER (PARTITION BY n_name) AS n
+  FROM spend
+)
+SELECT n_name,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       round(CAST(SUM(CAST(round((2 * r - n - 1)
+                    * CAST(spend AS DECIMAL(28,9)), 9)
+                    AS DECIMAL(38,9))) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(spend) AS DOUBLE)), 6) AS gini
+FROM ranked
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+QUERIES["a194_spend_gini"] = QuerySpec(a194_spend_gini, A194_SQL)

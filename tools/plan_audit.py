@@ -659,6 +659,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a193_ewma_cusum_volume": (
         ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # Gini: spend aggregates before ranking (window is per-nation,
+    # key-bounded); customer/nation dims broadcast
+    "a194_spend_gini": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
