@@ -365,9 +365,14 @@ def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
+    # key the scratch dir on (path, mtime, size) so a regenerated
+    # testdata file gets a FRESH dir -- a stale sentinel below the new
+    # max(ts) would silently stop flushing the outer-join tail
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
     drop_dir = os.path.join(
         tempfile.gettempdir(),
-        f"stream_flush_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"stream_flush_{hashlib.md5(key.encode()).hexdigest()[:12]}",
     )
     done = os.path.join(drop_dir, ".sentinel_done")
     if os.path.exists(done):
@@ -404,11 +409,14 @@ def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
             cols.append(pa.array(["view", "click"], type=f.type))
         else:
             cols.append(pa.nulls(2, type=f.type))
-    pq.write_table(
-        pa.Table.from_arrays(cols, schema=pa.schema(list(schema))),
-        os.path.join(drop_dir, "sentinel.parquet"),
-    )
-    open(done, "w").close()
+    # write-then-rename so a concurrent query never streams a partial
+    # sentinel file; the done-marker rename is the commit point
+    tmp = os.path.join(drop_dir, f".sentinel_{os.getpid()}.tmp")
+    pq.write_table(pa.Table.from_arrays(cols, schema=pa.schema(list(schema))), tmp)
+    os.replace(tmp, os.path.join(drop_dir, "sentinel.parquet"))
+    tmp_done = os.path.join(drop_dir, f".done_{os.getpid()}.tmp")
+    open(tmp_done, "w").close()
+    os.replace(tmp_done, done)
     return drop_dir
 
 
