@@ -203,7 +203,12 @@ HEADLINE = [
     "a169_embedding_norm_outliers",  # median+MAD vector-norm health
     "a170_waiting_suppliers",  # Q21-shape semi/anti self-joins
     "a171_embedding_decontamination",  # eval-vs-train max-cosine screen
-    "a172_knn_label_noise",  # kNN majority-disagreement audit
+    "a172_knn_label_noise",  # kNN majority-disagreement audit -- slowest
+    # headline entry (~11s solo at sf0.1): exact brute-force kNN for a
+    # 500-vector audit batch (n/4 of the corpus), i.e. 10x a119's pair
+    # count at ~5.5x its wall.  Honest exact-audit cost, linear in
+    # |batch| x |corpus| x dim; the scale path for bigger batches is the
+    # a11/a16 LSH/IVF ANN family, not a faster cartesian.
     "c61_l_diversity",  # distinct + entropy l-diversity per QI group
     "c62_t_closeness",  # total-variation distance vs global distribution
     "c63_dp_noisy_counts",  # seeded-Laplace DP release + utility audit

@@ -408,13 +408,17 @@ def bm25_top_terms(
         9,
     )
     avgdl = F.col("__sumdl").cast("double") / nd
-    tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+    # association order mirrors the SQL oracle EXACTLY -- (idf * num) /
+    # denom, NOT idf * (num / denom): the two differ by up to 1 ulp and
+    # rank selection orders by the un-rounded score, so a different
+    # association could pick a different rank-k term across engines
+    score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
     )
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(corpus))
-        .withColumn("__score", idf * tfc)
+        .withColumn("__score", score)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("term"))
     return (
@@ -591,6 +595,11 @@ def oov_rate(
     # distinct() guards against a caller-supplied vocab with duplicate
     # tokens, which would fan out the token stream and inflate the counts
     v = vocab.select("token").distinct().withColumn("__in_vocab", F.lit(True))
+    # persist the vocab across the size probe and the join: a
+    # corpus-derived vocab is itself a full explode+groupBy pipeline, and
+    # without the persist the probe's limit+count job recomputes it a
+    # second time for the join (a second corpus scan at 100 TB)
+    v = v.persist()
     small = (
         max_broadcast_tokens is not None
         and v.limit(max_broadcast_tokens + 1).count() <= max_broadcast_tokens

@@ -121,7 +121,11 @@ def a189_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     mx = li.agg(F.max("l_shipdate").alias("__mx"))
-    high = F.col("o_orderpriority").isin(*_A189_HIGH).cast("bigint")
+    # when/otherwise, NOT isin().cast(): a NULL priority must count as
+    # LOW (the oracle's CASE ... ELSE 1), not vanish from both sums
+    high = F.when(
+        F.col("o_orderpriority").isin(*_A189_HIGH), F.lit(1)
+    ).otherwise(F.lit(0)).cast("bigint")
     return (
         li.crossJoin(F.broadcast(mx))
         .where(
@@ -363,6 +367,13 @@ def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from ._util import _pin_session
+
+    # pin nanosAsLong/UTC BEFORE the raw read: on ns-vintage testdata a
+    # fresh (driver) session would otherwise throw ILLEGAL_PARQUET_TYPE
+    # here, making the is_integer branch below unreachable
+    _pin_session(spark)
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     # key the scratch dir on (path, mtime, size) so a regenerated
