@@ -103,6 +103,21 @@ def _bsearch_below_sql(arr_sql: str, v_sql: str, m: int) -> str:
     )
 
 
+def _edge_sketch_sql(v_sql: str, k: int) -> str:
+    """The shared equi-depth boundary sketch: ``approx_percentile`` at
+    the k-1 interior quantiles of a k-way cut.
+
+    Accuracy 1000: rank error <= |input|/1000, i.e. at most ~a quarter
+    of a 1/256 slice -- far inside the 5% skew gate -- for a measurably
+    cheaper sketch than the 10000 default.  ONE definition so the three
+    consumers (_equidepth_slices, exact_percentiles,
+    grouped_exact_percentiles) can never silently diverge on the grid or
+    the accuracy.
+    """
+    qs = ", ".join(str(i / k) for i in range(1, k))
+    return f"approx_percentile({v_sql}, array({qs}), 1000)"
+
+
 def _equidepth_slices(
     counts: DataFrame,
     value_col: str,
@@ -127,10 +142,15 @@ def _equidepth_slices(
     strictly below the value), so every downstream cumulative-offset
     argument is unchanged; boundaries affect TASK SHAPE only, never
     results (the intra-slice sort orders exactly within a slice, and the
-    slice offsets are exact sums), so the sketch's approximation -- and
-    its merge-order nondeterminism -- is invisible in the output.
-    Everything stays declarative: the boundary array rides a broadcast
-    1-row aggregate frame, no driver collect.
+    slice offsets are exact sums).  The sketch is merge-order
+    NONDETERMINISTIC across evaluations, and the sliced frame feeds two
+    plan branches (slice totals and the final join) -- so the 1-row
+    boundary frame is localCheckpointed to a single RDD both branches
+    scan: without that pin, slice-id consistency between the offset
+    computation and the row assignment would silently ride on Spark's
+    exchange-reuse rule (round-9 review fix).  Everything stays
+    declarative: the boundary array rides a broadcast 1-row frame, no
+    driver collect.
     """
     v, cnt = value_col, count_col
     vd = f"cast(`{v}` as double)"
@@ -138,14 +158,10 @@ def _equidepth_slices(
         return counts.crossJoin(
             F.broadcast(counts.agg(F.sum(cnt).alias("__nt")))
         ).withColumn("__s", F.lit(0))
-    qs = ", ".join(str(i / n_slices) for i in range(1, n_slices))
-    # accuracy 1000: rank error <= |distinct|/1000, i.e. at most ~a
-    # quarter of a 1/256 slice -- far inside the 5% skew gate -- for a
-    # measurably cheaper sketch than the 10000 default
     mm = counts.agg(
-        F.expr(f"approx_percentile({vd}, array({qs}), 1000)").alias("__bnds"),
+        F.expr(_edge_sketch_sql(vd, n_slices)).alias("__bnds"),
         F.sum(cnt).alias("__nt"),
-    )
+    ).localCheckpoint(eager=False)
     return counts.crossJoin(F.broadcast(mm)).withColumn(
         "__s",
         F.expr(_bsearch_below_sql("__bnds", vd, n_slices - 1)).cast("int"),
@@ -500,12 +516,11 @@ def exact_percentiles(
     rows = df.select(F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
-    edge_qs = ", ".join(str(i / buckets) for i in range(1, buckets))
     mm = rows.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.count("v").alias("n"),
-        F.expr(f"approx_percentile(v, array({edge_qs}), 1000)").alias("bnds"),
+        F.expr(_edge_sketch_sql("v", buckets)).alias("bnds"),
     ).collect()[0]
     n, lo, hi = mm["n"], mm["lo"], mm["hi"]
     if n == 0:
@@ -612,17 +627,24 @@ def grouped_exact_percentiles(
     rows = df.select(*g, F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
-    edge_qs = ", ".join(str(i / buckets) for i in range(1, buckets))
+    # localCheckpoint pins the nondeterministic sketch to ONE evaluation:
+    # `binned` feeds both the bucket-count branch and the needed-bucket
+    # ranking branch, and divergent re-evaluations of __bnds would give
+    # the two branches different bucket ids (round-9 review fix -- same
+    # pin as _equidepth_slices)
     stats = rows.groupBy(*g).agg(
         F.count("v").alias("__n"),
-        F.expr(f"approx_percentile(v, array({edge_qs}), 1000)").alias(
-            "__bnds"
-        ),
-    )
+        F.expr(_edge_sketch_sql("v", buckets)).alias("__bnds"),
+    ).localCheckpoint(eager=False)
     # a degenerate (all-equal) group folds to bucket 0 naturally: every
     # boundary equals the value, and the strict < admits none
     bexpr = F.expr(_bsearch_below_sql("__bnds", "v", buckets - 1)).cast("int")
-    rows2 = rows.join(F.broadcast(stats), g)
+    # NO forced broadcast: the stats frame carries a (buckets-1)-double
+    # boundary array PER GROUP (~2 KB/row at buckets=256) -- at millions
+    # of groups a forced broadcast is the OOM, not the optimization.  The
+    # join keys on the group columns, co-partitioned with every later
+    # per-group stage; AQE still broadcasts when the frame measures small
+    rows2 = rows.join(stats, g)
     binned = rows2.select(*g, "v", bexpr.alias("__b"))
     bcounts = binned.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"))
     woff = (

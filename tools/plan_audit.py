@@ -578,16 +578,23 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a182_disjunctive_band_revenue": (
         ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), 2,
     ),
-    # Q10 shape: returnflag slice pushes to the scan; top-20 TakeOrdered
+    # Q10 shape: returnflag slice pushes to the scan (the PushedFilters
+    # form -- a bare column name matches any scan's ReadSchema and can
+    # never fail); top-20 TakeOrdered
     "a183_returned_top_customers": (
-        ("BroadcastHashJoin", "TakeOrderedAndProject", "l_returnflag"),
+        (
+            "BroadcastHashJoin",
+            "TakeOrderedAndProject",
+            "EqualTo(l_returnflag,R)",
+        ),
         ("SortMergeJoin", "CartesianProduct"),
         4,
     ),
-    # Q6 shape: band filters push to the scan; the anchored-max frame is
-    # the accepted 1-row BNLJ; 3 = max agg + broadcast + final agg
+    # Q6 shape: band filters push to the scan (PushedFilters form, see
+    # a183); the anchored-max frame is the accepted 1-row BNLJ; 3 = max
+    # agg + broadcast + final agg
     "a184_discount_band_revenue": (
-        ("BroadcastNestedLoopJoin", "l_quantity"),
+        ("BroadcastNestedLoopJoin", "GreaterThanOrEqual(l_discount"),
         ("CartesianProduct", "SortMergeJoin"),
         3,
     ),
@@ -826,10 +833,17 @@ def main() -> int:
     # Usage: plan_audit.py [sf_dir] [query ...] -- trailing names run a
     # subset (the skew gate still runs; it is fixture-based, not per-query)
     args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
     spark = build_session(app_name="plan_audit")
     specs = all_queries()
+    # a lone query name is a subset request, not a data dir -- without
+    # this guard `plan_audit.py a157_mad_outliers` would run the whole
+    # registry against a nonexistent sf_dir and cascade-fail
+    if args and args[0] in specs:
+        sf_dir = "/root/testdata/sf0.01"
+        only = set(args)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
     if only:
         unknown = only - specs.keys()
         if unknown:
