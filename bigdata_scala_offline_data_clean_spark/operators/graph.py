@@ -81,12 +81,34 @@ def bfs_hops(
 CO_MAX_BASKET = 64  # whale-basket bound for co-occurrence pair generation
 
 
+def co_filtered_items(
+    items: DataFrame,
+    max_basket: int = CO_MAX_BASKET,
+    grp: str = "l_orderkey",
+    item: str = "l_partkey",
+) -> DataFrame:
+    """The whale-bounded DISTINCT ``(g, i)`` frame shared by the pair
+    builder and by popularity counts (a173's item-CF denominator) -- one
+    definition of the basket hygiene, see ``co_purchase_edges``."""
+    it = items.select(
+        F.col(grp).alias("g"), F.col(item).alias("i")
+    ).distinct()
+    ok = (
+        it.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .where(F.col("__bs") <= max_basket)
+        .select("g")
+    )
+    return it.join(ok, "g")
+
+
 def co_purchase_edges(
     items: DataFrame,
     min_support: int = 2,
     max_basket: int = CO_MAX_BASKET,
     grp: str = "l_orderkey",
     item: str = "l_partkey",
+    keep_support: bool = False,
 ) -> DataFrame:
     """Canonical ``(u, v)`` co-occurrence edges (``u < v``) from an
     ``(group, item)`` frame, with support- and whale-basket bounds.
@@ -106,36 +128,35 @@ def co_purchase_edges(
     results are identical with or without it; the SQL oracles mirror the
     filter verbatim (`co_edges_cte`) to keep the declared semantics
     honest rather than relying on the fixture never triggering it.
+
+    ``keep_support=True`` keeps the co-occurrence count column
+    (``support``) the aggregation computes anyway -- the item-CF
+    numerator (a173), so that query reuses this builder instead of
+    duplicating the hygiene logic.
     """
-    it = items.select(
-        F.col(grp).alias("g"), F.col(item).alias("i")
-    ).distinct()
-    ok = (
-        it.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__bs"))
-        .where(F.col("__bs") <= max_basket)
-        .select("g")
-    )
-    it = it.join(ok, "g")
+    it = co_filtered_items(items, max_basket, grp, item)
     a, b = it.alias("a"), it.alias("b")
-    return (
+    edges = (
         a.join(b, "g")
         .where(F.col("a.i") < F.col("b.i"))
         .groupBy(F.col("a.i").alias("u"), F.col("b.i").alias("v"))
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
-        .select("u", "v")
     )
+    return edges if keep_support else edges.select("u", "v")
 
 
 def co_edges_cte(
     edge_name: str,
     min_support: int = 2,
     max_basket: int = CO_MAX_BASKET,
+    keep_support: bool = False,
 ) -> str:
     """DuckDB-oracle mirror of ``co_purchase_edges`` over ``lineitem``:
     CTE text defining ``items``/``ok_baskets``/``fitems``/``edge_name``.
-    Callers embed it as the head of a ``WITH`` chain."""
+    Callers embed it as the head of a ``WITH`` chain (``fitems`` stays
+    visible to later CTEs -- a173's popularity counts read it)."""
+    support_col = ", count(*) AS support" if keep_support else ""
     return f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 ok_baskets AS (
   SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= {max_basket}
@@ -144,7 +165,7 @@ fitems AS (
   SELECT items.* FROM items JOIN ok_baskets USING (l_orderkey)
 ),
 {edge_name} AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v{support_col}
   FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= {min_support}

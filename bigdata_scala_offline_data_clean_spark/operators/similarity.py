@@ -21,13 +21,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double precision (deterministic)."""
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic).
+
+    The fold ORDER is load-bearing: it is bit-identical to the oracle's
+    ordered ``list_reduce`` (:data:`DOT_SQL`), so every cosine/distance
+    query must use THIS helper and that template rather than re-rolling
+    the fold (round-9 review fix: five private copies existed).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+_dot = dot_product  # internal callers predate the public name
+
+# DuckDB twin of ``dot_product`` -- format with a=<left expr>, b=<right>
+DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
+)
 
 
 def _norm(a: Column) -> Column:

@@ -106,3 +106,28 @@ def dsum(col: str) -> Column:
     DuckDB's ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
     """
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+def dec2(col: str) -> Column:
+    """Exact ``DECIMAL(18,2)`` operand (cast BEFORE multiplying -- see the
+    module docstring's float rules)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def rev_term() -> Column:
+    """The exact-decimal TPC-H revenue term ``extprice * (1 - discount)``.
+
+    ONE definition (with :data:`REV_SQL` as its oracle twin) shared by
+    every decision-support query -- the decimal discipline here is the
+    repo's float-parity cornerstone, so a precision change must never be
+    able to diverge between copies.
+    """
+    return dec2("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dec2("l_discount")
+    )
+
+
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)

@@ -324,7 +324,14 @@ def c60_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for table, key in _C60_KEYS:
         df = load_table(spark, sf_dir, table)
-        sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        # checkpoint: exact_percentiles runs three jobs over its input
+        # and the stats agg below is a fourth -- without the pin each
+        # would re-derive this fact-table shuffle (round-9 review fix)
+        sizes = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)
+        )
         pct = exact_percentiles(sizes, "n", [0.5, 0.99])
         parts.append(
             sizes.agg(
@@ -388,41 +395,54 @@ def _sq_fold(col):
 
 
 def a161_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
+    # ONE corpus scan: all three truncation fidelities are prefix folds
+    # of the same vector, so they project side by side and a single
+    # aggregate row carries every per-k statistic; the row then unpivots
+    # to the same (trunc_k, ...) output rows the 3-arm UNION oracle
+    # produces (round-9 review fix: the previous per-k loop scanned
+    # embeddings once per k, re-folding the full square sum each time)
     em = load_table(spark, sf_dir, "embeddings")
-    parts = []
-    for k in _A161_KS:
-        thr = round(math.sqrt(k / _A161_DIM), 6)
-        fid = em.select(
+    fids = em.select(
+        *[
             F.round(
                 F.sqrt(
                     _sq_fold(F.slice(F.col("embedding"), 1, k))
                     / _sq_fold(F.col("embedding"))
                 ),
                 9,
-            ).alias("__fid")
-        )
-        parts.append(
-            fid.agg(
+            ).alias(f"__fid_{k}")
+            for k in _A161_KS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for k in _A161_KS:
+        thr = round(math.sqrt(k / _A161_DIM), 6)
+        c = F.col(f"__fid_{k}")
+        aggs += [
+            F.sum(c.cast(_DEC)).alias(f"__sum_{k}"),
+            F.min(c).alias(f"__min_{k}"),
+            F.sum(F.when(c >= F.lit(thr), 1).otherwise(0)).alias(
+                f"__abv_{k}"
+            ),
+        ]
+    row = fids.agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
                 F.lit(k).alias("trunc_k"),
-                F.count(F.lit(1)).alias("n_vecs"),
+                F.col("__n").alias("n_vecs"),
                 F.round(
-                    F.sum(F.col("__fid").cast(_DEC)).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
+                    F.col(f"__sum_{k}").cast("double") / F.col("__n"), 6
                 ).alias("mean_fidelity"),
-                F.round(F.min("__fid"), 6).alias("min_fidelity"),
+                F.round(F.col(f"__min_{k}"), 6).alias("min_fidelity"),
                 F.round(
-                    F.sum(
-                        F.when(F.col("__fid") >= F.lit(thr), 1).otherwise(0)
-                    ).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
+                    F.col(f"__abv_{k}").cast("double") / F.col("__n"), 6
                 ).alias("p_above_isotropic"),
             )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+            for k in _A161_KS
+        ]
+    )
+    return row.select(F.explode(arms).alias("__a")).select("__a.*")
 
 
 def _a161_arm(k: int) -> str:

@@ -81,10 +81,8 @@ def a164_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a164_sql() -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len({a})), "
-        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
-    )
+    from ..operators.similarity import DOT_SQL as dot
+
     qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
     qc = dot.format(a="qv", b="cv")
     return f"""
@@ -570,15 +568,9 @@ def a171_embedding_decontamination(
         F.col("embedding").alias("__c_vec"),
         l2_norm(F.col("embedding")).alias("__c_norm"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__q_vec"),
-            F.col("__c_vec"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    from ..operators.similarity import dot_product
+
+    dot = dot_product(F.col("__q_vec"), F.col("__c_vec"))
     per_eval = (
         tr.crossJoin(F.broadcast(ev))
         .withColumn(
@@ -611,10 +603,8 @@ def a171_embedding_decontamination(
 
 
 def _a171_sql() -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len({a})), "
-        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
-    )
+    from ..operators.similarity import DOT_SQL as dot
+
     qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
     qc = dot.format(a="qv", b="cv")
     return f"""
@@ -676,15 +666,9 @@ def a172_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__c_vec"),
         l2_norm(F.col("embedding")).alias("__c_norm"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__q_vec"),
-            F.col("__c_vec"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    from ..operators.similarity import dot_product
+
+    dot = dot_product(F.col("__q_vec"), F.col("__c_vec"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("n_id").asc()
     )
@@ -720,10 +704,8 @@ def a172_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a172_sql() -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len({a})), "
-        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
-    )
+    from ..operators.similarity import DOT_SQL as dot
+
     qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
     qc = dot.format(a="qv", b="cv")
     return f"""
@@ -938,6 +920,45 @@ _C63_EPS = 0.5
 _C63_SEED = "dp9|"
 
 
+def _laplace_noise(key: Column, seed: str, eps: float) -> Column:
+    """Seeded deterministic Laplace(1/eps) noise for a sensitivity-1
+    count release: u = (hash32(seed|key) + 0.5) / 2^32 in (0,1) (never
+    exactly 0.5, so sign() never sees 0), then the inverse CDF
+    -(1/eps)*sign(u-.5)*ln(1-2|u-.5|), rounded to 6.
+
+    ONE definition shared by c63 (batch release) and s15 (streaming
+    release), with :func:`_laplace_sql` as the oracle twin -- the noise
+    derivation IS the privacy mechanism, so two copies that could
+    diverge under an epsilon or CDF fix are not acceptable.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.round(
+        (-1.0 / eps)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+        6,
+    )
+
+
+def _laplace_u_sql(seed: str, key_sql: str) -> str:
+    """DuckDB twin of the hash->uniform step of :func:`_laplace_noise`."""
+    return (
+        f"(CAST(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))"
+        f" AS BIGINT) + 0.5) / 4294967296.0"
+    )
+
+
+def _laplace_sql(eps: float) -> str:
+    """DuckDB twin of the inverse-CDF step over a column named ``u``."""
+    return (
+        f"round((-1.0 / {eps}) * sign(u - 0.5)"
+        f" * ln(1.0 - 2.0 * abs(u - 0.5)), 6)"
+    )
+
+
 def c63_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-Laplace differentially-private release counts + utility
     audit.
@@ -956,28 +977,14 @@ def c63_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(_C63_SEED),
-                    F.col("c_nationkey").cast("string"),
-                    F.lit("|"),
-                    F.col("c_mktsegment"),
-                )
-            ),
-            1,
-            8,
+    noise = _laplace_noise(
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("|"),
+            F.col("c_mktsegment"),
         ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
-    noise = F.round(
-        (-1.0 / _C63_EPS)
-        * F.signum(u - 0.5)
-        * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
-        6,
+        _C63_SEED,
+        _C63_EPS,
     )
     return g.select(
         "c_nationkey",
@@ -994,14 +1001,11 @@ WITH g AS (
   FROM customer GROUP BY 1, 2
 ), h AS (
   SELECT c_nationkey, c_mktsegment, true_count,
-         (CAST(('0x' || substr(md5('{_C63_SEED}'
-                || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
-                1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+         {_laplace_u_sql(_C63_SEED, "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")} AS u
   FROM g
 ), noised AS (
   SELECT c_nationkey, c_mktsegment, true_count,
-         round((-1.0 / {_C63_EPS}) * sign(u - 0.5)
-               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+         {_laplace_sql(_C63_EPS)} AS noise
   FROM h
 )
 SELECT c_nationkey, c_mktsegment, true_count,
@@ -1026,24 +1030,16 @@ _A173_SUPPORT, _A173_TOPK = 2, 50
 
 
 def a173_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import CO_MAX_BASKET
+    from ..operators.graph import co_filtered_items, co_purchase_edges
 
     li = load_table(spark, sf_dir, "lineitem")
-    it = li.select(
-        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i")
-    ).distinct()
-    ok = it.groupBy("g").agg(F.count(F.lit(1)).alias("__bs")).where(
-        F.col("__bs") <= CO_MAX_BASKET
-    )
-    fit = it.join(ok.select("g"), "g")
-    a = fit.select("g", F.col("i").alias("u"))
-    b = fit.select(F.col("g").alias("__g2"), F.col("i").alias("v"))
-    pairs = (
-        a.join(b, (a["g"] == F.col("__g2")) & (a["u"] < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("co_count"))
-        .where(F.col("co_count") >= _A173_SUPPORT)
-    )
+    its = li.select("l_orderkey", "l_partkey")
+    # the shared whale-bounded builders (round-9 review fix: this query
+    # previously duplicated the basket-hygiene pipeline inline)
+    pairs = co_purchase_edges(
+        its, min_support=_A173_SUPPORT, keep_support=True
+    ).withColumnRenamed("support", "co_count")
+    fit = co_filtered_items(its)
     pop = fit.groupBy("i").agg(F.count(F.lit(1)).alias("pop"))
     sim = (
         pairs.join(pop.select(F.col("i").alias("u"), F.col("pop").alias("pop_u")), "u")
@@ -1067,25 +1063,15 @@ def a173_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a173_sql() -> str:
-    from ..operators.graph import CO_MAX_BASKET
+    from ..operators.graph import co_edges_cte
 
     return f"""
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), ok_baskets AS (
-  SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= {CO_MAX_BASKET}
-), fitems AS (
-  SELECT items.* FROM items JOIN ok_baskets USING (l_orderkey)
-), pairs AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS co_count
-  FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_A173_SUPPORT}
-), pop AS (
+WITH {co_edges_cte("pairs", min_support=_A173_SUPPORT, keep_support=True)},
+pop AS (
   SELECT l_partkey AS i, count(*) AS pop FROM fitems GROUP BY 1
 )
-SELECT u, v, co_count, pu.pop AS pop_u, pv.pop AS pop_v,
-       round(co_count / sqrt(pu.pop * pv.pop), 6) AS cosine_sim
+SELECT u, v, support AS co_count, pu.pop AS pop_u, pv.pop AS pop_v,
+       round(support / sqrt(pu.pop * pv.pop), 6) AS cosine_sim
 FROM pairs JOIN pop pu ON pairs.u = pu.i JOIN pop pv ON pairs.v = pv.i
 ORDER BY cosine_sim DESC, u ASC, v ASC
 LIMIT {_A173_TOPK}
@@ -1136,20 +1122,7 @@ def s15_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.sum("cnt").alias("true_count"))
         )
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(_S15_SEED), F.col("event_type"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        u = (h + F.lit(0.5)) / F.lit(4294967296.0)
-        noise = F.round(
-            (-1.0 / _S15_EPS)
-            * F.signum(u - 0.5)
-            * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
-            6,
-        )
+        noise = _laplace_noise(F.col("event_type"), _S15_SEED, _S15_EPS)
         out = merged.select(
             "event_type",
             "true_count",
@@ -1165,14 +1138,11 @@ WITH g AS (
   SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
 ), h AS (
   SELECT event_type, true_count,
-         (CAST(('0x' || substr(md5('{_S15_SEED}' || event_type), 1, 8))
-               AS BIGINT) + 0.5) / 4294967296.0 AS u
+         {_laplace_u_sql(_S15_SEED, "event_type")} AS u
   FROM g
 )
 SELECT event_type, true_count,
-       round(true_count
-             + round((-1.0 / {_S15_EPS}) * sign(u - 0.5)
-                     * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS noisy_count
+       round(true_count + {_laplace_sql(_S15_EPS)}, 6) AS noisy_count
 FROM h
 """
 

@@ -37,26 +37,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
+from ._util import REV_SQL as _REV_SQL
+from ._util import dec2 as _dec
 from ._util import load_table
+from ._util import rev_term as _rev
 
 QUERIES: dict[str, QuerySpec] = {}
-
-
-def _dec(col: str) -> Column:
-    return F.col(col).cast("decimal(18,2)")
-
-
-def _rev() -> Column:
-    """Exact decimal revenue term extprice * (1 - discount)."""
-    return _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-
-
-_REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
-)
 
 
 # ---------------------------------------------------------------------------
@@ -476,7 +462,7 @@ WITH toks AS (
 ), scored AS (
   SELECT t.doc_id, t.term, t.tf, t.dl,
          round(ln((CAST(nd AS DOUBLE) - dft + 0.5) / (dft + 0.5) + 1.0), 9)
-         * (t.tf * ({_A180_K1} + 1.0))
+         * (CAST(t.tf AS DOUBLE) * CAST({_A180_K1} + 1.0 AS DOUBLE))
            / (t.tf + {_A180_K1} * ((1.0 - {_A180_B})
               + {_A180_B} * t.dl / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE))))
            AS score

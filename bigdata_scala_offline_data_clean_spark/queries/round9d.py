@@ -28,25 +28,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
+from ._util import REV_SQL as _REV_SQL
+from ._util import dec2 as _dec
 from ._util import load_table
+from ._util import rev_term as _rev
 
 QUERIES: dict[str, QuerySpec] = {}
-
-
-def _dec(col: str) -> Column:
-    return F.col(col).cast("decimal(18,2)")
-
-
-def _rev() -> Column:
-    return _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-
-
-_REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
-)
 
 
 # ---------------------------------------------------------------------------

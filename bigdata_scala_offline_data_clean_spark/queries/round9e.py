@@ -135,10 +135,9 @@ def c65_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(s2, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)")
-        - F.col("l_discount").cast("decimal(18,2)")
-    )
+    from ._util import rev_term
+
+    rev = rev_term()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(

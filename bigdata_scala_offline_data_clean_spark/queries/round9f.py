@@ -36,13 +36,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
+from ._util import dec2 as _dec
 from ._util import load_table
 
 QUERIES: dict[str, QuerySpec] = {}
-
-
-def _dec(col: str) -> Column:
-    return F.col(col).cast("decimal(18,2)")
 
 
 # ---------------------------------------------------------------------------
