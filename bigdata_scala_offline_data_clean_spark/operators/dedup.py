@@ -717,25 +717,34 @@ def simhash_hamming_census(
     of the ``bits``-bit fingerprint, so band-equality candidates are a
     superset of true pairs; exact ``bit_count(xor)`` then verifies.
 
-    Returns one row per hamming distance 0..max_hamming with the exact
-    number of document pairs at that distance.
+    Returns one row per hamming distance in 0..max_hamming that has at
+    least one pair (distances with zero pairs are absent, including
+    hamming 0), with the exact pair count -- all arithmetic integer
+    (``div 2`` on the always-even ``cnt*(cnt-1)``), so counts stay exact
+    past the 2^53 double-mantissa bound a fingerprint group of >2^27
+    docs would cross.
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole requires max_hamming < n_bands")
     if bits % n_bands:
         raise ValueError("n_bands must divide bits")
+    if bits > 62:
+        # bit 63 would overflow LongType in simhash's 2**i term and a
+        # sign-bit fingerprint would break the sh_a < sh_b canonical order
+        raise ValueError("bits must be <= 62 (LongType fingerprints)")
     width = bits // n_bands
     mask = (1 << width) - 1
 
     fp = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
     groups = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("__cnt"))
 
-    # hamming 0: pairs within one fingerprint group
+    # hamming 0: pairs within one fingerprint group (integer div -- the
+    # product is always even; double division would round past 2^53)
     zero = groups.select(
         F.lit(0).alias("hamming"),
-        (F.col("__cnt") * (F.col("__cnt") - 1) / 2).cast("bigint").alias(
-            "n_pairs"
-        ),
+        F.expr(
+            "CAST(__cnt AS BIGINT) * (__cnt - 1) div 2"
+        ).alias("n_pairs"),
     )
 
     band_arr = F.array(

@@ -66,3 +66,46 @@ def session_stats(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).alias("duration_sec"),
     )
+
+
+def capped_event_paths(
+    events: DataFrame,
+    cap: int,
+    grp: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key ordered event-type path, truncated to the first ``cap``
+    events: ``(grp, path, n_events)`` with ``path`` '>'-joined.
+
+    BOUNDED aggregation state (round-9 hardening, shared by a61/a107 --
+    one definition so the window spec / tie-break can never diverge
+    between them): a per-key ``row_number`` window ranks events (a
+    disk-spillable sort) and the aggregation collects only ``rn <= cap``
+    structs via a conditional collect, so the in-heap buffer holds
+    <= ``cap`` structs per key at ANY skew -- a bare ``collect_list`` +
+    post-slice would buffer a whale key's entire history first.  The
+    groupBy rides the window's hash partitioning (no second exchange);
+    ``n_events`` still counts ALL events.  ``array_sort`` restores
+    arrival order inside the capped buffer (deterministic via the
+    ``id_col`` tie-break).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(grp).orderBy(ts_col, id_col)
+    ranked = events.withColumn("__rn", F.row_number().over(w))
+    seq = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__rn") <= cap,
+                F.struct(ts_col, id_col, type_col),
+            )
+        )
+    )
+    return ranked.groupBy(grp).agg(
+        F.concat_ws(
+            ">", F.transform(seq, lambda x: x[type_col])
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -66,6 +66,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = 6,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (q_id, n_id, cosine, rank).
 
@@ -73,39 +74,52 @@ def cosine_topk(
     the corpus is scanned once, map-side.  ``round_digits`` quantizes the
     score before ranking so rank order is stable across engines/platforms;
     ties break on neighbor id ascending.
+
+    ``label_col`` switches on hard-negative mode: labels ride both sides,
+    same-label pairs are dropped in the join condition (before scoring),
+    and the output gains ``(q_label, n_label)`` -- the
+    :func:`hard_negative_topk` contract, which delegates here so the
+    scoring/rounding/tie-break flow has exactly one implementation.
     """
     from pyspark.sql import Window
 
     # per-vector norms computed before the join, not per pair (see
     # embedding_neardup_pairs) -- identical fold, O(n*dim) instead of
     # O(n*q*dim)
+    q_lbl = [F.col(label_col).alias("q_label")] if label_col else []
+    c_lbl = [F.col(label_col).alias("n_label")] if label_col else []
     q = queries.select(
         F.col(id_col).alias("q_id"),
+        *q_lbl,
         F.col(vec_col).alias("__q_vec"),
         _norm(F.col(vec_col)).alias("__q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("n_id"),
+        *c_lbl,
         F.col(vec_col).alias("__c_vec"),
         _norm(F.col(vec_col)).alias("__c_norm"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("__q_vec"), F.col("__c_vec"))
-            / (F.col("__q_norm") * F.col("__c_norm")),
-        )
+    cond = F.col("q_id") != F.col("n_id")
+    if label_col:
+        cond = cond & (F.col("q_label") != F.col("n_label"))
+    scored = c.join(F.broadcast(q), cond).withColumn(
+        "cosine",
+        _dot(F.col("__q_vec"), F.col("__c_vec"))
+        / (F.col("__q_norm") * F.col("__c_norm")),
     )
     if round_digits is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_digits))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )
+    out = ["q_id", "n_id", "cosine", "rank"]
+    if label_col:
+        out = ["q_id", "q_label", "n_id", "n_label", "cosine", "rank"]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
+        .select(*out)
     )
 
 
@@ -123,44 +137,19 @@ def hard_negative_topk(
 
     The standard mining step before contrastive / metric-learning
     fine-tuning: "hard" negatives are the near-misses the model must learn
-    to separate.  Same shape as :func:`cosine_topk` -- the query batch is
-    broadcast with its labels, the corpus scans once map-side, and the
-    label-mismatch predicate rides the broadcast join condition so
-    same-label pairs are dropped before scoring.  Output: ``(q_id,
+    to separate.  Delegates to :func:`cosine_topk` in label mode (one
+    implementation of the scoring/rounding/tie-break flow -- round-9
+    review fix: this was a 50-line near-copy).  Output: ``(q_id,
     q_label, n_id, n_label, cosine, rank)``.
     """
-    from pyspark.sql import Window
-
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(label_col).alias("q_label"),
-        F.col(vec_col).alias("__q_vec"),
-        _norm(F.col(vec_col)).alias("__q_norm"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(label_col).alias("n_label"),
-        F.col(vec_col).alias("__c_vec"),
-        _norm(F.col(vec_col)).alias("__c_norm"),
-    )
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("q_id") != F.col("n_id"))
-        & (F.col("q_label") != F.col("n_label")),
-    ).withColumn(
-        "cosine",
-        _dot(F.col("__q_vec"), F.col("__c_vec"))
-        / (F.col("__q_norm") * F.col("__c_norm")),
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("n_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "q_label", "n_id", "n_label", "cosine", "rank")
+    return cosine_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        round_digits=round_digits,
+        label_col=label_col,
     )
 
 

@@ -369,10 +369,8 @@ def a10_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a10_sql() -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len({a})), "
-        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
-    )
+    from ..operators.similarity import DOT_SQL as dot
+
     qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
     qc = dot.format(a="qv", b="cv")
     return f"""
@@ -732,10 +730,9 @@ def a21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a21_sql() -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len({x})), "
-        "i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (s, v) -> s + v)"
-    )
+    from ..operators.similarity import DOT_SQL
+
+    dot = DOT_SQL.replace("{a}", "{x}").replace("{b}", "{y}")
     return f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings)
 SELECT * FROM (
@@ -2434,24 +2431,11 @@ def a61_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_events`` still counts ALL events.  ``array_sort`` restores
     arrival order inside the capped buffer (deterministic via the
     event_id tie-break)."""
-    from pyspark.sql import Window
+    from ..operators.sessionize import capped_event_paths
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ranked = ev.withColumn("__rn", F.row_number().over(w))
-    seq = F.array_sort(
-        F.collect_list(
-            F.when(
-                F.col("__rn") <= 10,
-                F.struct("ts", "event_id", "event_type"),
-            )
-        )
-    )
-    return ranked.groupBy("user_id").agg(
-        F.concat_ws(
-            ">", F.transform(seq, lambda x: x["event_type"])
-        ).alias("path"),
-        F.count(F.lit(1)).alias("n_events"),
+    return capped_event_paths(ev, cap=10).select(
+        "user_id", "path", "n_events"
     )
 
 

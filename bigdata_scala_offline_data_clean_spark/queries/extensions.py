@@ -954,9 +954,7 @@ _PR_ITERS = 5
 
 
 def a78_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
-
-    from ..operators.graph import co_purchase_edges
+    from ..operators.graph import co_purchase_edges, pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
     # whale-basket-bounded pair generation (round-9 hardening; the cap

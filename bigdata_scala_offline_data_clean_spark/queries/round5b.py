@@ -1255,22 +1255,11 @@ def a107_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     history first.  The groupBy rides the window's hash partitioning (no
     second exchange); ``n_events`` still counts ALL events.
     """
-    from pyspark.sql import Window
+    from ..operators.sessionize import capped_event_paths
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ranked = ev.withColumn("__rn", F.row_number().over(w))
-    seq = F.array_sort(
-        F.collect_list(
-            F.when(
-                F.col("__rn") <= _A107_CAP,
-                F.struct("ts", "event_id", "event_type"),
-            )
-        )
-    )
-    path = F.concat_ws(">", F.transform(seq, lambda x: x["event_type"]))
-    g = ranked.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), path.alias("__path")
+    g = capped_event_paths(ev, cap=_A107_CAP).withColumnRenamed(
+        "path", "__path"
     )
     pat = "click>purchase"
     n_conv = (

@@ -688,10 +688,8 @@ def a119_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a119_sql() -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len({a})), "
-        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)"
-    )
+    from ..operators.similarity import DOT_SQL as dot
+
     qq, cc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
     qc = dot.format(a="qv", b="cv")
     return f"""

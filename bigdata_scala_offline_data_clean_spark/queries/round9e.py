@@ -65,7 +65,7 @@ WITH toks AS (
 ), grp AS (
   SELECT sh, count(*) AS cnt FROM fps GROUP BY sh
 ), zero AS (
-  SELECT 0 AS hamming, CAST(cnt * (cnt - 1) / 2 AS BIGINT) AS n_pairs
+  SELECT 0 AS hamming, CAST((cnt * (cnt - 1)) // 2 AS BIGINT) AS n_pairs
   FROM grp
 ), bands AS (
   SELECT sh, cnt, unnest([{bands}]) AS val,
