@@ -239,6 +239,9 @@ HEADLINE = [
     "a192_bpe_merges",  # BPE merge induction over the word-type table
     "a193_ewma_cusum_volume",  # ordered-recursion folds (EWMA + CUSUM)
     "a194_spend_gini",  # per-nation Gini concentration (ranked decimal sum)
+    "a195_dow_seasonality",  # day-of-week volume profile per event type
+    "a196_bootstrap_ci",  # one-pass Poisson-bootstrap CI (seeded weights)
+    "a197_daily_acf",  # lag 1..7 autocorrelation via day+k equi-joins
 ]
 
 

@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9d,
         round9e,
         round9f,
+        round9g,
         streaming_q,
     )
 
@@ -96,6 +97,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9d,
         round9e,
         round9f,
+        round9g,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -131,3 +131,25 @@ REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
     " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 )
+
+
+def hash_uniform(key: Column, seed: str) -> Column:
+    """Deterministic uniform in (0, 1) from a seeded md5-prefix hash:
+    ``u = (hash32(seed || key) + 0.5) / 2^32`` -- never exactly 0, 0.5,
+    or 1, so sign/CDF consumers have no boundary case.  The seeded-
+    randomness primitive under the Laplace noise (c63/s15), bootstrap
+    weights, and every other derived-not-drawn sampling op; oracle twin:
+    :func:`hash_uniform_sql`.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def hash_uniform_sql(seed: str, key_sql: str) -> str:
+    """DuckDB twin of :func:`hash_uniform`."""
+    return (
+        f"(CAST(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))"
+        f" AS BIGINT) + 0.5) / 4294967296.0"
+    )

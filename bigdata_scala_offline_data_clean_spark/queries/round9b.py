@@ -931,10 +931,9 @@ def _laplace_noise(key: Column, seed: str, eps: float) -> Column:
     derivation IS the privacy mechanism, so two copies that could
     diverge under an epsilon or CDF fix are not acceptable.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    from ._util import hash_uniform
+
+    u = hash_uniform(key, seed)
     return F.round(
         (-1.0 / eps)
         * F.signum(u - 0.5)
@@ -945,10 +944,9 @@ def _laplace_noise(key: Column, seed: str, eps: float) -> Column:
 
 def _laplace_u_sql(seed: str, key_sql: str) -> str:
     """DuckDB twin of the hash->uniform step of :func:`_laplace_noise`."""
-    return (
-        f"(CAST(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))"
-        f" AS BIGINT) + 0.5) / 4294967296.0"
-    )
+    from ._util import hash_uniform_sql
+
+    return hash_uniform_sql(seed, key_sql)
 
 
 def _laplace_sql(eps: float) -> str:

@@ -671,6 +671,21 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a194_spend_gini": (
         ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # dow seasonality: two keyed aggs; the per-type overall-mean frame
+    # broadcasts
+    "a195_dow_seasonality": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # Poisson bootstrap: map-side replicate fan-out + two aggregates;
+    # the 1-row point frame is the accepted BNLJ
+    "a196_bootstrap_ci": (
+        ("BroadcastNestedLoopJoin",),
+        ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
+    # ACF: lag alignment is an equi-join on day + k over the
+    # checkpointed calendar-sized frame; stat frames broadcast
+    "a197_daily_acf": ((), ("CartesianProduct",), None),
 }
 
 
