@@ -242,6 +242,7 @@ HEADLINE = [
     "a195_dow_seasonality",  # day-of-week volume profile per event type
     "a196_bootstrap_ci",  # one-pass Poisson-bootstrap CI (seeded weights)
     "a197_daily_acf",  # lag 1..7 autocorrelation via day+k equi-joins
+    "a198_mann_whitney",  # rank-sum test on the distributed-rank core
 ]
 
 

@@ -327,3 +327,112 @@ ORDER BY lag
 
 
 QUERIES["a197_daily_acf"] = QuerySpec(a197_daily_acf, _a197_sql())
+
+
+# ---------------------------------------------------------------------------
+# a198 -- Mann-Whitney U rank-sum test: is src0's document-length
+# distribution stochastically different from src1's?  The nonparametric
+# complement of a101's Welch z (rank-based, no normality assumption) --
+# the standard significance screen before acting on a data-mix change.
+# Ranks come from the shared two-level ``ranked_value_counts``
+# construction (value-collapsed, no data-sized window); tie handling is
+# the textbook average-rank + tie-corrected variance.  EVERYTHING until
+# the final z is integer-exact: 2*R_A = sum(cntA * (2*rank_before +
+# cnt + 1)) avoids the .5 average-rank halves, and the tie term
+# sum(cnt^3 - cnt) is a plain integer sum -- both engines agree to the
+# bit, the one IEEE step is the closing z division.
+# ---------------------------------------------------------------------------
+
+_A198_A, _A198_B = "src0", "src1"
+
+
+def a198_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import ranked_value_counts
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(_A198_A, _A198_B)
+    )
+    counts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(
+            F.when(F.col("source") == _A198_A, 1).otherwise(0)
+        ).alias("__ca"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    ranked = ranked_value_counts(counts.select("v", "cnt"), "v", "cnt")
+    j = ranked.join(counts.select("v", "__ca"), "v")
+    agg = j.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("__ca")).alias("n_b"),
+        F.sum(
+            F.col("__ca")
+            * (F.lit(2) * F.col("rank_before") + F.col("cnt") + F.lit(1))
+        ).alias("__2ra"),
+        F.sum(
+            F.col("cnt").cast("bigint") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("__ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    two_u = F.col("__2ra") - F.col("n_a") * (F.col("n_a") + 1)
+    mu2 = F.col("n_a") * F.col("n_b")  # 2 * mean(U)
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("__ties").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    z = (two_u - mu2).cast("double") / (2.0 * F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("__2ra").cast("double") / 2.0).alias("rank_sum_a"),
+        (two_u.cast("double") / 2.0).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("significant_95"),
+    )
+
+
+A198_SQL = f"""
+WITH d AS (
+  SELECT source, n_chars AS v FROM documents
+  WHERE source IN ('{_A198_A}', '{_A198_B}')
+), counts AS (
+  SELECT v,
+         SUM(CASE WHEN source = '{_A198_A}' THEN 1 ELSE 0 END) AS ca,
+         count(*) AS cnt
+  FROM d GROUP BY v
+), ranked AS (
+  SELECT v, ca, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rank_before
+  FROM counts
+), agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * rank_before + cnt + 1)) AS BIGINT) AS ra2,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(ra2 AS DOUBLE) / 2.0 AS rank_sum_a,
+       CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
+       round(CAST(ra2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                * (CAST(n_a + n_b + 1 AS DOUBLE)
+                   - CAST(ties AS DOUBLE)
+                     / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))), 6)
+         AS z,
+       abs(round(CAST(ra2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                * (CAST(n_a + n_b + 1 AS DOUBLE)
+                   - CAST(ties AS DOUBLE)
+                     / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))), 6))
+         > 1.96 AS significant_95
+FROM agg
+"""
+
+QUERIES["a198_mann_whitney"] = QuerySpec(a198_mann_whitney, A198_SQL)

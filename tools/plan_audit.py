@@ -686,6 +686,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # ACF: lag alignment is an equi-join on day + k over the
     # checkpointed calendar-sized frame; stat frames broadcast
     "a197_daily_acf": ((), ("CartesianProduct",), None),
+    # Mann-Whitney: ranks ride the two-level ranked_value_counts core
+    # (value-collapsed); one closing aggregate, never a cartesian
+    "a198_mann_whitney": ((), ("CartesianProduct",), None),
 }
 
 
