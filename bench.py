@@ -243,6 +243,7 @@ HEADLINE = [
     "a196_bootstrap_ci",  # one-pass Poisson-bootstrap CI (seeded weights)
     "a197_daily_acf",  # lag 1..7 autocorrelation via day+k equi-joins
     "a198_mann_whitney",  # rank-sum test on the distributed-rank core
+    "c67_curation_funnel",  # end-to-end stage-survivor audit (composition)
 ]
 
 

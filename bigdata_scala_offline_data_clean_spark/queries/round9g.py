@@ -436,3 +436,115 @@ FROM agg
 """
 
 QUERIES["a198_mann_whitney"] = QuerySpec(a198_mann_whitney, A198_SQL)
+
+
+# ---------------------------------------------------------------------------
+# c67 -- curation funnel: the library's cleaning stages composed END TO
+# END over documents, with per-stage survivor counts -- the audit table
+# every production curation run publishes (how many docs each rule
+# dropped).  Stages: (0) raw corpus, (1) length band, (2) Gopher-style
+# repetition rule (duplicate word-3-gram ratio, operators/text.
+# repetition_stats), (3) exact dedup (keep the min-id representative
+# per md5 digest, operators/dedup.exact_dedup_groups' rule).  Every
+# predicate is integer-exact (the repetition ratio compares as
+# 5 * dup_grams < n_grams, no float threshold), so the funnel is
+# bit-portable.  Each stage reuses the operator the standalone queries
+# already verify (a142, a03) -- this query pins their COMPOSITION.
+# ---------------------------------------------------------------------------
+
+_C67_MIN_CHARS, _C67_MAX_CHARS = 100, 2000
+
+
+def c67_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.where(
+        (F.col("n_chars") >= _C67_MIN_CHARS)
+        & (F.col("n_chars") <= _C67_MAX_CHARS)
+    )
+    rep = repetition_stats(s1)
+    # Gopher repetition rule, integer form: dup_ratio < 0.2 i.e.
+    # 5 * (n_grams - n_distinct_grams) < n_grams
+    s2 = s1.join(
+        rep.where(
+            F.lit(5) * (F.col("n_grams") - F.col("n_distinct_grams"))
+            < F.col("n_grams")
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    s3 = (
+        s2.select("doc_id", F.md5("text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # four 1-row count frames crossJoin into ONE row (each a broadcast),
+    # and the stage-over-stage drop is plain column arithmetic -- no
+    # window anywhere, so the funnel math is trivially plan-bounded
+    c0 = d.agg(F.count(F.lit(1)).alias("__c0"))
+    c1 = s1.agg(F.count(F.lit(1)).alias("__c1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("__c2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("__c3"))
+    row = reduce(
+        lambda a, b: a.crossJoin(F.broadcast(b)), [c0, c1, c2, c3]
+    )
+    names = ("raw", "length_band", "repetition", "exact_dedup")
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(names[i]).alias("rule"),
+                F.col(f"__c{i}").alias("n_docs"),
+                (
+                    (F.col(f"__c{i - 1}") - F.col(f"__c{i}"))
+                    if i else F.lit(0).cast("bigint")
+                ).alias("n_dropped"),
+            )
+            for i in range(4)
+        ]
+    )
+    return (
+        row.select(F.explode(arms).alias("__a"))
+        .select("__a.*")
+        .orderBy("stage")
+    )
+
+
+C67_SQL = f"""
+WITH s1 AS (
+  SELECT * FROM documents
+  WHERE n_chars >= {_C67_MIN_CHARS} AND n_chars <= {_C67_MAX_CHARS}
+), grams AS (
+  SELECT doc_id, len(g) AS n_grams,
+         len(list_distinct(g)) AS n_distinct_grams
+  FROM (
+    SELECT doc_id,
+           [array_to_string(toks[i:i+2], ' ')
+            FOR i IN range(1, len(toks) - 1)] AS g
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                     t -> len(t) > 0) AS toks FROM s1) t
+  ) q
+), s2 AS (
+  SELECT s1.* FROM s1 JOIN grams USING (doc_id)
+  WHERE 5 * (n_grams - n_distinct_grams) < n_grams
+), s3 AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM s2 GROUP BY 1
+), funnel AS (
+  SELECT 0 AS stage, 'raw' AS rule, count(*) AS n_docs FROM documents
+  UNION ALL
+  SELECT 1, 'length_band', count(*) FROM s1
+  UNION ALL
+  SELECT 2, 'repetition', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'exact_dedup', count(*) FROM s3
+)
+SELECT stage, rule, n_docs,
+       COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
+FROM funnel
+ORDER BY stage
+"""
+
+QUERIES["c67_curation_funnel"] = QuerySpec(c67_curation_funnel, C67_SQL)

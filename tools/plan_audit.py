@@ -689,6 +689,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # Mann-Whitney: ranks ride the two-level ranked_value_counts core
     # (value-collapsed); one closing aggregate, never a cartesian
     "a198_mann_whitney": ((), ("CartesianProduct",), None),
+    # curation funnel: four 1-row count frames crossJoin into one row
+    # (accepted BNLJ); the gram/dedup stages reuse a142/a03 machinery;
+    # no window anywhere
+    "c67_curation_funnel": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
 }
 
 
