@@ -247,6 +247,26 @@ HEADLINE = [
 ]
 
 
+def _round_no() -> int:
+    """Current build round, for naming the committed BENCH_DETAIL file.
+
+    The driver runs bench.py at the END of round N, after BENCH_r{N-1}.json
+    already exists in the repo -- so the next round number is
+    max(existing)+1.  SPARK_GRAFT_ROUND overrides for ad-hoc runs.
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    import re
+
+    ns = []
+    for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json$", p.name)
+        if m:
+            ns.append(int(m.group(1)))
+    return (max(ns) + 1) if ns else 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -294,14 +314,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Round 10 (VERDICT r9 task #1): the one-line JSON with the full
+    # per-query map outgrew the driver's 2000-char tail capture at r6
+    # (BENCH_r06..r09 all record parsed:null).  The per-query map now
+    # goes to a committed BENCH_DETAIL_r{N}.json (extend-only names, the
+    # round-over-round comparison base) and the FINAL stdout line is a
+    # compact summary the driver can always parse.
+    detail_path = Path(__file__).resolve().parent / f"BENCH_DETAIL_r{_round_no():02d}.json"
+    try:
+        detail_path.write_text(
+            json.dumps(
+                {
+                    "metric": "headline_total_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                },
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
+    except OSError:
+        pass  # read-only checkout: the summary line below still carries the signal
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": detail_path.name,
             }
         )
     )
