@@ -331,7 +331,21 @@ def triangle_census(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     standard 3*triangles/wedges transitivity ratio -- the ONE IEEE
     division in the output, rounded to 6.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Defensive canonicalization (ADVICE r9): the wedge semi-join and the
+    # orientation bijection are only correct over a canonical (u < v,
+    # deduplicated, loop-free) edge set; raw directed or duplicated input
+    # would previously produce silently wrong counts.  least/greatest +
+    # dropDuplicates shuffles on the same key the degree agg uses anyway
+    # -- cheap insurance at any scale, a rowcount no-op for canonical
+    # input.
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
     e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("node"))

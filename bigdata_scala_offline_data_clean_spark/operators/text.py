@@ -595,11 +595,16 @@ def oov_rate(
     # distinct() guards against a caller-supplied vocab with duplicate
     # tokens, which would fan out the token stream and inflate the counts
     v = vocab.select("token").distinct().withColumn("__in_vocab", F.lit(True))
-    # persist the vocab across the size probe and the join: a
-    # corpus-derived vocab is itself a full explode+groupBy pipeline, and
-    # without the persist the probe's limit+count job recomputes it a
-    # second time for the join (a second corpus scan at 100 TB)
-    v = v.persist()
+    # pin the vocab across the size probe and the join: a corpus-derived
+    # vocab is itself a full explode+groupBy pipeline, and without the pin
+    # the probe's limit+count job recomputes it a second time for the join
+    # (a second corpus scan at 100 TB).  localCheckpoint instead of
+    # persist(): persisted blocks stay in the catalog cache until an
+    # explicit unpersist -- which this function cannot issue (it returns a
+    # lazy frame) -- so a session running many queries (the 300-query
+    # sweep) accumulates them (ADVICE r9).  Checkpoint blocks free when
+    # the JVM collects the RDD, i.e. when callers drop the result.
+    v = v.localCheckpoint(eager=False)
     small = (
         max_broadcast_tokens is not None
         and v.limit(max_broadcast_tokens + 1).count() <= max_broadcast_tokens

@@ -377,11 +377,31 @@ def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
     # testdata file gets a FRESH dir -- a stale sentinel below the new
     # max(ts) would silently stop flushing the outer-join tail
     st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+    path_h = hashlib.md5(src.encode()).hexdigest()[:12]
+    vint_h = hashlib.md5(
+        f"{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     drop_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_flush_{hashlib.md5(key.encode()).hexdigest()[:12]}",
+        tempfile.gettempdir(), f"stream_flush_{path_h}_{vint_h}"
     )
+    # prune stale vintages of THIS source only (ADVICE r9): regenerated
+    # testdata changes the vintage hash, so older dirs for the same path
+    # would otherwise leak in the system tempdir forever.  Dirs keyed on
+    # OTHER paths (a different sf dir live in the same session) are left
+    # alone; the legacy single-hash naming (no path component) is also
+    # swept since those can never be revalidated.
+    import glob
+    import shutil
+
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"stream_flush_{path_h}_*")
+    ) + [
+        p
+        for p in glob.glob(os.path.join(tempfile.gettempdir(), "stream_flush_*"))
+        if len(os.path.basename(p)) == len("stream_flush_") + 12
+    ]:
+        if os.path.abspath(stale) != os.path.abspath(drop_dir):
+            shutil.rmtree(stale, ignore_errors=True)
     done = os.path.join(drop_dir, ".sentinel_done")
     if os.path.exists(done):
         return drop_dir
