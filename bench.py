@@ -244,6 +244,8 @@ HEADLINE = [
     "a197_daily_acf",  # lag 1..7 autocorrelation via day+k equi-joins
     "a198_mann_whitney",  # rank-sum test on the distributed-rank core
     "c67_curation_funnel",  # end-to-end stage-survivor audit (composition)
+    "a199_ivf_assign",  # pinned-quantizer IVF assign + probed top-k
+    "a200_pq_adc",  # pinned-codebook PQ codes + asymmetric-distance top-k
 ]
 
 

@@ -107,15 +107,19 @@ def _edge_sketch_sql(v_sql: str, k: int) -> str:
     """The shared equi-depth boundary sketch: ``approx_percentile`` at
     the k-1 interior quantiles of a k-way cut.
 
-    Accuracy 1000: rank error <= |input|/1000, i.e. at most ~a quarter
-    of a 1/256 slice -- far inside the 5% skew gate -- for a measurably
-    cheaper sketch than the 10000 default.  ONE definition so the three
-    consumers (_equidepth_slices, exact_percentiles,
-    grouped_exact_percentiles) can never silently diverge on the grid or
-    the accuracy.
+    Accuracy ``min(1000, max(4 * k, 64))`` (round-10, VERDICT r9 task
+    #3): the consumers only need each of the k bucket populations held
+    near n/k, and rank error <= n/(4k) keeps every bucket within ~1.25x
+    of its ideal depth -- far inside the 5% skew gate -- so a 32-slice
+    consumer pays a 128-accuracy sketch instead of the flat 1000.
+    Boundaries shape TASKS only, never values, so results are untouched
+    at any accuracy.  ONE definition so the three consumers
+    (_equidepth_slices, exact_percentiles, grouped_exact_percentiles)
+    can never silently diverge on the grid or the accuracy.
     """
+    acc = min(1000, max(4 * k, 64))
     qs = ", ".join(str(i / k) for i in range(1, k))
-    return f"approx_percentile({v_sql}, array({qs}), 1000)"
+    return f"approx_percentile({v_sql}, array({qs}), {acc})"
 
 
 def _equidepth_slices(
@@ -475,131 +479,63 @@ def distributed_ntile(
     return part1.unionByName(part2).unionByName(poison_rows)
 
 
+def exact_percentiles_frame(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    buckets: int = 256,
+) -> DataFrame:
+    """LAZY exact interpolated percentiles: a ``(q, value)`` frame, one
+    row per requested quantile, materialized in ONE Spark action when
+    the caller consumes it.
+
+    Round-10 (VERDICT r9 task #3): the scalar ``exact_percentiles``
+    previously ran its own histogram construction with two sequential
+    driver barriers per call (sketch collect, then needed-bucket
+    ranking); queries embedding several quantiles paid the scheduling
+    gaps twice and could not overlap the scans with their other
+    aggregates.  The scalar path is now the grouped construction
+    (:func:`grouped_exact_percentiles`) over a single constant group --
+    the 1-row stats frame AQE-broadcasts onto the row stream, the
+    boundary array never touches the driver, and a consumer can
+    ``crossJoin(broadcast(...))`` this frame into its final plan so the
+    WHOLE query is one job whose independent stages overlap.
+
+    ``percentile()``'s exact aggregate accumulates EVERY value into one
+    final merge buffer -- the quantile analogue of the unpartitioned
+    window, and a guaranteed OOM at 100 TB; the grouped construction
+    bounds every task at ~n / ``buckets`` rows and is bit-identical to
+    the built-in aggregate (asserted in tests).
+    """
+    return grouped_exact_percentiles(
+        df.select(F.col(col)).withColumn("__g", F.lit(1)),
+        ["__g"],
+        col,
+        qs,
+        buckets,
+        _single_group=True,
+    ).drop("__g")
+
+
 def exact_percentiles(
     df: DataFrame,
     col: str,
     qs: list[float],
     buckets: int = 256,
 ) -> dict[float, float | None]:
-    """Exact interpolated percentiles without a single-task value buffer.
+    """Eager ``{q: value}`` wrapper over :func:`exact_percentiles_frame`
+    (ONE driver barrier; empty input -> ``{q: None}``).
 
-    ``percentile()``'s exact aggregate accumulates EVERY value into one
-    final merge buffer -- the quantile analogue of the unpartitioned
-    window, and a guaranteed OOM at 100 TB.  This uses the one-round
-    histogram construction instead:
-
-    1. one narrow aggregate for (min, max, count) plus an
-       ``approx_percentile`` sketch giving ~equi-DEPTH bucket boundaries
-       (round-9 fix, VERDICT r8 finding #1: equi-width edges from
-       (lo, hi) let one outlier funnel ~every row into bucket 0, and the
-       "needed bucket" window of step 4 became a single-task sort of the
-       whole column -- equi-depth edges bound every bucket at ~n /
-       ``buckets`` rows under any distribution; edges shape tasks only,
-       never values, so results stay bit-identical),
-    2. one aggregate counting rows per bucket (bucket = number of
-       boundaries strictly below the value -- monotone in the value),
-    3. cumulative-sum the <= ``buckets`` count rows via a window (the
-       no-op ``.limit(buckets)`` makes the bound plan-visible), locate
-       which buckets hold the target ranks ``floor/ceil((n-1)*q)`` by a
-       range join against the <= 2|qs| literal ranks, and
-    4. rank ONLY those buckets (a window partitioned by bucket over the
-       rows surviving the broadcast needed-bucket semi-join) and read
-       the bounding values.  Steps 2-4 are ONE action (round-10 fix:
-       the driver-side cumsum forced a second job barrier per call).
-
-    Interpolation replicates Spark's ``percentile``/DuckDB's
-    ``quantile_cont`` exactly: ``(h - pos) * v0 + (pos - l) * v1`` in IEEE
-    double, so results are bit-identical to the built-in aggregate
-    (asserted in tests).  Returns ``{q: value}``; driver-side state is
-    bounded by ``buckets``, never by row count.
+    Callers that embed the quantiles as plan literals (clamp bounds,
+    filter thresholds) use this; callers that only need the values in a
+    final 1-row output should take the frame and cross-join it instead
+    of paying the barrier.  Driver-side state is |qs| doubles.
     """
-    import math
-
-    rows = df.select(F.col(col).cast("double").alias("v")).where(
-        F.col("v").isNotNull()
-    )
-    mm = rows.agg(
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.count("v").alias("n"),
-        F.expr(_edge_sketch_sql("v", buckets)).alias("bnds"),
-    ).collect()[0]
-    n, lo, hi = mm["n"], mm["lo"], mm["hi"]
-    if n == 0:
-        return {q: None for q in qs}
-    if lo == hi:
-        return {q: lo for q in qs}
-    targets: dict[float, tuple[int, int, float]] = {}
-    for q in qs:
-        pos = (n - 1) * q
-        targets[q] = (math.floor(pos), math.ceil(pos), pos)
-    needed_ranks = sorted({r for l, h, _ in targets.values() for r in (l, h)})
-    # equi-depth bucket id: boundaries strictly below v (monotone in v),
-    # found by the log-step binary-search fold; the boundary array is
-    # ~``buckets`` doubles of driver state, same O(buckets) bound as the
-    # count table below
-    def _dlit(x: float) -> str:
-        if math.isinf(x):
-            return f"double('{'Infinity' if x > 0 else '-Infinity'}')"
-        if math.isnan(x):
-            return "double('NaN')"
-        return f"cast({x!r} as double)"  # repr round-trips exactly
-
-    barr_sql = "array(" + ", ".join(_dlit(float(x)) for x in mm["bnds"]) + ")"
-    bexpr = F.expr(
-        _bsearch_below_sql(barr_sql, "v", len(mm["bnds"]))
-    ).cast("int")
-    # Round-10 (VERDICT r9 task #3): steps 2-4 run as ONE Spark action.
-    # The previous revision collected the bucket counts to the driver,
-    # cumulative-summed there, and launched a SECOND job to rank the
-    # needed buckets -- two sequential driver barriers whose scheduling
-    # gaps dominated the operator at small SF (a27 1.45x vs r8) and buy
-    # nothing at large SF.  The cumsum now runs as a window over the
-    # bucket-count table (<= ``buckets`` rows by construction of the
-    # int-cast bsearch bucket id -- the .limit(buckets) is a provable
-    # no-op that makes the bound plan-visible for the global-window
-    # audit), the rank->bucket location is a range join of the <= 2|qs|
-    # literal target ranks against the offsets, and the <= 2|qs|-row
-    # needed-bucket frame broadcasts onto the row stream.  Results are
-    # bit-identical: bucketing, ordering, and interpolation are
-    # untouched.
-    cnts = (
-        rows.groupBy(bexpr.alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .limit(buckets)
-    )
-    woff = (
-        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = cnts.withColumn(
-        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))
-    )
-    rarr = F.array(*[F.lit(int(r)) for r in needed_ranks])
-    need = (
-        offs.select("__b", "__off", "__c", F.explode(rarr).alias("__r"))
-        .where(
-            (F.col("__r") >= F.col("__off"))
-            & (F.col("__r") < F.col("__off") + F.col("__c"))
-        )
-        .select("__b", "__off")
-        .distinct()
-    )
-    w = Window.partitionBy("__b").orderBy("v")
-    picked = (
-        rows.withColumn("__b", bexpr)
-        .join(F.broadcast(need), "__b")
-        .withColumn(
-            "__rank", F.col("__off") + F.row_number().over(w) - 1
-        )
-        .where(F.col("__rank").isin(needed_ranks))
-        .select("__rank", "v")
-        .collect()
-    )
-    at = {r["__rank"]: r["v"] for r in picked}
-    out: dict[float, float | None] = {}
-    for q, (l, h, pos) in targets.items():
-        out[q] = at[l] if l == h else (h - pos) * at[l] + (pos - l) * at[h]
-    return out
+    got = {
+        r["q"]: r["value"]
+        for r in exact_percentiles_frame(df, col, qs, buckets).collect()
+    }
+    return {q: got.get(float(q)) for q in qs}
 
 
 def grouped_exact_percentiles(
@@ -608,6 +544,7 @@ def grouped_exact_percentiles(
     col: str,
     qs: list[float],
     buckets: int = 256,
+    _single_group: bool = False,
 ) -> DataFrame:
     """Exact per-group interpolated percentiles, fully declarative.
 
@@ -674,6 +611,15 @@ def grouped_exact_percentiles(
     rows2 = rows.join(stats, g)
     binned = rows2.select(*g, "v", bexpr.alias("__b"))
     bcounts = binned.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    if _single_group:
+        # scalar path (exact_percentiles_frame): the constant group col
+        # is constant-folded out of the cumsum window's partition spec,
+        # leaving a plan-visibly UNPARTITIONED window -- this no-op
+        # .limit (bcounts has <= ``buckets`` rows by construction of the
+        # int-cast bsearch bucket id over one group) makes the bound
+        # visible to the global-window plan audit, exactly like the
+        # former scalar construction did
+        bcounts = bcounts.limit(buckets)
     woff = (
         Window.partitionBy(*g)
         .orderBy("__b")

@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9e,
         round9f,
         round9g,
+        round10,
         streaming_q,
     )
 
@@ -98,6 +99,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9e,
         round9f,
         round9g,
+        round10,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1093,18 +1093,38 @@ GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
 
 
 def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ordering import exact_percentiles
+    from ..operators.ordering import exact_percentiles_frame
 
     li = load_table(spark, sf_dir, "lineitem")
     q = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10000
     )
-    # exact reference quantiles via the distributed histogram construction
-    # (ordering.exact_percentiles) -- the built-in exact percentile() agg
-    # buffers every value in one task, the classic 100 TB OOM; this stays
-    # bounded and is bit-identical to percentile()/quantile_cont
-    pct = exact_percentiles(
-        li, "l_extendedprice", [0.45, 0.5, 0.55, 0.98, 0.99, 0.995]
+    # exact reference quantiles via the distributed histogram
+    # construction -- the built-in exact percentile() agg buffers every
+    # value in one task, the classic 100 TB OOM; this stays bounded and
+    # is bit-identical to percentile()/quantile_cont.  The LAZY frame
+    # form (round-10): the quantiles ride a 6-row broadcast cross-join
+    # instead of eager driver literals, so the whole query is ONE action
+    # whose independent scans overlap (the eager dict paid two extra job
+    # barriers up front -- the r9 a27 1.45x regression).
+    pctw = (
+        exact_percentiles_frame(
+            li, "l_extendedprice", [0.45, 0.5, 0.55, 0.98, 0.99, 0.995]
+        )
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("q") == qq, F.col("value"))).alias(al)
+                for qq, al in [
+                    (0.45, "__p45"),
+                    (0.5, "p50_exact"),
+                    (0.55, "__p55"),
+                    (0.98, "__p98"),
+                    (0.99, "p99_exact"),
+                    (0.995, "__p995"),
+                ]
+            ]
+        )
     )
     # one-row aggregates joined at the end: mixing COUNT(DISTINCT)s into
     # the percentile agg forces a 3x expand through the percentile buffers
@@ -1121,18 +1141,12 @@ def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rest = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.lit(pct[0.45]).alias("__p45"),
-        F.lit(pct[0.5]).alias("p50_exact"),
-        F.lit(pct[0.55]).alias("__p55"),
-        F.lit(pct[0.98]).alias("__p98"),
-        F.lit(pct[0.99]).alias("p99_exact"),
-        F.lit(pct[0.995]).alias("__p995"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__hll_ok"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("__hll_pk"),
         F.element_at(q, 1).cast("double").alias("__p50a"),
         F.element_at(q, 2).cast("double").alias("__p99a"),
     )
-    agg = rest.crossJoin(F.broadcast(dist))
+    agg = rest.crossJoin(F.broadcast(dist)).crossJoin(F.broadcast(pctw))
     # HLL rsd=0.01 -> a 5% band is ~5 sigma; percentile_approx accuracy
     # 10000 -> rank error ~0.01%, far inside the +-5 percentile-point band
     within = lambda est, lo, hi: (F.col(est) >= F.col(lo)) & (  # noqa: E731

@@ -695,6 +695,20 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c67_curation_funnel": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
     ),
+    # IVF assign: bucket/probe argmins are literal-centroid expressions
+    # (one corpus pass); the 10-row probe frame broadcast-HASH-joins on
+    # the bucket id; never a cartesian or SMJ
+    "a199_ivf_assign": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # PQ ADC: code array is a literal-codebook expression (one corpus
+    # pass); the 5-query frame is the accepted 5-row BNLJ; never a
+    # cartesian or SMJ
+    "a200_pq_adc": (
+        ("BroadcastNestedLoopJoin",),
+        ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
 }
 
 
