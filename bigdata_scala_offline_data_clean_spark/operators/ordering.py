@@ -603,12 +603,18 @@ def grouped_exact_percentiles(
     # a degenerate (all-equal) group folds to bucket 0 naturally: every
     # boundary equals the value, and the strict < admits none
     bexpr = F.expr(_bsearch_below_sql("__bnds", "v", buckets - 1)).cast("int")
-    # NO forced broadcast: the stats frame carries a (buckets-1)-double
-    # boundary array PER GROUP (~2 KB/row at buckets=256) -- at millions
-    # of groups a forced broadcast is the OOM, not the optimization.  The
-    # join keys on the group columns, co-partitioned with every later
-    # per-group stage; AQE still broadcasts when the frame measures small
-    rows2 = rows.join(stats, g)
+    # NO forced broadcast in the grouped case: the stats frame carries a
+    # (buckets-1)-double boundary array PER GROUP (~2 KB/row at
+    # buckets=256) -- at millions of groups a forced broadcast is the
+    # OOM, not the optimization.  The join keys on the group columns,
+    # co-partitioned with every later per-group stage; AQE still
+    # broadcasts when the frame measures small.  The SCALAR path
+    # (_single_group) forces it: the frame is provably ONE row there,
+    # and the checkpointed LogicalRDD carries no size stats, so without
+    # the hint the optimizer shuffles the full column on a constant key
+    # -- twice, since `binned` feeds both the count and rank branches.
+    stats_j = F.broadcast(stats) if _single_group else stats
+    rows2 = rows.join(stats_j, g)
     binned = rows2.select(*g, "v", bexpr.alias("__b"))
     bcounts = binned.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"))
     if _single_group:
