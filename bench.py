@@ -246,6 +246,8 @@ HEADLINE = [
     "c67_curation_funnel",  # end-to-end stage-survivor audit (composition)
     "a199_ivf_assign",  # pinned-quantizer IVF assign + probed top-k
     "a200_pq_adc",  # pinned-codebook PQ codes + asymmetric-distance top-k
+    "a201_ppm_decode",  # real stdlib P6 codec + NN resize under oracle check
+    "a202_wav_decode",  # real stdlib RIFF/WAVE codec + ZOH resample
 ]
 
 

@@ -1,4 +1,4 @@
-"""Round-10 queries: oracle-checked IVF / PQ ANN cores.
+"""Round-10 queries: oracle-checked IVF / PQ ANN cores + real media codecs.
 
 VERDICT r9 task #2: a16 (IVF) and a76 (PQ) were the only 2 of 300
 registry queries without exact-match oracle evidence, because their
@@ -342,3 +342,249 @@ SELECT q_id, n_id, approx_dist, rank FROM ranked WHERE rank <= {_K}
 
 
 QUERIES["a200_pq_adc"] = QuerySpec(a200_pq_adc, _a200_sql())
+
+
+# ---------------------------------------------------------------------------
+# a201 / a202 -- real media codecs under oracle check (VERDICT r9 task #4).
+#
+# The formerly-stubbed decode paths in operators/multimodal.py are now
+# pure-stdlib parsers for the uncompressed formats (P6 PPM, RIFF/WAVE
+# 16-bit PCM), wired as the DEFAULT decoder= / resizer= / resampler=.
+# These two queries exercise them end-to-end: a deterministic payload is
+# synthesized per document (PPM bytes JVM-side from md5 arithmetic; WAV
+# via struct.pack inside the same Arrow batch), the REAL decoder parses
+# it back, and DuckDB recomputes the expected metadata independently
+# from the generating arithmetic -- a mis-parse (wrong endianness, wrong
+# header offset, off-by-one raster slice, wrong nearest-neighbor or
+# zero-order-hold index convention) breaks the exact match.
+#
+# Scale design (100 TB): payload synthesis is a codegen projection
+# (concat/unhex/substring on binary, no Python); decode is the
+# sanctioned Arrow `mapInPandas` slow path -- one pass over the corpus,
+# zero shuffles, per-batch memory bounded by the Arrow batch size; the
+# driver never sees a payload.  Float parity: the only non-integer
+# outputs are single IEEE divisions of exact integer sums, rounded to 6
+# on both sides.  Injection points for compressed formats (PIL /
+# soundfile) remain the production contract.
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+
+
+def _bv(hx: str, p: str) -> str:
+    """DuckDB: value of the 1-based byte ``p`` of the blob whose hex
+    string is ``{hx}`` -- two strpos nibble lookups."""
+    return (
+        f"(16 * (strpos('{_HEXD}', substr({hx}, 2*({p})-1, 1)) - 1)"
+        f" + (strpos('{_HEXD}', substr({hx}, 2*({p}), 1)) - 1))"
+    )
+
+
+def a201_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image, resize_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic P6 payload, built JVM-side: dims from doc_id, raster
+    # = first 3*w*h bytes of 7 repeats of md5(text) (112 >= max 105)
+    hx = F.md5(F.encode(F.col("text"), "utf-8"))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 1).cast("int").alias("__w"),
+        (F.col("doc_id") % 5 + 1).cast("int").alias("__h"),
+        F.concat(*([F.unhex(hx)] * 7)).alias("__pixfull"),
+    )
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            F.col("__w").cast("string"),
+            F.lit(" "),
+            F.col("__h").cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "utf-8",
+    )
+    payload = F.concat(
+        header, F.expr("substring(__pixfull, 1, 3 * __w * __h)")
+    )
+    pdf_in = base.select("doc_id", payload.alias("payload"))
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "maxval",
+                    "n_pixel_bytes", "mean_r", "resized_mean_r",
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(b))        # default: stdlib P6
+                rz = resize_image(bytes(b), (3, 2))  # default: NN resize
+                r, rr = img["pixels"][0::3], rz["pixels"][0::3]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["maxval"].append(img["maxval"])
+                out["n_pixel_bytes"].append(len(img["pixels"]))
+                out["mean_r"].append(
+                    sum(r) / (img["width"] * img["height"])
+                )
+                out["resized_mean_r"].append(sum(rr) / 6)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("maxval", IntegerType()),
+            StructField("n_pixel_bytes", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("resized_mean_r", DoubleType()),
+        ]
+    )
+    return (
+        pdf_in.mapInPandas(gen, schema)
+        .withColumn("mean_r", F.round("mean_r", 6))
+        .withColumn("resized_mean_r", F.round("resized_mean_r", 6))
+    )
+
+
+def _a201_sql() -> str:
+    # resized (3x2) nearest-neighbor source R byte for output cell k:
+    # y = k // 3, x = k % 3; src = (y*h // 2)*w + (x*w // 3); byte 3*src+1
+    rk = "3*(((k // 3) * h // 2) * w + ((k % 3) * w // 3)) + 1"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS w,
+         CAST(doc_id % 5 + 1 AS INT) AS h, repeat(md5(text), 7) AS hx
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height, 255 AS maxval,
+  CAST(3*w*h AS BIGINT) AS n_pixel_bytes,
+  round(CAST(list_reduce(list_transform(range(0, w*h),
+      k -> {_bv('hx', '3*k+1')}), (a,b) -> a+b) AS DOUBLE) / (w*h), 6)
+    AS mean_r,
+  round(CAST(list_reduce(list_transform(range(0, 6),
+      k -> {_bv('hx', rk)}), (a,b) -> a+b) AS DOUBLE) / 6, 6)
+    AS resized_mean_r
+FROM base
+"""
+
+
+QUERIES["a201_ppm_decode"] = QuerySpec(a201_ppm_decode, _a201_sql())
+
+
+def a202_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio, resample_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_channels", "sample_rate",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                    "sum_sq", "resampled_n", "resampled_sum",
+                )
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 + 4000 * int(doc_id % 3)
+                n = 8 + int(doc_id % 5)
+                data = (hashlib.md5(text.encode("utf-8")).digest() * 2)[
+                    : 2 * n
+                ]
+                payload = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data),
+                    b"WAVE", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                    b"data", len(data),
+                ) + data
+                a = decode_audio(payload)            # default: RIFF walk
+                rs = resample_audio(payload, 4000)   # default: ZOH
+                out["doc_id"].append(doc_id)
+                out["n_channels"].append(a["n_channels"])
+                out["sample_rate"].append(a["sample_rate"])
+                out["bits_per_sample"].append(a["bits_per_sample"])
+                out["n_frames"].append(a["n_frames"])
+                out["duration_ms"].append(
+                    a["n_frames"] * 1000.0 / a["sample_rate"]
+                )
+                out["sum_sq"].append(sum(v * v for v in a["samples"]))
+                out["resampled_n"].append(rs["n_frames"])
+                out["resampled_sum"].append(sum(rs["samples"]))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("bits_per_sample", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_ms", DoubleType()),
+            StructField("sum_sq", LongType()),
+            StructField("resampled_n", LongType()),
+            StructField("resampled_sum", LongType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema).withColumn(
+        "duration_ms", F.round("duration_ms", 6)
+    )
+
+
+def _a202_sql() -> str:
+    # little-endian signed int16 sample i (0-based) of the data bytes
+    samp = (
+        f"(CASE WHEN {_bv('hx', '2*i+1')} + 256 * {_bv('hx', '2*i+2')}"
+        f" >= 32768 THEN {_bv('hx', '2*i+1')} + 256 * {_bv('hx', '2*i+2')}"
+        f" - 65536 ELSE {_bv('hx', '2*i+1')} + 256 * {_bv('hx', '2*i+2')}"
+        f" END)"
+    )
+    # zero-order hold: output frame j reads source frame j*rate // 4000
+    rsamp = samp.replace("2*i", "2*(j * rate // 4000)")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(8000 + 4000 * (doc_id % 3) AS INT) AS rate,
+         CAST(8 + doc_id % 5 AS BIGINT) AS n,
+         repeat(md5(text), 2) AS hx
+  FROM documents
+)
+SELECT doc_id, 1 AS n_channels, rate AS sample_rate,
+  16 AS bits_per_sample, n AS n_frames,
+  round(CAST(n * 1000.0 AS DOUBLE) / rate, 6) AS duration_ms,
+  CAST(list_reduce(list_transform(range(0, CAST(n AS INT)),
+       i -> {samp} * {samp}), (a,b) -> a+b) AS BIGINT) AS sum_sq,
+  CAST(n * 4000 // rate AS BIGINT) AS resampled_n,
+  CAST(list_reduce(list_transform(range(0, CAST(n * 4000 // rate AS INT)),
+       j -> {rsamp}), (a,b) -> a+b) AS BIGINT) AS resampled_sum
+FROM base
+"""
+
+
+QUERIES["a202_wav_decode"] = QuerySpec(a202_wav_decode, _a202_sql())

@@ -112,3 +112,102 @@ def test_round10_registered_with_oracles():
     qs = all_queries()
     for name in ("a199_ivf_assign", "a200_pq_adc"):
         assert name in qs and qs[name].oracle is not None
+
+
+# --- round-10 task #4: real media codecs (a201/a202) ----------------------
+
+
+def test_decode_ppm_header_grammar():
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    px = bytes(range(12))
+    # comments between any header tokens, multi-whitespace separators
+    payload = b"P6\n# a comment\n2   # inline\n2\n# before maxval\n255\n" + px
+    img = decode_ppm(payload)
+    assert (img["width"], img["height"], img["maxval"]) == (2, 2, 255)
+    assert img["pixels"] == px
+    # raster may legally begin with whitespace-valued bytes: exactly ONE
+    # separator byte is consumed after maxval
+    payload2 = b"P6 1 1 255\n\n\n\x00"  # pixels = (0x0a, 0x0a, 0x00)
+    assert decode_ppm(payload2)["pixels"] == b"\n\n\x00"
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5 1 1 255\n\x00")  # not P6
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6 2 2 255\n\x00\x00")  # truncated raster
+
+
+def test_resize_ppm_convention():
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        resize_ppm,
+    )
+
+    # 4x2 image whose pixel (x, y) has R = 10*y + x, G = B = 0
+    px = bytearray()
+    for y in range(2):
+        for x in range(4):
+            px += bytes([10 * y + x, 0, 0])
+    img = {"width": 4, "height": 2, "maxval": 255, "pixels": bytes(px)}
+    out = resize_ppm(img, (2, 1))
+    # src x = x*4//2 -> 0, 2; src y = 0*2//1 -> 0
+    assert out["pixels"][0::3] == bytes([0, 2])
+    assert (out["width"], out["height"]) == (2, 1)
+
+
+def test_decode_wav_chunk_walk():
+    import struct
+
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    data = struct.pack("<4h", -1, 32767, -32768, 5)
+    # LIST chunk with odd length BEFORE fmt/data: the walker must skip it
+    # with word alignment, not assume fixed offsets
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    body = junk + fmt + dat
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    a = decode_wav(payload)
+    assert a["n_channels"] == 2 and a["sample_rate"] == 8000
+    assert a["n_frames"] == 2  # 4 samples / 2 channels
+    assert a["samples"] == [-1, 32767, -32768, 5]
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])
+
+
+def test_resample_zoh_convention():
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        resample_pcm16,
+    )
+
+    audio = {"n_channels": 1, "sample_rate": 12000, "bits_per_sample": 16,
+             "n_frames": 9, "samples": list(range(9))}
+    out = resample_pcm16(audio, 4000)
+    # out_n = 9*4000//12000 = 3; sample j reads src j*12000//4000 = 3j
+    assert out["n_frames"] == 3 and out["samples"] == [0, 3, 6]
+    assert out["sample_rate"] == 4000
+
+
+def test_compressed_formats_still_require_injection():
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n...")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04...")
+    # injection still wins over the stdlib default
+    assert decode_image(b"P6 1 1 255\n\x00\x00\x00", decoder=len) == 14
+
+
+def test_a201_a202_registered_with_oracles():
+    from bigdata_scala_offline_data_clean_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("a201_ppm_decode", "a202_wav_decode"):
+        assert name in qs and qs[name].oracle is not None

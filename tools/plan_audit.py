@@ -709,6 +709,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("CartesianProduct", "SortMergeJoin"),
         None,
     ),
+    # real-codec queries: one corpus projection (payload synthesis is
+    # codegen for PPM) into one Arrow mapInPandas pass -- no joins at
+    # all, zero exchanges
+    "a201_ppm_decode": ((), ("Exchange", "Join", "CartesianProduct"), None),
+    "a202_wav_decode": ((), ("Exchange", "Join", "CartesianProduct"), None),
 }
 
 
