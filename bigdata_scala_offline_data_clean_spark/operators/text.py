@@ -17,12 +17,28 @@ from pyspark.sql import functions as F
 # BPE-ish word-piece pattern: letter runs, digit runs, single punctuation
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
-# small marker-word lists for the language-ID heuristic (stopword overlap)
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and", "to", "in", "is"),
-    "es": ("el", "la", "de", "y", "en", "que", "los"),
-    "fr": ("le", "la", "de", "et", "les", "des", "un"),
-    "de": ("der", "die", "das", "und", "ein", "zu", "den"),
+# Character-trigram tables for the language-ID scorer (round-10, VERDICT
+# r9 task #5 -- replaces the 4-language marker-stopword overlap).  Each
+# entry is EXACTLY 3 characters; leading/trailing spaces capture word
+# boundaries against the space-padded lowercased text.  The tables are
+# hand-curated high-frequency trigrams of each language (the classic
+# Cavnar-Trenkle n-gram profile idea, truncated to a CASE-expressible
+# literal table so the DuckDB oracle scores identically); overlap between
+# tables is fine -- scores are independent and ties break on the fixed
+# en > es > fr > de order.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", "ion", " to", "to ", " is", "is ", "ed ", " wi", "th ",
+           " be", "er "),
+    "es": (" de", "de ", " la", "la ", " el", "el ", "os ", "que", " qu",
+           "ue ", " en", "en ", "ión", "ado", "ar ", " co", "as ", " se",
+           "nte"),
+    "fr": (" le", "le ", "es ", " de", "de ", " et", "et ", "ent", " la",
+           "la ", "ait", "que", " qu", "eur", "re ", " un", "un ", "ion",
+           "ais"),
+    "de": ("der", "er ", "ie ", "die", " di", "und", " un", "nd ", "ch ",
+           "sch", "ein", " ei", "ung", "ich", "cht", "en ", " ge", "ten",
+           " zu", "das", "ern", "hre", "aus", " au", " de"),
 }
 
 
@@ -110,21 +126,40 @@ def char_class_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-stopword language heuristic.
+    """Char-trigram language scorer (round-10; was marker-stopword overlap).
 
-    Scores each language by distinct-marker overlap with the document's
-    token set; picks the highest with a fixed tie order (en > es > fr > de,
-    i.e. earlier wins ties).  Deterministic, engine-portable (the DuckDB
-    oracle uses the same CASE chain).
+    ``score_{lang}`` counts occurrences of that language's
+    :data:`LANG_TRIGRAMS` in the space-padded lowercased text --
+    occurrence count per trigram via the portable
+    ``(len(s) - len(replace(s, t, ''))) / 3`` identity (left-to-right
+    non-overlapping in BOTH engines, so the DuckDB oracle scores
+    identically); picks the highest with a fixed tie order
+    (en > es > fr > de, earlier wins ties).  Deterministic, and a real
+    n-gram-profile classifier: >=95% accuracy on the multilingual
+    pytest fixture (``test_language_id_trigram_accuracy``).
+
+    100 TB: ~80 replace+length expressions in ONE codegen projection
+    pass -- JVM-side, no Python, no shuffle, rides the cleaning stage's
+    existing scan like the rest of the text stats.
     """
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    out = df
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(
-            f"score_{lang}",
-            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))),
-        )
-    langs = list(LANG_MARKERS)
+    norm = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out = df.withColumn("__lang_norm", norm)
+    for lang, tris in LANG_TRIGRAMS.items():
+        score = None
+        for t in tris:
+            c = (
+                (
+                    F.length("__lang_norm")
+                    - F.length(
+                        F.replace(F.col("__lang_norm"), F.lit(t), F.lit(""))
+                    )
+                )
+                / 3
+            ).cast("int")
+            score = c if score is None else score + c
+        out = out.withColumn(f"score_{lang}", score)
+    out = out.drop("__lang_norm")
+    langs = list(LANG_TRIGRAMS)
     pred = F.lit(None).cast("string")
     # build the CASE chain back-to-front so earlier langs win ties
     for lang in reversed(langs):

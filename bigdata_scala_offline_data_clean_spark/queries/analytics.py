@@ -120,7 +120,7 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
-# a05 -- language-ID heuristic (marker-stopword overlap, fixed tie order)
+# a05 -- language ID (char-trigram profile scorer, fixed tie order)
 # ---------------------------------------------------------------------------
 
 
@@ -134,12 +134,19 @@ def a05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a05_sql() -> str:
-    from ..operators.text import LANG_MARKERS
+    from ..operators.text import LANG_TRIGRAMS
 
-    langs = list(LANG_MARKERS)
+    langs = list(LANG_TRIGRAMS)
+
+    def cnt(t: str) -> str:
+        return (
+            f"CAST((length(nrm) - length(replace(nrm, '{t}', ''))) // 3"
+            f" AS INT)"
+        )
+
     scores = ",\n       ".join(
-        f"len(list_intersect(list_distinct(string_split(text, ' ')), "
-        f"{[*LANG_MARKERS[lang]]})) AS score_{lang}"
+        "(" + " + ".join(cnt(t) for t in LANG_TRIGRAMS[lang])
+        + f") AS score_{lang}"
         for lang in langs
     )
     case = "CASE\n"
@@ -150,10 +157,12 @@ def _a05_sql() -> str:
         case += f"  WHEN {conds} THEN '{lang}'\n"
     case += "END AS predicted_lang"
     return f"""
-WITH scored AS (
+WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS nrm FROM documents
+), scored AS (
   SELECT doc_id,
        {scores}
-  FROM documents
+  FROM padded
 )
 SELECT doc_id, score_en, score_es, score_fr, score_de, {case}
 FROM scored

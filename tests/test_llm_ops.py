@@ -60,11 +60,111 @@ def test_token_count_bpe(spark):
 
 def test_language_id_markers_and_tie_order(spark, docs):
     r = {x.doc_id: x.predicted_lang for x in language_id(docs).collect()}
-    assert r[4] == "es"  # spanish markers dominate
+    assert r[4] == "es"  # spanish function words dominate
     assert r[0] == "en"  # 'the' x3
     # all-zero scores tie -> earliest lang in fixed order wins
     zero = spark.createDataFrame([(9, "zzz qqq")], ["doc_id", "text"])
     assert language_id(zero).first().predicted_lang == "en"
+
+
+# 20 natural sentences per language -- the multilingual fixture the
+# round-10 trigram scorer is graded on (VERDICT r9 task #5: >=95%).
+LANG_FIXTURE = [
+    ("en", "The quick brown fox jumps over the lazy dog in the morning."),
+    ("en", "She is going to the market to buy some fresh bread and milk."),
+    ("en", "This is an example of a sentence written in plain English."),
+    ("en", "The weather today is sunny with a light breeze from the north."),
+    ("en", "He finished reading the book and returned it to the library."),
+    ("en", "Learning new things is one of the great joys of being alive."),
+    ("en", "The committee will meet on Tuesday to discuss the new budget."),
+    ("en", "Many students found the exam harder than they had expected."),
+    ("en", "A long walk in the forest can clear the mind and lift the spirit."),
+    ("en", "The engineers tested the system before releasing it to users."),
+    ("en", "Music and painting are among the oldest forms of human expression."),
+    ("en", "The train arrived at the station exactly on time this morning."),
+    ("en", "Scientists discovered a new species of frog in the rainforest."),
+    ("en", "Cooking dinner together is a wonderful way to end the day."),
+    ("en", "The children played in the garden until the sun went down."),
+    ("en", "Reading the news every day keeps him informed about the world."),
+    ("en", "The old bridge was rebuilt after the flood damaged its base."),
+    ("en", "Her presentation was clear, concise, and full of useful facts."),
+    ("en", "The company announced record profits for the third quarter."),
+    ("en", "Travel broadens the mind and teaches patience and humility."),
+    ("es", "El perro corre por el parque todas las mañanas con su dueño."),
+    ("es", "La casa de mi abuela está en un pueblo pequeño de la montaña."),
+    ("es", "Los estudiantes que estudian mucho aprueban los exámenes."),
+    ("es", "Es importante que los niños coman frutas y verduras frescas."),
+    ("es", "El gobierno anunció nuevas medidas para la economía del país."),
+    ("es", "Me gusta leer libros de historia en la biblioteca de la ciudad."),
+    ("es", "La comida española es conocida en el mundo entero por su sabor."),
+    ("es", "El tren sale de la estación a las ocho de la mañana en punto."),
+    ("es", "Los museos de la capital están abiertos todos los días."),
+    ("es", "Ella ha trabajado en ese hospital durante más de veinte años."),
+    ("es", "El cambio climático es uno de los mayores problemas actuales."),
+    ("es", "Vamos a la playa este verano con toda la familia y los amigos."),
+    ("es", "El profesor explicó la lección de matemáticas con mucha calma."),
+    ("es", "Las flores del jardín huelen muy bien en la primavera."),
+    ("es", "Quiero aprender a tocar la guitarra antes del fin de año."),
+    ("es", "La película que vimos anoche era larga pero muy interesante."),
+    ("es", "Los trabajadores pidieron mejores condiciones en la fábrica."),
+    ("es", "El agua del río baja muy fría desde las montañas nevadas."),
+    ("es", "Mis padres viven en una ciudad grande cerca de la costa."),
+    ("es", "El equipo ganó el partido después de un esfuerzo enorme."),
+    ("fr", "Le chien court dans le parc tous les matins avec son maître."),
+    ("fr", "La maison de ma grand-mère se trouve dans un petit village."),
+    ("fr", "Les étudiants qui travaillent beaucoup réussissent les examens."),
+    ("fr", "Il est important que les enfants mangent des fruits frais."),
+    ("fr", "Le gouvernement a annoncé des mesures pour l'économie du pays."),
+    ("fr", "J'aime lire des livres d'histoire à la bibliothèque de la ville."),
+    ("fr", "La cuisine française est connue dans le monde entier."),
+    ("fr", "Le train part de la gare à huit heures du matin précises."),
+    ("fr", "Les musées de la capitale sont ouverts tous les jours."),
+    ("fr", "Elle a travaillé dans cet hôpital pendant plus de vingt ans."),
+    ("fr", "Le changement climatique est un des plus grands problèmes."),
+    ("fr", "Nous allons à la plage cet été avec toute la famille."),
+    ("fr", "Le professeur a expliqué la leçon de mathématiques calmement."),
+    ("fr", "Les fleurs du jardin sentent très bon au printemps."),
+    ("fr", "Je veux apprendre à jouer de la guitare avant la fin de l'année."),
+    ("fr", "Le film que nous avons vu hier soir était long mais intéressant."),
+    ("fr", "Les ouvriers ont demandé de meilleures conditions à l'usine."),
+    ("fr", "L'eau de la rivière descend très froide des montagnes."),
+    ("fr", "Mes parents habitent une grande ville près de la côte."),
+    ("fr", "L'équipe a gagné le match après un effort énorme."),
+    ("de", "Der Hund läuft jeden Morgen mit seinem Besitzer durch den Park."),
+    ("de", "Das Haus meiner Großmutter steht in einem kleinen Dorf."),
+    ("de", "Die Studenten, die viel lernen, bestehen die Prüfungen."),
+    ("de", "Es ist wichtig, dass die Kinder frisches Obst und Gemüse essen."),
+    ("de", "Die Regierung kündigte neue Maßnahmen für die Wirtschaft an."),
+    ("de", "Ich lese gern Geschichtsbücher in der Bibliothek der Stadt."),
+    ("de", "Die deutsche Küche ist in der ganzen Welt bekannt."),
+    ("de", "Der Zug fährt um acht Uhr morgens vom Bahnhof ab."),
+    ("de", "Die Museen der Hauptstadt sind jeden Tag geöffnet."),
+    ("de", "Sie hat mehr als zwanzig Jahre in diesem Krankenhaus gearbeitet."),
+    ("de", "Der Klimawandel ist eines der größten Probleme unserer Zeit."),
+    ("de", "Wir fahren diesen Sommer mit der ganzen Familie ans Meer."),
+    ("de", "Der Lehrer erklärte die Mathematikstunde sehr ruhig."),
+    ("de", "Die Blumen im Garten duften im Frühling wunderbar."),
+    ("de", "Ich möchte vor Ende des Jahres Gitarre spielen lernen."),
+    ("de", "Der Film, den wir gestern Abend sahen, war lang aber spannend."),
+    ("de", "Die Arbeiter forderten bessere Bedingungen in der Fabrik."),
+    ("de", "Das Wasser des Flusses kommt sehr kalt aus den Bergen."),
+    ("de", "Meine Eltern wohnen in einer großen Stadt nahe der Küste."),
+    ("de", "Die Mannschaft gewann das Spiel nach einer großen Anstrengung."),
+]
+
+
+def test_language_id_trigram_accuracy(spark):
+    df = spark.createDataFrame(
+        [(i, lab, t) for i, (lab, t) in enumerate(LANG_FIXTURE)],
+        ["doc_id", "lang", "text"],
+    )
+    rows = language_id(df).collect()
+    acc = sum(r.predicted_lang == r.lang for r in rows) / len(rows)
+    assert acc >= 0.95, [
+        (r.lang, r.predicted_lang, r.text[:40])
+        for r in rows
+        if r.predicted_lang != r.lang
+    ]
 
 
 def test_exact_dedup(spark, docs):
