@@ -211,3 +211,58 @@ def test_a201_a202_registered_with_oracles():
     qs = all_queries()
     for name in ("a201_ppm_decode", "a202_wav_decode"):
         assert name in qs and qs[name].oracle is not None
+
+
+# --- round-10 task #7: mega-module split (round6 -> 3 family modules) -----
+
+
+def test_round6_split_preserves_registry():
+    """The round-10 split of round6.py into round6_stats/_sim/_wh must be
+    invisible to the registry: same names, same order, every spec still
+    carrying an oracle where it did before."""
+    import re
+    import subprocess
+
+    from bigdata_scala_offline_data_clean_spark.queries import all_queries
+    from bigdata_scala_offline_data_clean_spark.queries import round6
+
+    # the shim's _ORDER is the registration contract
+    assert list(round6.QUERIES) == round6._ORDER
+    assert len(round6.QUERIES) == 40
+    # all 40 present in the global registry, in shim order
+    names = list(all_queries())
+    sub = [n for n in names if n in set(round6._ORDER)]
+    assert sub == round6._ORDER
+    # helpers other modules import from the shim still resolve
+    from bigdata_scala_offline_data_clean_spark.queries.round6 import (  # noqa: F401
+        _A128_K,
+        _A139_BUCKETS,
+        _C50_K,
+        _psi_report,
+        _row_digest,
+        A139_SQL,
+        a110_char_entropy,
+        c49_merge_into,
+    )
+
+
+def test_analytics_split_preserves_registry():
+    """analytics.py keeps a01-a32 + the frozen-first-50 registration dict;
+    a33-a64 moved to analytics_curation.  Same names, same specs."""
+    from bigdata_scala_offline_data_clean_spark.queries import (
+        all_queries,
+        analytics,
+        analytics_curation,
+    )
+
+    assert len(analytics.QUERIES) == 64
+    # every moved name is re-exported from analytics (import contract)
+    for n in ("a33_embedding_clusters", "a36_funnel", "a43_sequence_packing",
+              "a56_frame_sample", "a64_perplexity_buckets", "_a51_sql"):
+        assert hasattr(analytics, n) and hasattr(analytics_curation, n)
+    # the registration dict is the only QUERIES owner (curation has none)
+    assert not hasattr(analytics_curation, "QUERIES")
+    # spot the order contract: a01 leads the analytics dict, a64 closes it
+    names = list(analytics.QUERIES)
+    assert names[0] == "a01_pricing_summary" and names[-1] == "a64_perplexity_buckets"
+    assert set(names) <= set(all_queries())
