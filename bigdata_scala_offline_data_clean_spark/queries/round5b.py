@@ -776,820 +776,34 @@ FROM events
 
 QUERIES["c43_bitmap_cube"] = QuerySpec(c43_bitmap_cube, C43_SQL)
 
-# ---------------------------------------------------------------------------
-# a104 -- prefix-filtering set-similarity join (PPJoin-style candidates)
-# ---------------------------------------------------------------------------
 
-_A104_N, _A104_T = 3, 0.7
-
-
-def a104_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import prefix_filter_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    return prefix_filter_pairs(d, n=_A104_N, threshold=_A104_T)
-
-
-A104_SQL = f"""
-WITH t0 AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), toksf AS (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(generate_series(1, greatest(len(t) - {_A104_N - 1}, 1)),
-                   i -> array_to_string(t[i:i+{_A104_N - 1}], ' ')))) AS gram
-  FROM t0
-), cnt AS (
-  SELECT gram, count(*) AS df FROM toksf GROUP BY gram
-), sized AS (
-  SELECT t.doc_id, t.gram, c.df,
-         count(*) OVER (PARTITION BY t.doc_id) AS n,
-         row_number() OVER (PARTITION BY t.doc_id
-                            ORDER BY c.df ASC, t.gram ASC) AS pos
-  FROM toksf t JOIN cnt c ON c.gram = t.gram
-), pref AS (
-  SELECT doc_id, gram FROM sized
-  WHERE pos <= n - ((7 * n + 9) // 10) + 1
-), cands AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM pref l JOIN pref r ON l.gram = r.gram AND l.doc_id < r.doc_id
-), counts AS (
-  SELECT doc_id, count(*) AS n FROM toksf GROUP BY doc_id
-), inter AS (
-  SELECT c.a, c.b, count(*) AS n_inter
-  FROM cands c
-  JOIN toksf ga ON ga.doc_id = c.a
-  JOIN toksf gb ON gb.doc_id = c.b AND gb.gram = ga.gram
-  GROUP BY c.a, c.b
+# the remaining sections live in round5b_b (round-10 split, VERDICT r9 #7);
+# merging here keeps the registry order identical (the cut is a suffix)
+from .round5b_b import (  # noqa: E402,F401
+    a104_prefix_filter_join,
+    A104_SQL,
+    a105_interpolate,
+    A105_SQL,
+    c44_time_travel,
+    C44_SQL,
+    c45_pit_enrich,
+    C45_SQL,
+    c46_scd3_update,
+    C46_SQL,
+    a106_rolling_corr,
+    A106_SQL,
+    _A107_CAP,
+    a107_sequence_pattern,
+    A107_SQL,
+    a108_weighted_median,
+    A108_SQL,
+    c47_orphan_repair,
+    C47_SQL,
+    a109_train_scaler,
+    A109_SQL,
+    c48_cdc_compact,
+    C48_SQL,
 )
-SELECT * FROM (
-  SELECT i.a, i.b, CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
-  FROM inter i
-  JOIN counts ca ON ca.doc_id = i.a
-  JOIN counts cb ON cb.doc_id = i.b
-) WHERE jaccard >= {_A104_T}
-"""
+from .round5b_b import QUERIES as _QUERIES_B  # noqa: E402
 
-
-QUERIES["a104_prefix_filter_join"] = QuerySpec(a104_prefix_filter_join, A104_SQL)
-
-# ---------------------------------------------------------------------------
-# a105 -- time-series resample with LINEAR INTERPOLATION (a66 forward-fills;
-# interpolation reconstructs between known anchors -- the other half of the
-# resampling toolkit)
-# ---------------------------------------------------------------------------
-
-
-def a105_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily purchase revenue per event type with deterministically
-    "missing" days (day-of-month % 5 == 3 simulates failed loads)
-    linearly interpolated between the neighboring known days.
-
-    All frames after the first agg are calendar x type sized; the
-    prev/next anchors come from two windows sharing one hash(event_type)
-    exchange.  Interpolation arithmetic is integer cents x integer days
-    with ONE double division at the end, so both engines produce
-    bit-identical values.  Leading/trailing gaps (no anchor on one side)
-    stay NULL -- interpolation never extrapolates.
-    """
-    from ._util import day_str
-
-    e = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
-    )
-    daily = (
-        e.groupBy(F.to_date(day_str("ts"), "yyyyMMdd").alias("d"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
-        )
-    )
-    known = daily.where(F.dayofmonth("d") % 5 != 3)
-    cal = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    grid = cal.join(known, "d", "left")
-    w = Window.orderBy("d")  # single series post-agg; per-type in general
-    prev_c = F.last("cents", ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_d = F.last(F.when(F.col("cents").isNotNull(), F.col("d")), True).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    next_c = F.first("cents", ignorenulls=True).over(
-        w.rowsBetween(1, Window.unboundedFollowing)
-    )
-    next_d = F.first(F.when(F.col("cents").isNotNull(), F.col("d")), True).over(
-        w.rowsBetween(1, Window.unboundedFollowing)
-    )
-    interp = prev_c + (next_c - prev_c) * F.datediff(
-        F.col("d"), prev_d
-    ) / F.datediff(next_d, prev_d)
-    out = grid.select(
-        F.date_format("d", "yyyyMMdd").alias("day"),
-        "cents",
-        F.col("cents").isNull().alias("is_interpolated"),
-        F.round(
-            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
-            .otherwise(interp),
-            6,
-        ).alias("filled_cents"),
-    )
-    return out
-
-
-A105_SQL = """
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d,
-         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
-), known AS (
-  SELECT * FROM daily WHERE EXTRACT(day FROM d) % 5 <> 3
-), cal AS (
-  SELECT unnest(generate_series(
-    (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
-    INTERVAL 1 DAY))::DATE AS d
-), grid AS (
-  SELECT c.d, k.cents FROM cal c LEFT JOIN known k ON k.d = c.d
-), anch AS (
-  SELECT d, cents,
-    last_value(cents IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
-    last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
-    first_value(cents IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
-    first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
-      (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
-  FROM grid
-)
-SELECT strftime(d, '%Y%m%d') AS day, cents,
-       cents IS NULL AS is_interpolated,
-       round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
-                  ELSE pc + (nc - pc) * (d - pd) / (nd - pd) END, 6)
-         AS filled_cents
-FROM anch
-"""
-
-
-QUERIES["a105_interpolate"] = QuerySpec(a105_interpolate, A105_SQL)
-
-# ---------------------------------------------------------------------------
-# c44 -- time travel: immutable versioned snapshots + as-of reads + diff
-# ---------------------------------------------------------------------------
-
-
-def c44_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Versioned-table round trip (``Warehouse.write_version`` /
-    ``read_version``): snapshot v1 is the full customer table; v2 deletes
-    every 10th key and bumps BUILDING balances.  Both snapshots stay
-    readable -- the reproducible-training-runs contract -- and the diff
-    (deletes via anti-join, updates via balance comparison) runs between
-    two pinned versions, not against mutable state.  Sums are
-    decimal-exact; one row out.
-    """
-    import shutil
-    import tempfile
-
-    from ..sources.catalog import Warehouse
-    from ._util import dsum
-
-    c = load_table(spark, sf_dir, "customer")
-    scratch = tempfile.mkdtemp(prefix="ods_spark_c44_")
-    try:
-        wh = Warehouse(spark, scratch)
-        v1 = wh.write_version(c, "dwd", "cust_snap")
-        upd = c.where(F.col("c_custkey") % 10 != 0).withColumn(
-            "c_acctbal",
-            F.when(
-                F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 10
-            ).otherwise(F.col("c_acctbal")),
-        )
-        v2 = wh.write_version(upd, "dwd", "cust_snap")
-        r1 = wh.read_version("dwd", "cust_snap", v1)
-        r2 = wh.read_version("dwd", "cust_snap")  # latest == v2
-        deleted = r1.join(r2.select("c_custkey"), "c_custkey", "left_anti")
-        changed = r1.select(
-            "c_custkey", F.col("c_acctbal").alias("__b1")
-        ).join(
-            r2.select("c_custkey", F.col("c_acctbal").alias("__b2")),
-            "c_custkey",
-        ).where(F.col("__b1") != F.col("__b2"))
-        out = (
-            r1.agg(
-                F.count(F.lit(1)).alias("n_v1"),
-                dsum("c_acctbal").alias("bal_v1"),
-            )
-            .crossJoin(
-                r2.agg(
-                    F.count(F.lit(1)).alias("n_v2"),
-                    dsum("c_acctbal").alias("bal_v2"),
-                )
-            )
-            .crossJoin(deleted.agg(F.count(F.lit(1)).alias("n_deleted")))
-            .crossJoin(changed.agg(F.count(F.lit(1)).alias("n_updated")))
-            .select(
-                F.lit(v1).alias("v_first"),
-                F.lit(v2).alias("v_latest"),
-                "n_v1",
-                "n_v2",
-                "bal_v1",
-                "bal_v2",
-                "n_deleted",
-                "n_updated",
-            )
-        )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-
-
-C44_SQL = """
-WITH v2 AS (
-  SELECT c_custkey,
-         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 10
-              ELSE c_acctbal END AS bal
-  FROM customer WHERE c_custkey % 10 <> 0
-)
-SELECT 1 AS v_first, 2 AS v_latest,
-       (SELECT count(*) FROM customer) AS n_v1,
-       (SELECT count(*) FROM v2) AS n_v2,
-       (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        FROM customer) AS bal_v1,
-       (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) FROM v2)
-         AS bal_v2,
-       (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0) AS n_deleted,
-       (SELECT count(*) FROM customer
-        WHERE c_custkey % 10 <> 0 AND c_mktsegment = 'BUILDING') AS n_updated
-"""
-
-
-QUERIES["c44_time_travel"] = QuerySpec(c44_time_travel, C44_SQL)
-
-# ---------------------------------------------------------------------------
-# c45 -- point-in-time (PIT) dimension enrichment: the feature-store
-# correctness problem.  Facts must see the dimension value that was valid
-# AT event time, never a later one (training-serving leakage otherwise).
-# ---------------------------------------------------------------------------
-
-
-def c45_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Enrich each purchase with the user's status (their latest
-    signup/error event) as of the purchase timestamp.  The slowly-changing
-    "dimension" is the status changelog; the join is ``temporal.asof_join``
-    -- both sides shuffle once on user_id, no broadcast, no nested loop --
-    and a purchase before any status row keeps NULL (no leakage from the
-    future).  The oracle uses DuckDB's native ASOF LEFT JOIN, so the two
-    engines verify each other's point-in-time semantics.
-    """
-    from ..operators.temporal import asof_join
-    from ._util import ts_str
-
-    ev = load_table(spark, sf_dir, "events")
-    status = (
-        ev.where(F.col("event_type").isin("signup", "error"))
-        .groupBy("user_id", "ts")
-        .agg(F.max(F.struct("event_id", "event_type")).alias("s"))
-        .select(
-            "user_id",
-            "ts",
-            F.col("s.event_type").alias("status"),
-            F.col("s.event_id").alias("status_event_id"),
-        )
-    )
-    fact = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    j = asof_join(
-        fact,
-        status,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        payload=["status", "status_event_id"],
-    )
-    return j.select(
-        "event_id",
-        "user_id",
-        ts_str("ts").alias("purchase_ts"),
-        "status",
-        "status_event_id",
-    )
-
-
-C45_SQL = """
-WITH status AS (
-  SELECT user_id, ts,
-         arg_max(event_type, event_id) AS status,
-         max(event_id) AS status_event_id
-  FROM events WHERE event_type IN ('signup', 'error')
-  GROUP BY user_id, ts
-), fact AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-)
-SELECT f.event_id, f.user_id,
-       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       s.status, s.status_event_id
-FROM fact f
-ASOF LEFT JOIN status s ON f.user_id = s.user_id AND f.ts >= s.ts
-"""
-
-
-QUERIES["c45_pit_enrich"] = QuerySpec(c45_pit_enrich, C45_SQL)
-
-# ---------------------------------------------------------------------------
-# c46 -- SCD type 3: one-level previous-value history (key-sized table)
-# ---------------------------------------------------------------------------
-
-
-def c46_scd3_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD-3 merge on the customer dimension: every 3rd key moves to
-    segment 'MACHINERY' (a no-op for keys already there -- prev must NOT
-    churn on same-value updates).  Two updates are exercised: the first
-    populates prev, the second proves prev tracks only real changes.
-    """
-    from ..operators.scd2 import scd3_merge
-
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    u1 = c.where(F.col("c_custkey") % 3 == 0).select(
-        "c_custkey", F.lit("MACHINERY").alias("c_mktsegment")
-    )
-    after1 = scd3_merge(c, u1, "c_custkey", "c_mktsegment")
-    u2 = c.where(F.col("c_custkey") % 5 == 0).select(
-        "c_custkey", F.lit("HOUSEHOLD").alias("c_mktsegment")
-    )
-    after2 = scd3_merge(after1, u2, "c_custkey", "c_mktsegment")
-    return after2.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.col("prev_c_mktsegment").alias("prev_segment"),
-    )
-
-
-C46_SQL = """
-WITH base AS (
-  SELECT c_custkey, c_mktsegment AS seg FROM customer
-), step1 AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 3 = 0 AND seg <> 'MACHINERY'
-              THEN 'MACHINERY' ELSE seg END AS seg,
-         CASE WHEN c_custkey % 3 = 0 AND seg <> 'MACHINERY'
-              THEN seg ELSE NULL END AS prev
-  FROM base
-), step2 AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 5 = 0 AND seg <> 'HOUSEHOLD'
-              THEN 'HOUSEHOLD' ELSE seg END AS seg,
-         CASE WHEN c_custkey % 5 = 0 AND seg <> 'HOUSEHOLD'
-              THEN seg ELSE prev END AS prev
-  FROM step1
-)
-SELECT c_custkey, seg AS segment, prev AS prev_segment FROM step2
-"""
-
-
-QUERIES["c46_scd3_update"] = QuerySpec(c46_scd3_update, C46_SQL)
-
-# ---------------------------------------------------------------------------
-# a106 -- rolling 7-day Pearson correlation between two daily metrics
-# ---------------------------------------------------------------------------
-
-
-def a106_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling correlation of daily purchase revenue vs daily click count
-    -- the metric-coupling monitor ("did revenue decouple from traffic
-    this week?").  The event scan is ONE groupBy; every rolling window
-    runs over the daily aggregate (one row per day), with integer-exact
-    sums (cents x counts) folded into the Pearson formula and a single
-    double division at the end.
-    """
-    from ._util import day_str
-
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(day_str("ts").alias("day")).agg(
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("bigint"),
-            ).otherwise(F.lit(0))
-        ).alias("x"),
-        F.sum(
-            F.when(F.col("event_type") == "click", 1).otherwise(0)
-        ).cast("bigint").alias("y"),
-    )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    n = F.count(F.lit(1)).over(w)
-    sx = F.sum("x").over(w)
-    sy = F.sum("y").over(w)
-    sxx = F.sum(F.col("x") * F.col("x")).over(w)
-    syy = F.sum(F.col("y") * F.col("y")).over(w)
-    sxy = F.sum(F.col("x") * F.col("y")).over(w)
-    num = (n * sxy - sx * sy).cast("double")
-    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
-        (n * syy - sy * sy).cast("double")
-    )
-    # a 1-day window (or a constant metric) has zero variance: corr is
-    # undefined -> NULL, not an ANSI divide-by-zero
-    corr = F.when(den != 0, F.round(num / den, 6))
-    return daily.select(
-        "day",
-        "x",
-        "y",
-        n.alias("n_days"),
-        corr.alias("corr7"),
-    )
-
-
-A106_SQL = """
-WITH daily AS (
-  SELECT strftime(ts, '%Y%m%d') AS day,
-         CAST(sum(CASE WHEN event_type = 'purchase'
-                       THEN CAST(round(value * 100, 0) AS BIGINT)
-                       ELSE 0 END) AS BIGINT) AS x,
-         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-              AS BIGINT) AS y
-  FROM events GROUP BY 1
-), r AS (
-  SELECT day, x, y,
-    count(*) OVER w AS n_days,
-    CAST(sum(x) OVER w AS BIGINT) AS sx,
-    CAST(sum(y) OVER w AS BIGINT) AS sy,
-    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
-    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
-  FROM daily
-  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-)
-SELECT day, x, y, n_days,
-       CASE WHEN sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                 * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)) = 0
-            THEN NULL
-            ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)
-                       / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
-       END AS corr7
-FROM r
-"""
-
-
-QUERIES["a106_rolling_corr"] = QuerySpec(a106_rolling_corr, A106_SQL)
-
-# ---------------------------------------------------------------------------
-# a107 -- behavioral sequence-pattern mining (MATCH_RECOGNIZE-lite): ordered
-# per-user event paths searched for adjacency patterns
-# ---------------------------------------------------------------------------
-
-_A107_CAP = 50  # first N events per user; bounds the path string
-
-
-def a107_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user ordered event-type path searched for consecutive
-    patterns: the view>click>purchase funnel adjacency and the
-    click>purchase conversion count (string-arithmetic occurrence count,
-    integer-exact in both engines).  BOUNDED aggregation state (round-9
-    hardening, same fix as a61): a per-key ``row_number`` window ranks
-    events (disk-spillable sort) and the aggregation collects only
-    ``rn <= 50`` structs via a conditional collect, so the in-heap
-    buffer holds <= 50 structs per user at ANY key skew -- a bare
-    ``collect_list`` + post-slice would buffer a whale user's entire
-    history first.  The groupBy rides the window's hash partitioning (no
-    second exchange); ``n_events`` still counts ALL events.
-    """
-    from ..operators.sessionize import capped_event_paths
-
-    ev = load_table(spark, sf_dir, "events")
-    g = capped_event_paths(ev, cap=_A107_CAP).withColumnRenamed(
-        "path", "__path"
-    )
-    pat = "click>purchase"
-    n_conv = (
-        F.length("__path") - F.length(F.replace(F.col("__path"), F.lit(pat)))
-    ) / F.lit(len(pat))
-    return g.select(
-        "user_id",
-        "n_events",
-        F.col("__path").contains("view>click>purchase").alias("has_funnel"),
-        n_conv.cast("bigint").alias("n_click_then_purchase"),
-    )
-
-
-A107_SQL = f"""
-WITH g AS (
-  SELECT user_id, count(*) AS n_events,
-         array_to_string(list(event_type ORDER BY ts, event_id)[:{_A107_CAP}],
-                         '>') AS path
-  FROM events GROUP BY user_id
-)
-SELECT user_id, n_events,
-       contains(path, 'view>click>purchase') AS has_funnel,
-       CAST((len(path) - len(replace(path, 'click>purchase', '')))
-            / len('click>purchase') AS BIGINT) AS n_click_then_purchase
-FROM g
-"""
-
-
-QUERIES["a107_sequence_pattern"] = QuerySpec(a107_sequence_pattern, A107_SQL)
-
-# ---------------------------------------------------------------------------
-# a108 -- weighted median (weighted quantiles: the statistic
-# exact_percentiles doesn't cover -- each value counts with a weight)
-# ---------------------------------------------------------------------------
-
-
-def a108_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted median of extended price per return flag: the
-    smallest value whose cumulative weight reaches half the group total
-    (2*cumw >= total in integer arithmetic -- no 0.5 float anywhere).
-    The cumulative window is PARTITIONED by flag with a total-order
-    tie-break; weights and cents are exact integers end-to-end.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    wspec = Window.partitionBy("l_returnflag").orderBy(
-        "cents", "l_orderkey", "l_linenumber"
-    )
-    cum = base.withColumn("cumw", F.sum("w").over(wspec))
-    tot = base.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
-    j = cum.join(F.broadcast(tot), "l_returnflag").where(
-        2 * F.col("cumw") >= F.col("tot")
-    )
-    return j.groupBy("l_returnflag").agg(
-        F.min("cents").alias("wmedian_cents"),
-        F.max("tot").alias("total_weight"),
-    )
-
-
-A108_SQL = """
-WITH base AS (
-  SELECT l_returnflag,
-         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
-         CAST(l_quantity AS BIGINT) AS w,
-         l_orderkey, l_linenumber
-  FROM lineitem
-), cum AS (
-  SELECT l_returnflag, cents, w,
-         CAST(sum(w) OVER (PARTITION BY l_returnflag
-                           ORDER BY cents, l_orderkey, l_linenumber
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS cumw
-  FROM base
-), tot AS (
-  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tot FROM base GROUP BY 1
-)
-SELECT c.l_returnflag,
-       CAST(min(c.cents) AS BIGINT) AS wmedian_cents,
-       CAST(max(t.tot) AS BIGINT) AS total_weight
-FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
-WHERE 2 * c.cumw >= t.tot
-GROUP BY c.l_returnflag
-"""
-
-
-QUERIES["a108_weighted_median"] = QuerySpec(a108_weighted_median, A108_SQL)
-
-# ---------------------------------------------------------------------------
-# c47 -- orphan quarantine + late-arriving dimension repair
-# ---------------------------------------------------------------------------
-
-
-def c47_orphan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase referential-integrity flow: orders whose customer is
-    missing at load time are QUARANTINED (not dropped, not loaded
-    dirty); when the late dimension batch lands, quarantined rows
-    re-validate and move to REPAIRED; keys that never arrive stay
-    ORPHAN for the audit report.  Both phases are digest-light key
-    anti-joins -- fact bodies never join twice: phase 2 re-validates
-    only the quarantined subset.
-    """
-    from ._util import dsum
-
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders")
-    # dim as of load time: every 7th key arrives late
-    dim_at_load = c.where(F.col("c_custkey") % 7 != 0)
-    loaded = o.join(
-        dim_at_load.select(F.col("c_custkey").alias("o_custkey")),
-        "o_custkey",
-        "left_semi",
-    )
-    quarantined = o.join(
-        dim_at_load.select(F.col("c_custkey").alias("o_custkey")),
-        "o_custkey",
-        "left_anti",
-    )
-    # late batch: the missing keys minus those that never arrive
-    late_batch = c.where(
-        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 14 != 0)
-    )
-    repaired = quarantined.join(
-        late_batch.select(F.col("c_custkey").alias("o_custkey")),
-        "o_custkey",
-        "left_semi",
-    )
-    orphan = quarantined.join(
-        late_batch.select(F.col("c_custkey").alias("o_custkey")),
-        "o_custkey",
-        "left_anti",
-    )
-
-    def summary(df: DataFrame, status: str) -> DataFrame:
-        return df.agg(
-            F.lit(status).alias("status"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("sum_total"),
-        )
-
-    return (
-        summary(loaded, "loaded")
-        .unionByName(summary(repaired, "repaired"))
-        .unionByName(summary(orphan, "orphan"))
-    )
-
-
-C47_SQL = """
-WITH tagged AS (
-  SELECT o_totalprice,
-         CASE WHEN o_custkey % 7 <> 0 THEN 'loaded'
-              WHEN o_custkey % 14 <> 0 THEN 'repaired'
-              ELSE 'orphan' END AS status
-  FROM orders
-)
-SELECT s.status,
-       COALESCE(t.n_orders, 0) AS n_orders,
-       t.sum_total
-FROM (VALUES ('loaded'), ('repaired'), ('orphan')) AS s(status)
-LEFT JOIN (
-  SELECT status, count(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-  FROM tagged GROUP BY status
-) t ON t.status = s.status
-"""
-
-
-QUERIES["c47_orphan_repair"] = QuerySpec(c47_orphan_repair, C47_SQL)
-
-# ---------------------------------------------------------------------------
-# a109 -- train-only-fit feature scaling (the fit/transform leak guard)
-# ---------------------------------------------------------------------------
-
-
-def a109_train_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-max scaling whose bounds are FIT ON THE TRAIN SPLIT ONLY and
-    applied to both splits -- the fit/transform separation that keeps
-    eval rows from leaking into preprocessing statistics.  Bounds are a
-    per-group frame broadcast back over the scan (one agg + one
-    broadcast join); eval rows outside the train range surface as
-    ``in_train_range = false`` with a clipped companion instead of
-    silently stretching the scale.  Integer-cent arithmetic, one double
-    division.
-    """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        (F.col("o_custkey") % 5 != 0).alias("is_train"),
-    )
-    bounds = (
-        o.where("is_train")
-        .groupBy("o_orderpriority")
-        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    )
-    j = o.join(F.broadcast(bounds), "o_orderpriority")
-    span = F.col("hi") - F.col("lo")
-    scaled = F.when(
-        span != 0, (F.col("cents") - F.col("lo")).cast("double") / span
-    )
-    return j.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "is_train",
-        F.round(scaled, 6).alias("scaled"),
-        F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), scaled)), 6).alias(
-            "scaled_clipped"
-        ),
-        F.col("cents").between(F.col("lo"), F.col("hi")).alias("in_train_range"),
-    )
-
-
-A109_SQL = """
-WITH o AS (
-  SELECT o_orderkey, o_orderpriority,
-         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
-         o_custkey % 5 <> 0 AS is_train
-  FROM orders
-), bounds AS (
-  SELECT o_orderpriority, min(cents) AS lo, max(cents) AS hi
-  FROM o WHERE is_train GROUP BY 1
-)
-SELECT o.o_orderkey, o.o_orderpriority, o.is_train,
-       round(CASE WHEN hi - lo <> 0
-                  THEN CAST(cents - lo AS DOUBLE) / (hi - lo) END, 6)
-         AS scaled,
-       round(greatest(0.0, least(1.0,
-             CASE WHEN hi - lo <> 0
-                  THEN CAST(cents - lo AS DOUBLE) / (hi - lo) END)), 6)
-         AS scaled_clipped,
-       cents BETWEEN lo AND hi AS in_train_range
-FROM o JOIN bounds USING (o_orderpriority)
-"""
-
-
-QUERIES["a109_train_scaler"] = QuerySpec(a109_train_scaler, A109_SQL)
-
-# ---------------------------------------------------------------------------
-# c48 -- CDC net-effect compaction: collapse a day's change log to one net
-# operation per key before it ever touches the (100 TB) base merge
-# ---------------------------------------------------------------------------
-
-
-def c48_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collapse an intra-batch CDC log to its net effect per key:
-    insert-then-delete vanishes, insert-then-updates fold to one INSERT
-    with the final payload, update chains fold to one UPDATE, anything
-    ending in delete is one DELETE.  The merge that follows then touches
-    each key ONCE -- compaction cost is one groupBy over the (small)
-    batch, and the savings is paid on the base-table merge.  Ops derive
-    deterministically from the events fixture (signup=I, error=D,
-    else U); first/last resolve via min_by/max_by on the (ts, event_id)
-    total order -- no window, ONE aggregation.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    # total-order sequence as a zero-padded string (string order ==
-    # numeric order): DuckDB's arg_min/arg_max cannot order by a struct,
-    # and epoch_us * shift + event_id would overflow BIGINT
-    seq = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
-    log = ev.select(
-        "user_id",
-        seq.alias("seq"),
-        F.when(F.col("event_type") == "signup", "I")
-        .when(F.col("event_type") == "error", "D")
-        .otherwise("U")
-        .alias("op"),
-        F.col("value"),
-    )
-    g = log.groupBy("user_id").agg(
-        F.min_by("op", "seq").alias("first_op"),
-        F.max_by("op", "seq").alias("last_op"),
-        F.max_by("value", "seq").alias("last_value"),
-        F.count(F.lit(1)).alias("n_ops"),
-    )
-    net_op = (
-        F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), None)
-        .when(F.col("first_op") == "I", "I")
-        .when(F.col("last_op") == "D", "D")
-        .otherwise("U")
-    )
-    out = g.withColumn("net_op", net_op).where(F.col("net_op").isNotNull())
-    return out.select(
-        "user_id",
-        "net_op",
-        F.when(F.col("net_op") != "D", F.round("last_value", 6)).alias(
-            "net_value"
-        ),
-        "n_ops",
-    )
-
-
-C48_SQL = """
-WITH log AS (
-  SELECT user_id,
-         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS seq,
-         CASE WHEN event_type = 'signup' THEN 'I'
-              WHEN event_type = 'error' THEN 'D'
-              ELSE 'U' END AS op,
-         value
-  FROM events
-), g AS (
-  SELECT user_id,
-         arg_min(op, seq) AS first_op,
-         arg_max(op, seq) AS last_op,
-         arg_max(value, seq) AS last_value,
-         count(*) AS n_ops
-  FROM log GROUP BY user_id
-), net AS (
-  SELECT user_id,
-         CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
-              WHEN first_op = 'I' THEN 'I'
-              WHEN last_op = 'D' THEN 'D'
-              ELSE 'U' END AS net_op,
-         last_value, n_ops
-  FROM g
-)
-SELECT user_id, net_op,
-       CASE WHEN net_op <> 'D' THEN round(last_value, 6) END AS net_value,
-       n_ops
-FROM net WHERE net_op IS NOT NULL
-"""
-
-
-QUERIES["c48_cdc_compact"] = QuerySpec(c48_cdc_compact, C48_SQL)
+QUERIES.update(_QUERIES_B)

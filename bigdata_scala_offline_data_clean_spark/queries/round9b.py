@@ -646,6 +646,16 @@ QUERIES["a171_embedding_decontamination"] = QuerySpec(
 # ---------------------------------------------------------------------------
 
 _LN_MOD, _LN_K = 4, 5
+# Round-10 scale fix (SCALE.md "a172 at 10x"): the audited candidate set
+# was the bare modulo FRACTION of the corpus, so audit work grew
+# quadratically under scale-up (measured 18s -> 1049s at 10x) and the
+# candidate broadcast grew without bound.  The sample is now capped at a
+# FIXED count chosen deterministically (md5 order, vec_id tie-break,
+# LIMIT -- Spark plans TakeOrderedAndProject, never a full sort), which
+# makes the audit truly linear in corpus with a constant-size broadcast.
+# At the test SFs the modulo fraction is <= the cap, so outputs are
+# unchanged; the DuckDB twin applies the identical ORDER BY + LIMIT.
+_LN_CAP = 500
 
 
 def a172_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,11 +664,16 @@ def a172_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    cand = e.where(F.col("vec_id") % _LN_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("__q_vec"),
-        l2_norm(F.col("embedding")).alias("__q_norm"),
+    cand = (
+        e.where(F.col("vec_id") % _LN_MOD == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_LN_CAP)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("__q_vec"),
+            l2_norm(F.col("embedding")).alias("__q_norm"),
+        )
     )
     corpus = e.select(
         F.col("vec_id").alias("n_id"),
@@ -712,6 +727,7 @@ def _a172_sql() -> str:
 WITH cand AS (
   SELECT vec_id AS q_id, label AS q_label, embedding AS qv
   FROM embeddings WHERE vec_id % {_LN_MOD} = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_LN_CAP}
 ), c AS (
   SELECT vec_id AS n_id, label AS n_label, embedding AS cv FROM embeddings
 ), scored AS (

@@ -266,3 +266,21 @@ def test_analytics_split_preserves_registry():
     names = list(analytics.QUERIES)
     assert names[0] == "a01_pricing_summary" and names[-1] == "a64_perplexity_buckets"
     assert set(names) <= set(all_queries())
+
+
+def test_suffix_splits_preserve_registries():
+    """extensions/round5b/round7 each merged a _b suffix module in round
+    10; the merged dicts must keep every name and the suffix order."""
+    from bigdata_scala_offline_data_clean_spark.queries import (
+        extensions, extensions_b, round5b, round5b_b, round7, round7_b,
+    )
+
+    for parent, child in ((extensions, extensions_b),
+                          (round5b, round5b_b), (round7, round7_b)):
+        names = list(parent.QUERIES)
+        child_names = list(child.QUERIES)
+        # child names form the SUFFIX of the parent registry, in order
+        assert names[-len(child_names):] == child_names
+        # and every child callable is re-exported from the parent
+        for n in child_names:
+            assert hasattr(parent, child.QUERIES[n].spark.__name__)
