@@ -118,7 +118,12 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = tokens
     if maxval >= 256:
         raise ValueError("2-byte-per-sample PPM unsupported")
-    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    # exactly ONE whitespace byte separates maxval from the raster; a
+    # non-whitespace byte here means a malformed header, and consuming
+    # it blindly would return a silently shifted raster
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header: missing raster separator")
+    pos += 1
     n = 3 * width * height
     pixels = payload[pos : pos + n]
     if len(pixels) != n:
@@ -202,7 +207,14 @@ def decode_wav(payload: bytes) -> dict:
             "<I", payload[pos + 4 : pos + 8]
         )[0]
         body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            # a declared length past the payload end must fail loudly,
+            # like decode_ppm's truncated-raster check -- not produce
+            # stats over whatever bytes happen to remain
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -238,15 +250,23 @@ def decode_audio(payload: bytes, decoder: Callable[[bytes], object] | None = Non
 
 
 def resample_pcm16(audio: dict, target_rate: int) -> dict:
-    """Zero-order-hold resample of a decoded mono PCM dict.
+    """Zero-order-hold resample of a decoded PCM dict (frame-wise).
 
     Index convention (pinned; the DuckDB oracle replicates it): output
     length ``floor(n_frames * target / rate)``; output frame j reads
-    source frame ``floor(j * rate / target)``.
+    source frame ``floor(j * rate / target)``.  Samples are interleaved
+    frame-major, so a copied FRAME carries all ``n_channels`` samples --
+    indexing raw samples as frames would silently drop every channel
+    but the first (round-10 review fix, pinned by
+    ``test_resample_zoh_stereo_frames``).
     """
-    rate, n, s = audio["sample_rate"], audio["n_frames"], audio["samples"]
+    rate, n = audio["sample_rate"], audio["n_frames"]
+    ch, s = audio["n_channels"], audio["samples"]
     out_n = n * target_rate // rate
-    out = [s[j * rate // target_rate] for j in range(out_n)]
+    out: list[int] = []
+    for j in range(out_n):
+        i = j * rate // target_rate
+        out.extend(s[i * ch : (i + 1) * ch])
     return {**audio, "sample_rate": target_rate, "n_frames": out_n,
             "samples": out}
 

@@ -109,9 +109,11 @@ def _edge_sketch_sql(v_sql: str, k: int) -> str:
 
     Accuracy ``min(1000, max(4 * k, 64))`` (round-10, VERDICT r9 task
     #3): the consumers only need each of the k bucket populations held
-    near n/k, and rank error <= n/(4k) keeps every bucket within ~1.25x
-    of its ideal depth -- far inside the 5% skew gate -- so a 32-slice
-    consumer pays a 128-accuracy sketch instead of the flat 1000.
+    near n/k.  Worst case BOTH boundaries of one bucket err by n/(4k)
+    in opposite directions, so depth is bounded at n/k + 2*n/(4k) =
+    1.5x ideal -- at the smallest consumer in the repo (k=64, a27) that
+    is 2.4% of n against the 5% skew gate; a hypothetical k=32 consumer
+    would sit at 4.7%, i.e. AT the gate, so size k accordingly.
     Boundaries shape TASKS only, never values, so results are untouched
     at any accuracy.  ONE definition so the three consumers
     (_equidepth_slices, exact_percentiles, grouped_exact_percentiles)

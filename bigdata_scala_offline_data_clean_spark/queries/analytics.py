@@ -1121,9 +1121,10 @@ def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose independent scans overlap (the eager dict paid two extra job
     # barriers up front -- the r9 a27 1.45x regression).  buckets=64
     # (vs the 256 default) halves the boundary-sketch + per-row bsearch
-    # cost; the <= 12 needed-bucket rank windows stay bounded at ~1.6%
-    # of the column each, and bucket count shapes tasks only -- values
-    # are bit-identical at any bucket count (pytest-pinned).
+    # cost; the <= 12 needed-bucket rank windows stay bounded at <=2.4%
+    # of the column each (1/64 ideal x the sketch's 1.5x worst-case
+    # depth), and bucket count shapes tasks only -- values are
+    # bit-identical at any bucket count (pytest-pinned).
     pctw = (
         exact_percentiles_frame(
             li,
@@ -1168,7 +1169,7 @@ def a27_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = rest.crossJoin(F.broadcast(dist)).crossJoin(F.broadcast(pctw))
     # HLL rsd=0.01 -> a 5% band is ~5 sigma; percentile_approx accuracy
-    # 10000 -> rank error ~0.01%, far inside the +-5 percentile-point band
+    # 2000 -> rank error ~0.05%, far inside the +-5 percentile-point band
     within = lambda est, lo, hi: (F.col(est) >= F.col(lo)) & (  # noqa: E731
         F.col(est) <= F.col(hi)
     )

@@ -104,14 +104,15 @@ def _seed_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def a199_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _norm, dot_product
+    from ..operators.similarity import _ivf_bucket, _norm, dot_product
 
     cents = _seed_vectors(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
 
-    dists = F.array(*[_l2_fold(F.col("embedding"), c) for c in cents])
-    # 1-based first-minimum index == DuckDB row_number(d ASC, cid ASC) = 1
-    bucket = F.array_position(dists, F.array_min(dists)).cast("int")
+    # the operator's own nearest-centroid assignment (squared-L2 argmin,
+    # 1-based, ties -> first == DuckDB row_number(d ASC, cid ASC) = 1);
+    # _l2_fold stays for the PQ subvector (offset) case only
+    bucket = _ivf_bucket(F.col("embedding"), cents).cast("int")
 
     corpus = e.select(
         F.col("vec_id").alias("n_id"),

@@ -284,3 +284,50 @@ def test_suffix_splits_preserve_registries():
         # and every child callable is re-exported from the parent
         for n in child_names:
             assert hasattr(parent, child.QUERIES[n].spark.__name__)
+
+
+def test_codec_malformed_payload_guards():
+    """Round-10 review fixes: malformed payloads fail loudly with
+    ValueError instead of returning silently shifted/truncated data."""
+    import struct
+
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    # non-whitespace byte after maxval -> malformed header, not a shifted
+    # raster
+    with pytest.raises(ValueError, match="separator"):
+        decode_ppm(b"P6 1 1 255X" + bytes(3))
+    # data chunk declaring more bytes than remain -> truncated, not stats
+    # over the remnant
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    bad = b"data" + struct.pack("<I", 1000) + bytes(20)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(fmt + bad)) + b"WAVE" + fmt + bad
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload)
+    # short fmt chunk -> ValueError, not struct.error
+    sfmt = b"fmt " + struct.pack("<I", 4) + bytes(4)
+    dat = b"data" + struct.pack("<I", 4) + bytes(4)
+    payload2 = b"RIFF" + struct.pack("<I", 4 + len(sfmt + dat)) + b"WAVE" + sfmt + dat
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(payload2)
+
+
+def test_resample_zoh_stereo_frames():
+    """Frame-wise ZOH: a stereo resample keeps BOTH channels of each
+    copied frame (round-10 review fix -- sample-as-frame indexing dropped
+    every channel but the first)."""
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        resample_pcm16,
+    )
+
+    # 4 stereo frames at 8000 Hz: (L0,R0) (L1,R1) (L2,R2) (L3,R3)
+    audio = {"n_channels": 2, "sample_rate": 8000, "bits_per_sample": 16,
+             "n_frames": 4, "samples": [10, -10, 11, -11, 12, -12, 13, -13]}
+    out = resample_pcm16(audio, 4000)
+    # out_n = 2; frame j reads source frame 2j -> frames 0 and 2
+    assert out["n_frames"] == 2
+    assert out["samples"] == [10, -10, 12, -12]
+    assert len(out["samples"]) == out["n_frames"] * out["n_channels"]
