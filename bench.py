@@ -344,6 +344,12 @@ def main() -> None:
         )
     except OSError:
         pass  # read-only checkout: the summary line below still carries the signal
+    # stop FIRST, then print: spark.stop() emits async shutdown noise
+    # (streaming state-store maintenance, accumulator warnings) that
+    # would otherwise land AFTER the summary and push it out of the
+    # driver's tail capture -- the exact failure this line exists to fix
+    spark.stop()
+    time.sleep(2)  # let JVM shutdown threads finish their stderr chatter
     print(
         json.dumps(
             {
@@ -354,9 +360,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": detail_path.name,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -525,19 +525,100 @@ def exact_percentiles(
     qs: list[float],
     buckets: int = 256,
 ) -> dict[float, float | None]:
-    """Eager ``{q: value}`` wrapper over :func:`exact_percentiles_frame`
-    (ONE driver barrier; empty input -> ``{q: None}``).
+    """Eager exact interpolated percentiles as ``{q: value}``.
 
-    Callers that embed the quantiles as plan literals (clamp bounds,
-    filter thresholds) use this; callers that only need the values in a
-    final 1-row output should take the frame and cross-join it instead
-    of paying the barrier.  Driver-side state is |qs| doubles.
+    Callers that embed the quantiles as PLAN LITERALS (clamp bounds,
+    filter thresholds: a158, c60) use this; callers that only need the
+    values in a final 1-row output should take
+    :func:`exact_percentiles_frame` and cross-join it instead (a27).
+
+    This keeps the FUSED two-action construction rather than delegating
+    to the frame form (round-10 bench: the frame's group-join plan cost
+    eager callers ~1.3-1.5x): action 1 collects (min, max, count) plus
+    the shared equi-depth boundary sketch, which lets the bucket id be a
+    binary search over LITERAL boundaries (whole-stage codegen, no stats
+    join) and the target ranks ``floor/ceil((n-1)*q)`` be literals too;
+    action 2 fuses bucket counting, the windowed cumsum over the
+    <= ``buckets`` count rows (the no-op ``.limit`` keeps the bound
+    plan-visible for the global-window audit), needed-bucket location
+    against the literal ranks, and the per-bucket rank-and-read.
+    Results are bit-identical to ``percentile()``/``quantile_cont``
+    (same bucketing, ordering, and ``(h - pos) * v0 + (pos - l) * v1``
+    interpolation -- asserted in tests); driver state is bounded by
+    ``buckets`` doubles, never row count.  The construction shares
+    ``_edge_sketch_sql`` / ``_bsearch_below_sql`` with the grouped and
+    frame forms, so the three can never diverge on grid or accuracy.
     """
-    got = {
-        r["q"]: r["value"]
-        for r in exact_percentiles_frame(df, col, qs, buckets).collect()
-    }
-    return {q: got.get(float(q)) for q in qs}
+    import math
+
+    rows = df.select(F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    mm = rows.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("v").alias("n"),
+        F.expr(_edge_sketch_sql("v", buckets)).alias("bnds"),
+    ).collect()[0]
+    n, lo, hi = mm["n"], mm["lo"], mm["hi"]
+    if n == 0:
+        return {q: None for q in qs}
+    if lo == hi:
+        return {q: lo for q in qs}
+    targets: dict[float, tuple[int, int, float]] = {}
+    for q in qs:
+        pos = (n - 1) * q
+        targets[q] = (math.floor(pos), math.ceil(pos), pos)
+    needed_ranks = sorted({r for l, h, _ in targets.values() for r in (l, h)})
+
+    def _dlit(x: float) -> str:
+        if math.isinf(x):
+            return f"double('{'Infinity' if x > 0 else '-Infinity'}')"
+        if math.isnan(x):
+            return "double('NaN')"
+        return f"cast({x!r} as double)"  # repr round-trips exactly
+
+    barr_sql = "array(" + ", ".join(_dlit(float(x)) for x in mm["bnds"]) + ")"
+    bexpr = F.expr(
+        _bsearch_below_sql(barr_sql, "v", len(mm["bnds"]))
+    ).cast("int")
+    cnts = (
+        rows.groupBy(bexpr.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(buckets)
+    )
+    woff = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))
+    )
+    rarr = F.array(*[F.lit(int(r)) for r in needed_ranks])
+    need = (
+        offs.select("__b", "__off", "__c", F.explode(rarr).alias("__r"))
+        .where(
+            (F.col("__r") >= F.col("__off"))
+            & (F.col("__r") < F.col("__off") + F.col("__c"))
+        )
+        .select("__b", "__off")
+        .distinct()
+    )
+    w = Window.partitionBy("__b").orderBy("v")
+    picked = (
+        rows.withColumn("__b", bexpr)
+        .join(F.broadcast(need), "__b")
+        .withColumn(
+            "__rank", F.col("__off") + F.row_number().over(w) - 1
+        )
+        .where(F.col("__rank").isin(needed_ranks))
+        .select("__rank", "v")
+        .collect()
+    )
+    at = {r["__rank"]: r["v"] for r in picked}
+    out: dict[float, float | None] = {}
+    for q, (l, h, pos) in targets.items():
+        out[q] = at[l] if l == h else (h - pos) * at[l] + (pos - l) * at[h]
+    return out
 
 
 def grouped_exact_percentiles(
