@@ -347,9 +347,13 @@ def main() -> None:
     # stop FIRST, then print: spark.stop() emits async shutdown noise
     # (streaming state-store maintenance, accumulator warnings) that
     # would otherwise land AFTER the summary and push it out of the
-    # driver's tail capture -- the exact failure this line exists to fix
-    spark.stop()
-    time.sleep(2)  # let JVM shutdown threads finish their stderr chatter
+    # driver's tail capture -- the exact failure this line exists to fix.
+    # A stop() failure must not suppress the summary line either.
+    try:
+        spark.stop()
+        time.sleep(2)  # let JVM shutdown threads finish stderr chatter
+    except Exception:
+        pass
     print(
         json.dumps(
             {

@@ -208,10 +208,14 @@ def decode_wav(payload: bytes) -> dict:
         )[0]
         body = payload[pos + 8 : pos + 8 + clen]
         if len(body) != clen:
-            # a declared length past the payload end must fail loudly,
-            # like decode_ppm's truncated-raster check -- not produce
-            # stats over whatever bytes happen to remain
-            raise ValueError("truncated WAV chunk")
+            # a truncated fmt/data chunk must fail loudly, like
+            # decode_ppm's truncated-raster check -- not produce stats
+            # over whatever bytes happen to remain.  A clipped TRAILING
+            # metadata chunk (LIST/INFO clipped mid-download is common in
+            # the wild) just ends the walk: the audio itself is intact.
+            if cid in (b"fmt ", b"data"):
+                raise ValueError("truncated WAV chunk")
+            break
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("short fmt chunk")
@@ -224,6 +228,10 @@ def decode_wav(payload: bytes) -> dict:
     audio_fmt, n_ch, rate, _brate, _balign, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError("only 16-bit PCM decodes natively")
+    if n_ch == 0 or rate == 0:
+        # zero channels/rate would surface later as ZeroDivisionError in
+        # frame math -- reject the malformed fmt chunk here instead
+        raise ValueError("malformed fmt chunk: zero channels or rate")
     n_samp = len(data) // 2
     samples = list(struct.unpack(f"<{n_samp}h", data[: 2 * n_samp]))
     return {
@@ -261,7 +269,9 @@ def resample_pcm16(audio: dict, target_rate: int) -> dict:
     ``test_resample_zoh_stereo_frames``).
     """
     rate, n = audio["sample_rate"], audio["n_frames"]
-    ch, s = audio["n_channels"], audio["samples"]
+    # default mono: injected decoders predating the frame-wise fix only
+    # guaranteed {sample_rate, n_frames, samples}
+    ch, s = audio.get("n_channels", 1), audio["samples"]
     out_n = n * target_rate // rate
     out: list[int] = []
     for j in range(out_n):

@@ -481,6 +481,17 @@ def distributed_ntile(
     return part1.unionByName(part2).unionByName(poison_rows)
 
 
+def _check_quantiles(qs: list[float]) -> None:
+    """An out-of-range q would otherwise surface as a rank that falls in
+    no bucket -- an opaque KeyError / silently missing row deep in the
+    construction (round-10 review finding).  Fail loudly up front; the
+    contract matches ``percentile()``/``quantile_cont``, which both
+    reject q outside [0, 1]."""
+    bad = [q for q in qs if not 0.0 <= float(q) <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in [0, 1], got {bad}")
+
+
 def exact_percentiles_frame(
     df: DataFrame,
     col: str,
@@ -551,6 +562,7 @@ def exact_percentiles(
     """
     import math
 
+    _check_quantiles(qs)
     rows = df.select(F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
@@ -661,6 +673,7 @@ def grouped_exact_percentiles(
     """
     from functools import reduce
 
+    _check_quantiles(qs)
     g = list(group_cols)
     rows = df.select(*g, F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()

@@ -331,3 +331,43 @@ def test_resample_zoh_stereo_frames():
     assert out["n_frames"] == 2
     assert out["samples"] == [10, -10, 12, -12]
     assert len(out["samples"]) == out["n_frames"] * out["n_channels"]
+
+
+def test_percentile_q_range_and_codec_edge_guards(spark):
+    """Round-10 second-review fixes: loud contracts on the edges."""
+    import struct
+
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_wav,
+        resample_pcm16,
+    )
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        exact_percentiles,
+        exact_percentiles_frame,
+    )
+
+    df = spark.range(10).selectExpr("cast(id as double) as v")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        exact_percentiles(df, "v", [0.5, 1.5])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        exact_percentiles_frame(df, "v", [-0.1])
+
+    # zero-channel fmt chunk -> ValueError, not ZeroDivisionError
+    fmt0 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 0, 2, 16)
+    dat = b"data" + struct.pack("<I", 4) + bytes(4)
+    p = b"RIFF" + struct.pack("<I", 4 + len(fmt0 + dat)) + b"WAVE" + fmt0 + dat
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(p)
+
+    # clipped TRAILING metadata chunk does not reject intact audio
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    dat = b"data" + struct.pack("<I", 4) + struct.pack("<2h", 7, -7)
+    junk = b"LIST" + struct.pack("<I", 1000) + b"clipped"
+    p2 = b"RIFF" + struct.pack("<I", 4 + len(fmt + dat + junk)) + b"WAVE" + fmt + dat + junk
+    assert decode_wav(p2)["samples"] == [7, -7]
+
+    # injected mono decoders may omit n_channels (pre-fix contract)
+    out = resample_pcm16(
+        {"sample_rate": 8000, "n_frames": 4, "samples": [1, 2, 3, 4]}, 4000
+    )
+    assert out["samples"] == [1, 3]
