@@ -248,6 +248,7 @@ HEADLINE = [
     "a200_pq_adc",  # pinned-codebook PQ codes + asymmetric-distance top-k
     "a201_ppm_decode",  # real stdlib P6 codec + NN resize under oracle check
     "a202_wav_decode",  # real stdlib RIFF/WAVE codec + ZOH resample
+    "a203_winnowing_matches",  # MOSS winnowing: localized fingerprint matches
 ]
 
 

@@ -11,7 +11,7 @@ into the training-data domain per the rebuild brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish word-piece pattern: letter runs, digit runs, single punctuation
@@ -820,3 +820,95 @@ def bpe_merge_rounds(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm): the distinct set of per-window minimum k-gram hashes.
+
+    Every position window of ``w`` consecutive character k-grams
+    contributes its minimum md5 (lexicographic -- hex strings compare
+    identically in Spark and DuckDB, so no numeric parsing), giving the
+    GUARANTEE that any shared substring of at least ``w + k - 1``
+    characters between two documents yields at least one shared
+    fingerprint, while storing only ~2/(w+1) of the gram hashes.  The
+    local-window minimum is what distinguishes winnowing from a06's
+    global min-shingle (one fingerprint per doc) and from MinHash
+    (per-permutation global minima): matches are LOCALIZED, so partial
+    overlap between long documents is still caught.
+
+    100 TB: one projection pass explodes char k-grams (positions via
+    ``transform(sequence(...))`` -- guarded to an empty array for docs
+    shorter than ``k``, since Spark's ``sequence(1, 0)`` counts DOWN),
+    and the window min is partitioned by document -- no data-sized
+    global window, no shuffle beyond the per-doc repartition.
+
+    Returns the distinct ``(id_col, fp)`` long form.
+    """
+    n_expr = f"length({text_col}) - {k} + 1"
+    grams = df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {k} THEN "
+                f"transform(sequence(1, {n_expr}), p -> "
+                f"substring({text_col}, p, {k})) "
+                f"ELSE array() END"
+            )
+        ).alias("__i", "__gram"),
+    ).select(
+        id_col,
+        (F.col("__i") + 1).alias("__pos"),
+        F.md5(F.encode("__gram", "utf-8")).alias("__h"),
+    )
+    wmin = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    wn = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("__n", F.count(F.lit(1)).over(wn))
+        # trailing positions lack a full w-window; they still participate
+        # in earlier windows' frames (the oracle must ALSO filter after
+        # its window -- DuckDB's WHERE runs before window functions)
+        .withColumn("fp", F.min("__h").over(wmin))
+        .where(F.col("__pos") <= F.col("__n") - w + 1)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 20,
+) -> DataFrame:
+    """Cross-document winnowing matches via an inverted index on the
+    fingerprint, ubiquity-capped.
+
+    Fingerprints held by more than ``df_cap`` documents are boilerplate
+    (common code headers / stock phrases) and are dropped BEFORE the
+    self-join -- the standard MOSS practice, and the whale bound that
+    keeps the join's per-fingerprint fan-out at <= df_cap^2 pairs under
+    any corpus (same guard as the LSH bucket cap).  Returns
+    ``(a, b, n_shared)`` with a < b.
+    """
+    wdf = Window.partitionBy("fp")
+    idx = fps.withColumn("__df", F.count(F.lit(1)).over(wdf)).where(
+        F.col("__df") <= df_cap
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

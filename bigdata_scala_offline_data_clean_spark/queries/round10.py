@@ -589,3 +589,81 @@ FROM base
 
 
 QUERIES["a202_wav_decode"] = QuerySpec(a202_wav_decode, _a202_sql())
+
+
+# ---------------------------------------------------------------------------
+# a203 -- winnowing fingerprint matches (Schleimer-Wilkerson-Aiken / MOSS).
+#
+# The localized-near-dup detector the registry lacked: a06's min-shingle
+# is ONE global fingerprint per doc (whole-document identity), MinHash
+# estimates whole-document Jaccard -- winnowing keeps the per-window
+# minimum k-gram hash, so PARTIAL overlap between long documents still
+# shares fingerprints, with the guarantee that any common substring of
+# >= w + k - 1 chars yields >= 1 shared fingerprint (pytest-pinned).
+#
+# Scale: one projection pass explodes char k-grams; the window min is
+# partitioned per document (never data-sized); the cross-doc join is an
+# inverted index with the standard ubiquity cap (fingerprints in more
+# than df_cap docs are boilerplate and dropped BEFORE the self-join, the
+# same whale bound as the LSH bucket cap), so per-fingerprint fan-out is
+# <= df_cap^2 under any corpus.  Oracle note: DuckDB evaluates WHERE
+# before window functions, so its full-window filter must wrap the
+# window in a subquery or the trailing grams silently vanish from every
+# frame (found during parity work; the Spark side filters after .over).
+# ---------------------------------------------------------------------------
+
+_WN_K, _WN_W, _WN_CAP, _WN_TOP = 5, 4, 20, 20
+
+
+def a203_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnow_fingerprints, winnow_match_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=_WN_K, w=_WN_W)
+    pairs = winnow_match_pairs(fps, df_cap=_WN_CAP)
+    # top-N FIRST via orderBy+limit (TakeOrderedAndProject -- never a
+    # global single-task sort of the pair table), THEN the rank window
+    # over the <= _WN_TOP surviving rows (plan-visibly limit-bounded)
+    top = pairs.orderBy(
+        F.col("n_shared").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_WN_TOP)
+    wr = Window.orderBy(
+        F.col("n_shared").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(wr))
+
+
+def _a203_sql() -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, p AS pos, md5(substr(text, p, {_WN_K})) AS h,
+         length(text) - {_WN_K} + 1 AS n
+  FROM documents,
+       LATERAL unnest(generate_series(1,
+           greatest(length(text) - {_WN_K} + 1, 0))) AS t(p)
+), winmin AS (
+  SELECT doc_id, pos, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING)
+           AS fp
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE pos <= n - {_WN_W} + 1
+), capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= {_WN_CAP}
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared,
+       row_number() OVER (ORDER BY n_shared DESC, a ASC, b ASC) AS rank
+FROM pairs QUALIFY rank <= {_WN_TOP}
+"""
+
+
+QUERIES["a203_winnowing_matches"] = QuerySpec(
+    a203_winnowing_matches, _a203_sql()
+)

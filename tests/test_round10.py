@@ -371,3 +371,53 @@ def test_percentile_q_range_and_codec_edge_guards(spark):
         {"sample_rate": 8000, "n_frames": 4, "samples": [1, 2, 3, 4]}, 4000
     )
     assert out["samples"] == [1, 3]
+
+
+# --- a203: winnowing (Schleimer-Wilkerson-Aiken) ---------------------------
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """The SWA guarantee: any shared substring of >= w + k - 1 chars
+    between two documents yields at least one SHARED fingerprint."""
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+    shared = "zqxjvkwpbn"  # len 10 >= w + k - 1 = 8, rare chars
+    rows = [
+        (1, "aaaa " + shared + " bbbb cccc dddd"),
+        (2, "eeee ffff " + shared + " gggg"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert s1 & s2, "shared substring produced no shared fingerprint"
+
+
+def test_winnowing_edges(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    # doc shorter than k -> no grams -> no fingerprints (and no crash
+    # from Spark's downward-counting sequence(1, 0))
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "exactly-long-enough")], ["doc_id", "text"]
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    got = {r["doc_id"] for r in fps.collect()}
+    assert got == {2}
+    # ubiquity cap: a fingerprint in > df_cap docs is dropped entirely
+    many = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(5)], ["doc_id", "text"]
+    )
+    all_pairs = winnow_match_pairs(
+        winnow_fingerprints(many, k=5, w=4), df_cap=10
+    ).count()
+    capped = winnow_match_pairs(
+        winnow_fingerprints(many, k=5, w=4), df_cap=4
+    ).count()
+    assert all_pairs == 10 and capped == 0  # C(5,2) pairs vs all dropped

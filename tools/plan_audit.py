@@ -714,6 +714,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # all, zero exchanges
     "a201_ppm_decode": ((), ("Exchange", "Join", "CartesianProduct"), None),
     "a202_wav_decode": ((), ("Exchange", "Join", "CartesianProduct"), None),
+    # winnowing: per-doc window min + inverted-index self-join on the
+    # fingerprint (equi-join; the ubiquity cap bounds fan-out) + global
+    # top-N via TakeOrdered -- never a cartesian
+    "a203_winnowing_matches": (
+        ("TakeOrderedAndProject",), ("CartesianProduct",), None,
+    ),
 }
 
 
