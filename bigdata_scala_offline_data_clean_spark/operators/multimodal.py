@@ -221,6 +221,14 @@ def decode_wav(payload: bytes) -> dict:
                 raise ValueError("short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            # ADVICE r10: a second data chunk must not silently clobber
+            # the first, and an odd byte count cannot hold whole 16-bit
+            # samples -- both are malformed-but-parsable shapes this
+            # module otherwise fails loudly on.
+            if data is not None:
+                raise ValueError("duplicate data chunk")
+            if clen & 1:
+                raise ValueError("odd data chunk length for 16-bit PCM")
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:

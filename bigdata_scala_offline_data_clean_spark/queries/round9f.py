@@ -392,7 +392,13 @@ def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
     # swept since those can never be revalidated.
     import glob
     import shutil
+    import time
 
+    # ADVICE r10: a concurrent session (older code with the legacy naming,
+    # or another user mid-flush) may still be writing one of these dirs --
+    # only reap dirs idle past a grace period, never an active one.
+    _GRACE_S = 3600
+    now = time.time()
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), f"stream_flush_{path_h}_*")
     ) + [
@@ -400,7 +406,13 @@ def _s16_source_dir(spark: SparkSession, sf_dir: str) -> str:
         for p in glob.glob(os.path.join(tempfile.gettempdir(), "stream_flush_*"))
         if len(os.path.basename(p)) == len("stream_flush_") + 12
     ]:
-        if os.path.abspath(stale) != os.path.abspath(drop_dir):
+        if os.path.abspath(stale) == os.path.abspath(drop_dir):
+            continue
+        try:
+            idle = now - os.stat(stale).st_mtime
+        except OSError:
+            continue  # raced: someone else already removed it
+        if idle > _GRACE_S:
             shutil.rmtree(stale, ignore_errors=True)
     done = os.path.join(drop_dir, ".sentinel_done")
     if os.path.exists(done):

@@ -421,3 +421,57 @@ def test_winnowing_edges(spark):
         winnow_fingerprints(many, k=5, w=4), df_cap=4
     ).count()
     assert all_pairs == 10 and capped == 0  # C(5,2) pairs vs all dropped
+
+
+def test_injected_compressed_codec_end_to_end():
+    """VERDICT r10 task #5: prove the production decoder-injection contract
+    with real bytes, not just the error path.  A zlib-wrapped P6 / WAV
+    stands in for PNG / FLAC: the injected decoder decompresses and hands
+    off to the stdlib parser, and every metadata field must equal the
+    uncompressed twin's through all four injection points
+    (multimodal.py decode_image / resize_image / decode_audio /
+    resample_audio).
+    """
+    import struct
+    import zlib
+
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        resample_audio,
+        resize_image,
+    )
+
+    # -- image: 2x2 P6 with distinct pixels --------------------------------
+    raster = bytes(range(12))
+    ppm = b"P6 2 2 255\n" + raster
+    zppm = zlib.compress(ppm)
+    png_like = lambda b: decode_ppm(zlib.decompress(b))  # noqa: E731
+
+    # the compressed payload is NOT natively decodable ...
+    with pytest.raises(NotImplementedError):
+        decode_image(zppm)
+    # ... but the injected decoder restores the exact uncompressed result
+    assert decode_image(zppm, decoder=png_like) == decode_ppm(ppm)
+
+    # resize through the same injection point: identical to the
+    # uncompressed default path
+    assert resize_image(zppm, (1, 1), decoder=png_like) == resize_image(
+        ppm, (1, 1)
+    )
+
+    # -- audio: mono 16-bit PCM, 4 samples at 8 kHz ------------------------
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    dat = b"data" + struct.pack("<I", 8) + struct.pack("<4h", 3, -3, 5, -5)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt + dat)) + b"WAVE" + fmt + dat
+    zwav = zlib.compress(wav)
+    flac_like = lambda b: decode_wav(zlib.decompress(b))  # noqa: E731
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(zwav)
+    assert decode_audio(zwav, decoder=flac_like) == decode_wav(wav)
+    assert resample_audio(zwav, 4000, decoder=flac_like) == resample_audio(
+        wav, 4000
+    )

@@ -1,0 +1,141 @@
+"""Round-11 pins: ADVICE r10 fixes (WAV malformed-chunk contracts, flush-dir
+grace period, bench_compare banding) and VERDICT r10 tasks #6 (bench bands)
+and #7 (trained-ANN recall floors on the sf0.01 fixture).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _wav(fmt_chunks: list[bytes], data_chunks: list[bytes]) -> bytes:
+    body = b"".join(fmt_chunks + data_chunks)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+_FMT16 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+
+
+def test_wav_duplicate_data_chunk_raises():
+    """ADVICE r10: a later data chunk must not silently overwrite the
+    first -- duplicate data chunks are malformed and fail loudly."""
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    d1 = b"data" + struct.pack("<I", 4) + struct.pack("<2h", 1, 2)
+    d2 = b"data" + struct.pack("<I", 4) + struct.pack("<2h", 9, 9)
+    with pytest.raises(ValueError, match="duplicate data"):
+        decode_wav(_wav([_FMT16], [d1, d2]))
+    # single data chunk still decodes
+    assert decode_wav(_wav([_FMT16], [d1]))["samples"] == [1, 2]
+
+
+def test_wav_odd_data_length_raises():
+    """ADVICE r10: an odd byte count cannot hold whole 16-bit samples --
+    raise instead of silently truncating the final byte."""
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    # clen=3: one full sample plus a dangling byte (word-aligned pad after)
+    bad = b"data" + struct.pack("<I", 3) + b"\x07\x00\xff" + b"\x00"
+    with pytest.raises(ValueError, match="odd data"):
+        decode_wav(_wav([_FMT16], [bad]))
+
+
+def test_flush_dir_grace_period(spark, tmp_path):
+    """ADVICE r10: the legacy stream_flush_* sweep must not reap a dir a
+    concurrent session may still be writing -- only dirs idle past the
+    grace period go."""
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata not present")
+    from bigdata_scala_offline_data_clean_spark.queries.round9f import (
+        _s16_source_dir,
+    )
+
+    tdir = tempfile.gettempdir()
+    fresh = os.path.join(tdir, "stream_flush_" + "a" * 12)  # legacy naming
+    stale = os.path.join(tdir, "stream_flush_" + "b" * 12)
+    os.makedirs(fresh, exist_ok=True)
+    os.makedirs(stale, exist_ok=True)
+    old = 7200.0
+    os.utime(stale, (os.stat(stale).st_atime - old, os.stat(stale).st_mtime - old))
+    try:
+        _s16_source_dir(spark, sf_dir)
+        assert os.path.isdir(fresh)  # recently active: survives the sweep
+        assert not os.path.exists(stale)  # idle past grace: reaped
+    finally:
+        import shutil
+
+        shutil.rmtree(fresh, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_bench_compare_band_overlap():
+    """VERDICT r10 task #6: movers whose [min, min+spread] bands overlap
+    are jitter, not regressions."""
+    from tools.bench_compare import _bands_overlap
+
+    assert _bands_overlap({"min": 1.0, "spread": 0.5}, {"min": 1.4, "spread": 0.1})
+    assert not _bands_overlap({"min": 1.0, "spread": 0.1}, {"min": 1.4, "spread": 0.1})
+    # missing band data -> fall back to ratio-only flagging (not noise)
+    assert not _bands_overlap(None, {"min": 1.0, "spread": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 task #7: trained-path recall floors.  a16/a76 stay rows-only
+# in the driver (k-means centroids are float-iterative, no SQL twin), so a
+# silent trainer regression could previously hide behind "rows-only by
+# design".  These pins run the EXACT query parameters (a16: n_clusters=8,
+# n_probes=4; a76: m=16, ksub=16, refine=50) on the sf0.01 fixture with the
+# fixed default seeds and assert recall@5 against the exact top-k.
+# Measured on 2026-08-15: IVF 0.68, PQ 0.92 -- floors 0.6 / 0.8 leave noise
+# margin while sitting well above the in-query floors (0.5 / 0.7).
+# ---------------------------------------------------------------------------
+
+
+def _sf001_embeddings(spark):
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 testdata not present")
+    return spark.read.parquet(path)
+
+
+def test_trained_ivf_recall_floor_sf001(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    e = _sf001_embeddings(spark)
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in ivf_ann_topk(e, q, k=5, n_clusters=8, n_probes=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_trained_pq_recall_floor_sf001(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+    )
+
+    e = _sf001_embeddings(spark)
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.q_id, r.n_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in pq_ann_topk(e, q, k=5, m=16, ksub=16, refine=50).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
