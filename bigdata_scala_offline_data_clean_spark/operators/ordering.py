@@ -79,6 +79,36 @@ def deterministic_shuffle(
     )
 
 
+def pin_frame(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Pin a nondeterministic multi-consumer frame to ONE evaluation.
+
+    Default: ``localCheckpoint(eager=False)`` -- cheap, but the pinned
+    blocks live in non-replicated executor storage, so on a real cluster
+    losing an executor mid-query FAILS the job (no lineage replay).
+
+    ``reliable=True`` (VERDICT r10 task #4 / ADVICE r9): RELIABLE
+    ``checkpoint(eager=False)`` into the session's checkpoint dir
+    (``build_session(checkpoint_dir=...)`` or
+    ``SPARK_GRAFT_CHECKPOINT_DIR``) -- replicated storage, survives
+    executor loss, same determinism pin, at the cost of one write to the
+    checkpoint filesystem.  Flip it when the pinned frame is large enough
+    (or the query long enough) that a mid-query executor loss is likely:
+    the group-sized stat frames here are tiny, so the WRITE is cheap and
+    the only real cost is checkpoint-dir round-trip latency.  Raises
+    up-front if no checkpoint dir is configured -- Spark's own error at
+    materialization time is far less actionable.
+    """
+    if not reliable:
+        return df.localCheckpoint(eager=False)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint dir: build_session("
+            "checkpoint_dir=...) or SPARK_GRAFT_CHECKPOINT_DIR"
+        )
+    return df.checkpoint(eager=False)
+
+
 def _bsearch_below_sql(arr_sql: str, v_sql: str, m: int) -> str:
     """SQL expression: how many elements of the ascending ``m``-element
     array ``arr_sql`` are strictly below ``v_sql``.
@@ -497,6 +527,7 @@ def exact_percentiles_frame(
     col: str,
     qs: list[float],
     buckets: int = 256,
+    reliable: bool = False,
 ) -> DataFrame:
     """LAZY exact interpolated percentiles: a ``(q, value)`` frame, one
     row per requested quantile, materialized in ONE Spark action when
@@ -527,6 +558,7 @@ def exact_percentiles_frame(
         qs,
         buckets,
         _single_group=True,
+        reliable=reliable,
     ).drop("__g")
 
 
@@ -640,6 +672,7 @@ def grouped_exact_percentiles(
     qs: list[float],
     buckets: int = 256,
     _single_group: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact per-group interpolated percentiles, fully declarative.
 
@@ -682,20 +715,18 @@ def grouped_exact_percentiles(
     # `binned` feeds both the bucket-count branch and the needed-bucket
     # ranking branch, and divergent re-evaluations of __bnds would give
     # the two branches different bucket ids (round-9 review fix -- same
-    # pin as _equidepth_slices).  FAILURE MODE (ADVICE r9, documented
-    # tradeoff): localCheckpoint blocks live in non-replicated executor
-    # storage, so on a real cluster losing an executor mid-query FAILS
-    # the job (no lineage replay) instead of recomputing -- acceptable
-    # here because the pinned frame is group-sized (one row per group)
-    # and a retry re-runs the whole query deterministically apart from
-    # the sketch; at very large group counts where the stat frame itself
-    # is big enough that a mid-query executor loss is likely, prefer
-    # reliable checkpoint() (HDFS-replicated, same determinism pin) at
-    # the cost of a write to the checkpoint dir.
-    stats = rows.groupBy(*g).agg(
-        F.count("v").alias("__n"),
-        F.expr(_edge_sketch_sql("v", buckets)).alias("__bnds"),
-    ).localCheckpoint(eager=False)
+    # pin as _equidepth_slices).  The default localCheckpoint pin cannot
+    # survive executor loss (no lineage replay); pass ``reliable=True``
+    # with a configured checkpoint dir to pin via replicated
+    # ``checkpoint()`` instead -- see :func:`pin_frame` (VERDICT r10
+    # task #4) for the tradeoff and when to flip it.
+    stats = pin_frame(
+        rows.groupBy(*g).agg(
+            F.count("v").alias("__n"),
+            F.expr(_edge_sketch_sql("v", buckets)).alias("__bnds"),
+        ),
+        reliable=reliable,
+    )
     # a degenerate (all-equal) group folds to bucket 0 naturally: every
     # boundary equals the value, and the strict < admits none
     bexpr = F.expr(_bsearch_below_sql("__bnds", "v", buckets - 1)).cast("int")

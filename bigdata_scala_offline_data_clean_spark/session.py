@@ -34,11 +34,18 @@ def build_session(
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession tuned for this engine.
 
     Parameters default from environment for the driver harness:
     ``SPARK_GRAFT_CPUS`` sets local parallelism, otherwise ``local[*]``.
+
+    ``checkpoint_dir`` (or ``SPARK_GRAFT_CHECKPOINT_DIR``) enables
+    RELIABLE ``DataFrame.checkpoint()`` -- replicated-storage pins that
+    survive executor loss, unlike ``localCheckpoint``.  On a cluster
+    point it at HDFS/S3; operators taking ``reliable=True``
+    (``ordering.grouped_exact_percentiles`` and friends) require it.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
@@ -66,6 +73,9 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ckpt = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
 
 

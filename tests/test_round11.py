@@ -139,3 +139,53 @@ def test_trained_pq_recall_floor_sf001(spark):
         for r in pq_ann_topk(e, q, k=5, m=16, ksub=16, refine=50).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_reliable_checkpoint_percentiles_identical(spark, tmp_path):
+    """VERDICT r10 task #4: the reliable-checkpoint escape hatch.  The
+    same grouped percentile query pinned via localCheckpoint (default)
+    and via replicated checkpoint() (reliable=True) must produce
+    identical rows; reliable=True without a checkpoint dir fails loudly
+    up front."""
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        grouped_exact_percentiles,
+        pin_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(k % 3, float(k * k % 97)) for k in range(500)], ["g", "v"]
+    )
+    qs = [0.25, 0.5, 0.9]
+
+    # no checkpoint dir configured yet -> loud, actionable error
+    assert spark.sparkContext.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        pin_frame(df, reliable=True)
+
+    local = sorted(
+        map(tuple, grouped_exact_percentiles(df, ["g"], "v", qs).collect())
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = sorted(
+        map(
+            tuple,
+            grouped_exact_percentiles(
+                df, ["g"], "v", qs, reliable=True
+            ).collect(),
+        )
+    )
+    assert rel == local
+
+
+def test_build_session_checkpoint_dir_env(spark, tmp_path, monkeypatch):
+    """build_session wires SPARK_GRAFT_CHECKPOINT_DIR into the context
+    (getOrCreate returns the shared session; setCheckpointDir still runs)."""
+    import os
+
+    from bigdata_scala_offline_data_clean_spark.session import build_session
+
+    d = str(tmp_path / "env_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", d)
+    s = build_session(app_name="ckpt-env")
+    got = s.sparkContext.getCheckpointDir()
+    assert got is not None and os.path.basename(d) in got
