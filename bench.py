@@ -249,6 +249,7 @@ HEADLINE = [
     "a201_ppm_decode",  # real stdlib P6 codec + NN resize under oracle check
     "a202_wav_decode",  # real stdlib RIFF/WAVE codec + ZOH resample
     "a203_winnowing_matches",  # MOSS winnowing: localized fingerprint matches
+    "a204_span_dedup",  # duplicated-span removal: cleaned corpus + stats
 ]
 
 

@@ -851,9 +851,29 @@ def winnow_fingerprints(
 
     Returns the distinct ``(id_col, fp)`` long form.
     """
+    return (
+        _winnow_windows(df, id_col, text_col, k, w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def _winnow_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Positioned winnowing windows: one row per FULL w-gram window,
+    ``(id_col, __pos, fp)`` with ``__pos`` the window's first gram
+    position (1-based char offset) and ``fp`` its minimum k-gram md5.
+    The window's character span is ``[__pos, __pos + w + k - 2]``.
+    Shared core of :func:`winnow_fingerprints` (which discards positions)
+    and :func:`winnow_span_dedup` (which excises the spans)."""
     n_expr = f"length({text_col}) - {k} + 1"
     grams = df.select(
         id_col,
+        # gram count is a pure length expression -- carried through the
+        # explode instead of a count(*) window over the gram-sized frame
+        # (round-11: drops one whole window pass for every consumer)
+        F.expr(n_expr).alias("__n"),
         F.posexplode(
             F.expr(
                 f"CASE WHEN length({text_col}) >= {k} THEN "
@@ -864,20 +884,18 @@ def winnow_fingerprints(
         ).alias("__i", "__gram"),
     ).select(
         id_col,
+        "__n",
         (F.col("__i") + 1).alias("__pos"),
         F.md5(F.encode("__gram", "utf-8")).alias("__h"),
     )
     wmin = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
-    wn = Window.partitionBy(id_col)
     return (
-        grams.withColumn("__n", F.count(F.lit(1)).over(wn))
         # trailing positions lack a full w-window; they still participate
         # in earlier windows' frames (the oracle must ALSO filter after
         # its window -- DuckDB's WHERE runs before window functions)
-        .withColumn("fp", F.min("__h").over(wmin))
+        grams.withColumn("fp", F.min("__h").over(wmin))
         .where(F.col("__pos") <= F.col("__n") - w + 1)
-        .select(id_col, "fp")
-        .distinct()
+        .select(id_col, "__pos", "fp")
     )
 
 
@@ -911,4 +929,169 @@ def winnow_match_pairs(
             F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def winnow_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    keep: str = "first",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Duplicated-span REMOVAL (Lee et al. 2022-style substring dedup,
+    winnowing-localized): excise from each document every character span
+    covered by a winnowing window whose fingerprint appears in
+    ``min_doc_freq``-or-more distinct documents.
+
+    VERDICT r10 task #2: :func:`winnow_match_pairs` *detects* duplicated
+    spans; this is the transform a curation pipeline actually runs -- the
+    cleaned corpus with the duplication excised, plus bytes-removed stats.
+
+    ``keep='first'`` preserves one canonical copy: occurrences inside the
+    minimum ``id_col`` holding a fingerprint survive (per-fingerprint, so
+    overlapping-but-distinct paragraphs can keep different canonicals).
+    ``keep='none'`` removes every occurrence everywhere.
+
+    Guarantee (pytest-pinned end-to-end): a shared substring of at least
+    ``w + k - 1`` characters contains at least one FULL window of ``w``
+    consecutive k-grams; every fully-inside window's min-gram hash is
+    identical across the sharing documents, so its span is excised -- and
+    the union of all fully-inside window spans covers the WHOLE shared
+    substring.  Boundaries are approximate in the other direction: a
+    window straddling the edge of a shared region may pick its min inside
+    it and drag up to ``w + k - 2`` neighboring characters along (the
+    standard winnowing-granularity tradeoff).  Intra-document repeats are
+    NOT removed (doc frequency counts distinct documents).
+
+    100 TB plan shape: the gram explode and window-min are per-document
+    (one repartition by id); consecutive same-fp windows collapse to runs
+    (lag + running count inside the SAME doc partition -- no extra
+    shuffle) before the fingerprint join, cutting its input by ~the
+    winnowing density; duplicated-fp detection is a groupBy on fp (never
+    a self-join -- removal needs no pairs, unlike match detection, so no
+    df_cap is needed and ubiquitous boilerplate is REMOVED rather than
+    whale-capped); span coverage is a difference-array cumsum per
+    document (events are +1/-1 at span edges), never a per-character
+    frame; the only per-character work is the initial gram explode.
+
+    Returns ``(id_col, clean_text, orig_len, kept_len, removed_chars,
+    n_spans)`` -- one row per input document, untouched documents pass
+    through with ``removed_chars = 0``.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    span = w + k - 2  # chars covered by one window, minus 1 (span length - 1)
+
+    wins = _winnow_windows(df, id_col, text_col, k, w)
+    wdoc = Window.partitionBy(id_col).orderBy("__pos")
+
+    # collapse consecutive same-fp windows into runs: [first_pos,
+    # last_pos + w + k - 2] covers exactly the union of the run's spans
+    runs = (
+        wins.withColumn(
+            "__new",
+            F.when(
+                F.lag("fp").over(wdoc).isNull()
+                | (F.lag("fp").over(wdoc) != F.col("fp")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl", F.sum("__new").over(wdoc))
+        .groupBy(id_col, "__isl", "fp")
+        .agg(F.min("__pos").alias("__s"), F.max("__pos").alias("__p1"))
+        .select(id_col, "fp", "__s", (F.col("__p1") + span).alias("__e"))
+        # pin: runs feeds BOTH the duplicated-fp groupBy and the fp join
+        # below -- without it the per-character gram explode and its three
+        # doc-partition windows re-run for each consumer (plan-audited:
+        # the corpus must be scanned ~2x, not 7x).  Deterministic frame,
+        # so this is purely a recompute guard, not a correctness pin.
+        .localCheckpoint(eager=False)
+    )
+
+    # duplicated fingerprints + their canonical keeper (min id); a plain
+    # fp groupBy -- no pair join, no cap needed at any corpus size
+    dup = (
+        runs.select(id_col, "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .where(F.col("__docs") >= min_doc_freq)
+    )
+    rem = runs.join(dup, "fp")
+    if keep == "first":
+        rem = rem.where(F.col(id_col) != F.col("__keeper"))
+    # pin: three event legs below consume rem (span starts, span ends,
+    # per-doc sentinels); span-count-sized, far smaller than the corpus
+    rem = rem.select(id_col, "__s", "__e").localCheckpoint(eager=False)
+
+    # difference-array coverage: +1 at span start, -1 past span end, a
+    # 0-delta sentinel at position 1 so the leading kept segment exists;
+    # running sum over the per-doc boundary rows (tiny: 2 per span)
+    ev = (
+        rem.select(id_col, F.col("__s").alias("__pos"), F.lit(1).alias("__d"))
+        .unionByName(
+            rem.select(
+                id_col, (F.col("__e") + 1).alias("__pos"), F.lit(-1).alias("__d")
+            )
+        )
+        .unionByName(
+            rem.select(id_col)
+            .distinct()
+            .select(id_col, F.lit(1).alias("__pos"), F.lit(0).alias("__d"))
+        )
+        .groupBy(id_col, "__pos")
+        .agg(F.sum("__d").alias("__d"))
+    )
+    wb = Window.partitionBy(id_col).orderBy("__pos")
+    bounds = ev.select(
+        id_col,
+        "__pos",
+        F.sum("__d").over(wb).alias("__cov"),
+        F.lead("__pos").over(wb).alias("__nxt"),
+    ).select(
+        id_col,
+        "__pos",
+        "__cov",
+        "__nxt",
+        F.coalesce(F.lag("__cov").over(wb), F.lit(0)).alias("__prevcov"),
+    )
+
+    # kept segments -> sorted interval array per doc; covered 0->+
+    # transitions count the merged removed spans
+    segs = bounds.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__cov") == 0,
+                    F.struct(F.col("__pos").alias("s"), F.col("__nxt").alias("e")),
+                )
+            )
+        ).alias("__ivs"),
+        F.sum(
+            F.when((F.col("__cov") > 0) & (F.col("__prevcov") == 0), 1).otherwise(0)
+        ).alias("__nspans"),
+    )
+
+    out = df.join(segs, id_col, "left")
+    clean = F.when(F.col("__ivs").isNull(), F.col(text_col)).otherwise(
+        F.expr(
+            f"array_join(transform(__ivs, iv -> substring({text_col}, iv.s, "
+            f"coalesce(iv.e - 1, length({text_col})) - iv.s + 1)), '')"
+        )
+    )
+    return out.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.length(text_col).cast("long").alias("orig_len"),
+        F.length(clean).cast("long").alias("kept_len"),
+        (F.length(text_col) - F.length(clean)).cast("long").alias(
+            "removed_chars"
+        ),
+        F.coalesce(F.col("__nspans"), F.lit(0)).cast("long").alias("n_spans"),
     )

@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9f,
         round9g,
         round10,
+        round11,
         streaming_q,
     )
 
@@ -100,6 +101,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9f,
         round9g,
         round10,
+        round11,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

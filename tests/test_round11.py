@@ -189,3 +189,72 @@ def test_build_session_checkpoint_dir_env(spark, tmp_path, monkeypatch):
     s = build_session(app_name="ckpt-env")
     got = s.sparkContext.getCheckpointDir()
     assert got is not None and os.path.basename(d) in got
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 task #2: duplicated-span removal.  The winnowing guarantee
+# must hold END TO END through the transform: a shared substring of
+# >= w + k - 1 characters is FULLY removed from every non-keeper document.
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_removes_planted_paragraph(spark):
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        winnow_span_dedup,
+    )
+
+    k, w = 5, 4
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(para) >= w + k - 1
+    rows = [
+        (1, "unique opening words here. " + para + " unique closing alpha."),
+        (2, "totally different start!! " + para + " different ending beta."),
+        (3, "third context entirely;; " + para + " third epilogue gamma."),
+        (4, "no duplication in this one at all, completely original text."),
+        (5, "tiny"),  # shorter than k: no grams, passes through untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in winnow_span_dedup(df, k=k, w=w).collect()}
+
+    # keeper (min doc_id) retains the canonical copy
+    assert para in out[1].clean_text and out[1].removed_chars == 0
+    # the >= w+k-1 guarantee: fully removed from EVERY non-keeper
+    assert para not in out[2].clean_text and out[2].removed_chars >= len(para)
+    assert para not in out[3].clean_text and out[3].removed_chars >= len(para)
+    # boundary spillage is bounded by w + k - 2 per edge
+    for d in (2, 3):
+        assert out[d].removed_chars <= len(para) + 2 * (w + k - 2)
+        assert out[d].n_spans == 1
+        assert out[d].kept_len == out[d].orig_len - out[d].removed_chars
+    # untouched docs pass through exactly
+    assert out[4].clean_text == rows[3][1] and out[4].removed_chars == 0
+    assert out[5].clean_text == "tiny" and out[5].n_spans == 0
+
+
+def test_span_dedup_keep_none_and_full_coverage(spark):
+    """keep='none' removes every occurrence; a document that is entirely
+    duplicated text cleans to the empty string (not NULL)."""
+    from bigdata_scala_offline_data_clean_spark.operators.text import (
+        winnow_span_dedup,
+    )
+
+    para = "completely shared body of text with nothing else around it"
+    df = spark.createDataFrame(
+        [(1, para), (2, para), (3, "standalone original content here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in winnow_span_dedup(df, k=5, w=4, keep="none").collect()
+    }
+    assert out[1].clean_text == "" and out[2].clean_text == ""
+    assert out[1].kept_len == 0 and out[1].n_spans == 1
+    assert out[3].clean_text == "standalone original content here"
+    # keep='first': doc 1 is the canonical holder, doc 2 cleans to empty
+    kept = {
+        r.doc_id: r for r in winnow_span_dedup(df, k=5, w=4).collect()
+    }
+    assert kept[1].clean_text == para and kept[2].clean_text == ""
+
+    with pytest.raises(ValueError, match="keep"):
+        winnow_span_dedup(df, keep="all")

@@ -720,6 +720,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a203_winnowing_matches": (
         ("TakeOrderedAndProject",), ("CartesianProduct",), None,
     ),
+    # span-removal transform: the gram explode + doc-partition windows
+    # run ONCE behind the runs/rem recompute pins (post-pin plan: one
+    # documents scan for the final reassembly join, <= 4 exchanges:
+    # dup groupBy, fp-join side, event groupBy, boundary-window sort);
+    # removal never needs a pair join, so no cartesian under any corpus
+    "a204_span_dedup": ((), ("CartesianProduct", "NestedLoop"), 4),
 }
 
 
