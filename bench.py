@@ -250,6 +250,8 @@ HEADLINE = [
     "a202_wav_decode",  # real stdlib RIFF/WAVE codec + ZOH resample
     "a203_winnowing_matches",  # MOSS winnowing: localized fingerprint matches
     "a204_span_dedup",  # duplicated-span removal: cleaned corpus + stats
+    "a205_dsir_importance",  # DSIR hashed-ngram importance scoring
+    "a206_neardup_prune",  # cluster-level dedup transform (keep canonical)
 ]
 
 

@@ -128,3 +128,171 @@ FROM documents d LEFT JOIN segs s USING (doc_id)
 
 
 QUERIES["a204_span_dedup"] = QuerySpec(a204_span_dedup, _a204_sql())
+
+# ---------------------------------------------------------------------------
+# a205 -- DSIR importance scoring (Xie et al. 2023, "Data Selection via
+# Importance Resampling"): score every document by the log-likelihood
+# ratio of a hashed-token model of the TARGET domain (here: lang='en'
+# documents) vs the raw corpus, the standard recipe for up-sampling
+# domain-relevant pretraining data.
+#
+# Float parity: bucket counts are exact integers; each bucket's log
+# ratio ln(((ct+1)*(Ns+B)) / ((cs+1)*(Nt+B))) is computed from identical
+# integer-derived doubles in both engines and pre-rounded to 9 dp ->
+# DECIMAL(12,9) (the a110 entropy precedent for cross-engine ln); the
+# per-document score is then an EXACT decimal fold sum(tf * lr) with one
+# final cast->round(6) -- no IEEE accumulation anywhere.
+#
+# Scale (100 TB): one token explode; bucket counts are a 64-row groupBy
+# (map-side combined); the 64-row log-ratio frame is PROVABLY bounded by
+# the hash modulus, so the forced broadcast is safe (the documented
+# exception to the no-forced-broadcast rule); per-doc work is a
+# (doc, bucket) pre-aggregation (<= 64 rows per doc) + one broadcast
+# join + one doc groupBy.  No self-joins, no windows.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed-feature buckets (16-bit md5 prefix % 64)
+_DSIR_TARGET_LANG = "en"
+_LR_DEC = "decimal(12,9)"  # |ln ratio| < 1e3 by construction
+_TF_DEC = "decimal(9,0)"  # per-(doc,bucket) term count
+
+
+def a205_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int"),
+        F.lit(_DSIR_B),
+    )
+    tb = tok.select("doc_id", "lang", bucket.alias("b"))
+    is_t = F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+    cnts = tb.groupBy("b").agg(
+        F.sum(is_t).alias("ct"), F.count(F.lit(1)).alias("cs")
+    )
+    tot = tb.agg(F.sum(is_t).alias("nt"), F.count(F.lit(1)).alias("ns"))
+    num = (F.col("ct") + 1).cast("double") * (
+        F.col("ns") + _DSIR_B
+    ).cast("double")
+    den = (F.col("cs") + 1).cast("double") * (
+        F.col("nt") + _DSIR_B
+    ).cast("double")
+    # <= 64 rows by the hash modulus: provably bounded, broadcast-safe
+    lr = F.broadcast(
+        cnts.crossJoin(F.broadcast(tot)).select(
+            "b", F.round(F.log(num / den), 9).cast(_LR_DEC).alias("lr")
+        )
+    )
+    dtf = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    score = (
+        dtf.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.round(
+                F.sum(F.col("tf").cast(_TF_DEC) * F.col("lr")).cast("double"),
+                6,
+            ).alias("dsir_score"),
+        )
+    )
+    return d.select("doc_id", "lang").join(score, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "dsir_score",
+        (F.col("dsir_score") > 0).alias("selected"),
+    )
+
+
+def _a205_sql() -> str:
+    b, lang = _DSIR_B, _DSIR_TARGET_LANG
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % {b} AS b
+  FROM tok
+), cnts AS (
+  SELECT b, sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cs
+  FROM tb GROUP BY b
+), tot AS (
+  SELECT sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS nt,
+         count(*) AS ns
+  FROM tb
+), lr AS (
+  SELECT b,
+         CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(ns + {b} AS DOUBLE))
+                     / (CAST(cs + 1 AS DOUBLE) * CAST(nt + {b} AS DOUBLE))),
+                    9) AS DECIMAL(12,9)) AS lr
+  FROM cnts, tot
+), dtf AS (
+  SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b
+), score AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+         round(CAST(sum(CAST(tf AS DECIMAL(9,0)) * lr) AS DOUBLE), 6)
+           AS dsir_score
+  FROM dtf JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, s.n_toks, s.dsir_score,
+       s.dsir_score > 0 AS selected
+FROM documents d JOIN score s USING (doc_id)
+"""
+
+
+QUERIES["a205_dsir_importance"] = QuerySpec(a205_dsir_importance, _a205_sql())
+
+
+# ---------------------------------------------------------------------------
+# a206 -- near-dup cluster PRUNE: the corpus-level dedup transform (keep
+# one canonical document per MinHash-LSH connected component, drop the
+# rest) -- the doc-level sibling of a204's span-level removal, and the
+# operation a curation pipeline runs right before training.  a25 emits
+# the cluster map; this emits the per-document keep/drop DECISION with
+# cluster sizes, so the downstream filter `WHERE is_kept` yields the
+# pruned corpus and `1 - sum(is_kept)/count(*)` is the dedup rate.
+# Scale: reuses a25's banded-LSH pair generation (whale-capped buckets,
+# never all-pairs) and O(log n) star-contraction components; the added
+# work is one window over the component map partitioned by rep_id.
+# ---------------------------------------------------------------------------
+
+
+def a206_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d,
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    clusters = dedup_clusters(d, pairs)
+    w = Window.partitionBy("rep_id")
+    return clusters.select(
+        "doc_id",
+        "rep_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("rep_id")).alias("is_kept"),
+    )
+
+
+def _a206_sql() -> str:
+    from .analytics import _a25_sql
+
+    return f"""
+SELECT doc_id, rep_id,
+       CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size,
+       doc_id = rep_id AS is_kept
+FROM ({_a25_sql()})
+"""
+
+
+QUERIES["a206_neardup_prune"] = QuerySpec(a206_neardup_prune, _a206_sql())

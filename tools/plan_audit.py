@@ -726,6 +726,15 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # dup groupBy, fp-join side, event groupBy, boundary-window sort);
     # removal never needs a pair join, so no cartesian under any corpus
     "a204_span_dedup": ((), ("CartesianProduct", "NestedLoop"), 4),
+    # DSIR: the 64-row log-ratio frame (provably bounded by the hash
+    # modulus) must broadcast onto the (doc, bucket) term frame -- never
+    # a shuffle of the big side on the bucket key, never a cartesian
+    "a205_dsir_importance": (
+        ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
+    ),
+    # cluster prune: banded-LSH pairs + star-contraction components --
+    # candidates always come from the bucket join, never all-pairs
+    "a206_neardup_prune": ((), ("CartesianProduct", "NestedLoop"), None),
 }
 
 
