@@ -252,6 +252,7 @@ HEADLINE = [
     "a204_span_dedup",  # duplicated-span removal: cleaned corpus + stats
     "a205_dsir_importance",  # DSIR hashed-ngram importance scoring
     "a206_neardup_prune",  # cluster-level dedup transform (keep canonical)
+    "a207_semdedup",  # SemDeDup: within-cluster cosine groups, keep closest
 ]
 
 

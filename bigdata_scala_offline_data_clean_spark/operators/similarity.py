@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,8 +309,10 @@ def train_ivf_centroids(
     return centroids.tolist()
 
 
-def _ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
-    """1-based index of the nearest centroid (squared L2), ties -> first."""
+def _l2_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of sequential squared-L2 folds from ``vec`` to each literal
+    centroid -- the shared assignment primitive of :func:`_ivf_bucket`
+    and :func:`semdedup` (fold order matches the DuckDB twin exactly)."""
     dists = []
     for c in centroids:
         cvec = F.array(*[F.lit(float(v)) for v in c])
@@ -318,7 +320,12 @@ def _ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
             vec, cvec, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
         )
         dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
-    arr = F.array(*dists)
+    return F.array(*dists)
+
+
+def _ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based index of the nearest centroid (squared L2), ties -> first."""
+    arr = _l2_dists(vec, centroids)
     return F.array_position(arr, F.array_min(arr))
 
 
@@ -701,4 +708,77 @@ def pq_ann_topk(
         exact.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "approx_dist", "rank")
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest centroid, find within-cluster cosine
+    near-duplicate groups (transitive closure), and keep ONE
+    representative per group -- the member closest to its cluster
+    centroid, ties broken on the minimum id.
+
+    Returns one row per input vector: ``(id_col, cluster, group_id,
+    d2c, is_kept)`` -- ``group_id`` is the minimum id reachable through
+    the near-dup pair graph, ``d2c`` the squared L2 distance to the own
+    centroid (rounded 6 for output; the RAW fold orders the keeper
+    choice, bit-identical across engines per the a199 fold contract).
+
+    Scale: the within-cluster pair join is the SemDeDup contract -- the
+    quantizer granularity is the knob that bounds it.  ``centroids``
+    arrives as a parameter (the shipped-artifact pattern shared with
+    ``ivf_ann_topk``): production scales the cluster count with the
+    corpus (paper regime k ~ sqrt(n) or finer) so per-cluster membership
+    -- and with it the quadratic term -- stays bounded; the transitive
+    closure is the same O(log n)-round star contraction as text dedup.
+    """
+    from .dedup import connected_components
+
+    darr = _l2_dists(F.col(vec_col), centroids)
+    v = corpus.select(
+        id_col,
+        vec_col,
+        _norm(F.col(vec_col)).alias("__nrm"),
+        F.array_position(darr, F.array_min(darr)).cast("int").alias("cluster"),
+        F.array_min(darr).alias("__d2c"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
+        )
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    assigned = v.join(cc, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.coalesce(F.col("component"), F.col(id_col)).alias("group_id"),
+        "__d2c",
+    )
+    wk = Window.partitionBy("group_id").orderBy(
+        F.col("__d2c").asc(), F.col(id_col).asc()
+    )
+    return assigned.select(
+        id_col,
+        "cluster",
+        "group_id",
+        F.round("__d2c", 6).alias("d2c"),
+        (F.row_number().over(wk) == 1).alias("is_kept"),
     )

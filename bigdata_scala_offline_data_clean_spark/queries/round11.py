@@ -296,3 +296,80 @@ FROM ({_a25_sql()})
 
 
 QUERIES["a206_neardup_prune"] = QuerySpec(a206_neardup_prune, _a206_sql())
+
+# ---------------------------------------------------------------------------
+# a207 -- SemDeDup (Abbas et al. 2023): semantic deduplication over the
+# embedding corpus.  Assign every vector to its nearest pinned centroid
+# (the a199 quantizer contract: 8 data-derived seed vectors, so both
+# engines fold identical doubles), connect within-cluster cosine
+# near-duplicates transitively, keep ONE representative per group (the
+# member closest to its centroid, ties -> min vec_id).  The per-vector
+# keep/drop decision is the training-set filter the paper applies.
+#
+# Scale: the within-cluster pair join is the SemDeDup contract; the
+# quantizer granularity bounds it (production scales n_clusters with
+# the corpus -- paper regime k ~ sqrt(n) -- via the trained a16 path;
+# the operator takes centroids as a parameter).  Closure is the same
+# O(log n) star contraction as text dedup; the oracle mirrors it with
+# a25's recursive CTE.
+# ---------------------------------------------------------------------------
+
+_SD_COS = 0.3  # near-dup threshold on the 6dp-rounded cosine (a21's tau)
+
+
+def a207_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup
+    from .round10 import _seed_vectors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, _seed_vectors(spark, sf_dir), threshold=_SD_COS)
+
+
+def _a207_sql() -> str:
+    from ..operators.similarity import DOT_SQL as dot
+
+    from .round10 import _SEED_HI, _SEED_LO, _DIM, _l2_seg_sql
+
+    l2 = _l2_seg_sql("e.embedding", "s.cv", "0", _DIM)
+    ab = dot.format(a="x.embedding", b="y.embedding")
+    aa = dot.format(a="x.embedding", b="x.embedding")
+    bb = dot.format(a="y.embedding", b="y.embedding")
+    return f"""
+WITH RECURSIVE seeds AS (
+  SELECT CAST(vec_id - {_SEED_LO - 1} AS INT) AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id BETWEEN {_SEED_LO} AND {_SEED_HI}
+), assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster, d AS d2c FROM (
+    SELECT e.vec_id, s.cid, {l2} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {l2} ASC, s.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), v AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, a.d2c, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), pairs AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round({ab} / (sqrt({aa}) * sqrt({bb})), 6) >= {_SD_COS}
+), sym AS (
+  SELECT a AS u, b AS w FROM pairs
+  UNION
+  SELECT b AS u, a AS w FROM pairs
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.w = reach.node
+), comp AS (
+  SELECT node AS vec_id, min(r) AS group_id FROM reach GROUP BY node
+)
+SELECT v.vec_id, CAST(v.cluster AS INT) AS cluster, c.group_id,
+       round(v.d2c, 6) AS d2c,
+       row_number() OVER (
+         PARTITION BY c.group_id ORDER BY v.d2c ASC, v.vec_id ASC) = 1
+         AS is_kept
+FROM v JOIN comp c USING (vec_id)
+"""
+
+
+QUERIES["a207_semdedup"] = QuerySpec(a207_semdedup, _a207_sql())

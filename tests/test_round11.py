@@ -258,3 +258,32 @@ def test_span_dedup_keep_none_and_full_coverage(spark):
 
     with pytest.raises(ValueError, match="keep"):
         winnow_span_dedup(df, keep="all")
+
+
+def test_semdedup_groups_and_keeper(spark):
+    """SemDeDup differential on a hand graph: two clusters, one near-dup
+    group spanning 3 vectors (transitively -- v1~v2, v2~v3), keeper = the
+    member closest to its centroid; singletons keep themselves."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        semdedup,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [10.0, 0.1]),    # cluster 1, near-dup with 2 (cos ~1)
+        (2, [10.0, 0.2]),    # cluster 1, near-dup with 1 and 3
+        (3, [10.0, 0.35]),   # cluster 1, transitively grouped
+        (4, [0.1, 5.0]),     # cluster 2, singleton
+        (5, [-8.0, 4.0]),    # cluster 2 (closer to [0,1]), anti-correlated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in semdedup(df, cents, threshold=0.9).collect()}
+
+    assert out[1].cluster == 1 and out[4].cluster == 2 and out[5].cluster == 2
+    # transitive group 1-2-3 collapses to group_id 1
+    assert out[1].group_id == out[2].group_id == out[3].group_id == 1
+    # keeper = closest to centroid [1, 0]: vec 1 (smallest y component)
+    assert out[1].is_kept and not out[2].is_kept and not out[3].is_kept
+    # singletons keep themselves
+    assert out[4].is_kept and out[5].is_kept
+    assert out[4].group_id == 4 and out[5].group_id == 5

@@ -735,6 +735,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # cluster prune: banded-LSH pairs + star-contraction components --
     # candidates always come from the bucket join, never all-pairs
     "a206_neardup_prune": ((), ("CartesianProduct", "NestedLoop"), None),
+    # SemDeDup: the near-dup self-join must key on the cluster id (equi
+    # join), never a cartesian over the corpus
+    "a207_semdedup": ((), ("CartesianProduct",), None),
 }
 
 
