@@ -253,6 +253,7 @@ HEADLINE = [
     "a205_dsir_importance",  # DSIR hashed-ngram importance scoring
     "a206_neardup_prune",  # cluster-level dedup transform (keep canonical)
     "a207_semdedup",  # SemDeDup: within-cluster cosine groups, keep closest
+    "a208_hll_distinct",  # portable md5-register HLL, full oracle parity
 ]
 
 

@@ -226,3 +226,51 @@ def cms_estimate(
     return joined.groupBy(*out_cols).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable deterministic HyperLogLog (round 11).  Unlike the stock
+# approx_count_distinct path (Spark-internal sketch, rows-only checkable),
+# these registers derive from md5, so any engine recomputes the identical
+# estimate -- the a208 oracle checks it exact-match.  256 registers
+# (p = 8); rho = 49 - bitlength(next 48 hash bits); harmonic sum kept
+# integer-exact as sum(2^(49 - rho)) in BIGINT (max 256 * 2^48 < 2^57).
+# ---------------------------------------------------------------------------
+
+HLL_M = 256
+HLL_ALPHA_C = 2.6499581405668102e19  # alpha_256 * m^2 * 2^49, exact literal
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-key HLL register table ``keys + (reg, r)`` -- the mergeable
+    partial: register tables from disjoint shards merge by ``max(r)``
+    per (keys, reg), exactly like any partition-local sketch."""
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    x = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
+    rho = F.when(x == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(x)))
+    return (
+        df.select(*keys, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a register table into ``keys + (hll_estimate,)`` with the
+    HLL++ small-range correction (linear counting when V > 0 and the raw
+    estimate <= 2.5m)."""
+    per = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__filled"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).alias("__s"),
+    )
+    v = F.lit(HLL_M) - F.col("__filled")
+    s = F.col("__s") + v.cast("bigint") * F.lit(2**49).cast("bigint")
+    e_raw = F.lit(HLL_ALPHA_C) / s.cast("double")
+    est = F.when(
+        (v > 0) & (e_raw <= 2.5 * HLL_M),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(*keys, est.alias("hll_estimate"))

@@ -373,3 +373,99 @@ FROM v JOIN comp c USING (vec_id)
 
 
 QUERIES["a207_semdedup"] = QuerySpec(a207_semdedup, _a207_sql())
+
+# ---------------------------------------------------------------------------
+# a208 -- PORTABLE deterministic HyperLogLog (Flajolet et al. 2007, the
+# Google HLL++ small-range correction): per event_type, a 256-register
+# HLL over user_id whose registers derive from md5 -- so the DuckDB
+# oracle recomputes the IDENTICAL estimate, upgrading the engine's HLL
+# story from rows-only (a27/c28 use Spark-internal sketches) to full
+# exact-match checked.
+#
+# Register math is integer-exact end to end: register = first md5 byte,
+# rho = 49 - bitlength(next 48 hash bits) (minimal bin() string in both
+# engines), and the harmonic sum folds as sum(2^(49-rho)) in BIGINT
+# (max 256 * 2^48 < 2^57) -- the float division and the alpha*m^2*2^49
+# literal are single IEEE ops on identical operands.  The small-range
+# branch (V > 0 and E <= 2.5m -> linear counting m*ln(m/V)) rounds its
+# ln to 6dp in the output only.
+#
+# Scale: ONE aggregation pass -- per (event_type, register) max-rho
+# (map-side combined, <= 256 rows per group), then a per-group fold.
+# This is the mergeable-partials shape: the register table IS the
+# shippable sketch; OR-merging registers across shards = max(rho).
+# ---------------------------------------------------------------------------
+
+from ..operators.sketches import HLL_ALPHA_C as _HLL_ALPHA_C  # noqa: E402
+from ..operators.sketches import HLL_M as _HLL_M  # noqa: E402
+
+
+def a208_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    e = F.col("hll_estimate")
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(e, 6).alias("hll_estimate"),
+        F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _a208_sql() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+              AS INTEGER) AS reg,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))
+              AS BIGINT) AS x,
+         user_id
+  FROM events
+), rhod AS (
+  SELECT event_type, reg, user_id,
+         CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END AS rho
+  FROM hashed
+), regs AS (
+  SELECT event_type, reg, max(rho) AS r
+  FROM rhod GROUP BY event_type, reg
+), per AS (
+  SELECT event_type, count(*) AS filled,
+         sum(CAST(1 AS BIGINT) << (49 - r)) AS s_filled
+  FROM regs GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+), est AS (
+  SELECT p.event_type, x.n_exact,
+         CASE WHEN ({_HLL_M} - p.filled) > 0
+                   AND ({_HLL_ALPHA_C!r} /
+                        CAST(p.s_filled + ({_HLL_M} - p.filled)
+                             * (CAST(1 AS BIGINT) << 49) AS DOUBLE))
+                       <= {2.5 * _HLL_M}
+              THEN CAST({_HLL_M} AS DOUBLE)
+                   * ln(CAST({_HLL_M} AS DOUBLE)
+                        / CAST({_HLL_M} - p.filled AS DOUBLE))
+              ELSE {_HLL_ALPHA_C!r} /
+                   CAST(p.s_filled + ({_HLL_M} - p.filled)
+                        * (CAST(1 AS BIGINT) << 49) AS DOUBLE)
+         END AS e,
+         x.n_exact AS nx
+  FROM per p JOIN exact x USING (event_type)
+)
+SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       round(e, 6) AS hll_estimate,
+       round(abs(e - nx) / nx, 6) AS rel_err
+FROM est
+"""
+
+
+QUERIES["a208_hll_distinct"] = QuerySpec(a208_hll_distinct, _a208_sql())

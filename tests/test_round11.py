@@ -287,3 +287,40 @@ def test_semdedup_groups_and_keeper(spark):
     # singletons keep themselves
     assert out[4].is_kept and out[5].is_kept
     assert out[4].group_id == 4 and out[5].group_id == 5
+
+
+def test_hll_accuracy_and_merge(spark):
+    """Portable HLL: (1) estimate within the ~2-sigma HLL error band at a
+    cardinality well past the linear-counting range; (2) register tables
+    from disjoint shards max-merge to EXACTLY the global register table
+    (the mergeable-partials contract)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()[0]
+    # sigma ~ 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+    assert abs(est["hll_estimate"] - n) / n < 0.2
+
+    left = df.where(F.col("v") % 2 == 0)
+    right = df.where(F.col("v") % 2 == 1)
+    merged = (
+        hll_registers(left, ["g"], "v")
+        .unionByName(hll_registers(right, ["g"], "v"))
+        .groupBy("g", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    full = hll_registers(df, ["g"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # and therefore identical estimates
+    e2 = hll_estimate(merged, ["g"]).collect()[0]["hll_estimate"]
+    assert e2 == est["hll_estimate"]

@@ -738,6 +738,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # SemDeDup: the near-dup self-join must key on the cluster id (equi
     # join), never a cartesian over the corpus
     "a207_semdedup": ((), ("CartesianProduct",), None),
+    # portable HLL: two aggregation passes over one scan; the exact
+    # companion joins on event_type -- no cartesian, no window
+    "a208_hll_distinct": ((), ("CartesianProduct", "NestedLoop"), None),
 }
 
 
