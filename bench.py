@@ -321,14 +321,16 @@ def main() -> None:
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             passes.append(time.time() - t0)
-        timings[name] = round(min(passes), 3)
+        best = round(min(passes), 3)
+        timings[name] = best
         # Round 11 (VERDICT r10 task #6): per-query min AND spread so the
         # next judge can separate the box's ±40% single-shot jitter from
         # real plan regressions without re-running.  spread = max-min of
         # the timed passes; two non-overlapping [min, min+spread] bands
-        # are a real mover, overlapping bands are noise.
+        # are a real mover, overlapping bands are noise.  The band's min
+        # IS the headline timing (one reduction, stored once).
         bands[name] = {
-            "min": round(min(passes), 3),
+            "min": best,
             "spread": round(max(passes) - min(passes), 3),
         }
 

@@ -600,6 +600,8 @@ def exact_percentiles(
     import math
 
     _check_quantiles(qs)
+    if not qs:  # review fix: empty qs must stay a no-op, not a None filter
+        return {}
     rows = df.select(F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )

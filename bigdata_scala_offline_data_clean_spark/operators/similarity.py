@@ -747,7 +747,10 @@ def semdedup(
         _norm(F.col(vec_col)).alias("__nrm"),
         F.array_position(darr, F.array_min(darr)).cast("int").alias("cluster"),
         F.array_min(darr).alias("__d2c"),
-    )
+        # recompute pin (review fix): v feeds both self-join sides AND the
+        # final assignment, and the literal-centroid fold is the dominant
+        # per-row cost -- without the pin the corpus projection re-runs 3x
+    ).localCheckpoint(eager=False)
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(
         dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ordering import pin_frame
+
 # BPE-ish word-piece pattern: letter runs, digit runs, single punctuation
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -940,6 +942,7 @@ def winnow_span_dedup(
     w: int = 4,
     keep: str = "first",
     min_doc_freq: int = 2,
+    reliable: bool = False,
 ) -> DataFrame:
     """Duplicated-span REMOVAL (Lee et al. 2022-style substring dedup,
     winnowing-localized): excise from each document every character span
@@ -1003,13 +1006,16 @@ def winnow_span_dedup(
         .groupBy(id_col, "__isl", "fp")
         .agg(F.min("__pos").alias("__s"), F.max("__pos").alias("__p1"))
         .select(id_col, "fp", "__s", (F.col("__p1") + span).alias("__e"))
-        # pin: runs feeds BOTH the duplicated-fp groupBy and the fp join
-        # below -- without it the per-character gram explode and its three
-        # doc-partition windows re-run for each consumer (plan-audited:
-        # the corpus must be scanned ~2x, not 7x).  Deterministic frame,
-        # so this is purely a recompute guard, not a correctness pin.
-        .localCheckpoint(eager=False)
     )
+    # pin: runs feeds BOTH the duplicated-fp groupBy and the fp join
+    # below -- without it the per-character gram explode and its three
+    # doc-partition windows re-run for each consumer (plan-audited:
+    # the corpus must be scanned ~2x, not 7x).  Deterministic frame, so
+    # this is purely a recompute guard; reliable=True (with a configured
+    # checkpoint dir) swaps in replicated checkpoint() so an executor
+    # loss recomputes instead of failing the job -- see
+    # ordering.pin_frame (VERDICT r10 task #4).
+    runs = pin_frame(runs, reliable=reliable)
 
     # duplicated fingerprints + their canonical keeper (min id); a plain
     # fp groupBy -- no pair join, no cap needed at any corpus size
@@ -1028,7 +1034,7 @@ def winnow_span_dedup(
         rem = rem.where(F.col(id_col) != F.col("__keeper"))
     # pin: three event legs below consume rem (span starts, span ends,
     # per-doc sentinels); span-count-sized, far smaller than the corpus
-    rem = rem.select(id_col, "__s", "__e").localCheckpoint(eager=False)
+    rem = pin_frame(rem.select(id_col, "__s", "__e"), reliable=reliable)
 
     # difference-array coverage: +1 at span start, -1 past span end, a
     # 0-delta sentinel at position 1 so the leading kept segment exists;

@@ -167,11 +167,24 @@ def a205_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DSIR_B),
     )
     tb = tok.select("doc_id", "lang", bucket.alias("b"))
-    is_t = F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
-    cnts = tb.groupBy("b").agg(
-        F.sum(is_t).alias("ct"), F.count(F.lit(1)).alias("cs")
+    # ONE explode pass (review fix): the (doc, lang, bucket) term table is
+    # the only consumer of the token explode and every other frame derives
+    # from it -- cnts by re-grouping on the bucket, tot by summing the
+    # 64-row cnts (bit-identical integers to a direct corpus aggregate).
+    # The pin keeps the explode from re-running for the cnts and score
+    # branches; dtf is (doc, bucket)-sized, <= 64 rows per doc.
+    dtf = (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    tot = tb.agg(F.sum(is_t).alias("nt"), F.count(F.lit(1)).alias("ns"))
+    is_t = F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(
+        F.lit(0)
+    )
+    cnts = dtf.groupBy("b").agg(
+        F.sum(is_t).alias("ct"), F.sum("tf").alias("cs")
+    )
+    tot = cnts.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
     num = (F.col("ct") + 1).cast("double") * (
         F.col("ns") + _DSIR_B
     ).cast("double")
@@ -184,7 +197,6 @@ def a205_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b", F.round(F.log(num / den), 9).cast(_LR_DEC).alias("lr")
         )
     )
-    dtf = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
     score = (
         dtf.join(lr, "b")
         .groupBy("doc_id")
