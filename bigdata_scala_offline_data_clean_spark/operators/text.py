@@ -872,10 +872,6 @@ def _winnow_windows(
     n_expr = f"length({text_col}) - {k} + 1"
     grams = df.select(
         id_col,
-        # gram count is a pure length expression -- carried through the
-        # explode instead of a count(*) window over the gram-sized frame
-        # (round-11: drops one whole window pass for every consumer)
-        F.expr(n_expr).alias("__n"),
         F.posexplode(
             F.expr(
                 f"CASE WHEN length({text_col}) >= {k} THEN "
@@ -886,7 +882,6 @@ def _winnow_windows(
         ).alias("__i", "__gram"),
     ).select(
         id_col,
-        "__n",
         (F.col("__i") + 1).alias("__pos"),
         F.md5(F.encode("__gram", "utf-8")).alias("__h"),
     )
@@ -894,9 +889,15 @@ def _winnow_windows(
     return (
         # trailing positions lack a full w-window; they still participate
         # in earlier windows' frames (the oracle must ALSO filter after
-        # its window -- DuckDB's WHERE runs before window functions)
+        # its window -- DuckDB's WHERE runs before window functions).
+        # The full-window predicate is a COUNT over the SAME frame spec
+        # as the min -- both fold in ONE WindowExec pass (round-11 A/B:
+        # 4.2s, vs 4.5s for a second whole-partition count window and
+        # 6.5s for carrying length(text) through the 26M-row gram
+        # shuffle -- the extra exchanged column cost more than a window).
         grams.withColumn("fp", F.min("__h").over(wmin))
-        .where(F.col("__pos") <= F.col("__n") - w + 1)
+        .withColumn("__wn", F.count(F.lit(1)).over(wmin))
+        .where(F.col("__wn") == w)
         .select(id_col, "__pos", "fp")
     )
 

@@ -727,10 +727,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # removal never needs a pair join, so no cartesian under any corpus
     "a204_span_dedup": ((), ("CartesianProduct", "NestedLoop"), 4),
     # DSIR: the 64-row log-ratio frame (provably bounded by the hash
-    # modulus) must broadcast onto the (doc, bucket) term frame -- never
-    # a shuffle of the big side on the bucket key, never a cartesian
+    # modulus) must broadcast onto the (doc, bucket) term frame; the
+    # 1-row corpus-total crossJoin is the accepted scalar BNLJ (a64/a49
+    # shape) -- only a true cartesian is forbidden
     "a205_dsir_importance": (
-        ("BroadcastHashJoin",), ("CartesianProduct", "NestedLoop"), None,
+        ("BroadcastHashJoin",), ("CartesianProduct",), None,
     ),
     # cluster prune: banded-LSH pairs + star-contraction components --
     # candidates always come from the bucket join, never all-pairs
