@@ -711,12 +711,63 @@ def pq_ann_topk(
     )
 
 
+def _assign_matmul(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow/numpy nearest-centroid assignment -- the large-k scale path
+    of :func:`semdedup` (round-11 10x measurement: the interpreted
+    per-centroid fold is the dominant term once k scales with the
+    corpus; BLAS computes the same n x k distance matrix vectorized,
+    the `_neardup_pairs_matmul` precedent).  Emits the same frame shape
+    as the fold path: ``(id, vec float64, __nrm, cluster 1-based,
+    __d2c)``; argmin ties break on the first (lowest) centroid, like
+    ``array_position(arr, array_min(arr))``.  Numerically equivalent to
+    the fold up to BLAS summation order -- the fold path remains the
+    oracle-checked form (a207); this one is for production k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    def gen(batches):
+        for batch in batches:
+            a = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
+            if len(a) == 0:
+                continue
+            d2 = (a * a).sum(axis=1)[:, None] - 2.0 * (a @ c.T) + c_sq[None, :]
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    vec_col: list(a),
+                    "__nrm": np.sqrt((a * a).sum(axis=1)),
+                    "cluster": cl + 1,
+                    "__d2c": d2[np.arange(len(a)), cl],
+                }
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_type}, {vec_col} array<double>, __nrm double, "
+            "cluster int, __d2c double"
+        ),
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, find within-cluster cosine
@@ -740,34 +791,73 @@ def semdedup(
     """
     from .dedup import connected_components
 
-    darr = _l2_dists(F.col(vec_col), centroids)
-    v = corpus.select(
-        id_col,
-        vec_col,
-        _norm(F.col(vec_col)).alias("__nrm"),
-        F.array_position(darr, F.array_min(darr)).cast("int").alias("cluster"),
-        F.array_min(darr).alias("__d2c"),
-        # recompute pin (review fix): v feeds both self-join sides AND the
-        # final assignment, and the literal-centroid fold is the dominant
-        # per-row cost -- without the pin the corpus projection re-runs 3x
-    ).localCheckpoint(eager=False)
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(
-        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.col("a.__nrm") * F.col("b.__nrm")),
-        6,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if assign == "matmul":
+        v = _assign_matmul(corpus, centroids, id_col, vec_col)
+    elif assign == "fold":
+        darr = _l2_dists(F.col(vec_col), centroids)
+        v = corpus.select(
+            id_col,
+            vec_col,
+            _norm(F.col(vec_col)).alias("__nrm"),
+            F.array_position(darr, F.array_min(darr))
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(darr).alias("__d2c"),
         )
-        .where(cos >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b")
+    else:
+        raise ValueError("assign must be 'fold' or 'matmul'")
+    # recompute pin (review fix): v feeds both self-join sides AND the
+    # final assignment, and the centroid distance pass is the dominant
+    # per-row cost -- without the pin the corpus projection re-runs 3x
+    v = v.localCheckpoint(eager=False)
+    if assign == "matmul":
+        # scale path all the way down: per-cluster pairwise cosine via
+        # BLAS inside applyInPandas (round-11 10x measurement: with k
+        # scaled to the corpus the interpreted pair fold, not the
+        # assignment, dominates).  Groups are cluster-sized -- bounded
+        # by the same quantizer-granularity knob that bounds the pair
+        # count itself.  Cosines round to 6dp before thresholding,
+        # mirroring the fold path (the _neardup_pairs_matmul contract).
+        import pandas as pd
+
+        def pgen(key, pdf):
+            import numpy as np
+
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sim = np.round(m @ m.T, 6)
+            ai, bi = np.nonzero(np.triu(sim >= threshold, k=1))
+            return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        pairs = (
+            v.select("cluster", id_col, vec_col)
+            .groupBy("cluster")
+            .applyInPandas(pgen, schema=f"a {id_type}, b {id_type}")
         )
-    )
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        cos = F.round(
+            dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (F.col("a.__nrm") * F.col("b.__nrm")),
+            6,
+        )
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .where(cos >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("a"),
+                F.col(f"b.{id_col}").alias("b"),
+            )
+        )
     cc = connected_components(pairs).withColumnRenamed("node", id_col)
     assigned = v.join(cc, id_col, "left").select(
         id_col,

@@ -327,3 +327,34 @@ def test_hll_accuracy_and_merge(spark):
     # and therefore identical estimates
     e2 = hll_estimate(merged, ["g"]).collect()[0]["hll_estimate"]
     assert e2 == est["hll_estimate"]
+
+
+def test_semdedup_matmul_matches_fold(spark):
+    """The BLAS scale path (assign='matmul': vectorized nearest-centroid
+    assignment + per-cluster pairwise cosine) must agree with the
+    oracle-checked fold path on clusters, groups, and keeper choice."""
+    import os
+
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        semdedup,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    from bigdata_scala_offline_data_clean_spark.queries.round10 import (
+        _seed_vectors,
+    )
+
+    e = spark.read.parquet(path)
+    cents = _seed_vectors(spark, "/root/testdata/sf0.001")
+    key = lambda r: (r.cluster, r.group_id, r.is_kept)  # noqa: E731
+    fold = {r.vec_id: key(r) for r in semdedup(e, cents).collect()}
+    mm = {
+        r.vec_id: key(r)
+        for r in semdedup(e, cents, assign="matmul").collect()
+    }
+    assert fold == mm
+
+    with pytest.raises(ValueError, match="assign"):
+        semdedup(e, cents, assign="blas")
