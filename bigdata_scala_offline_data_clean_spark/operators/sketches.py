@@ -246,13 +246,19 @@ def hll_registers(
 ) -> DataFrame:
     """Per-key HLL register table ``keys + (reg, r)`` -- the mergeable
     partial: register tables from disjoint shards merge by ``max(r)``
-    per (keys, reg), exactly like any partition-local sketch."""
+    per (keys, reg), exactly like any partition-local sketch.
+
+    NULL values are dropped up front (ADVICE r11/r12): COUNT(DISTINCT x)
+    ignores NULLs, but md5(NULL) is NULL and would land a (reg=NULL,
+    r=NULL) row that inflates ``__filled`` in :func:`hll_estimate`,
+    skewing the small-range correction on NULL-bearing columns."""
     h = F.md5(F.col(value_col).cast("string"))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     x = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
     rho = F.when(x == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(x)))
     return (
-        df.select(*keys, reg.alias("reg"), rho.alias("rho"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*keys, "reg")
         .agg(F.max("rho").alias("r"))
     )

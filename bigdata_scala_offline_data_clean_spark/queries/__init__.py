@@ -79,6 +79,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9g,
         round10,
         round11,
+        round13,
         streaming_q,
     )
 
@@ -102,6 +103,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9g,
         round10,
         round11,
+        round13,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -442,6 +442,7 @@ WITH hashed AS (
               AS BIGINT) AS x,
          user_id
   FROM events
+  WHERE user_id IS NOT NULL  -- mirrors hll_registers' NULL drop
 ), rhod AS (
   SELECT event_type, reg, user_id,
          CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END AS rho

@@ -742,6 +742,16 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # portable HLL: two aggregation passes over one scan; the exact
     # companion joins on event_type -- no cartesian, no window
     "a208_hll_distinct": ((), ("CartesianProduct", "NestedLoop"), None),
+    # trained-k SemDeDup, BLAS path: assignment is mapInPandas (no join),
+    # the pair search keys on the cluster id inside applyInPandas, and
+    # the only BNLJ is the accepted 1-row stat broadcast -- never a
+    # corpus cartesian, never a sort-merge pair join
+    "a209_semdedup_trained": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
+    # HLL rollup: shard + merged + global register aggs over one scan
+    # lineage; the 5-row estimate join must broadcast -- no cartesian
+    "a210_hll_merge": ((), ("CartesianProduct", "NestedLoop"), None),
 }
 
 
