@@ -617,17 +617,35 @@ def train_pq_codebooks(
     sample_size: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    order_col: str | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks from a bounded driver-side sample.
 
     Returns ``m`` codebooks of ``ksub`` centroids over ``dim/m`` floats.
     Like ``train_ivf_centroids``, only the sample crosses to the driver --
-    train on a few thousand vectors, never the corpus.
+    train on a few thousand vectors, never the corpus.  ``order_col``
+    makes the sample canonical (same contract as
+    :func:`train_ivf_centroids`): required when the trained artifact must
+    be reproducible across sessions/partition layouts.
     """
     import numpy as np
 
-    sample = corpus.select(vec_col).limit(sample_size).collect()
-    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if order_col is not None:
+        sample = [
+            r[1]
+            for r in sorted(
+                (r[0], r[1])
+                for r in corpus.select(order_col, vec_col)
+                .orderBy(F.col(order_col).asc())
+                .limit(sample_size)
+                .collect()
+            )
+        ]
+    else:
+        sample = [
+            r[0] for r in corpus.select(vec_col).limit(sample_size).collect()
+        ]
+    x = np.asarray(sample, dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)  # L2 rank == cosine rank
     dim = x.shape[1]
     if dim % m:

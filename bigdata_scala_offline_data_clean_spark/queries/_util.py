@@ -153,3 +153,20 @@ def hash_uniform_sql(seed: str, key_sql: str) -> str:
         f"(CAST(('0x' || substr(md5('{seed}' || {key_sql}), 1, 8))"
         f" AS BIGINT) + 0.5) / 4294967296.0"
     )
+
+
+def freeze_result(out: DataFrame) -> DataFrame:
+    """Materialize a result EXECUTOR-side before its scratch source is
+    deleted (round 13, VERDICT r11/r12 task #7).
+
+    Queries that write to a scratch dir and read the result back must
+    decouple the returned frame from the soon-to-be-rmtree'd files.  The
+    old form -- ``spark.createDataFrame(out.collect(), out.schema)`` --
+    did that through the DRIVER: the whole output crossed to Python and
+    back, the one shape that cannot scale.  An eager ``localCheckpoint``
+    pins the computed partitions in executor storage instead: same
+    decoupling, same frozen values, zero driver materialization.  (The
+    blocks are non-replicated, the standard localCheckpoint caveat --
+    acceptable for a result frame consumed within the same job.)
+    """
+    return out.localCheckpoint(eager=True)

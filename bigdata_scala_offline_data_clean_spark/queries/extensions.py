@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import day_str, dsum, load_table, ts_str
+from ._util import day_str, dsum, freeze_result, load_table, ts_str
 
 # ---------------------------------------------------------------------------
 # a65 -- interval coalescing (gaps-and-islands).  Each event opens a 30-min
@@ -498,7 +498,7 @@ def c24_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = back[0]
         for df in back[1:]:
             out = out.unionByName(df)
-        out = spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        out = freeze_result(out)  # pre-rmtree
         return out
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -680,7 +680,7 @@ def c25_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("price_sum"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -723,7 +723,7 @@ def c26_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
             dsum("o_totalprice").alias("price_sum"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -747,30 +747,285 @@ QUERIES.update(
 )
 
 # ---------------------------------------------------------------------------
-# a76 -- product-quantization ANN (rows-only, self-verifying): embeddings
-# compress to m byte-codes (32x memory at float32/64-dim), candidates rank
-# by LUT asymmetric distance, and the top-`refine` pool is exactly
-# re-ranked.  `recall_at_k` vs the exact top-k is emitted in-query, like
-# a11/a16, so the driver's rows-only check pins a meaningful number.
+# a76 -- product-quantization ANN over the FROZEN trained codebooks
+# (queries/quantizers.py; round 13, VERDICT r11/r12 task #2): embeddings
+# normalize and compress to m=16 byte-codes (32x memory at
+# float32/64-dim), candidates rank by asymmetric distance (exact query
+# subvectors vs quantized corpus codes), the top-`refine` pool is
+# exactly re-ranked, and `recall_at_k` vs the brute-force baseline rides
+# in the result.  Every stage -- encode argmin, ADC term folds, rerank
+# cosine, recall -- is a plan-side fold over the same literal doubles
+# the DuckDB oracle embeds, so the query is exact-match checked end to
+# end (it was rows-only while the codebooks trained at runtime).
+# Scale: encoding is per-row (map-only); the ADC join reads codes + the
+# literal books, never raw vectors; only the `refine` pool rereads them.
 # ---------------------------------------------------------------------------
+
+_A76_M, _A76_KSUB, _A76_REFINE = 16, 16, 50
+_A76_RECALL_FLOOR = 0.7  # mirrors test_pq_ann_recall_and_code_shape
 
 
 def a76_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_topk, pq_ann_topk
-    from .analytics import _TOPK_K, _TOPK_NQ, _ann_with_recall
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_topk, dot_product
+    from .analytics import _TOPK_K, _TOPK_NQ, _ann_with_recall, _dlit, _norm_sql
+    from .quantizers import A76_CODEBOOKS
 
     e = load_table(spark, sf_dir, "embeddings")
+    m, ksub = _A76_M, _A76_KSUB
+    dsub = len(A76_CODEBOOKS[0][0])
+
+    # All quantizer folds are Spark-SQL STRINGS (F.expr), not nested
+    # Column lambdas: the m x ksub literal-codebook tree costs thousands
+    # of py4j round-trips (~14 s of driver time, measured) built
+    # node-by-node, while the JVM parses the identical expression text
+    # in milliseconds.  Ops/order match the DuckDB twin exactly.
+    def l2n_sql(vec: str, nrm: str, j: int, c: int) -> str:
+        """(vec[j*dsub+i]/nrm - book[j][c][i])^2 sequential fold -- the
+        normalized-subvector L2, mirrored by the oracle's
+        generate_series fold over the same literals."""
+        arr = "array(" + ", ".join(_dlit(x) for x in A76_CODEBOOKS[j][c]) + ")"
+        return (
+            f"aggregate(zip_with(slice({vec}, {j * dsub + 1}, {dsub}), {arr}, "
+            f"(a, b) -> (cast(a as double) / {nrm} - b) "
+            f"* (cast(a as double) / {nrm} - b)), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+
+    def code_sql(j: int) -> str:
+        # single-pass argmin fold: array_position(d, array_min(d)) would
+        # evaluate every distance fold TWICE (no CSE on interpreted
+        # HOFs); the struct fold keeps one evaluation and the same
+        # first-min tie rule (strict <) as the oracle's
+        # row_number(d ASC, cid ASC)
+        items = ", ".join(
+            f"struct({l2n_sql('embedding', '__nrm', j, c)} as d, "
+            f"{c + 1} as cid)"
+            for c in range(ksub)
+        )
+        return (
+            f"aggregate(array({items}), "
+            f"struct(cast('Infinity' as double) as d, 1 as cid), "
+            f"(acc, x) -> if(x.d < acc.d, x, acc)).cid"
+        )
+
+    # the encode fold is compute-bound (m x ksub subvector folds of
+    # interpreted HOF per row): spread it across cores -- the local
+    # single-file scan would otherwise serialize it on one partition
+    # (a cluster scan's own split count does this for free)
+    par = spark.sparkContext.defaultParallelism
+    corpus = e.repartition(par).select(
+        F.col("vec_id").alias("n_id"),
+        "embedding",
+        _norm_sql("embedding").alias("__nrm"),
+    ).select(
+        "n_id",
+        F.expr(
+            "array(" + ", ".join(code_sql(j) for j in range(m)) + ")"
+        ).alias("__codes"),
+    )
+    queries = e.where(F.col("vec_id") < _TOPK_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("__q_vec"),
+        _norm_sql("embedding").alias("__q_norm"),
+    )
+
+    def term_sql(j: int) -> str:
+        book_j = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_dlit(x) for x in A76_CODEBOOKS[j][c]) + ")"
+                for c in range(ksub)
+            )
+            + ")"
+        )
+        cent = f"element_at({book_j}, element_at(__codes, {j + 1}))"
+        return (
+            f"aggregate(zip_with(slice(__q_vec, {j * dsub + 1}, {dsub}), "
+            f"{cent}, (a, b) -> (cast(a as double) / __q_norm - b) "
+            f"* (cast(a as double) / __q_norm - b)), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+
+    dist = F.expr(
+        "aggregate(array("
+        + ", ".join(term_sql(j) for j in range(m))
+        + "), 0D, (acc, v) -> acc + v)"
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("__dist").asc(), F.col("n_id").asc()
+    )
+    pool = (
+        corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
+        .withColumn("__dist", dist)
+        .withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= _A76_REFINE)
+        .select("q_id", "n_id", "__dist")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("__c_vec"),
+        _norm_sql("embedding").alias("__c_norm"),
+    )
+    rer = (
+        cv.join(  # pool is refine*nq rows -- broadcast it onto the scan
+            F.broadcast(pool.join(F.broadcast(queries), "q_id")), "n_id"
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("__q_vec"), F.col("__c_vec"))
+                / (F.col("__q_norm") * F.col("__c_norm")),
+                6,
+            ),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    from ..operators.ordering import pin_frame
+
+    ann = pin_frame(  # recall consumes ann twice; never re-encode the corpus
+        rer.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= _TOPK_K)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("__dist", 6).alias("approx_dist"),
+            "cosine",
+            "rank",
+        )
+    )
     q = e.where(F.col("vec_id") < _TOPK_NQ)
-    ann = pq_ann_topk(e, q, k=_TOPK_K, m=16, ksub=16, refine=50).drop(
-        "approx_dist"
-    )
-    # floor mirrors test_pq_ann_recall_and_code_shape's 0.7 bound
     return _ann_with_recall(
-        ann, cosine_topk(e, q, k=_TOPK_K), _TOPK_K, floor=0.7
+        ann,
+        cosine_topk(e, q, k=_TOPK_K),
+        _TOPK_K,
+        floor=_A76_RECALL_FLOOR,
     )
 
 
-QUERIES["a76_embedding_pq_ann"] = QuerySpec(a76_embedding_pq_ann, None)
+def _a76_books_values_sql() -> str:
+    """DuckDB VALUES table (j 0-based, cid 1-based, DOUBLE[dsub] cv) of
+    the frozen PQ codebooks -- the literal half of the a76 oracle."""
+    from .quantizers import A76_CODEBOOKS
+
+    rows = [
+        f"({j}, {c + 1}, [{', '.join(repr(float(x)) for x in cv)}])"
+        for j, book in enumerate(A76_CODEBOOKS)
+        for c, cv in enumerate(book)
+    ]
+    return "(VALUES\n    " + ",\n    ".join(rows) + ") AS t(j, cid, cv)"
+
+
+def _a76_sql() -> str:
+    from ..operators.similarity import DOT_SQL as dot
+
+    from .analytics import _TOPK_K, _TOPK_NQ
+
+    books = _a76_books_values_sql()
+    dsub = 4
+    ee = dot.format(a="embeddings.embedding", b="embeddings.embedding")
+    l2c = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(e.embedding[(b.j * {dsub}) + i] AS DOUBLE) / e.nrm "
+        f"- CAST(b.cv[i] AS DOUBLE)) "
+        f"* (CAST(e.embedding[(b.j * {dsub}) + i] AS DOUBLE) / e.nrm "
+        f"- CAST(b.cv[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+    l2q = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        f"i -> (CAST(q.qv[(c.j * {dsub}) + i] AS DOUBLE) / q.qnrm "
+        f"- CAST(b.cv[i] AS DOUBLE)) "
+        f"* (CAST(q.qv[(c.j * {dsub}) + i] AS DOUBLE) / q.qnrm "
+        f"- CAST(b.cv[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+    qq, cc = dot.format(a="q.qv", b="q.qv"), dot.format(a="c2.cv2", b="c2.cv2")
+    qc = dot.format(a="q.qv", b="c2.cv2")
+    xq, xc = dot.format(a="qv", b="qv"), dot.format(a="cv", b="cv")
+    xqc = dot.format(a="qv", b="cv")
+    return f"""
+WITH books AS (SELECT * FROM {books}),
+e AS (
+  SELECT vec_id, embedding, sqrt({ee}) AS nrm FROM embeddings
+), codes AS (
+  SELECT n_id, j, cid AS code FROM (
+    SELECT e.vec_id AS n_id, b.j, b.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id, b.j ORDER BY {l2c} ASC, b.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN books b
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qv,
+         sqrt({dot.format(a="embedding", b="embedding")}) AS qnrm
+  FROM embeddings WHERE vec_id < {_TOPK_NQ}
+), terms AS (
+  SELECT q.q_id, c.n_id, c.j, {l2q} AS t
+  FROM codes c
+  JOIN books b ON b.j = c.j AND b.cid = c.code
+  CROSS JOIN q
+  WHERE q.q_id <> c.n_id
+), adc AS (
+  SELECT q_id, n_id,
+         list_reduce(list(t ORDER BY j), (acc, x) -> acc + x) AS dist
+  FROM terms GROUP BY q_id, n_id
+), pool AS (
+  SELECT q_id, n_id, dist FROM (
+    SELECT q_id, n_id, dist,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS pr
+    FROM adc
+  ) WHERE pr <= {_A76_REFINE}
+), rer AS (
+  SELECT p.q_id, p.n_id, round(p.dist, 6) AS approx_dist,
+         round({qc} / (sqrt({qq}) * sqrt({cc})), 6) AS cosine
+  FROM pool p
+  JOIN (SELECT vec_id, embedding AS cv2 FROM embeddings) c2
+    ON c2.vec_id = p.n_id
+  JOIN q ON q.q_id = p.q_id
+), ann AS (
+  SELECT q_id, n_id, approx_dist, cosine, rank FROM (
+    SELECT q_id, n_id, approx_dist, cosine,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM rer
+  ) WHERE rank <= {_TOPK_K}
+), exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rk
+    FROM (
+      SELECT xq.vec_id AS q_id, xc.vec_id AS n_id,
+             round({xqc} / (sqrt({xq}) * sqrt({xc})), 6) AS cosine
+      FROM (SELECT vec_id, embedding AS cv FROM embeddings) xc,
+           (SELECT vec_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {_TOPK_NQ}) xq
+      WHERE xq.vec_id <> xc.vec_id
+    )
+  ) WHERE rk <= {_TOPK_K}
+), hits AS (
+  SELECT a.q_id, count(*) AS h
+  FROM ann a JOIN exact x ON a.q_id = x.q_id AND a.n_id = x.n_id
+  GROUP BY a.q_id
+), per AS (
+  SELECT a.q_id, a.n_id, a.approx_dist, a.cosine, a.rank,
+         round(CAST(COALESCE(h.h, 0) AS DOUBLE) / {_TOPK_K}, 4)
+           AS recall_at_k
+  FROM ann a LEFT JOIN hits h ON a.q_id = h.q_id
+), mr AS (
+  SELECT round(avg(recall_at_k), 4) AS mean_recall
+  FROM (SELECT DISTINCT q_id, recall_at_k FROM per)
+)
+SELECT p.q_id, p.n_id, p.approx_dist, p.cosine, p.rank, p.recall_at_k,
+       m.mean_recall, m.mean_recall >= {_A76_RECALL_FLOOR} AS recall_ok
+FROM per p CROSS JOIN mr m
+"""
+
+
+QUERIES["a76_embedding_pq_ann"] = QuerySpec(a76_embedding_pq_ann, _a76_sql())
 
 # ---------------------------------------------------------------------------
 # c27 -- bucketed co-located join (Warehouse.write_bucketed made driver-
@@ -810,7 +1065,7 @@ def c27_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
             dsum("l_extendedprice").alias("revenue"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         spark.sql("DROP TABLE IF EXISTS dwd_c27_orders")
         spark.sql("DROP TABLE IF EXISTS dwd_c27_items")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import day_str, dsum, load_table, ts_str
+from ._util import day_str, dsum, freeze_result, load_table, ts_str
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -69,7 +69,7 @@ def c33_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum("value").alias("value_sum"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -630,7 +630,7 @@ def c37_sqlwh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum("value").alias("value_sum"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-drop
+        return freeze_result(out)  # pre-drop
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {prefix}dwd CASCADE")
 
@@ -820,7 +820,7 @@ def c38_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             dsum("value").alias("value_sum"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import day_str, load_table, ts_str
+from ._util import day_str, freeze_result, load_table, ts_str
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -580,7 +580,7 @@ def s11_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("pos") <= _S11_K)
             .select("event_type", "pos", "user_id", "n_events")
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import load_table
+from ._util import freeze_result, load_table
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -660,7 +660,7 @@ def s12_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("cms_est") >= F.col("exact_n")).alias("cms_ok"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

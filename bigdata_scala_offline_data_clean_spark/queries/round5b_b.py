@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import load_table
+from ._util import freeze_result, load_table
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -238,7 +238,7 @@ def c44_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_updated",
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import load_table
+from ._util import freeze_result, load_table
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -1142,7 +1142,7 @@ def s15_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_count",
             F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)  # pre-rmtree
+        return freeze_result(out)  # pre-rmtree
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

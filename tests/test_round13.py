@@ -216,3 +216,24 @@ def test_train_ivf_centroids_order_col_canonical(spark):
     ca = train_ivf_centroids(a, n_clusters=4, sample_size=64, order_col="vec_id")
     cb = train_ivf_centroids(b, n_clusters=4, sample_size=64, order_col="vec_id")
     assert ca == cb
+
+
+def test_frozen_quantizer_artifacts():
+    """The shipped a16/a76 quantizer literals keep their contracted
+    shapes and are finite (regenerate via tools/freeze_quantizers.py)."""
+    import math
+
+    from bigdata_scala_offline_data_clean_spark.queries.quantizers import (
+        A16_CENTROIDS,
+        A76_CODEBOOKS,
+    )
+
+    assert len(A16_CENTROIDS) == 8
+    assert all(len(c) == 64 for c in A16_CENTROIDS)
+    assert all(math.isfinite(x) for c in A16_CENTROIDS for x in c)
+    assert len(A76_CODEBOOKS) == 16
+    assert all(len(b) == 16 for b in A76_CODEBOOKS)
+    assert all(len(cv) == 4 for b in A76_CODEBOOKS for cv in b)
+    assert all(
+        math.isfinite(x) for b in A76_CODEBOOKS for cv in b for x in cv
+    )

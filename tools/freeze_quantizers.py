@@ -1,0 +1,105 @@
+"""Regenerate the frozen trained-quantizer artifacts (queries/quantizers.py).
+
+VERDICT r11/r12 task #2: a16/a76 were the registry's only rows-only
+entries because their quantizers were trained at runtime (float-iterative
+k-means -- no static SQL can recompute them).  The fix is the
+shipped-artifact pattern every production ANN system uses: train ONCE,
+freeze the centroids/codebooks as module literals, and let both engines
+fold the identical doubles (Python repr round-trips doubles exactly, in
+Spark ``F.lit`` and in a DuckDB SQL literal alike).
+
+Training provenance (deterministic -- canonical-order bounded sample,
+fixed seed, fixed iteration count):
+
+    embeddings @ /root/testdata/sf0.01 (500 x 64, the driver's
+    correctness SF)
+    A16_CENTROIDS = train_ivf_centroids(e, n_clusters=8,
+        sample_size=2048, iters=10, seed=42, order_col="vec_id")
+    A76_CODEBOOKS = train_pq_codebooks(e, m=16, ksub=16,
+        sample_size=2048, iters=10, seed=42, order_col="vec_id")
+
+Run: python tools/freeze_quantizers.py  (rewrites queries/quantizers.py)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "bigdata_scala_offline_data_clean_spark"
+    / "queries"
+    / "quantizers.py"
+)
+
+HEADER = '''"""Frozen trained-quantizer artifacts (generated -- do not hand-edit).
+
+Regenerate with ``python tools/freeze_quantizers.py``; provenance and
+rationale live in that script's docstring.  These literals are the
+"trained index artifact" a production ANN deployment ships: a16/a76
+load them instead of re-training per run, and their DuckDB oracles
+embed the SAME doubles, making assignment/distance exactly
+recomputable (the a199/a200 pinned-quantizer contract, now at trained
+quality instead of raw seed rows).
+"""
+
+# fmt: off
+'''
+
+
+def _fmt_floats(xs: list[float], indent: str) -> str:
+    parts = [repr(float(x)) for x in xs]
+    lines, cur = [], indent
+    for p in parts:
+        if len(cur) + len(p) + 2 > 79:
+            lines.append(cur.rstrip())
+            cur = indent
+        cur += p + ", "
+    lines.append(cur.rstrip())
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.session import build_session
+
+    spark = build_session()
+    e = load_table(spark, SF_DIR, "embeddings")
+    cents = train_ivf_centroids(
+        e, n_clusters=8, sample_size=2048, iters=10, seed=42,
+        order_col="vec_id",
+    )
+    books = train_pq_codebooks(
+        e, m=16, ksub=16, sample_size=2048, iters=10, seed=42,
+        order_col="vec_id",
+    )
+    spark.stop()
+
+    out = [HEADER]
+    out.append("A16_CENTROIDS = [  # 8 x 64, IVF coarse quantizer\n")
+    for c in cents:
+        out.append("    [\n" + _fmt_floats(c, "        ") + "\n    ],\n")
+    out.append("]\n\n")
+    out.append(
+        "A76_CODEBOOKS = [  # 16 subspaces x 16 codewords x 4 dims\n"
+    )
+    for book in books:
+        out.append("    [\n")
+        for c in book:
+            out.append("        [" + ", ".join(repr(float(x)) for x in c) + "],\n")
+        out.append("    ],\n")
+    out.append("]\n")
+    OUT.write_text("".join(out))
+    print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -752,6 +752,18 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # HLL rollup: shard + merged + global register aggs over one scan
     # lineage; the 5-row estimate join must broadcast -- no cartesian
     "a210_hll_merge": ((), ("CartesianProduct", "NestedLoop"), None),
+    # frozen-quantizer IVF ANN (round 13): the candidate join keys on
+    # the cell id and the tiny probe side must broadcast; brute-force
+    # recall baseline is the accepted BNLJ -- never a sort-merge pair
+    # join over the corpus
+    "a16_embedding_ivf_ann": (
+        ("BroadcastHashJoin",), ("SortMergeJoin",), None,
+    ),
+    # frozen-codebook PQ ANN: codes are a map-only fold; ADC join
+    # broadcasts the 5-row query side; rerank reads only the refine pool
+    "a76_embedding_pq_ann": (
+        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), None,
+    ),
 }
 
 
