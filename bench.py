@@ -256,6 +256,7 @@ HEADLINE = [
     "a208_hll_distinct",  # portable md5-register HLL, full oracle parity
     "a209_semdedup_trained",  # SemDeDup at trained k=isqrt(n), BLAS path
     "a210_hll_merge",  # mergeable-HLL shard rollup, bit-exact vs global
+    "c68_curation_packing_funnel",  # doc-dedup -> span-dedup -> DSIR -> pack
 ]
 
 

@@ -224,7 +224,9 @@ def a07_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _a07_sql() -> str:
+def _a07_sql(src: str = "documents") -> str:
+    """``src`` re-points the scan (round 13: c68 runs the identical
+    pair pipeline over its span-cleaned survivor CTE)."""
     from ..operators.dedup import _MH_MOD, _mh_consts
 
     rows = _MH_N // _MH_BANDS
@@ -243,7 +245,7 @@ def _a07_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t FROM {src}
 ), grams AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(generate_series(1, greatest(len(t) - {_MH_SHINGLE - 1}, 1)),

@@ -60,14 +60,18 @@ def a204_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _a204_sql() -> str:
-    k, w = _SD_K, _SD_W
+def _a204_sql(
+    k: int = _SD_K, w: int = _SD_W, src: str = "documents"
+) -> str:
+    """``k``/``w``/``src`` re-point the winnowing grain and the scanned
+    relation (round 13: c68 runs the identical span-dedup pipeline at a
+    coarser grain over its doc-deduped survivor CTE)."""
     span = w + k - 2
     return f"""
 WITH grams AS (
   SELECT doc_id, p AS pos, md5(substr(text, p, {k})) AS h,
          length(text) - {k} + 1 AS n
-  FROM documents,
+  FROM {src},
        LATERAL unnest(generate_series(1,
            greatest(length(text) - {k} + 1, 0))) AS t(p)
 ), winmin AS (
@@ -113,7 +117,7 @@ WITH grams AS (
                 ELSE '' END, '' ORDER BY pos) AS clean,
          sum(CASE WHEN cov > 0 AND prevcov = 0 THEN 1 ELSE 0 END)
            AS n_spans
-  FROM cum2 c JOIN documents d USING (doc_id)
+  FROM cum2 c JOIN {src} d USING (doc_id)
   GROUP BY c.doc_id
 )
 SELECT d.doc_id,
@@ -123,7 +127,7 @@ SELECT d.doc_id,
        CAST(length(d.text) - length(coalesce(s.clean, d.text)) AS BIGINT)
          AS removed_chars,
        CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
-FROM documents d LEFT JOIN segs s USING (doc_id)
+FROM {src} d LEFT JOIN segs s USING (doc_id)
 """
 
 

@@ -188,3 +188,291 @@ JOIN shards s ON s.event_type = m.event_type
 
 
 QUERIES["a210_hll_merge"] = QuerySpec(a210_hll_merge, _a210_sql())
+
+
+# ---------------------------------------------------------------------------
+# c68 -- curation + packing funnel (VERDICT r11/r12 task #8): the round-11
+# training-data transforms COMPOSED end to end in production order, each
+# stage consuming the previous stage's output -- doc-level near-dup prune
+# (MinHash-LSH + connected components) first, span-level dedup + length
+# floor over the survivors, DSIR importance selection over the cleaned
+# survivors, and the selected documents packed into fixed 512-token
+# context windows.  Output is the audit table every production curation
+# run publishes: per-stage survivor counts, drops, and token totals,
+# plus the packed-chunk count -- all integer-exact and fully
+# oracle-checked (the DuckDB twin chains the a07/a25, a204, a205, and
+# a43 SQL as nested CTEs over the same stage outputs).
+#
+# Stage order note: running span dedup FIRST makes the doc-level prune a
+# no-op (the shared spans that made documents near-duplicates are
+# already excised -- measured on the fixture: 24 near-dup drops -> 0),
+# which is exactly why production curation dedups documents before
+# substrings (Lee et al. 2022 do the same).
+#
+# Scale: each stage is the already-audited operator (banded-LSH +
+# star contraction; fp-groupBy span dedup; one-explode DSIR; windowed
+# packing per shard); the funnel adds only 1-row count aggregates that
+# crossJoin-broadcast, exactly like c67.
+# ---------------------------------------------------------------------------
+
+_C68_MIN_CHARS = 100  # post-clean length floor (chars)
+_C68_CTX = 512  # packing context length (a43's)
+# coarser winnowing grain than a204 (k=5 on this tiny-vocabulary corpus
+# would excise nearly every character): spans of >= 25 shared chars
+_C68_K, _C68_W = 20, 6
+
+
+def c68_curation_packing_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.dedup import dedup_clusters, minhash_dedup_pairs
+    from ..operators.ordering import pin_frame
+    from ..operators.text import token_count_bpe, winnow_span_dedup
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+    from .round11 import _DSIR_B, _DSIR_TARGET_LANG, _LR_DEC, _TF_DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    # stage 1: doc-level near-dup prune (keep each cluster's min-id rep)
+    pairs = minhash_dedup_pairs(
+        d,
+        shingle_n=_MH_SHINGLE,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    clusters = dedup_clusters(d, pairs)
+    s1 = pin_frame(
+        d.select("doc_id", "text", "lang").join(
+            clusters.where(F.col("doc_id") == F.col("rep_id")).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    # stage 2: span-level dedup over the survivors + post-clean floor
+    cleaned = winnow_span_dedup(
+        s1, k=_C68_K, w=_C68_W, keep="first", min_doc_freq=2
+    )
+    s2 = pin_frame(
+        cleaned.select("doc_id", F.col("clean_text").alias("text"))
+        .join(s1.select("doc_id", "lang"), "doc_id")
+        .where(F.length("text") >= _C68_MIN_CHARS)
+    )
+    # stage 3: DSIR importance over the cleaned survivors (a205's exact
+    # math -- hashed-ngram log-ratio, decimal-exact fold -- recomputed
+    # on THIS stage's term distribution, not the raw corpus')
+    tok = s2.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tb = tok.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast(
+                "int"
+            ),
+            F.lit(_DSIR_B),
+        ).alias("b"),
+    )
+    dtf = pin_frame(
+        tb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    is_t = F.when(
+        F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")
+    ).otherwise(F.lit(0))
+    cnts = dtf.groupBy("b").agg(
+        F.sum(is_t).alias("ct"), F.sum("tf").alias("cs")
+    )
+    tot = cnts.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    num = (F.col("ct") + 1).cast("double") * (
+        F.col("ns") + _DSIR_B
+    ).cast("double")
+    den = (F.col("cs") + 1).cast("double") * (
+        F.col("nt") + _DSIR_B
+    ).cast("double")
+    lr = F.broadcast(
+        cnts.crossJoin(F.broadcast(tot)).select(
+            "b", F.round(F.log(num / den), 9).cast(_LR_DEC).alias("lr")
+        )
+    )
+    score = (
+        dtf.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf").cast(_TF_DEC) * F.col("lr")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dsir_score")
+        )
+    )
+    s3 = pin_frame(
+        s2.join(
+            score.where(F.col("dsir_score") > 0).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    # stage 4: concat-and-chunk packing of the selected docs, 8 shards
+    # (a43's layout); chunk count is integer ceil division per shard
+    chunks = (
+        token_count_bpe(s3)
+        .groupBy((F.col("doc_id") % 8).alias("__shard"))
+        .agg(F.sum("n_bpe_tokens").alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(f"(__t + {_C68_CTX - 1}) div {_C68_CTX}")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__chunks")
+        )
+    )
+
+    def cnt(df: DataFrame, i: int) -> DataFrame:
+        return token_count_bpe(df).agg(
+            F.count(F.lit(1)).alias(f"__c{i}"),
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0))
+            .cast("long")
+            .alias(f"__t{i}"),
+        )
+
+    row = reduce(
+        lambda a, b: a.crossJoin(F.broadcast(b)),
+        [cnt(d, 0), cnt(s1, 1), cnt(s2, 2), cnt(s3, 3), chunks],
+    )
+    names = ("raw", "neardup_prune", "span_dedup_minlen", "dsir_select")
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(names[i]).alias("rule"),
+                F.col(f"__c{i}").alias("n_docs"),
+                (
+                    (F.col(f"__c{i - 1}") - F.col(f"__c{i}"))
+                    if i
+                    else F.lit(0).cast("bigint")
+                ).alias("n_dropped"),
+                F.col(f"__t{i}").alias("n_tokens"),
+            )
+            for i in range(4)
+        ],
+        F.struct(
+            F.lit(4).alias("stage"),
+            F.lit("packed_chunks").alias("rule"),
+            F.col("__chunks").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_dropped"),
+            F.col("__t3").alias("n_tokens"),
+        ),
+    )
+    return (
+        row.select(F.explode(arms).alias("__a"))
+        .select("__a.*")
+        .orderBy("stage")
+    )
+
+
+def _c68_sql() -> str:
+    from .analytics import _a07_sql
+    from .round11 import _DSIR_B, _DSIR_TARGET_LANG, _a204_sql
+
+    b, lang = _DSIR_B, _DSIR_TARGET_LANG
+    tok = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+    a07 = _a07_sql().strip().rstrip("\n")
+    a204 = _a204_sql(k=_C68_K, w=_C68_W, src="s1").strip().rstrip("\n")
+    return f"""
+WITH clusters AS MATERIALIZED (
+  WITH RECURSIVE pairs AS MATERIALIZED (
+{a07}
+  ), sym AS (
+    SELECT a AS u, b AS v FROM pairs
+    UNION
+    SELECT b AS u, a AS v FROM pairs
+  ), reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+  )
+  SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
+), s1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN clusters USING (doc_id)
+  WHERE doc_id = rep_id
+), cleaned AS MATERIALIZED (
+{a204}
+), s2 AS MATERIALIZED (
+  SELECT c.doc_id, c.clean_text AS text, s1.lang
+  FROM cleaned c JOIN s1 USING (doc_id)
+  WHERE length(c.clean_text) >= {_C68_MIN_CHARS}
+), score AS (
+  WITH tb AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % {b} AS b
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM s2)
+  ), dtf AS (
+    SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b
+  ), cnts AS (
+    SELECT b, sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS ct,
+           count(*) AS cs
+    FROM tb GROUP BY b
+  ), tot AS (
+    SELECT sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS nt,
+           count(*) AS ns
+    FROM tb
+  ), lr AS (
+    SELECT b,
+           CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(ns + {b} AS DOUBLE))
+                       / (CAST(cs + 1 AS DOUBLE)
+                          * CAST(nt + {b} AS DOUBLE))),
+                      9) AS DECIMAL(12,9)) AS lr
+    FROM cnts, tot
+  )
+  SELECT doc_id,
+         round(CAST(sum(CAST(tf AS DECIMAL(9,0)) * lr) AS DOUBLE), 6)
+           AS dsir_score
+  FROM dtf JOIN lr USING (b) GROUP BY doc_id
+), s3 AS MATERIALIZED (
+  SELECT s2.* FROM s2 JOIN score USING (doc_id) WHERE dsir_score > 0
+), packed AS (
+  SELECT CAST(COALESCE(sum((t + {_C68_CTX - 1}) // {_C68_CTX}), 0) AS BIGINT)
+           AS n_chunks
+  FROM (SELECT CAST(sum({tok}) AS BIGINT) AS t FROM s3
+        GROUP BY doc_id % 8)
+), funnel AS (
+  SELECT 0 AS stage, 'raw' AS rule, count(*) AS n_docs,
+         CAST(COALESCE(sum({tok}), 0) AS BIGINT) AS n_tokens
+  FROM documents
+  UNION ALL
+  SELECT 1, 'neardup_prune', count(*),
+         CAST(COALESCE(sum({tok}), 0) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'span_dedup_minlen', count(*),
+         CAST(COALESCE(sum({tok}), 0) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'dsir_select', count(*),
+         CAST(COALESCE(sum({tok}), 0) AS BIGINT) FROM s3
+)
+SELECT stage, rule,
+       CASE WHEN stage = 4 THEN (SELECT n_chunks FROM packed)
+            ELSE n_docs END AS n_docs,
+       CASE WHEN stage IN (1, 2, 3)
+            THEN lag(n_docs) OVER (ORDER BY stage) - n_docs
+            ELSE 0 END AS n_dropped,
+       n_tokens
+FROM (
+  SELECT * FROM funnel
+  UNION ALL
+  SELECT 4, 'packed_chunks', 0,
+         (SELECT n_tokens FROM funnel WHERE stage = 3)
+) ORDER BY stage
+"""
+
+
+QUERIES["c68_curation_packing_funnel"] = QuerySpec(
+    c68_curation_packing_funnel, _c68_sql()
+)

@@ -237,3 +237,41 @@ def test_frozen_quantizer_artifacts():
     assert all(
         math.isfinite(x) for b in A76_CODEBOOKS for cv in b for x in cv
     )
+
+
+def test_c68_funnel_composes_and_attrites(spark):
+    """The curation funnel must be monotone (each stage keeps a subset),
+    every stage must actually drop something on the fixture, and the
+    packed-chunk count must equal the per-shard integer ceil division
+    of the surviving tokens."""
+    import os
+
+    from bigdata_scala_offline_data_clean_spark.queries.round13 import (
+        _C68_CTX,
+        c68_curation_packing_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    rows = {
+        r["stage"]: r
+        for r in c68_curation_packing_funnel(spark, sf).collect()
+    }
+    assert [rows[i]["rule"] for i in range(5)] == [
+        "raw",
+        "neardup_prune",
+        "span_dedup_minlen",
+        "dsir_select",
+        "packed_chunks",
+    ]
+    n = [rows[i]["n_docs"] for i in range(5)]
+    assert n[0] >= n[1] >= n[2] >= n[3]  # monotone survivor counts
+    for i in (1, 2, 3):
+        assert rows[i]["n_dropped"] == n[i - 1] - n[i]
+    t = [rows[i]["n_tokens"] for i in range(5)]
+    assert t[0] >= t[1] >= t[2] >= t[3] and t[4] == t[3]
+    # chunk count bound: ceil(total/CTX) <= chunks <= n_shards + total/CTX
+    total = t[3]
+    assert n[4] >= (total + _C68_CTX - 1) // _C68_CTX
+    assert n[4] <= 8 + total // _C68_CTX

@@ -764,6 +764,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a76_embedding_pq_ann": (
         ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), None,
     ),
+    # curation+packing funnel: stage frames chain through semi joins and
+    # the audit row is 1-row crossJoin-broadcasts (c67's shape) -- pair
+    # candidates always come from the LSH bucket join, never all-pairs
+    "c68_curation_packing_funnel": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
 }
 
 
