@@ -257,6 +257,7 @@ HEADLINE = [
     "a209_semdedup_trained",  # SemDeDup at trained k=isqrt(n), BLAS path
     "a210_hll_merge",  # mergeable-HLL shard rollup, bit-exact vs global
     "c68_curation_packing_funnel",  # doc-dedup -> span-dedup -> DSIR -> pack
+    "a211_quality_classifier",  # frozen-weights rule-distillation scorer
 ]
 
 

@@ -476,3 +476,183 @@ FROM (
 QUERIES["c68_curation_packing_funnel"] = QuerySpec(
     c68_curation_packing_funnel, _c68_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# a211 -- rule-distillation quality classifier (round 13): the
+# classifier-based quality filter every production curation pipeline
+# runs (C4 / Gopher / Llama-style: write rules, distill them -- plus
+# human/LLM labels -- into a small linear model, score every document
+# cheaply).  Spark-native and ORACLE-EXACT end to end: the FROZEN
+# weights (queries/classifier_weights.py, trained offline by
+# tools/freeze_quality_classifier.py -- the quantizers.py shipped-model
+# pattern) score each document from 3 engineered features
+# (n_chars/1000, round(ln(n_toks), 9), distinct/total word-3-gram
+# ratio) + 64 hashed bag-of-words buckets (the a205 DSIR hash), and the
+# in-result accuracy is measured against the recomputed c67 rule label.
+# Distillation is real, not a parity toy: train acc 0.994 vs 0.926
+# majority base on sf0.01 (frozen in A211_TRAIN_ACC).
+#
+# Float parity: bucket tf are exact integers; weights ship as 9dp
+# decimal strings -> the BoW term is an exact DECIMAL fold (a205's
+# sum(tf * lr) shape); the 4-term logit adds in one FIXED operand order
+# and rounds to 9dp; sigmoid rounds to 6dp (the a110/a205 cross-engine
+# transcendental rule).  Scale: one token explode + 64-row weight
+# broadcast + per-doc joins -- a205's exact plan shape plus the c67
+# gram aggregate; no self-joins, no windows.
+# ---------------------------------------------------------------------------
+
+_A211_ACC_FLOOR = 0.9  # distilled model must track its teacher rule
+
+
+def a211_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordering import pin_frame
+    from ..operators.text import repetition_stats
+    from .classifier_weights import A211_BIAS, A211_BUCKETS, A211_WEIGHTS
+    from .round11 import _TF_DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(d).select(
+        "doc_id", "n_grams", "n_distinct_grams"
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tb = tok.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast(
+                "int"
+            ),
+            F.lit(A211_BUCKETS),
+        ).alias("b"),
+    )
+    dtf = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(b, f"{A211_WEIGHTS[3 + b]:.9f}") for b in range(A211_BUCKETS)],
+            "b int, w string",
+        ).select("b", F.col("w").cast("decimal(12,9)").alias("w"))
+    )
+    bow = (
+        dtf.join(wdf, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf").cast(_TF_DEC) * F.col("w")).alias("__bow"),
+            F.sum("tf").cast("long").alias("n_toks"),
+        )
+    )
+    w0, w1, w2 = (f"{A211_WEIGHTS[i]:.9f}" for i in range(3))
+    z = F.expr(
+        f"round({A211_BIAS:.9f}D + {w0}D * (n_chars / 1000.0D) "
+        f"+ {w1}D * round(ln(cast(n_toks as double)), 9) "
+        f"+ {w2}D * (cast(n_distinct_grams as double) / n_grams) "
+        f"+ cast(__bow as double) / n_toks, 9)"
+    )
+    scored = (
+        d.select("doc_id", "n_chars")
+        .join(rep, "doc_id")
+        .join(bow, "doc_id")
+        .withColumn("logit", z)
+        .withColumn(
+            "prob",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6),
+        )
+        .withColumn(
+            "rule_pass",
+            F.col("n_chars").between(100, 2000)
+            & (
+                F.lit(5) * (F.col("n_grams") - F.col("n_distinct_grams"))
+                < F.col("n_grams")
+            ),
+        )
+        .withColumn("predicted", F.col("prob") >= 0.5)
+        .withColumn("correct", F.col("predicted") == F.col("rule_pass"))
+    )
+    scored = pin_frame(scored)  # consumed by the accuracy agg + output
+    acc = scored.agg(
+        F.round(F.avg(F.col("correct").cast("double")), 4).alias("accuracy")
+    )
+    return (
+        scored.crossJoin(F.broadcast(acc))
+        .withColumn("acc_ok", F.col("accuracy") >= F.lit(_A211_ACC_FLOOR))
+        .select(
+            "doc_id",
+            "n_toks",
+            "rule_pass",
+            "logit",
+            "prob",
+            "predicted",
+            "correct",
+            "accuracy",
+            "acc_ok",
+        )
+    )
+
+
+def _a211_sql() -> str:
+    from .classifier_weights import A211_BIAS, A211_BUCKETS, A211_WEIGHTS
+
+    b = A211_BUCKETS
+    wvals = ",\n    ".join(
+        f"({i}, CAST('{A211_WEIGHTS[3 + i]:.9f}' AS DECIMAL(12,9)))"
+        for i in range(b)
+    )
+    w0, w1, w2 = (f"{A211_WEIGHTS[i]:.9f}" for i in range(3))
+    return f"""
+WITH wts(b, w) AS (VALUES
+    {wvals}
+), grams AS (
+  SELECT doc_id, n_chars, len(g) AS n_grams,
+         len(list_distinct(g)) AS n_distinct_grams
+  FROM (
+    SELECT doc_id, n_chars,
+           [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+             AS g
+    FROM (SELECT doc_id, n_chars,
+                 list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+          FROM documents) q
+  ) q2
+), tb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % {b} AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+), dtf AS (
+  SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b
+), bow AS (
+  SELECT doc_id, sum(CAST(tf AS DECIMAL(9,0)) * w) AS bowsum,
+         CAST(sum(tf) AS BIGINT) AS n_toks
+  FROM dtf JOIN wts USING (b) GROUP BY doc_id
+), scored AS (
+  SELECT g.doc_id, bow.n_toks,
+         (g.n_chars BETWEEN 100 AND 2000
+          AND 5 * (g.n_grams - g.n_distinct_grams) < g.n_grams)
+           AS rule_pass,
+         round({A211_BIAS:.9f} + {w0} * (g.n_chars / 1000.0)
+               + {w1} * round(ln(CAST(bow.n_toks AS DOUBLE)), 9)
+               + {w2} * (CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams)
+               + CAST(bow.bowsum AS DOUBLE) / bow.n_toks, 9) AS logit
+  FROM grams g JOIN bow USING (doc_id)
+), probs AS (
+  SELECT doc_id, n_toks, rule_pass, logit,
+         round(1.0 / (1.0 + exp(-logit)), 6) AS prob
+  FROM scored
+), preds AS (
+  SELECT *, prob >= 0.5 AS predicted,
+         (prob >= 0.5) = rule_pass AS correct
+  FROM probs
+), acc AS (
+  SELECT round(avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END), 4)
+           AS accuracy
+  FROM preds
+)
+SELECT p.doc_id, p.n_toks, p.rule_pass, p.logit, p.prob, p.predicted,
+       p.correct, a.accuracy, a.accuracy >= {_A211_ACC_FLOOR} AS acc_ok
+FROM preds p CROSS JOIN acc a
+"""
+
+
+QUERIES["a211_quality_classifier"] = QuerySpec(
+    a211_quality_classifier, _a211_sql()
+)

@@ -275,3 +275,33 @@ def test_c68_funnel_composes_and_attrites(spark):
     total = t[3]
     assert n[4] >= (total + _C68_CTX - 1) // _C68_CTX
     assert n[4] <= 8 + total // _C68_CTX
+
+
+def test_a211_distills_rule_above_base_rate(spark):
+    """The frozen linear classifier must track its teacher rule well
+    above the majority base rate on HELD-OUT documents (sf0.001 differs
+    from the sf0.01 training set), and every correctness column must be
+    self-consistent."""
+    import os
+
+    from bigdata_scala_offline_data_clean_spark.queries.classifier_weights import (
+        A211_BASE_RATE,
+        A211_TRAIN_ACC,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round13 import (
+        a211_quality_classifier,
+    )
+
+    assert A211_TRAIN_ACC > A211_BASE_RATE + 0.03  # distillation is real
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    rows = a211_quality_classifier(spark, sf).collect()
+    acc = rows[0]["accuracy"]
+    assert all(r["accuracy"] == acc for r in rows)  # one corpus-level acc
+    assert acc >= 0.9 and rows[0]["acc_ok"]
+    n_correct = sum(1 for r in rows if r["correct"])
+    assert round(n_correct / len(rows), 4) == acc
+    for r in rows[:50]:
+        assert r["correct"] == (r["predicted"] == r["rule_pass"])
+        assert 0.0 <= r["prob"] <= 1.0

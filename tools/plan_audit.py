@@ -770,6 +770,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c68_curation_packing_funnel": (
         ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
     ),
+    # rule-distillation classifier: a205's plan shape (one explode,
+    # 64-row weight broadcast, per-doc joins) + the c67 gram aggregate;
+    # the 1-row accuracy crossJoin is the accepted scalar BNLJ
+    "a211_quality_classifier": (
+        ("BroadcastHashJoin",), ("CartesianProduct",), None,
+    ),
 }
 
 
