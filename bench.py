@@ -258,6 +258,7 @@ HEADLINE = [
     "a210_hll_merge",  # mergeable-HLL shard rollup, bit-exact vs global
     "c68_curation_packing_funnel",  # doc-dedup -> span-dedup -> DSIR -> pack
     "a211_quality_classifier",  # frozen-weights rule-distillation scorer
+    "a76_embedding_pq_ann",  # frozen-codebook PQ ANN (benched since r13)
 ]
 
 

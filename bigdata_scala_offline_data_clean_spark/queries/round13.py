@@ -1,5 +1,8 @@
 """Round-13 queries: trained-quantizer SemDeDup at production k (the BLAS
-scale path as a gated surface) and the mergeable-HLL shard rollup.
+scale path as a gated surface), the mergeable-HLL shard rollup, the
+curation+packing funnel (c68, the round-11 transforms composed end to
+end in production order), and the rule-distillation quality classifier
+(a211, frozen linear model over engineered + hashed-BoW features).
 
 a209 (VERDICT r11/r12 task #1): round 11 measured that SemDeDup at a
 FIXED k is quadratic in the corpus (126x at 10x) while k ~ sqrt(n) with

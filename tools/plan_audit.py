@@ -772,9 +772,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     ),
     # rule-distillation classifier: a205's plan shape (one explode,
     # 64-row weight broadcast, per-doc joins) + the c67 gram aggregate;
-    # the 1-row accuracy crossJoin is the accepted scalar BNLJ
+    # the pin_frame localCheckpoint truncates lineage, so the audited
+    # (post-pin) plan shows only the 1-row accuracy crossJoin -- the
+    # accepted scalar BNLJ; the pre-pin joins are covered by the shared
+    # a205 expectation and the oracle gate
     "a211_quality_classifier": (
-        ("BroadcastHashJoin",), ("CartesianProduct",), None,
+        ("BroadcastNestedLoopJoin",),
+        ("CartesianProduct", "SortMergeJoin"),
+        None,
     ),
 }
 
