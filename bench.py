@@ -259,6 +259,7 @@ HEADLINE = [
     "c68_curation_packing_funnel",  # doc-dedup -> span-dedup -> DSIR -> pack
     "a211_quality_classifier",  # frozen-weights rule-distillation scorer
     "a76_embedding_pq_ann",  # frozen-codebook PQ ANN (benched since r13)
+    "c69_ivf_index_serve",  # persisted cell-partitioned IVF index + pruned serve
 ]
 
 

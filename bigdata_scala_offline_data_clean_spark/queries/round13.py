@@ -659,3 +659,143 @@ FROM preds p CROSS JOIN acc a
 QUERIES["a211_quality_classifier"] = QuerySpec(
     a211_quality_classifier, _a211_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# c69 -- PERSISTED IVF index serving (round 13): the production shape of
+# ANN at 100 TB.  a16 computes assignment inline per query; a real
+# deployment builds the index ONCE -- corpus rows keyed by their coarse
+# cell, stored as a cell-PARTITIONED table -- and every query then reads
+# ONLY its probed cells, which Spark turns into planning-time PARTITION
+# PRUNING (the scan lists probe-cell directories, never the corpus).
+# This query runs that lifecycle end to end in a scratch warehouse:
+# build (write partitionBy cell), serve (read back WHERE cell IN probes
+# -- the pytest pins via inputFiles() that only probed-cell files are
+# read), rank, and verify recall.  Results are BY CONSTRUCTION the a16
+# candidate set (the cell filter only drops never-probed rows), so the
+# oracle is the same frozen-quantizer SQL -- what changes is the
+# EXECUTION: index cost amortized across queries, per-query read
+# proportional to n_probes/n_cells of the corpus.  The c27 bucketed-join
+# precedent, applied to ANN.
+# ---------------------------------------------------------------------------
+
+
+def c69_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.ordering import pin_frame
+    from ..operators.similarity import cosine_topk, dot_product
+    from ._util import freeze_result
+    from .analytics import (
+        _A16_PROBES,
+        _A16_RECALL_FLOOR,
+        _TOPK_K,
+        _TOPK_NQ,
+        _ann_with_recall,
+        _l2_lit_fold_sql,
+        _norm_sql,
+    )
+    from .quantizers import A16_CENTROIDS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dists = [_l2_lit_fold_sql("embedding", c) for c in A16_CENTROIDS]
+    darr = "array(" + ", ".join(dists) + ")"
+    bucket = F.expr(
+        f"cast(array_position({darr}, array_min({darr})) as int)"
+    )
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c69_")
+    try:
+        # BUILD: one assignment pass, stored cell-partitioned (at 100 TB
+        # this is the amortized offline index build)
+        par = spark.sparkContext.defaultParallelism
+        e.repartition(par).select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("__c_vec"),
+            _norm_sql("embedding").alias("__c_norm"),
+            bucket.alias("cell"),
+        ).write.partitionBy("cell").parquet(f"{scratch}/ivf_index")
+        index = spark.read.parquet(f"{scratch}/ivf_index").withColumn(
+            "cell", F.col("cell").cast("int")
+        )
+        # probe selection for the query set (frozen-quantizer folds)
+        pr = F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({i + 1} as cid, {d} as d)"
+                    for i, d in enumerate(dists)
+                )
+                + ")"
+            )
+        )
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("d").asc(), F.col("cid").asc()
+        )
+        probes = (
+            e.where(F.col("vec_id") < _TOPK_NQ)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("__q_vec"),
+                _norm_sql("embedding").alias("__q_norm"),
+                pr.alias("__p"),
+            )
+            .select("q_id", "__q_vec", "__q_norm", "__p.cid", "__p.d")
+            .withColumn("__pr", F.row_number().over(wq))
+            .where(F.col("__pr") <= _A16_PROBES)
+            .select(
+                "q_id", "__q_vec", "__q_norm", F.col("cid").alias("__probe")
+            )
+        )
+        probes = pin_frame(probes)  # consumed for the cell list AND the join
+        # SERVE: the probed-cell list is tiny (<= nq * n_probes ints) --
+        # fetched to the driver so the IN-filter is a PLAN LITERAL the
+        # scan prunes partitions with at planning time
+        cells = sorted(
+            {r["__probe"] for r in probes.select("__probe").collect()}
+        )
+        served = index.where(F.col("cell").isin(cells))
+        scored = served.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("__probe"))
+            & (F.col("q_id") != F.col("n_id")),
+        ).withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("__q_vec"), F.col("__c_vec"))
+                / (F.col("__q_norm") * F.col("__c_norm")),
+                6,
+            ),
+        )
+        wk = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("n_id").asc()
+        )
+        ann = pin_frame(
+            scored.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= _TOPK_K)
+            .select("q_id", "n_id", "cosine", "rank")
+        )
+        q = e.where(F.col("vec_id") < _TOPK_NQ)
+        out = _ann_with_recall(
+            ann,
+            cosine_topk(e, q, k=_TOPK_K),
+            _TOPK_K,
+            floor=_A16_RECALL_FLOOR,
+        )
+        return freeze_result(out)  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _c69_sql() -> str:
+    # the persisted index is a pass-through of the a16 candidate algebra
+    # (the cell filter drops only never-probed rows), so the oracle IS
+    # the frozen-quantizer a16 SQL
+    from .analytics import _a16_sql
+
+    return _a16_sql()
+
+
+QUERIES["c69_ivf_index_serve"] = QuerySpec(c69_ivf_index_serve, _c69_sql())

@@ -305,3 +305,52 @@ def test_a211_distills_rule_above_base_rate(spark):
     for r in rows[:50]:
         assert r["correct"] == (r["predicted"] == r["rule_pass"])
         assert 0.0 <= r["prob"] <= 1.0
+
+
+def test_c69_serves_from_probed_cells_only(spark):
+    """The persisted-IVF serve path must (a) return exactly a16's
+    answer (the cell filter drops only never-probed rows) and (b) prune
+    the index scan to the probed cells: with the same frozen quantizer,
+    a served read lists only probe-cell directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.queries.analytics import (
+        a16_embedding_ivf_ann,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round13 import (
+        c69_ivf_index_serve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("testdata not present")
+    key = lambda r: (r.q_id, r.n_id, r.cosine, r.rank)  # noqa: E731
+    served = sorted(map(key, c69_ivf_index_serve(spark, sf).collect()))
+    inline = sorted(map(key, a16_embedding_ivf_ann(spark, sf).collect()))
+    assert served == inline
+
+    # pruning, pinned directly: a cell-partitioned write + IN-filter read
+    # must list only the filtered cells' files
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="ods_spark_t69_")
+    try:
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 8).cast("int").alias("cell")
+        ).write.partitionBy("cell").parquet(f"{scratch}/idx")
+        back = spark.read.parquet(f"{scratch}/idx")
+        pruned = back.where(F.col("cell").isin([1, 3]))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        assert pf is not None and "IN (1,3)" in pf.group(0)
+        # and the pruned read really skips the other 6 cells' rows
+        assert pruned.count() == back.where(
+            F.col("cell").isin([1, 3])
+        ).count() < 100
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

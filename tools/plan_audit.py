@@ -781,6 +781,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("CartesianProduct", "SortMergeJoin"),
         None,
     ),
+    # persisted-IVF serve: freeze_result's eager localCheckpoint (the
+    # scratch index dir is rmtree'd) truncates lineage, so the audited
+    # plan is the checkpointed scan only -- the serve-path properties
+    # are pinned in test_c69_serves_from_probed_cells_only instead
+    # (served == inline a16 + PartitionFilters IN-list pruning)
+    "c69_ivf_index_serve": (
+        (), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
