@@ -1,7 +1,7 @@
 """Round-13 pins: the four carried ADVICE fixes (exact_percentiles input
 pin, HLL NULL drop, matmul zero-norm guard, HALF_UP rounding parity) and
 the two VERDICT r11/r12 scale guards (matmul broadcast budget, semdedup
-whale-cluster cap).
+whale-cluster block-pair sub-split).
 """
 
 from __future__ import annotations
@@ -81,32 +81,49 @@ def test_matmul_broadcast_budget_guard(spark, monkeypatch):
     similarity._neardup_pairs_matmul(df, "vec_id", "embedding", 0.9).count()
 
 
-def test_semdedup_whale_cluster_cap(spark):
-    """On the matmul path a cluster larger than max_cluster fails with
-    an error naming the quantizer knob -- mirroring candidate_pairs'
-    LSH whale-cap -- instead of going quadratic in one task."""
+def test_semdedup_whale_cluster_subsplit(spark):
+    """On the matmul path a cluster larger than pair_block must still
+    dedup CORRECTLY through the block-pair sub-split (no single task
+    ever sees more than two blocks), matching the fold path exactly --
+    including transitive groups that span block boundaries."""
     from bigdata_scala_offline_data_clean_spark.operators.similarity import (
         semdedup,
     )
 
+    # 8-member single cluster; pair_block=3 -> blocks {0,1,2},{3,4,5},
+    # {6,7}: near-dup families (0,1), (2,3) [SPANS a block boundary],
+    # and (5,6,7) [chain across blocks] force cross-block pairs
+    fam = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 3, 7: 3}
     df = spark.createDataFrame(
-        [(i, [1.0, float(i) * 1e-4]) for i in range(8)],
+        [
+            (i, [1.0, 0.05 * fam[i] + 1e-6 * i, 0.0])
+            for i in range(8)
+        ],
         "vec_id bigint, embedding array<double>",
     )
-    cents = [[1.0, 0.0]]  # everything lands in one 8-member cluster
-    with pytest.raises(Exception, match="max_cluster=4"):
-        semdedup(df, cents, assign="matmul", max_cluster=4).collect()
-    # uncapped: the same corpus dedups fine, and the tiled matmul
-    # (blk=2048 internally) agrees with the fold path
+    cents = [[1.0, 0.0, 0.0]]  # one 8-member cluster
     key = lambda r: (r.cluster, r.group_id, r.is_kept)  # noqa: E731
-    mm = {
+    fold = {
         r.vec_id: key(r)
-        for r in semdedup(
-            df, cents, assign="matmul", max_cluster=None
-        ).collect()
+        for r in semdedup(df, cents, threshold=0.9999).collect()
     }
-    fold = {r.vec_id: key(r) for r in semdedup(df, cents).collect()}
-    assert mm == fold
+    for blk in (1, 2, 3, 8):
+        mm = {
+            r.vec_id: key(r)
+            for r in semdedup(
+                df, cents, threshold=0.9999, assign="matmul",
+                pair_block=blk,
+            ).collect()
+        }
+        assert mm == fold, f"pair_block={blk}"
+    # sanity: the families actually merged (0,1), (2,3), (5,6,7)
+    groups = {}
+    for vid, (_, gid, _) in fold.items():
+        groups.setdefault(gid, set()).add(vid)
+    assert {frozenset(g) for g in groups.values()} == {
+        frozenset({0, 1}), frozenset({2, 3}), frozenset({4}),
+        frozenset({5, 6, 7}),
+    }
 
 
 def test_hll_registers_null_drop(spark):
