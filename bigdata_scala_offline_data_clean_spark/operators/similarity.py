@@ -274,7 +274,14 @@ def _neardup_pairs_matmul(
     import numpy as np
     import pandas as pd
 
-    probe = corpus.select(
+    # ONE evaluation of the corpus lineage (ADVICE r13): the budget
+    # probe and the toPandas() materialization must see the same rows --
+    # a nondeterministic source could pass the size check on one
+    # evaluation yet materialize a larger one.  The lazy pin stores the
+    # computed partitions executor-side on the probe's action; the
+    # budget error still fires BEFORE anything crosses to the driver.
+    proj = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    probe = proj.select(
         F.count(F.lit(1)).alias("n"),
         F.max(F.size(F.col(vec_col))).alias("d"),
     ).collect()[0]
@@ -289,7 +296,7 @@ def _neardup_pairs_matmul(
             "embedding_neardup_pairs(corpus, planes=hyperplanes(dim)) "
             "never materializes the corpus"
         )
-    pdf = corpus.select(id_col, vec_col).toPandas()
+    pdf = proj.toPandas()
     ids = pdf[id_col].to_numpy()
     m = _np_unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
     bc = corpus.sparkSession.sparkContext.broadcast((ids, m))
@@ -309,7 +316,7 @@ def _neardup_pairs_matmul(
             )
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return proj.mapInPandas(
         gen, schema=f"a {id_type}, b {id_type}, cosine double"
     )
 
@@ -385,24 +392,78 @@ def train_ivf_centroids(
     return centroids.tolist()
 
 
-def _l2_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of sequential squared-L2 folds from ``vec`` to each literal
-    centroid -- the shared assignment primitive of :func:`_ivf_bucket`
-    and :func:`semdedup` (fold order matches the DuckDB twin exactly)."""
-    dists = []
-    for c in centroids:
-        cvec = F.array(*[F.lit(float(v)) for v in c])
-        diff = F.zip_with(
-            vec, cvec, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+def _dlit(x: float) -> str:
+    """Spark-SQL double literal: repr round-trips the value exactly and
+    the D suffix stops the parser reading it as DECIMAL."""
+    return repr(float(x)) + "D"
+
+
+def l2_fold_sql(vec_sql: str, cent: list[float], off: int = 0) -> str:
+    """Spark-SQL text of the squared-L2 sequential fold between
+    ``vec[off+1 .. off+len]`` and a literal centroid -- same zip_with +
+    aggregate ops, same 0D init, same cast order as the old Column-lambda
+    form, built as TEXT so one ``F.expr`` parse replaces thousands of
+    py4j Column constructions (the a16 rewrite measured ~10s of pure
+    DRIVER time per call saved; SCALE.md records the rule: any
+    literal-quantizer fold family beyond ~50 nodes is built as expr
+    text).  The DuckDB twin stays ``_l2_seg_sql`` -- identical
+    elementwise ops in identical order."""
+    arr = "array(" + ", ".join(_dlit(x) for x in cent) + ")"
+    seg = f"slice({vec_sql}, {off + 1}, {len(cent)})"
+    return (
+        f"aggregate(zip_with({seg}, {arr}, "
+        f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def argmin_struct_sql(dists: list[str]) -> str:
+    """Single-pass min/argmin over per-centroid distance folds: a
+    ``struct(d, cid)`` fold returning BOTH the min distance and its
+    1-based position.  ``array_position(darr, array_min(darr))``
+    evaluates every fold TWICE (interpreted HOFs get no CSE; ADVICE
+    r13); the strict ``<`` keeps the earlier element on ties, so the
+    lowest cid wins -- identical to first-min ``array_position`` and to
+    the oracle's ``row_number(d ASC, cid ASC)``."""
+    items = ", ".join(
+        f"struct({d} as d, {i + 1} as cid)" for i, d in enumerate(dists)
+    )
+    return (
+        f"aggregate(array({items}), "
+        f"struct(cast('Infinity' as double) as d, 1 as cid), "
+        f"(acc, x) -> if(x.d < acc.d, x, acc))"
+    )
+
+
+def _l2_dists(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """Array of sequential squared-L2 folds from the column ``vec_sql``
+    to each literal centroid -- the shared assignment primitive (fold
+    order matches the DuckDB twin exactly).  Takes the vector column as
+    SQL TEXT, not a Column: the literal tree is built as one expr string
+    (round 14, the recorded expr-text fold rule applied to its last
+    call sites)."""
+    return F.expr(
+        "array(" + ", ".join(l2_fold_sql(vec_sql, c) for c in centroids) + ")"
+    )
+
+
+def _l2_min_struct(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """``struct(d, cid)`` of the nearest centroid in ONE fold pass."""
+    return F.expr(
+        argmin_struct_sql([l2_fold_sql(vec_sql, c) for c in centroids])
+    )
+
+
+def _ivf_bucket(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """1-based index of the nearest centroid (squared L2), ties -> first.
+    ``vec_sql`` is the vector column's SQL text (see :func:`_l2_dists`);
+    bigint, like the ``array_position`` form it replaces."""
+    return F.expr(
+        argmin_struct_sql(
+            [l2_fold_sql(vec_sql, c) for c in centroids]
         )
-        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
-    return F.array(*dists)
-
-
-def _ivf_bucket(vec: Column, centroids: list[list[float]]) -> Column:
-    """1-based index of the nearest centroid (squared L2), ties -> first."""
-    arr = _l2_dists(vec, centroids)
-    return F.array_position(arr, F.array_min(arr))
+        + ".cid"
+    ).cast("bigint")
 
 
 def ivf_ann_topk(
@@ -433,7 +494,7 @@ def ivf_ann_topk(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__c_vec"),
         _norm(F.col(vec_col)).alias("__c_norm"),
-        _ivf_bucket(F.col(vec_col), centroids).alias("bucket"),
+        _ivf_bucket(vec_col, centroids).alias("bucket"),
     )
     # probe assignment for the (small) query set: driver-side numpy
     cent = np.asarray(centroids)
@@ -899,15 +960,17 @@ def semdedup(
     if assign == "matmul":
         v = _assign_matmul(corpus, centroids, id_col, vec_col)
     elif assign == "fold":
-        darr = _l2_dists(F.col(vec_col), centroids)
+        # one struct fold yields BOTH the cluster and the distance; the
+        # checkpoint below pins the frame BEFORE field extraction, so
+        # the k-fold pass runs exactly once per row (the old
+        # array_position(darr, array_min(darr)) + array_min(darr)
+        # projection folded the k distances three times -- ADVICE r13's
+        # no-CSE-on-interpreted-HOFs point)
         v = corpus.select(
             id_col,
             vec_col,
             _norm(F.col(vec_col)).alias("__nrm"),
-            F.array_position(darr, F.array_min(darr))
-            .cast("int")
-            .alias("cluster"),
-            F.array_min(darr).alias("__d2c"),
+            _l2_min_struct(vec_col, centroids).alias("__mc"),
         )
     else:
         raise ValueError("assign must be 'fold' or 'matmul'")
@@ -915,6 +978,14 @@ def semdedup(
     # final assignment, and the centroid distance pass is the dominant
     # per-row cost -- without the pin the corpus projection re-runs 3x
     v = v.localCheckpoint(eager=False)
+    if assign == "fold":
+        v = v.select(
+            id_col,
+            vec_col,
+            "__nrm",
+            F.col("__mc.cid").cast("int").alias("cluster"),
+            F.col("__mc.d").alias("__d2c"),
+        )
     if assign == "matmul":
         # scale path all the way down: per-cluster pairwise cosine via
         # BLAS inside applyInPandas (round-11 10x measurement: with k

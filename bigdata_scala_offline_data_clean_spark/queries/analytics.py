@@ -681,25 +681,17 @@ _A16_PROBES = 4
 _A16_RECALL_FLOOR = 0.5  # mirrors test_ivf_ann_recall's aggregate bound
 
 
-def _dlit(x: float) -> str:
-    """Spark-SQL double literal: repr round-trips the value exactly and
-    the D suffix stops the parser reading it as DECIMAL."""
-    return repr(float(x)) + "D"
+from ..operators.similarity import _dlit  # noqa: F401 (re-export: a76 et al.)
+from ..operators.similarity import l2_fold_sql as _l2_lit_fold_sql  # noqa: F401
 
 
-def _l2_lit_fold_sql(vec: str, cent: list[float], off: int = 0) -> str:
-    """Spark-SQL string of the squared-L2 sequential fold between
-    ``vec[off+1 .. off+len]`` and a literal centroid -- the string form
-    of ``similarity._l2_dists``' per-centroid term (same zip_with +
-    aggregate ops, same 0D init, same cast order), built as text so one
-    F.expr parse replaces thousands of py4j Column constructions."""
-    arr = "array(" + ", ".join(_dlit(x) for x in cent) + ")"
-    seg = f"slice({vec}, {off + 1}, {len(cent)})"
-    return (
-        f"aggregate(zip_with({seg}, {arr}, "
-        f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
-        f"0D, (acc, v) -> acc + v)"
-    )
+def _argmin_cid_sql(dists: list[str]) -> str:
+    """Single-pass 1-based argmin over per-centroid distance folds (the
+    a76 ``code_sql`` struct fold, ADVICE r13) -- delegates to the
+    canonical ``similarity.argmin_struct_sql`` and extracts the cid."""
+    from ..operators.similarity import argmin_struct_sql
+
+    return argmin_struct_sql(dists) + ".cid"
 
 
 def _norm_sql(vec: str) -> Column:
@@ -741,10 +733,7 @@ def a16_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = [
         _l2_lit_fold_sql("embedding", c) for c in A16_CENTROIDS
     ]
-    darr = "array(" + ", ".join(dists) + ")"
-    bucket = F.expr(
-        f"cast(array_position({darr}, array_min({darr})) as int)"
-    )
+    bucket = F.expr(f"cast({_argmin_cid_sql(dists)} as int)")
     # the assignment fold is compute-bound (8 centroids x 64 dims of
     # interpreted HOF per row): spread it across cores -- the local
     # single-file scan would otherwise serialize it on one partition

@@ -57,26 +57,10 @@ _NQ, _K, _PROBES = 5, 5, 2
 _M, _DSUB = 8, _DIM // 8  # PQ: 8 subspaces of 8 dims
 
 
-def _l2_fold(vec, lit_sub: list[float], off: int = 0):
-    """Sequential squared-L2 fold between ``vec[off+1 .. off+len]`` and a
-    literal centroid (sub)vector -- the Spark half of the shared fold."""
-    seg = F.slice(vec, off + 1, len(lit_sub)) if off or len(lit_sub) != _DIM \
-        else vec
-    lit = F.array(*[F.lit(float(x)) for x in lit_sub])
-    return F.aggregate(
-        F.zip_with(
-            seg,
-            lit,
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _l2_seg_sql(a: str, b: str, off: str, n: int) -> str:
-    """DuckDB twin of :func:`_l2_fold` over ``{a}[off+1..off+n]`` vs
-    ``{b}[off+1..off+n]`` -- identical elementwise ops, identical order."""
+    """DuckDB twin of ``similarity.l2_fold_sql`` over ``{a}[off+1..off+n]``
+    vs ``{b}[off+1..off+n]`` -- identical elementwise ops, identical
+    order."""
     d = f"(CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE))"
     return (
         f"list_reduce(list_transform(generate_series(1, {n}), "
@@ -104,15 +88,16 @@ def _seed_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def a199_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _ivf_bucket, _norm, dot_product
+    from ..operators.similarity import _ivf_bucket, _norm, dot_product, l2_fold_sql
 
     cents = _seed_vectors(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
 
     # the operator's own nearest-centroid assignment (squared-L2 argmin,
     # 1-based, ties -> first == DuckDB row_number(d ASC, cid ASC) = 1);
-    # _l2_fold stays for the PQ subvector (offset) case only
-    bucket = _ivf_bucket(F.col("embedding"), cents).cast("int")
+    # since round 14 a single-pass struct fold built as expr TEXT (the
+    # recorded expr-text fold rule; values and tie rule unchanged)
+    bucket = _ivf_bucket("embedding", cents).cast("int")
 
     corpus = e.select(
         F.col("vec_id").alias("n_id"),
@@ -122,15 +107,16 @@ def a199_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe selection for the 5 queries: explode the 8 (cid, dist) pairs
     # and keep the 2 nearest -- 40 rows, broadcast with the query vectors
+    # (expr text, not Column lambdas -- one parse vs ~8x64 py4j calls)
     pr = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i + 1).alias("cid"),
-                    _l2_fold(F.col("embedding"), c).alias("d"),
-                )
+        F.expr(
+            "array("
+            + ", ".join(
+                f"struct({i + 1} as cid, "
+                f"{l2_fold_sql('embedding', c)} as d)"
                 for i, c in enumerate(cents)
-            ]
+            )
+            + ")"
         )
     )
     wq = Window.partitionBy("q_id").orderBy(
@@ -235,24 +221,32 @@ QUERIES["a199_ivf_assign"] = QuerySpec(a199_ivf_assign, _a199_sql())
 
 
 def a200_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dlit, argmin_struct_sql, l2_fold_sql
+
     cents = _seed_vectors(spark, sf_dir)
     books = [
         [c[j * _DSUB : (j + 1) * _DSUB] for c in cents] for j in range(_M)
     ]  # books[j][cid-1] = centroid subvector
     e = load_table(spark, sf_dir, "embeddings")
 
-    def code(j: int):
-        d = F.array(
-            *[
-                _l2_fold(F.col("embedding"), books[j][c], off=j * _DSUB)
-                for c in range(_N_CENT)
-            ]
-        )
-        return F.array_position(d, F.array_min(d)).cast("int")
+    # All folds below are Spark-SQL TEXT (one F.expr parse), not nested
+    # Column lambdas (~8x8x8 py4j constructions), per the recorded
+    # expr-text fold rule; the code argmin is additionally the
+    # single-pass struct fold (each subspace's 8 distance folds evaluate
+    # ONCE instead of twice -- ADVICE r13).  Values, fold order, and the
+    # first-min tie rule are identical, so the oracle is unchanged.
+    def code_sql(j: int) -> str:
+        dists = [
+            l2_fold_sql("embedding", books[j][c], off=j * _DSUB)
+            for c in range(_N_CENT)
+        ]
+        return f"cast({argmin_struct_sql(dists)}.cid as int)"
 
     corpus = e.select(
         F.col("vec_id").alias("n_id"),
-        F.array(*[code(j) for j in range(_M)]).alias("__codes"),
+        F.expr(
+            "array(" + ", ".join(code_sql(j) for j in range(_M)) + ")"
+        ).alias("__codes"),
     )
     queries = e.where(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("__q_vec")
@@ -260,28 +254,27 @@ def a200_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term_j: L2(query subvector j, codebook-j centroid picked by the
     # candidate's code_j).  element_at over the literal book is JVM-side;
     # the j-ordered array fold mirrors DuckDB's list(t ORDER BY j) fold.
-    def term(j: int):
-        book_j = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in books[j][c]])
+    def term_sql(j: int) -> str:
+        book_j = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_dlit(x) for x in books[j][c]) + ")"
                 for c in range(_N_CENT)
-            ]
+            )
+            + ")"
         )
-        cent = F.element_at(book_j, F.element_at(F.col("__codes"), j + 1))
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("__q_vec"), j * _DSUB + 1, _DSUB),
-                cent,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        cent = f"element_at({book_j}, element_at(__codes, {j + 1}))"
+        return (
+            f"aggregate(zip_with(slice(__q_vec, {j * _DSUB + 1}, {_DSUB}), "
+            f"{cent}, "
+            f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+            f"0D, (acc, v) -> acc + v)"
         )
 
-    dist = F.aggregate(
-        F.array(*[term(j) for j in range(_M)]),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    dist = F.expr(
+        "aggregate(array("
+        + ", ".join(term_sql(j) for j in range(_M))
+        + "), 0D, (acc, v) -> acc + v)"
     )
     scored = (
         corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))

@@ -110,8 +110,14 @@ def a210_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_g = hll_estimate(
         hll_registers(ev, ["event_type"], "user_id"), ["event_type"]
     ).select("event_type", F.col("hll_estimate").alias("__g"))
-    shards = sharded.groupBy("event_type").agg(
-        F.countDistinct("__shard").alias("n_shards")
+    # shard census over the SAME row set the registers hash (ADVICE r13:
+    # hll_registers drops NULL user_id rows, and a (event_type, day)
+    # reachable only through NULL ids must not count as a shard here
+    # while the oracle's NULL-filtered CTE excludes it)
+    shards = (
+        sharded.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("__shard").alias("n_shards"))
     )
     return (
         est_m.join(est_g, "event_type")
@@ -695,6 +701,7 @@ def c69_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TOPK_K,
         _TOPK_NQ,
         _ann_with_recall,
+        _argmin_cid_sql,
         _l2_lit_fold_sql,
         _norm_sql,
     )
@@ -702,10 +709,7 @@ def c69_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     dists = [_l2_lit_fold_sql("embedding", c) for c in A16_CENTROIDS]
-    darr = "array(" + ", ".join(dists) + ")"
-    bucket = F.expr(
-        f"cast(array_position({darr}, array_min({darr})) as int)"
-    )
+    bucket = F.expr(f"cast({_argmin_cid_sql(dists)} as int)")
     scratch = tempfile.mkdtemp(prefix="ods_spark_c69_")
     try:
         # BUILD: one assignment pass, stored cell-partitioned (at 100 TB

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import load_table
+from ._util import freeze_result, load_table
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -1093,8 +1093,7 @@ def c56_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        rows = out.collect()  # materialize before rmtree (documented)
-        return spark.createDataFrame(rows, out.schema)
+        return freeze_result(out)  # pre-rmtree, executor-side
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from ._util import dsum, load_table
+from ._util import dsum, freeze_result, load_table
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -587,8 +587,7 @@ def s14_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.agg(F.count(F.lit(1)).alias("nc"))
         )
         out = _psi_report(n_base, n_cur, tot)
-        rows = out.collect()  # materialize before rmtree (documented)
-        return spark.createDataFrame(rows, out.schema)
+        return freeze_result(out)  # pre-rmtree, executor-side
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
