@@ -1,0 +1,106 @@
+"""Round-14 pins: a209's frozen-quantizer contract (runtime-trained ==
+shipped literals at the driver's correctness SF), the a210 shard-census
+row-set alignment (ADVICE r13), and the single-pass argmin fold parity
+(struct fold == array_position first-min under exact ties).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_a209_frozen_centroids_match_runtime_training(spark):
+    """a209 trains at runtime (k scales with the corpus) while its DuckDB
+    twin folds the FROZEN literals -- the two are only exchangeable if
+    training at the driver's correctness SF reproduces the shipped
+    artifact exactly.  Regenerate via tools/freeze_quantizers.py when
+    this fails after an intentional training change."""
+    import math
+
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.quantizers import (
+        A209_CENTROIDS,
+    )
+
+    if not os.path.exists(f"{SF001}/embeddings.parquet"):
+        pytest.skip("testdata not present")
+    e = load_table(spark, SF001, "embeddings")
+    k = max(4, math.isqrt(e.count()))
+    assert k == len(A209_CENTROIDS)  # 22 = isqrt(500)
+    cents = train_ivf_centroids(
+        e, n_clusters=k, sample_size=2048, seed=42, order_col="vec_id"
+    )
+    assert cents == A209_CENTROIDS
+
+
+def test_a209_frozen_artifact_shape():
+    import math
+
+    from bigdata_scala_offline_data_clean_spark.queries.quantizers import (
+        A209_CENTROIDS,
+    )
+
+    assert len(A209_CENTROIDS) == 22
+    assert all(len(c) == 64 for c in A209_CENTROIDS)
+    assert all(math.isfinite(x) for c in A209_CENTROIDS for x in c)
+
+
+def test_argmin_struct_fold_matches_array_position_under_ties(spark):
+    """The single-pass struct argmin (ADVICE r13) must keep the exact
+    first-min rule of array_position(darr, array_min(darr)) -- including
+    EXACT ties, where the lowest cid must win."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        argmin_struct_sql,
+    )
+
+    cases = [
+        ([3.0, 1.0, 2.0], 2),
+        ([1.0, 1.0, 2.0], 1),  # exact tie -> first
+        ([2.0, 1.5, 1.5], 2),  # tie not at the head
+        ([5.0], 1),
+    ]
+    for vals, want in cases:
+        dists = [repr(v) + "D" for v in vals]
+        got = spark.range(1).select(
+            F.expr(argmin_struct_sql(dists) + ".cid").alias("cid"),
+            F.expr(
+                "array_position(array("
+                + ", ".join(dists)
+                + "), array_min(array("
+                + ", ".join(dists)
+                + ")))"
+            ).alias("ap"),
+        ).collect()[0]
+        assert got["cid"] == got["ap"] == want, vals
+
+
+def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
+    """A (event_type, day) shard reachable ONLY through NULL user_id rows
+    must not count toward n_shards (ADVICE r13): hll_registers drops
+    NULLs, so the oracle's NULL-filtered shard census is the contract."""
+    import bigdata_scala_offline_data_clean_spark.queries.round13 as r13
+
+    ev = spark.createDataFrame(
+        [
+            ("click", "2024-01-01 10:00:00", "u1"),
+            ("click", "2024-01-01 11:00:00", "u2"),
+            # day 2 exists only via a NULL user -> must NOT be a shard
+            ("click", "2024-01-02 10:00:00", None),
+        ],
+        "event_type string, ts string, user_id string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(
+        r13, "load_table", lambda spark, sf_dir, name: ev
+    )
+    out = r13.a210_hll_merge(spark, "unused").collect()
+    assert len(out) == 1
+    assert out[0]["n_shards"] == 1
+    assert out[0]["merge_exact"]

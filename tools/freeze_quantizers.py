@@ -17,6 +17,13 @@ fixed seed, fixed iteration count):
         sample_size=2048, iters=10, seed=42, order_col="vec_id")
     A76_CODEBOOKS = train_pq_codebooks(e, m=16, ksub=16,
         sample_size=2048, iters=10, seed=42, order_col="vec_id")
+    A209_CENTROIDS = train_ivf_centroids(e,
+        n_clusters=max(4, isqrt(n)) = 22, sample_size=2048, iters=10,
+        seed=42, order_col="vec_id")  -- EXACTLY a209's runtime call at
+        the driver's correctness SF, so the runtime-trained quantizer
+        and these literals are the same doubles (pytest-pinned); the
+        DuckDB twin recomputes assignment/pair-search/closure over them
+        (round 14, VERDICT r13 task #1)
 
 Run: python tools/freeze_quantizers.py  (rewrites queries/quantizers.py)
 """
@@ -71,6 +78,8 @@ def main() -> None:
     from bigdata_scala_offline_data_clean_spark.queries._util import load_table
     from bigdata_scala_offline_data_clean_spark.session import build_session
 
+    import math
+
     spark = build_session()
     e = load_table(spark, SF_DIR, "embeddings")
     cents = train_ivf_centroids(
@@ -79,6 +88,11 @@ def main() -> None:
     )
     books = train_pq_codebooks(
         e, m=16, ksub=16, sample_size=2048, iters=10, seed=42,
+        order_col="vec_id",
+    )
+    k209 = max(4, math.isqrt(e.count()))
+    cents209 = train_ivf_centroids(
+        e, n_clusters=k209, sample_size=2048, iters=10, seed=42,
         order_col="vec_id",
     )
     spark.stop()
@@ -96,6 +110,13 @@ def main() -> None:
         for c in book:
             out.append("        [" + ", ".join(repr(float(x)) for x in c) + "],\n")
         out.append("    ],\n")
+    out.append("]\n\n")
+    out.append(
+        f"A209_CENTROIDS = [  # {len(cents209)} x 64, trained "
+        "k = isqrt(n) @ sf0.01\n"
+    )
+    for c in cents209:
+        out.append("    [\n" + _fmt_floats(c, "        ") + "\n    ],\n")
     out.append("]\n")
     OUT.write_text("".join(out))
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
