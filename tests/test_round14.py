@@ -82,6 +82,32 @@ def test_argmin_struct_fold_matches_array_position_under_ties(spark):
         assert got["cid"] == got["ap"] == want, vals
 
 
+def test_c69_reliable_pins_identical(spark, tmp_path):
+    """VERDICT r13 task #5: composite pipelines must offer replicated
+    stage pins for cluster runs.  c69 with reliable_pins=True (routed
+    through a configured checkpoint dir) returns the identical answer
+    to the default localCheckpoint path."""
+    from bigdata_scala_offline_data_clean_spark.queries.round13 import (
+        c69_ivf_index_serve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("testdata not present")
+    key = lambda r: tuple(r)  # noqa: E731
+    local = sorted(map(key, c69_ivf_index_serve(spark, sf).collect()))
+    had_dir = spark.sparkContext.getCheckpointDir() is not None
+    if not had_dir:
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = sorted(
+        map(
+            key,
+            c69_ivf_index_serve(spark, sf, reliable_pins=True).collect(),
+        )
+    )
+    assert rel == local
+
+
 def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
     """A (event_type, day) shard reachable ONLY through NULL user_id rows
     must not count toward n_shards (ADVICE r13): hll_registers drops
