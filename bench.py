@@ -260,6 +260,9 @@ HEADLINE = [
     "a211_quality_classifier",  # frozen-weights rule-distillation scorer
     "a76_embedding_pq_ann",  # frozen-codebook PQ ANN (benched since r13)
     "c69_ivf_index_serve",  # persisted cell-partitioned IVF index + pruned serve
+    # r14 additions (extend-only)
+    "a212_quality_classifier_eval",  # frozen-weights held-out accuracy row
+    "c70_minhash_index_serve",  # persisted bucketed MinHash index + delta dedup
 ]
 
 

@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round10,
         round11,
         round13,
+        round14,
         streaming_q,
     )
 
@@ -104,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round10,
         round11,
         round13,
+        round14,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -108,6 +108,75 @@ def test_c69_reliable_pins_identical(spark, tmp_path):
     assert rel == local
 
 
+def test_c70_serve_equals_full_corpus_pairs_restricted(spark):
+    """Build-then-serve must be ALGEBRAICALLY the full-corpus a07 pair
+    pipeline restricted to delta-involved pairs: signatures are
+    deterministic in the text, so persisting the corpus half early must
+    change nothing."""
+    from bigdata_scala_offline_data_clean_spark.queries.analytics import (
+        a07_minhash_lsh_dedup,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round14 import (
+        _C70_DELTA_MOD,
+        _C70_DELTA_REM,
+        c70_minhash_index_serve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    served = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in c70_minhash_index_serve(spark, sf).collect()
+    )
+    full = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in a07_minhash_lsh_dedup(spark, sf).collect()
+        if r["a"] % _C70_DELTA_MOD == _C70_DELTA_REM
+        or r["b"] % _C70_DELTA_MOD == _C70_DELTA_REM
+    )
+    assert served == full and len(served) > 0
+
+
+def test_c70_index_side_joins_without_exchange(spark, tmp_path):
+    """The serve join's INDEX side must ride its bucket spec (shuffle
+    paid once at build time): joining the bucketed band table against an
+    un-bucketed delta frame on the bucket key plans exactly ONE Exchange
+    -- the delta side -- and none above the index scan."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bands = spark.range(0, 4000).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 8 AS INT) AS band_id",
+        "md5(CAST(id % 500 AS STRING)) AS band_sig",
+    )
+    delta = spark.range(4000, 4400).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 8 AS INT) AS band_id",
+        "md5(CAST(id % 500 AS STRING)) AS band_sig",
+    )
+    wh.write_bucketed(
+        bands, "dwd", "t70_idx", ["band_id", "band_sig"], buckets=8,
+        sort_cols=["band_id", "band_sig"],
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = wh.bucketed_table("dwd", "t70_idx").join(
+            delta.withColumnRenamed("doc_id", "d_id"),
+            ["band_id", "band_sig"],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # delta side only
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS dwd_t70_idx")
+
+
 def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
     """A (event_type, day) shard reachable ONLY through NULL user_id rows
     must not count toward n_shards (ADVICE r13): hll_registers drops
