@@ -204,8 +204,8 @@ def embedding_neardup_pairs(
         _norm(F.col(vec_col)).alias("__nb"),
     )
     if planes is not None:
-        a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
-        b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
+        a = a.withColumn("__bucket", lsh_bucket("__va", planes))
+        b = b.withColumn("__bucket", lsh_bucket("__vb", planes))
         pairs = a.join(b, "__bucket").where(F.col("a") < F.col("b"))
     else:
         pairs = a.join(b, F.col("a") < F.col("b"))
@@ -327,14 +327,24 @@ def hyperplanes(dim: int, planes: int = 8, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for a vector under fixed hyperplanes."""
-    bucket = F.lit(0).cast("long")
+def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for a vector under fixed hyperplanes.
+
+    ``vec_sql`` is the vector column's SQL text (the expr-text fold rule,
+    round 14): the per-plane literal dot folds build as ONE parsed
+    string -- same zip_with/aggregate ops, same cast order, same
+    ``>= 0`` sign rule and bit weights as the old Column-lambda form, so
+    bucket ids (and the a11 oracle) are unchanged."""
+    bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(vec, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+        arr = "array(" + ", ".join(_dlit(x) for x in p) + ")"
+        fold = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            f"(a, b) -> cast(a as double) * cast(b as double)), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"if({fold} >= 0, {2**i}, 0)")
+    return F.expr(f"cast({' + '.join(bits)} as bigint)")
 
 
 def train_ivf_centroids(
@@ -565,13 +575,13 @@ def lsh_ann_topk(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__c_vec"),
         _norm(F.col(vec_col)).alias("__c_norm"),
-        lsh_bucket(F.col(vec_col), hp).alias("bucket"),
+        lsh_bucket(vec_col, hp).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("__q_vec"),
         _norm(F.col(vec_col)).alias("__q_norm"),
-        lsh_bucket(F.col(vec_col), hp).alias("bucket"),
+        lsh_bucket(vec_col, hp).alias("bucket"),
     )
     if probe_bits >= 1:
         flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(planes)])
