@@ -295,6 +295,110 @@ def ingest_neardup_dedup(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistable MinHash index payload: (id, band_id, band_sig),
+    ``bands`` narrow rows per document.
+
+    This is what a 100 TB corpus stores ONCE (bucketed on the band join
+    key -- ``Warehouse.write_bucketed``) so daily ingests never re-hash
+    history: signatures are deterministic functions of the text, so rows
+    computed at build time and rows computed at serve time are
+    interchangeable -- the property :func:`serve_minhash_band_index`'s
+    exactness (and the c70 oracle) rests on.  Absorbing an accepted
+    delta is appending ITS band rows to the same table
+    (``write_bucketed(..., mode="append")``, same bucket spec)."""
+    return lsh_bands(
+        minhash_signatures(
+            shingles(df, id_col, text_col, shingle_n), id_col, num_hashes
+        ),
+        id_col,
+        num_hashes,
+        bands,
+    )
+
+
+def serve_minhash_band_index(
+    index: DataFrame,
+    delta: DataFrame,
+    corpus_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    reliable_pins: bool = False,
+) -> DataFrame:
+    """Dedup a delta against a PERSISTED band index: (a, b, jaccard)
+    near-dup pairs with at least one delta side (a < b).
+
+    ``index`` is the read-back :func:`minhash_band_index` table (bucketed
+    -> its side of the join plans zero exchanges); ``corpus_texts`` is
+    the indexed corpus' (id, text) source, touched ONLY via a left-semi
+    join on the candidate ids (the Jaccard verify needs exact shingles
+    for both sides; the bounded candidate re-read replaces storing every
+    gram).  Delta ids must be disjoint from index ids (an id in both
+    would self-pair).  Serve cost is O(delta) + the index scan; the
+    delta-internal self-join covers new-vs-new duplicates.
+    """
+    from .ordering import pin_frame
+
+    delta_sh = pin_frame(  # feeds signatures AND the verify
+        shingles(delta, id_col, text_col, shingle_n),
+        reliable=reliable_pins,
+    )
+    delta_bands = pin_frame(  # feeds the index join AND the self-join
+        lsh_bands(
+            minhash_signatures(delta_sh, id_col, num_hashes),
+            id_col,
+            num_hashes,
+            bands,
+        ),
+        reliable=reliable_pins,
+    )
+    cross = (
+        delta_bands.select(F.col(id_col).alias("d_id"), "band_id", "band_sig")
+        .join(
+            index.select(F.col(id_col).alias("c_id"), "band_id", "band_sig"),
+            ["band_id", "band_sig"],
+        )
+        .select(
+            F.least("d_id", "c_id").alias("a"),
+            F.greatest("d_id", "c_id").alias("b"),
+        )
+        .distinct()
+    )
+    within = candidate_pairs(delta_bands, id_col)
+    pairs = pin_frame(
+        cross.unionByName(within).distinct(), reliable=reliable_pins
+    )
+    cand_corpus_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+        .join(delta.select(id_col), id_col, "left_anti")
+    )
+    cand_corpus_sh = shingles(
+        corpus_texts.join(cand_corpus_ids, id_col, "left_semi"),
+        id_col,
+        text_col,
+        shingle_n,
+    )
+    sh_verify = pin_frame(
+        delta_sh.unionByName(cand_corpus_sh), reliable=reliable_pins
+    )
+    return jaccard_verify(pairs, sh_verify, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     bench: DataFrame,

@@ -61,22 +61,11 @@ def c70_minhash_index_serve(
     """
     import shutil
     import tempfile
-    from functools import partial
 
-    from ..operators.dedup import (
-        candidate_pairs,
-        jaccard_verify,
-        lsh_bands,
-        minhash_signatures,
-        shingles,
-    )
-    from ..operators.ordering import pin_frame
+    from ..operators.dedup import minhash_band_index, serve_minhash_band_index
     from ..sources.catalog import Warehouse
     from ._util import freeze_result
     from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
-
-    # reliable_pins: see c68 -- replicated stage pins for cluster runs
-    pin_frame = partial(pin_frame, reliable=reliable_pins)
 
     d = load_table(spark, sf_dir, "documents")
     is_delta = (
@@ -86,77 +75,32 @@ def c70_minhash_index_serve(
     scratch = tempfile.mkdtemp(prefix="ods_spark_c70_")
     try:
         wh = Warehouse(spark, scratch)
-        # BUILD (amortized): corpus shingle -> signature -> band rows,
-        # persisted bucketed+sorted on the band join key.  At 100 TB
-        # this runs once (then incrementally appends each absorbed
-        # delta); every daily serve reuses it with zero index-side
-        # exchange.
-        corpus_bands = lsh_bands(
-            minhash_signatures(
-                shingles(corpus, n=_MH_SHINGLE), num_hashes=_MH_N
-            ),
-            num_hashes=_MH_N,
-            bands=_MH_BANDS,
-        )
+        # BUILD (amortized): corpus band rows persisted bucketed+sorted
+        # on the band join key.  At 100 TB this runs once -- then each
+        # day's accepted delta is ABSORBED by appending its band rows
+        # under the same spec (write_bucketed(mode="append"); lifecycle
+        # pytest: tests/test_round14.py::test_minhash_index_absorb_two_day_lifecycle) --
+        # and every daily serve reuses it with zero index-side exchange.
         wh.write_bucketed(
-            corpus_bands,
+            minhash_band_index(
+                corpus, shingle_n=_MH_SHINGLE, num_hashes=_MH_N,
+                bands=_MH_BANDS,
+            ),
             "dwd",
             "c70_minhash_index",
             ["band_id", "band_sig"],
             buckets=_C70_BUCKETS,
             sort_cols=["band_id", "band_sig"],
         )
-        index = wh.bucketed_table("dwd", "c70_minhash_index")
-        # SERVE: signatures for the delta only.  The shingle frame feeds
-        # the signature pass AND the Jaccard verify -> pin it.
-        delta_sh = pin_frame(shingles(delta, n=_MH_SHINGLE))
-        delta_bands = pin_frame(  # feeds the index join AND the self-join
-            lsh_bands(
-                minhash_signatures(delta_sh, num_hashes=_MH_N),
-                num_hashes=_MH_N,
-                bands=_MH_BANDS,
-            )
-        )
-        # delta x index candidates: ids are disjoint by construction, so
-        # least/greatest yields a < b directly
-        cross = (
-            delta_bands.select(
-                F.col("doc_id").alias("d_id"), "band_id", "band_sig"
-            )
-            .join(
-                index.select(
-                    F.col("doc_id").alias("c_id"), "band_id", "band_sig"
-                ),
-                ["band_id", "band_sig"],
-            )
-            .select(
-                F.least("d_id", "c_id").alias("a"),
-                F.greatest("d_id", "c_id").alias("b"),
-            )
-            .distinct()
-        )
-        # delta x delta candidates (new docs can duplicate each other)
-        within = candidate_pairs(delta_bands)
-        pairs = pin_frame(cross.unionByName(within).distinct())
-        # exact-Jaccard verify: the only corpus text ever re-read is the
-        # candidate set (left-semi on the pair ids -- bounded by
-        # |candidates|, never a corpus scan)
-        cand_corpus_ids = (
-            pairs.select(F.col("a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("b").alias("doc_id")))
-            .where(
-                F.pmod(F.col("doc_id"), F.lit(_C70_DELTA_MOD))
-                != _C70_DELTA_REM
-            )
-            .distinct()
-        )
-        cand_corpus_sh = shingles(
-            corpus.join(cand_corpus_ids, "doc_id", "left_semi"),
-            n=_MH_SHINGLE,
-        )
-        sh_verify = pin_frame(delta_sh.unionByName(cand_corpus_sh))
-        out = jaccard_verify(pairs, sh_verify).where(
-            F.col("jaccard") >= _MH_THRESHOLD
+        out = serve_minhash_band_index(
+            wh.bucketed_table("dwd", "c70_minhash_index"),
+            delta,
+            corpus,
+            shingle_n=_MH_SHINGLE,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=_MH_THRESHOLD,
+            reliable_pins=reliable_pins,
         )
         return freeze_result(out)  # pre-DROP/rmtree, executor-side
     finally:

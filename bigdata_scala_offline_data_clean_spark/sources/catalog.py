@@ -234,6 +234,7 @@ class Warehouse:
         bucket_cols: list[str],
         buckets: int = 32,
         sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
     ) -> str:
         """Write a hash-bucketed (optionally sorted) table; returns the
         catalog name (``<layer>_<table>``).
@@ -245,10 +246,15 @@ class Warehouse:
         query and never shuffling it again.  Bucketing requires the catalog
         (``saveAsTable``) because bucket metadata lives there, not in the
         parquet footer; the files still land under the warehouse path.
+
+        ``mode="append"`` (round 14) is the incremental-index absorb
+        step: new rows land in additional files per bucket under the
+        SAME spec, so later joins still ride it -- how c70's band index
+        absorbs each day's accepted delta without a rebuild.
         """
         name = f"{layer}_{table}"
         writer = (
-            df.write.mode("overwrite")
+            df.write.mode(mode)
             .format("parquet")
             .bucketBy(buckets, *bucket_cols)
         )

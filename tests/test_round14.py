@@ -177,6 +177,77 @@ def test_c70_index_side_joins_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS dwd_t70_idx")
 
 
+def test_minhash_index_absorb_two_day_lifecycle(spark, tmp_path):
+    """The daily loop must close: build the index on day-0 history,
+    serve day 1, ABSORB day 1 (append its band rows under the same
+    bucket spec), serve day 2 -- and day 2's answer must equal the
+    full-corpus a07 pipeline over history+day1+day2 restricted to
+    day-2-involved pairs.  An absorb that lost rows, double-wrote, or
+    broke the bucket spec would miss or duplicate pairs."""
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_pairs,
+        serve_minhash_band_index,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.analytics import (
+        _MH_BANDS,
+        _MH_N,
+        _MH_SHINGLE,
+        _MH_THRESHOLD,
+    )
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    d = load_table(spark, sf, "documents")
+    mod = F.pmod(F.col("doc_id"), F.lit(10))
+    day0, day1, day2 = (
+        d.where(~mod.isin(5, 6)),
+        d.where(mod == 5),
+        d.where(mod == 6),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    kw = dict(shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS)
+    try:
+        wh.write_bucketed(
+            minhash_band_index(day0, **kw),
+            "dwd", "t70_life", ["band_id", "band_sig"], buckets=8,
+            sort_cols=["band_id", "band_sig"],
+        )
+        idx = wh.bucketed_table("dwd", "t70_life")
+        serve_minhash_band_index(
+            idx, day1, day0, threshold=_MH_THRESHOLD, **kw
+        ).count()  # day-1 serve runs; its pairs are not under test here
+        # ABSORB day 1: append its band rows under the same bucket spec
+        wh.write_bucketed(
+            minhash_band_index(day1, **kw),
+            "dwd", "t70_life", ["band_id", "band_sig"], buckets=8,
+            sort_cols=["band_id", "band_sig"], mode="append",
+        )
+        corpus01 = day0.unionByName(day1)
+        served2 = sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in serve_minhash_band_index(
+                idx, day2, corpus01, threshold=_MH_THRESHOLD, **kw
+            ).collect()
+        )
+        full = sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in minhash_dedup_pairs(
+                d, shingle_n=_MH_SHINGLE, num_hashes=_MH_N,
+                bands=_MH_BANDS, threshold=_MH_THRESHOLD,
+            ).collect()
+            if r["a"] % 10 == 6 or r["b"] % 10 == 6
+        )
+        assert served2 == full and len(served2) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_t70_life")
+
+
 def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
     """A (event_type, day) shard reachable ONLY through NULL user_id rows
     must not count toward n_shards (ADVICE r13): hll_registers drops
