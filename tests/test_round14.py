@@ -248,6 +248,34 @@ def test_minhash_index_absorb_two_day_lifecycle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS dwd_t70_life")
 
 
+def test_ivf_index_absorb_appends_into_cells(spark, tmp_path):
+    """c69's index absorbs like c70's: appending a new day's vectors
+    into the cell-partitioned parquet layout (dynamic partition append)
+    must leave the serve path intact -- probed-cell reads still prune
+    at planning time and see ALL generations of each cell."""
+    import re
+
+    base = spark.range(100).select(
+        F.col("id").alias("n_id"), (F.col("id") % 8).cast("int").alias("cell")
+    )
+    delta = spark.range(100, 140).select(
+        F.col("id").alias("n_id"), (F.col("id") % 8).cast("int").alias("cell")
+    )
+    path = str(tmp_path / "ivf_idx")
+    base.write.partitionBy("cell").parquet(path)
+    delta.write.mode("append").partitionBy("cell").parquet(path)
+    back = spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    pruned = back.where(F.col("cell").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf is not None and "IN (1,3)" in pf.group(0)
+    # both generations visible: 13 + 13 base rows, 5 + 5 delta rows
+    assert pruned.count() == 26 + 10
+    assert back.count() == 140
+
+
 def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
     """A (event_type, day) shard reachable ONLY through NULL user_id rows
     must not count toward n_shards (ADVICE r13): hll_registers drops
