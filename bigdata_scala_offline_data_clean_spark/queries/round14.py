@@ -123,3 +123,153 @@ WHERE a % {_C70_DELTA_MOD} = {_C70_DELTA_REM}
 QUERIES["c70_minhash_index_serve"] = QuerySpec(
     c70_minhash_index_serve, _c70_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# a213 -- perceptual-hash IMAGE near-dup dedup (round 14): the multimodal
+# x dedup intersection a multimodal training corpus runs -- images are
+# deduplicated by a perceptual hash (average-hash family), not by byte
+# digest, because re-encodes/resizes change bytes but not content.
+#
+# End to end on REAL codec plumbing (the a201 contract): a deterministic
+# 8x8 grayscale P6 payload is synthesized per document JVM-side (cell
+# bytes sampled from the md5 of the doc's canonically-SORTED word
+# stream, so near-dup documents yield near-identical images), the REAL
+# stdlib decoder parses it back inside Arrow ``mapInPandas``, and the
+# 64-bit average-hash is computed from the decoded raster with INTEGER
+# arithmetic only (bit i set iff 64*p_i > sum(p) -- no float mean, no
+# rounding surface).  Candidate pairs come from the standard Manku
+# 64-bit configuration -- 4 pigeonhole bands of 16 bits, hamming <= 3
+# guarantees a shared band (a187's scheme; the first cut used 8 bands
+# of 8 bits and its 256-value band domain generated ~400k chance
+# candidates at sf0.1 = 71s wall -- the 65536-value domain prunes
+# chance collisions) -- verified by exact per-byte bit_count(xor).
+#
+# The DuckDB twin recomputes the raster from the GENERATING arithmetic
+# (never the decoder) -- a mis-parse (wrong header offset, channel
+# order, raster slice) breaks the exact match.  Scale: synthesis is a
+# codegen projection; decode+hash is one Arrow pass, no shuffle; the
+# pair stage joins 8 narrow band keys -- never all-pairs (the oracle
+# brute-forces because DuckDB is the small-scale referee; a187's
+# value-collapse is the template if fingerprint collisions get heavy).
+# ---------------------------------------------------------------------------
+
+_A213_MAX_HAMMING = 3  # < 4 bands (pigeonhole-sound); the near-dup tail
+# of the fixture's hamming distribution (random pairs concentrate >= 10)
+
+
+def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image
+    from ..operators.ordering import pin_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 8x8 gray P6: cell i (0..63) = first byte of md5(sorted_words[
+    # 1 + i*nw div 64]); RGB = the cell byte repeated 3x
+    base = docs.select(
+        "doc_id",
+        F.array_sort(F.split(F.col("text"), " ")).alias("__ws"),
+    ).withColumn("__nw", F.size("__ws"))
+    pix_hex = F.expr(
+        "concat_ws('', transform(sequence(0, 63), "
+        "i -> repeat(substr(md5(element_at(__ws, "
+        "cast(1 + ((i * __nw) div 64) as int))), 1, 2), 3)))"
+    )
+    payload = F.concat(
+        F.encode(F.lit("P6\n8 8\n255\n"), "utf-8"), F.unhex(pix_hex)
+    )
+    pdf_in = base.select("doc_id", payload.alias("payload"))
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "ahash": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(b))  # REAL stdlib P6 parse
+                gray = img["pixels"][0::3]  # R channel (R==G==B)
+                s = sum(gray)
+                bits = [1 if 64 * p > s else 0 for p in gray]
+                byts = [
+                    sum(bits[8 * j + k] << k for k in range(8))
+                    for j in range(8)
+                ]
+                out["doc_id"].append(doc_id)
+                out["ahash"].append("".join(f"{v:02x}" for v in byts))
+            yield pd.DataFrame(out)
+
+    ah = pin_frame(  # feeds both sides of the band join
+        pdf_in.mapInPandas(gen, schema="doc_id bigint, ahash string")
+    )
+    bands = ah.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "j -> struct(j as band, substr(ahash, 4*j + 1, 4) as val))"
+            )
+        ).alias("__b"),
+    ).select("doc_id", "ahash", "__b.band", "__b.val")
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("ahash").alias("__ah_a"),
+        "band", "val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("ahash").alias("__ah_b"),
+        "band", "val",
+    )
+    hamming = F.expr(
+        "aggregate(sequence(0, 7), 0, (acc, j) -> acc + bit_count("
+        "cast(conv(substr(__ah_a, 2*j + 1, 2), 16, 10) as int) ^ "
+        "cast(conv(substr(__ah_b, 2*j + 1, 2), 16, 10) as int)))"
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "__ah_a", "__ah_b")
+        .distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= _A213_MAX_HAMMING)
+        .select("a", "b", "hamming")
+    )
+
+
+def _a213_sql() -> str:
+    hexd = "0123456789abcdef"
+    cell = (
+        f"(16 * (strpos('{hexd}', substr(md5(ws[1 + ((i * nw) // 64)]), 1, 1)) - 1)"
+        f" + (strpos('{hexd}', substr(md5(ws[1 + ((i * nw) // 64)]), 2, 1)) - 1))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT doc_id, list_transform(range(0, 64), i -> {cell}) AS c
+  FROM (SELECT doc_id, list_sort(string_split(text, ' ')) AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents)
+), hashes AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> CASE WHEN 64 * c[i + 1] > list_reduce(c, (a, b) -> a + b)
+                THEN 1 ELSE 0 END) AS bits
+  FROM cells
+), bytes AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+           j -> list_reduce(list_transform(range(0, 8),
+                  k -> bits[8*j + k + 1] * (1 << k)), (a, b) -> a + b)) AS by
+  FROM hashes
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(list_reduce(list_transform(range(1, 9),
+         j -> bit_count(CAST(xor(x.by[j], y.by[j]) AS BIGINT))),
+         (p, q) -> p + q) AS INT) AS hamming
+FROM bytes x JOIN bytes y ON x.doc_id < y.doc_id
+WHERE list_reduce(list_transform(range(1, 9),
+        j -> bit_count(CAST(xor(x.by[j], y.by[j]) AS BIGINT))),
+        (p, q) -> p + q) <= {_A213_MAX_HAMMING}
+"""
+
+
+QUERIES["a213_phash_image_dedup"] = QuerySpec(
+    a213_phash_image_dedup, _a213_sql()
+)

@@ -276,6 +276,30 @@ def test_ivf_index_absorb_appends_into_cells(spark, tmp_path):
     assert back.count() == 140
 
 
+def test_a213_phash_shuffle_invariant_and_selective(spark, monkeypatch):
+    """The perceptual hash must be invariant to word ORDER (the image
+    derives from the canonically-sorted word stream, so re-encodes of
+    the same content collide at hamming 0) and selective (an unrelated
+    doc pairs with nothing at the threshold)."""
+    import bigdata_scala_offline_data_clean_spark.queries.round14 as r14
+
+    words = [f"w{i}" for i in range(40)]
+    shuffled = list(reversed(words))
+    other = [f"zz{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(shuffled)),  # same multiset, different order
+            (3, " ".join(other)),  # unrelated content
+        ],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(r14, "load_table", lambda s, d, n: docs)
+    rows = r14.a213_phash_image_dedup(spark, "unused").collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    assert got == {(1, 2): 0}
+
+
 def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
     """A (event_type, day) shard reachable ONLY through NULL user_id rows
     must not count toward n_shards (ADVICE r13): hll_registers drops

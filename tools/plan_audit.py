@@ -806,6 +806,12 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c70_minhash_index_serve": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # perceptual-hash image dedup (round 14): synthesis is a codegen
+    # projection, decode+hash one Arrow pass, candidates from the
+    # 8-band pigeonhole join -- never an all-pairs cartesian
+    "a213_phash_image_dedup": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
