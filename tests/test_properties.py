@@ -423,3 +423,54 @@ def test_distributed_ntile_matches_model(spark, data, n, asc):
             model[order[pos][0]] = tile
             pos += 1
     assert got == model
+
+
+@pytest.mark.usefixtures("spark")
+class TestServeMinhashIndexEqualsRestrictedFull:
+    """Algebraic identity behind c70: signatures are deterministic in the
+    text, so build-then-serve over ANY corpus/delta split must equal the
+    full-corpus pair pipeline restricted to delta-involved pairs."""
+
+    @SETTINGS
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from("red blue fox dog run sit big sky".split()),
+                min_size=3,
+                max_size=8,
+            ),
+            min_size=4,
+            max_size=10,
+        ),
+        split=st.integers(1, 3),
+    )
+    def test_matches_restricted_full(self, spark, texts, split):
+        from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+            minhash_band_index,
+            minhash_dedup_pairs,
+            serve_minhash_band_index,
+        )
+
+        kw = dict(shingle_n=2, num_hashes=8, bands=4)
+        docs = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        delta_ids = {i for i in range(len(texts)) if i % 4 == split}
+        corpus = docs.where(~F.col("doc_id").isin(list(delta_ids) or [-1]))
+        delta = docs.where(F.col("doc_id").isin(list(delta_ids) or [-1]))
+        served = sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in serve_minhash_band_index(
+                minhash_band_index(corpus, **kw), delta, corpus,
+                threshold=0.3, **kw,
+            ).collect()
+        )
+        full = sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in minhash_dedup_pairs(
+                docs, threshold=0.3, **kw
+            ).collect()
+            if r["a"] in delta_ids or r["b"] in delta_ids
+        )
+        assert served == full
