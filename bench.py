@@ -264,6 +264,7 @@ HEADLINE = [
     "a212_quality_classifier_eval",  # frozen-weights held-out accuracy row
     "c70_minhash_index_serve",  # persisted bucketed MinHash index + delta dedup
     "a213_phash_image_dedup",  # real-codec average-hash + banded Hamming pairs
+    "a214_audio_fingerprint_dedup",  # RIFF decode + energy-delta fingerprint
 ]
 
 

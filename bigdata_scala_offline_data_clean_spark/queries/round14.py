@@ -200,22 +200,33 @@ def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ah = pin_frame(  # feeds both sides of the band join
         pdf_in.mapInPandas(gen, schema="doc_id bigint, ahash string")
     )
+    return _hash64_band_pairs(ah, _A213_MAX_HAMMING)
+
+
+def _hash64_band_pairs(
+    ah: DataFrame, max_hamming: int, hash_col: str = "ahash"
+) -> DataFrame:
+    """(a, b, hamming) pairs over a 64-bit hex fingerprint column via the
+    Manku 4x16-bit pigeonhole band join + exact per-byte bit_count(xor)
+    verify (``max_hamming <= 3`` keeps the pigeonhole sound).  Shared by
+    the image (a213) and audio (a214) perceptual-dedup queries."""
     bands = ah.select(
         "doc_id",
-        "ahash",
+        hash_col,
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
-                "j -> struct(j as band, substr(ahash, 4*j + 1, 4) as val))"
+                f"j -> struct(j as band, substr({hash_col}, 4*j + 1, 4)"
+                " as val))"
             )
         ).alias("__b"),
-    ).select("doc_id", "ahash", "__b.band", "__b.val")
+    ).select("doc_id", hash_col, "__b.band", "__b.val")
     left = bands.select(
-        F.col("doc_id").alias("a"), F.col("ahash").alias("__ah_a"),
+        F.col("doc_id").alias("a"), F.col(hash_col).alias("__ah_a"),
         "band", "val",
     )
     right = bands.select(
-        F.col("doc_id").alias("b"), F.col("ahash").alias("__ah_b"),
+        F.col("doc_id").alias("b"), F.col(hash_col).alias("__ah_b"),
         "band", "val",
     )
     hamming = F.expr(
@@ -229,7 +240,7 @@ def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "__ah_a", "__ah_b")
         .distinct()
         .withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= _A213_MAX_HAMMING)
+        .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
 
@@ -272,4 +283,135 @@ WHERE list_reduce(list_transform(range(1, 9),
 
 QUERIES["a213_phash_image_dedup"] = QuerySpec(
     a213_phash_image_dedup, _a213_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# a214 -- AUDIO fingerprint near-dup dedup (round 14): the a213 idea on
+# the audio modality, with the fingerprint family actually used for
+# audio (Haitsma-Kalker style: SIGN OF ENERGY DELTAS across frames --
+# robust to gain/offset in a way a sample digest is not).
+#
+# End to end on REAL codec plumbing (the a202 contract): a deterministic
+# 130-sample 16-bit mono RIFF/WAVE payload is synthesized per document
+# (samples from the md5 stream of the canonically-sorted words, packed
+# little-endian inside the Arrow batch -- a202's synthesis pattern), the
+# REAL stdlib RIFF walker decodes it back, frame energies are exact
+# integer sums of squares over 2-sample frames, and fingerprint bit j is
+# e[j+1] > e[j] (64 bits from 65 frames).  Candidates and verification
+# ride the shared 4x16-band machinery (_hash64_band_pairs).  The DuckDB
+# twin recomputes samples/energies/bits from the generating arithmetic,
+# never the decoder -- a wrong endianness, header offset, or
+# sign-extension in the decode breaks the exact match.
+# ---------------------------------------------------------------------------
+
+_A214_MAX_HAMMING = 3
+_A214_N_SAMPLES = 130  # 65 two-sample frames -> 64 delta bits
+
+
+def a214_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio
+    from ..operators.ordering import pin_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _A214_N_SAMPLES
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "ahash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = sorted(text.split(" "))
+                nw = len(ws)
+                data = b"".join(
+                    hashlib.md5(
+                        ws[(i * nw) // n].encode("utf-8")
+                    ).digest()[:2]
+                    for i in range(n)
+                )
+                payload = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data),
+                    b"WAVE", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+                    b"data", len(data),
+                ) + data
+                a = decode_audio(payload)  # REAL stdlib RIFF walk
+                v = a["samples"]
+                e = [
+                    v[2 * j] * v[2 * j] + v[2 * j + 1] * v[2 * j + 1]
+                    for j in range(n // 2)
+                ]
+                bits = [1 if e[j + 1] > e[j] else 0 for j in range(64)]
+                byts = [
+                    sum(bits[8 * j + k] << k for k in range(8))
+                    for j in range(8)
+                ]
+                out["doc_id"].append(doc_id)
+                out["ahash"].append("".join(f"{b:02x}" for b in byts))
+            yield pd.DataFrame(out)
+
+    ah = pin_frame(  # feeds both sides of the band join
+        docs.select("doc_id", "text").mapInPandas(
+            gen, schema="doc_id bigint, ahash string"
+        )
+    )
+    return _hash64_band_pairs(ah, _A214_MAX_HAMMING)
+
+
+def _a214_sql() -> str:
+    hexd = "0123456789abcdef"
+    n = _A214_N_SAMPLES
+
+    def bv(hx: str, p: str) -> str:
+        return (
+            f"(16 * (strpos('{hexd}', substr({hx}, 2*({p})-1, 1)) - 1)"
+            f" + (strpos('{hexd}', substr({hx}, 2*({p}), 1)) - 1))"
+        )
+
+    md5w = f"md5(ws[1 + ((i * nw) // {n})])"
+    return f"""
+WITH samples AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}),
+           i -> CAST({bv(md5w, "1")} + 256 * {bv(md5w, "2")} AS INT)) AS raw
+  FROM (SELECT doc_id, list_sort(string_split(text, ' ')) AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents)
+), sv AS (
+  SELECT doc_id, list_transform(raw,
+           x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS v
+  FROM samples
+), en AS (
+  SELECT doc_id, list_transform(range(0, {n // 2}),
+           j -> CAST(v[2*j+1] AS BIGINT) * v[2*j+1]
+                + CAST(v[2*j+2] AS BIGINT) * v[2*j+2]) AS e
+  FROM sv
+), bits AS (
+  SELECT doc_id, list_transform(range(0, 64),
+           j -> CASE WHEN e[j+2] > e[j+1] THEN 1 ELSE 0 END) AS b
+  FROM en
+), bytes AS (
+  SELECT doc_id, list_transform(range(0, 8),
+           j -> list_reduce(list_transform(range(0, 8),
+                  k -> b[8*j + k + 1] * (1 << k)), (x, y) -> x + y)) AS by
+  FROM bits
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(list_reduce(list_transform(range(1, 9),
+         j -> bit_count(CAST(xor(x.by[j], y.by[j]) AS BIGINT))),
+         (p, q) -> p + q) AS INT) AS hamming
+FROM bytes x JOIN bytes y ON x.doc_id < y.doc_id
+WHERE list_reduce(list_transform(range(1, 9),
+        j -> bit_count(CAST(xor(x.by[j], y.by[j]) AS BIGINT))),
+        (p, q) -> p + q) <= {_A214_MAX_HAMMING}
+"""
+
+
+QUERIES["a214_audio_fingerprint_dedup"] = QuerySpec(
+    a214_audio_fingerprint_dedup, _a214_sql()
 )

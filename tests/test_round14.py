@@ -300,6 +300,27 @@ def test_a213_phash_shuffle_invariant_and_selective(spark, monkeypatch):
     assert got == {(1, 2): 0}
 
 
+def test_a214_audio_fingerprint_invariant_and_selective(spark, monkeypatch):
+    """The audio fingerprint derives from the canonically-sorted word
+    stream through the REAL RIFF decode: word-order shuffles collide at
+    hamming 0; unrelated content pairs with nothing at the threshold."""
+    import bigdata_scala_offline_data_clean_spark.queries.round14 as r14
+
+    words = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(reversed(words))),
+            (3, " ".join(f"zz{i}" for i in range(40))),
+        ],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(r14, "load_table", lambda s, d, n: docs)
+    rows = r14.a214_audio_fingerprint_dedup(spark, "unused").collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    assert got == {(1, 2): 0}
+
+
 def test_a210_shard_census_ignores_null_user_rows(spark, monkeypatch):
     """A (event_type, day) shard reachable ONLY through NULL user_id rows
     must not count toward n_shards (ADVICE r13): hll_registers drops

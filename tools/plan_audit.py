@@ -812,6 +812,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a213_phash_image_dedup": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # audio-fingerprint dedup (round 14): same banded shape as a213
+    "a214_audio_fingerprint_dedup": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
