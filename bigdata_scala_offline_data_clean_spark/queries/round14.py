@@ -1,6 +1,9 @@
 """Round-14 queries: c70, the persisted MinHash band-signature index
 serving incremental delta dedup -- the c69 build-once/serve-pruned
-pattern applied to TEXT near-duplication (VERDICT r13 task #4).
+pattern applied to TEXT near-duplication (VERDICT r13 task #4) -- plus
+the perceptual-dedup pair a213 (image average-hash) / a214 (audio
+energy-delta fingerprint): the multimodal x dedup intersection, both on
+REAL stdlib codec decodes with generating-arithmetic DuckDB twins.
 
 This is the shape a 100 TB corpus actually runs daily: the corpus'
 shingle -> MinHash -> banded-LSH signatures are computed ONCE and
