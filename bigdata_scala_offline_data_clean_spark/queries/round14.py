@@ -167,7 +167,15 @@ def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_image
     from ..operators.ordering import pin_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.etl import spread_narrow_scan
+
+    # the synthesis fold (64 interpreted md5 folds/row) and the Arrow
+    # decode are compute-bound: spread the narrow scan across cores
+    # first (the a16/a76 rule -- a byte-split parquet scan of a 50k-doc
+    # replica arrived as 2 partitions and serialized the whole pass)
+    docs = spread_narrow_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     # 8x8 gray P6: cell i (0..63) = first byte of md5(sorted_words[
     # 1 + i*nw div 64]); RGB = the cell byte repeated 3x
     base = docs.select(
@@ -323,7 +331,13 @@ def a214_audio_fingerprint_dedup(
     from ..operators.multimodal import decode_audio
     from ..operators.ordering import pin_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.etl import spread_narrow_scan
+
+    # spread the narrow scan before the compute-bound Python synthesis +
+    # decode pass (see a213)
+    docs = spread_narrow_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     n = _A214_N_SAMPLES
 
     def gen(batches):
