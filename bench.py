@@ -386,6 +386,11 @@ def main() -> None:
         # otherwise the pool's next tick fires after SparkEnv is gone
         # and a scary-but-cosmetic "Error running maintenance thread"
         # stack lands in the tail, where it could mask a real error.
+        # JVM-PRIVATE API, verified against Spark 4.1.x (the baked-in
+        # pyspark 4.1.2): on a version bump that moves/renames
+        # StateStore.stop(), this except swallows the failure and the
+        # behavior degrades to the pre-r14 cosmetic teardown stack in
+        # the tail -- re-verify the tail is clean after any upgrade.
         for q in spark.streams.active:
             q.stop()
         spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()

@@ -279,7 +279,10 @@ def _neardup_pairs_matmul(
     # a nondeterministic source could pass the size check on one
     # evaluation yet materialize a larger one.  The lazy pin stores the
     # computed partitions executor-side on the probe's action; the
-    # budget error still fires BEFORE anything crosses to the driver.
+    # budget error still fires BEFORE anything crosses to the driver
+    # (but the probe action has by then materialized the projection
+    # into executor memory/disk -- ADVICE r14 -- so the error path
+    # frees those blocks before raising).
     proj = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
     probe = proj.select(
         F.count(F.lit(1)).alias("n"),
@@ -288,13 +291,25 @@ def _neardup_pairs_matmul(
     n_rows, dim = probe["n"], probe["d"] or 0
     need = 8 * n_rows * dim
     if need > MATMUL_BROADCAST_BUDGET_BYTES:
+        try:
+            # free the checkpointed projection blocks (the probe pinned
+            # them executor-side).  JVM-internal reach-in: the Python
+            # DataFrame API exposes no handle to a localCheckpoint's
+            # RDD; LogicalRDD.rdd() verified on Spark 4.1.x -- on a
+            # version bump a signature change degrades to the old
+            # blocks-linger-until-GC behavior, never an error.
+            proj._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
         raise ValueError(
             f"matmul path would broadcast {need / 2**20:.0f} MiB "
             f"({n_rows} x {dim} float64) > budget "
             f"{MATMUL_BROADCAST_BUDGET_BYTES / 2**20:.0f} MiB; use the "
             "LSH-bucketed fold path instead: "
             "embedding_neardup_pairs(corpus, planes=hyperplanes(dim)) "
-            "never materializes the corpus"
+            "never materializes the corpus.  (Note: the size probe has "
+            "already evaluated this projection into executor storage "
+            "once; those blocks are unpersisted before this error.)"
         )
     pdf = proj.toPandas()
     ids = pdf[id_col].to_numpy()
@@ -885,26 +900,45 @@ def _assign_matmul(
     """Arrow/numpy nearest-centroid assignment -- the large-k scale path
     of :func:`semdedup` (round-11 10x measurement: the interpreted
     per-centroid fold is the dominant term once k scales with the
-    corpus; BLAS computes the same n x k distance matrix vectorized,
-    the `_neardup_pairs_matmul` precedent).  Emits the same frame shape
-    as the fold path: ``(id, vec float64, __nrm, cluster 1-based,
-    __d2c)``; argmin ties break on the first (lowest) centroid, like
-    ``array_position(arr, array_min(arr))``.  Numerically equivalent to
-    the fold up to BLAS summation order -- the fold path remains the
-    oracle-checked form (a207); this one is for production k.
+    corpus).  Emits the same frame shape as the fold path: ``(id, vec
+    float64, __nrm, cluster 1-based, __d2c)``; argmin ties break on the
+    first (lowest) centroid, like ``array_position(arr,
+    array_min(arr))``.
+
+    BIT-IDENTICAL to the fold contract (ADVICE r14): the first cut
+    expanded ``x.x - 2 x.c + c.c`` through BLAS, whose summation order
+    differs from the sequential ``(x - c)^2`` fold in the last ulp --
+    enough to flip near-tie argmins or a 6dp-boundary d2c against the
+    DuckDB twin (``l2_fold_sql`` / ``_l2_seg_sql``).  The distance
+    matrix is now accumulated dimension-at-a-time (``d2 += (a_j -
+    c_j)^2`` for j in vector order): each (row, centroid) cell performs
+    the exact IEEE operation sequence of the SQL fold (``0 + v_1 + v_2
+    + ...``, elementwise double subtract/square), still vectorized over
+    the (n x k) plane per step -- O(nkd) like the matmul, without its
+    reordering.  ``numpy.argmin`` returns the FIRST minimum, matching
+    the strict-``<`` struct fold and the oracle's ``row_number(d ASC,
+    cid ASC)``.  The within-cluster PAIR search (cosine) stays BLAS;
+    its residual last-ulp-vs-fold caveat is documented at
+    :func:`_round_half_up6` and absorbed by the 6dp rounding except
+    within ~1 ulp of a rounding boundary.
     """
     import numpy as np
     import pandas as pd
 
     c = np.asarray(centroids, dtype=np.float64)
-    c_sq = (c * c).sum(axis=1)
+    dim = c.shape[1]
 
     def gen(batches):
         for batch in batches:
             a = np.asarray(batch[vec_col].tolist(), dtype=np.float64)
             if len(a) == 0:
                 continue
-            d2 = (a * a).sum(axis=1)[:, None] - 2.0 * (a @ c.T) + c_sq[None, :]
+            # sequential-fold distance matrix (see docstring): identical
+            # IEEE op order to l2_fold_sql per (row, centroid) cell
+            d2 = np.zeros((a.shape[0], c.shape[0]), dtype=np.float64)
+            for j in range(dim):
+                diff = a[:, j, None] - c[None, :, j]
+                d2 += diff * diff
             cl = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {

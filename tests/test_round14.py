@@ -99,12 +99,21 @@ def test_c69_reliable_pins_identical(spark, tmp_path):
     had_dir = spark.sparkContext.getCheckpointDir() is not None
     if not had_dir:
         spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    rel = sorted(
-        map(
-            key,
-            c69_ivf_index_serve(spark, sf, reliable_pins=True).collect(),
+    try:
+        rel = sorted(
+            map(
+                key,
+                c69_ivf_index_serve(spark, sf, reliable_pins=True).collect(),
+            )
         )
-    )
+    finally:
+        if not had_dir:
+            # restore the session-global to unset (ADVICE r14): the
+            # installed dir points into this test's tmp_path, which
+            # pytest may delete -- later reliable=True paths in the
+            # shared session must see their own missing-dir error, not
+            # a dangling directory.  None -> Scala null -> unset.
+            spark.sparkContext.setCheckpointDir(None)
     assert rel == local
 
 
