@@ -1165,3 +1165,154 @@ def prefix_filter_pairs(
     return jaccard_verify(cands, toks, id_col).where(
         F.col("jaccard") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit perceptual-fingerprint dedup (round 15: promoted from the
+# round-14 a213/a214 query helpers to a first-class, fingerprint-agnostic
+# operator family).  Works over ANY 64-bit hex fingerprint column --
+# image average-hash, audio energy-delta bits, SimHash -- and gives the
+# same three lifecycle verbs as the MinHash text index: inline pairs
+# (hash64_band_pairs), persistable index payload (hash64_band_rows), and
+# delta serving against a persisted index (serve_hash64_band_index).
+# Candidates come from the Manku 4x16-bit pigeonhole bands (hamming <= 3
+# guarantees a shared band; the 65536-value band domain prunes chance
+# collisions -- SCALE.md round-14 band-width lesson), verification is
+# the exact per-byte bit_count(xor) Hamming distance.
+# ---------------------------------------------------------------------------
+
+
+def hamming64_sql(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text of the exact Hamming distance between two 16-hex
+    64-bit fingerprints (per-byte ``bit_count(xor)`` fold)."""
+    return (
+        "aggregate(sequence(0, 7), 0, (acc, j) -> acc + bit_count("
+        f"cast(conv(substr({a_sql}, 2*j + 1, 2), 16, 10) as int) ^ "
+        f"cast(conv(substr({b_sql}, 2*j + 1, 2), 16, 10) as int)))"
+    )
+
+
+def hash64_band_rows(
+    df: DataFrame, id_col: str = "doc_id", hash_col: str = "ahash"
+) -> DataFrame:
+    """The Manku band rows of a 64-bit hex fingerprint column:
+    ``(id, hash, band 0..3, val = 16-bit hex quarter)`` -- 4 narrow rows
+    per document.
+
+    This is BOTH the inline pair-join frame and the persistable
+    perceptual-index payload (c72): fingerprints are deterministic in
+    the content, so band rows computed at build time and at serve time
+    are interchangeable -- the same exactness property the MinHash index
+    rests on (:func:`minhash_band_index`).  Store it bucketed on
+    ``(band, val)`` (``Warehouse.write_bucketed``) and daily deltas
+    band-join it with zero index-side exchanges.
+    """
+    return df.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                f"j -> struct(j as band, substr({hash_col}, 4*j + 1, 4)"
+                " as val))"
+            )
+        ).alias("__b"),
+    ).select(id_col, hash_col, "__b.band", "__b.val")
+
+
+def _hash64_cands(
+    left_rows: DataFrame,
+    right_rows: DataFrame,
+    id_col: str,
+    hash_col: str,
+) -> DataFrame:
+    """Distinct candidate pairs ``(a < b, __ah_a, __ah_b)`` from a band
+    join of two band-row frames.  Self-join (left is right) sees each
+    unordered pair in both orders and the least/greatest normalization +
+    distinct collapses them; a cross join against a disjoint index sees
+    each once.  Hashes travel WITH their ids so the verify never re-reads
+    a corpus."""
+    lt = F.col("__l") < F.col("__r")
+    return (
+        left_rows.select(
+            F.col(id_col).alias("__l"), F.col(hash_col).alias("__hl"),
+            "band", "val",
+        )
+        .join(
+            right_rows.select(
+                F.col(id_col).alias("__r"), F.col(hash_col).alias("__hr"),
+                "band", "val",
+            ),
+            ["band", "val"],
+        )
+        .where(F.col("__l") != F.col("__r"))
+        .select(
+            F.least("__l", "__r").alias("a"),
+            F.greatest("__l", "__r").alias("b"),
+            F.when(lt, F.col("__hl")).otherwise(F.col("__hr")).alias("__ah_a"),
+            F.when(lt, F.col("__hr")).otherwise(F.col("__hl")).alias("__ah_b"),
+        )
+        .distinct()
+    )
+
+
+def _hash64_verify(cands: DataFrame, max_hamming: int) -> DataFrame:
+    """Exact-Hamming verify of banded candidates: ``(a, b, hamming)``."""
+    return (
+        cands.withColumn(
+            "hamming", F.expr(hamming64_sql("__ah_a", "__ah_b")).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def hash64_band_pairs(
+    ah: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """(a, b, hamming) near-dup pairs over a 64-bit hex fingerprint
+    column via the Manku 4x16-bit pigeonhole band join + exact per-byte
+    ``bit_count(xor)`` verify (``max_hamming <= 3`` keeps the pigeonhole
+    sound).  Shared by the image (a213) and audio (a214) perceptual
+    dedup queries; the persisted-index serve path is
+    :func:`serve_hash64_band_index`."""
+    rows = hash64_band_rows(ah, id_col, hash_col)
+    return _hash64_verify(
+        _hash64_cands(rows, rows, id_col, hash_col), max_hamming
+    )
+
+
+def serve_hash64_band_index(
+    index: DataFrame,
+    delta_hashes: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    reliable_pins: bool = False,
+) -> DataFrame:
+    """Dedup a delta's fingerprints against a PERSISTED band index:
+    ``(a, b, hamming)`` near-dup pairs with at least one delta side.
+
+    ``index`` is the read-back :func:`hash64_band_rows` table (bucketed
+    on ``(band, val)`` -> its side of the join plans zero exchanges);
+    ``delta_hashes`` is the delta's ``(id, hash)`` frame -- at serve
+    time only the DELTA pays the decode/fingerprint pass, and because
+    the index rows carry the full 64-bit hash the verify needs NO
+    corpus re-read at all (unlike the MinHash serve, whose exact-Jaccard
+    check re-reads bounded candidate texts).  Delta ids must be disjoint
+    from index ids.  The delta-internal self-join covers new-vs-new
+    duplicates."""
+    from .ordering import pin_frame
+
+    d_rows = pin_frame(  # feeds the index join AND the self-join
+        hash64_band_rows(delta_hashes, id_col, hash_col),
+        reliable=reliable_pins,
+    )
+    cross = _hash64_cands(d_rows, index, id_col, hash_col)
+    within = _hash64_cands(d_rows, d_rows, id_col, hash_col)
+    return _hash64_verify(
+        cross.unionByName(within).distinct(), max_hamming
+    )

@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round11,
         round13,
         round14,
+        round15,
         streaming_q,
     )
 
@@ -106,6 +107,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round11,
         round13,
         round14,
+        round15,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -161,11 +161,14 @@ _A213_MAX_HAMMING = 3  # < 4 bands (pigeonhole-sound); the near-dup tail
 # of the fixture's hamming distribution (random pairs concentrate >= 10)
 
 
-def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _a213_hashes(docs: DataFrame) -> DataFrame:
+    """The average-hash fingerprint pass of a213: ``(doc_id, ahash)``
+    from the synthesized P6 payload through the REAL stdlib decode.
+    Factored out (round 15) so c72 can run it over the corpus at index
+    BUILD time and over the delta alone at SERVE time."""
     import pandas as pd
 
     from ..operators.multimodal import decode_image
-    from ..operators.ordering import pin_frame
 
     from ..operators.etl import spread_narrow_scan
 
@@ -173,9 +176,7 @@ def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode are compute-bound: spread the narrow scan across cores
     # first (the a16/a76 rule -- a byte-split parquet scan of a 50k-doc
     # replica arrived as 2 partitions and serialized the whole pass)
-    docs = spread_narrow_scan(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    )
+    docs = spread_narrow_scan(docs, "doc_id")
     # 8x8 gray P6: cell i (0..63) = first byte of md5(sorted_words[
     # 1 + i*nw div 64]); RGB = the cell byte repeated 3x
     base = docs.select(
@@ -208,52 +209,17 @@ def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["ahash"].append("".join(f"{v:02x}" for v in byts))
             yield pd.DataFrame(out)
 
+    return pdf_in.mapInPandas(gen, schema="doc_id bigint, ahash string")
+
+
+def a213_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hash64_band_pairs
+    from ..operators.ordering import pin_frame
+
     ah = pin_frame(  # feeds both sides of the band join
-        pdf_in.mapInPandas(gen, schema="doc_id bigint, ahash string")
+        _a213_hashes(load_table(spark, sf_dir, "documents"))
     )
-    return _hash64_band_pairs(ah, _A213_MAX_HAMMING)
-
-
-def _hash64_band_pairs(
-    ah: DataFrame, max_hamming: int, hash_col: str = "ahash"
-) -> DataFrame:
-    """(a, b, hamming) pairs over a 64-bit hex fingerprint column via the
-    Manku 4x16-bit pigeonhole band join + exact per-byte bit_count(xor)
-    verify (``max_hamming <= 3`` keeps the pigeonhole sound).  Shared by
-    the image (a213) and audio (a214) perceptual-dedup queries."""
-    bands = ah.select(
-        "doc_id",
-        hash_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                f"j -> struct(j as band, substr({hash_col}, 4*j + 1, 4)"
-                " as val))"
-            )
-        ).alias("__b"),
-    ).select("doc_id", hash_col, "__b.band", "__b.val")
-    left = bands.select(
-        F.col("doc_id").alias("a"), F.col(hash_col).alias("__ah_a"),
-        "band", "val",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("b"), F.col(hash_col).alias("__ah_b"),
-        "band", "val",
-    )
-    hamming = F.expr(
-        "aggregate(sequence(0, 7), 0, (acc, j) -> acc + bit_count("
-        "cast(conv(substr(__ah_a, 2*j + 1, 2), 16, 10) as int) ^ "
-        "cast(conv(substr(__ah_b, 2*j + 1, 2), 16, 10) as int)))"
-    )
-    return (
-        left.join(right, ["band", "val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "__ah_a", "__ah_b")
-        .distinct()
-        .withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    return hash64_band_pairs(ah, _A213_MAX_HAMMING)
 
 
 def _a213_sql() -> str:
@@ -310,7 +276,7 @@ QUERIES["a213_phash_image_dedup"] = QuerySpec(
 # REAL stdlib RIFF walker decodes it back, frame energies are exact
 # integer sums of squares over 2-sample frames, and fingerprint bit j is
 # e[j+1] > e[j] (64 bits from 65 frames).  Candidates and verification
-# ride the shared 4x16-band machinery (_hash64_band_pairs).  The DuckDB
+# ride the shared 4x16-band machinery (dedup.hash64_band_pairs).  The DuckDB
 # twin recomputes samples/energies/bits from the generating arithmetic,
 # never the decoder -- a wrong endianness, header offset, or
 # sign-extension in the decode breaks the exact match.
@@ -320,24 +286,22 @@ _A214_MAX_HAMMING = 3
 _A214_N_SAMPLES = 130  # 65 two-sample frames -> 64 delta bits
 
 
-def a214_audio_fingerprint_dedup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _a214_hashes(docs: DataFrame) -> DataFrame:
+    """The energy-delta fingerprint pass of a214: ``(doc_id, ahash)``
+    from the synthesized RIFF payload through the REAL stdlib decode
+    (factored like :func:`_a213_hashes`)."""
     import hashlib
     import struct
 
     import pandas as pd
 
     from ..operators.multimodal import decode_audio
-    from ..operators.ordering import pin_frame
 
     from ..operators.etl import spread_narrow_scan
 
     # spread the narrow scan before the compute-bound Python synthesis +
     # decode pass (see a213)
-    docs = spread_narrow_scan(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    )
+    docs = spread_narrow_scan(docs, "doc_id")
     n = _A214_N_SAMPLES
 
     def gen(batches):
@@ -372,12 +336,21 @@ def a214_audio_fingerprint_dedup(
                 out["ahash"].append("".join(f"{b:02x}" for b in byts))
             yield pd.DataFrame(out)
 
-    ah = pin_frame(  # feeds both sides of the band join
-        docs.select("doc_id", "text").mapInPandas(
-            gen, schema="doc_id bigint, ahash string"
-        )
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id bigint, ahash string"
     )
-    return _hash64_band_pairs(ah, _A214_MAX_HAMMING)
+
+
+def a214_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import hash64_band_pairs
+    from ..operators.ordering import pin_frame
+
+    ah = pin_frame(  # feeds both sides of the band join
+        _a214_hashes(load_table(spark, sf_dir, "documents"))
+    )
+    return hash64_band_pairs(ah, _A214_MAX_HAMMING)
 
 
 def _a214_sql() -> str:

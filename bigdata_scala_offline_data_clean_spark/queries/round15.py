@@ -1,0 +1,235 @@
+"""Round-15 queries: the persisted-index lifecycle completed with its
+missing verbs (VERDICT r14 tasks #1-#3).
+
+c71 -- ERASURE from the incremental MinHash index: build -> absorb ->
+erase a document set -> serve, with the erase implemented as
+merge-on-read tombstones (``Warehouse.append_tombstones`` /
+``read_bucketed_live``): deletion is an O(|erased|) id append, honoring
+it is a broadcast anti-join that PRESERVES the bucketed scan's
+distribution (still zero index-side exchanges -- pytest-pinned), and
+physical removal folds into the next compaction
+(``Warehouse.compact_bucketed``, also pytest-pinned to leave serve
+output identical while collapsing the absorb-append file generations).
+A 100 TB corpus under retention/GDPR needs exactly this: remove
+documents from the dedup index without rebuilding it.  Reference-parity
+anchor: the reference's whole point is incremental upsert semantics
+(CustomerInfDataClean.scala:41-45 keep-newest); deletion is the third
+verb its pattern implies but never shipped.
+
+c72 -- the c70 build-once/serve-pruned pattern applied to the
+PERCEPTUAL fingerprints (a213): the corpus' average-hash band rows are
+themselves the index payload (``dedup.hash64_band_rows``), persisted
+bucketed on the band join key; each day's delta decodes ITS OWN images
+only and band-joins the index.  Because the index rows carry the full
+64-bit hash, the Hamming verify needs NO corpus re-read at all --
+unlike the MinHash serve, whose exact-Jaccard check re-reads bounded
+candidate texts.  This unifies all three modalities (vectors c69, text
+c70, perceptual c72) on one persisted-index abstraction.
+
+Oracles: fingerprints/signatures are deterministic functions of the
+content, so build-then-(absorb-erase-)serve is ALGEBRAICALLY the
+full-corpus pair pipeline over the LIVE (non-erased) documents
+restricted to delta-involved pairs -- the DuckDB twins are exactly
+that (a07's / a213's SQL wrapped in the membership filters), keeping
+the whole lifecycle exact-match checked.
+
+Reference parity note: the reference ETL suite (873 lines,
+src/main/scala/com/kanseiu/spark/handler -- warehouse jobs only) has no
+dedup/index surface; this extends the engine per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ._util import load_table
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# c71 membership split (mod-10 on doc_id so the oracle recomputes it):
+#   day-0 corpus  rem not in {DELTA, ABSORB}   -> built into the index
+#   day-1 absorb  rem == ABSORB                -> appended band rows
+#   erase set     rem == ERASE (subset of day-0) -> tombstoned
+#   day-2 delta   rem == DELTA                 -> served
+# rems chosen so the erase is DIFFERENTIALLY visible at every test SF
+# (it removes >= 1 delta-involved pair at sf0.001/0.01/0.1: 1/1/7),
+# never emptying the answer (kept pairs 2/7/41).
+_C71_MOD = 10
+_C71_DELTA_REM = 5
+_C71_ABSORB_REM = 9
+_C71_ERASE_REM = 7
+_C71_BUCKETS = 8
+
+
+def c71_minhash_index_erase(
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+) -> DataFrame:
+    """The full incremental-index lifecycle including the DELETE verb:
+    build the corpus band index, absorb day-1, tombstone-erase a doc
+    set, serve day-2 against the live index.  Output: the (a, b,
+    jaccard) near-dup pairs involving at least one delta document, over
+    the corpus WITHOUT the erased documents.
+
+    Scale: erase cost is O(|erased|) at write time (an id append) plus
+    a broadcast anti-join at serve time that adds no exchange; nothing
+    is re-shingled, no index file is rewritten until the next scheduled
+    compaction folds the tombstones in physically.  The absorb step
+    runs first so the serve demonstrably honors BOTH pending states --
+    multiple file generations AND tombstones -- at once.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_band_index, serve_minhash_band_index
+    from ..sources.catalog import Warehouse
+    from ._util import freeze_result
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    rem = F.pmod(F.col("doc_id"), F.lit(_C71_MOD))
+    day0 = d.where(~rem.isin(_C71_DELTA_REM, _C71_ABSORB_REM))
+    day1 = d.where(rem == _C71_ABSORB_REM)
+    delta = d.where(rem == _C71_DELTA_REM)
+    erased = d.where(rem == _C71_ERASE_REM)
+    live_corpus = d.where(
+        ~rem.isin(_C71_DELTA_REM, _C71_ERASE_REM)
+    )  # what the serve may verify against: indexed minus erased
+    kw = dict(shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS)
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c71_")
+    try:
+        wh = Warehouse(spark, scratch)
+        spec = dict(
+            bucket_cols=["band_id", "band_sig"],
+            buckets=_C71_BUCKETS,
+            sort_cols=["band_id", "band_sig"],
+        )
+        # BUILD (amortized once at 100 TB)
+        wh.write_bucketed(
+            minhash_band_index(day0, **kw), "dwd", "c71_idx", **spec
+        )
+        # ABSORB day 1: append its band rows under the same bucket spec
+        wh.write_bucketed(
+            minhash_band_index(day1, **kw),
+            "dwd", "c71_idx", **spec, mode="append",
+        )
+        # ERASE: O(|erased|) tombstone append -- no index file touched
+        wh.append_tombstones(erased.select("doc_id"), "dwd", "c71_idx")
+        # SERVE day 2 against the LIVE index (broadcast anti-join over
+        # the bucketed scan -- still zero index-side exchanges)
+        out = serve_minhash_band_index(
+            wh.read_bucketed_live("dwd", "c71_idx"),
+            delta,
+            live_corpus,
+            threshold=_MH_THRESHOLD,
+            reliable_pins=reliable_pins,
+            **kw,
+        )
+        return freeze_result(out)  # pre-DROP/rmtree, executor-side
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_c71_idx")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _c71_sql() -> str:
+    # signatures are deterministic in the text, so
+    # build+absorb+erase+serve == the a07 pipeline over the LIVE
+    # documents restricted to delta-involved pairs
+    from .analytics import _a07_sql
+
+    return f"""
+WITH live AS (
+  SELECT * FROM documents WHERE doc_id % {_C71_MOD} <> {_C71_ERASE_REM}
+)
+SELECT a, b, jaccard FROM ({_a07_sql("live")})
+WHERE a % {_C71_MOD} = {_C71_DELTA_REM}
+   OR b % {_C71_MOD} = {_C71_DELTA_REM}
+"""
+
+
+QUERIES["c71_minhash_index_erase"] = QuerySpec(
+    c71_minhash_index_erase, _c71_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# c72 -- persisted PERCEPTUAL-fingerprint index serving
+# ---------------------------------------------------------------------------
+
+_C72_MOD, _C72_DELTA_REM = 10, 8  # >= 1 delta-involved a213 pair at
+# every test SF (3 / 2 / 21 at sf0.001/0.01/0.1)
+_C72_BUCKETS = 8
+
+
+def c72_phash_index_serve(
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+) -> DataFrame:
+    """Build the corpus' average-hash band index once (bucketed on the
+    (band, val) join key), then dedup the delta's images against it:
+    (a, b, hamming) near-dup pairs with at least one delta side.
+
+    Scale: the expensive pass -- synthesis + REAL P6 decode + avg-hash
+    (one Arrow stage) -- runs corpus-wide ONCE at build; each serve
+    decodes only the delta.  The index is 4 narrow rows per document
+    carrying the full 64-bit hash, so the verify is closed over the
+    join output (no corpus re-read of any kind).  Index side plans zero
+    exchanges off its bucket spec; the delta side shuffles its 4 rows
+    per new document.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import hash64_band_rows, serve_hash64_band_index
+    from ..sources.catalog import Warehouse
+    from ._util import freeze_result
+    from .round14 import _A213_MAX_HAMMING, _a213_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    is_delta = (
+        F.pmod(F.col("doc_id"), F.lit(_C72_MOD)) == _C72_DELTA_REM
+    )
+    corpus, delta = d.where(~is_delta), d.where(is_delta)
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c72_")
+    try:
+        wh = Warehouse(spark, scratch)
+        # BUILD: one corpus-wide decode+hash pass, band rows persisted
+        # bucketed+sorted on the join key (absorb = the same
+        # write_bucketed(mode="append") as c70/c71; erase = the same
+        # tombstone path -- one abstraction, three modalities)
+        wh.write_bucketed(
+            hash64_band_rows(_a213_hashes(corpus)),
+            "dwd",
+            "c72_phash_index",
+            ["band", "val"],
+            buckets=_C72_BUCKETS,
+            sort_cols=["band", "val"],
+        )
+        out = serve_hash64_band_index(
+            wh.bucketed_table("dwd", "c72_phash_index"),
+            _a213_hashes(delta),
+            _A213_MAX_HAMMING,
+            reliable_pins=reliable_pins,
+        )
+        return freeze_result(out)  # pre-DROP/rmtree, executor-side
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_c72_phash_index")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _c72_sql() -> str:
+    # fingerprints are deterministic in the content, so build-then-serve
+    # == the full-corpus a213 pair pipeline restricted to delta-involved
+    # pairs
+    from .round14 import _a213_sql
+
+    return f"""
+SELECT a, b, hamming FROM ({_a213_sql()})
+WHERE a % {_C72_MOD} = {_C72_DELTA_REM}
+   OR b % {_C72_MOD} = {_C72_DELTA_REM}
+"""
+
+
+QUERIES["c72_phash_index_serve"] = QuerySpec(
+    c72_phash_index_serve, _c72_sql()
+)

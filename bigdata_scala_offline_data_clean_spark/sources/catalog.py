@@ -268,6 +268,185 @@ class Warehouse:
         reader would drop the bucket spec and reintroduce the shuffle)."""
         return self.spark.table(f"{layer}_{table}")
 
+    # -- persisted-index lifecycle: erasure + maintenance (round 15) --------
+    #
+    # The incremental indexes (c69 IVF cells, c70/c72 band tables) had
+    # build/serve/absorb; these add the two missing verbs a 100 TB corpus
+    # under retention/GDPR needs: DELETE (erase documents from the index
+    # without a rebuild) and COMPACT (fold the absorb-append file
+    # generations -- and any applied tombstones -- back into one file set
+    # per bucket before small-file overhead creeps into every serve).
+
+    def tombstones_path(self, layer: str, table: str) -> str:
+        return self.path(layer, f"{table}__tombstones")
+
+    def append_tombstones(
+        self, ids: DataFrame, layer: str, table: str, id_col: str = "doc_id"
+    ) -> None:
+        """Merge-on-read DELETE for a bucketed index: record the erased
+        ids in a side table instead of rewriting any index file.
+
+        The Delta/Iceberg deletion-vector idea reduced to its storage
+        essence: erasure is O(|erased|) -- an append of bare ids -- and
+        the cost of honoring it moves to read time
+        (:meth:`read_bucketed_live`'s broadcast anti-join), where it is
+        O(index scan) but adds ZERO exchanges.  Physical removal happens
+        at the next :meth:`compact_bucketed`."""
+        ids.select(id_col).write.mode("append").parquet(
+            self.tombstones_path(layer, table)
+        )
+
+    def tombstones(self, layer: str, table: str) -> DataFrame | None:
+        """The pending (not-yet-compacted) tombstone ids, or None."""
+        p = self.tombstones_path(layer, table)
+        fs, hpath = self._fs_and_path(p)
+        if not fs.exists(hpath):
+            return None
+        return self.spark.read.parquet(p)
+
+    def read_bucketed_live(
+        self, layer: str, table: str, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """The bucketed table MINUS pending tombstones -- what every
+        serve path reads.
+
+        The tombstone set is small by construction (erasure requests,
+        not data volume), so the anti-join is an explicit broadcast:
+        a BroadcastHashJoin(LeftAnti) streams the bucketed scan through
+        unchanged and PRESERVES its output partitioning -- downstream
+        joins on the bucket key still plan zero index-side exchanges
+        (pytest-pinned: tests/test_round15.py)."""
+        t = self.bucketed_table(layer, table)
+        ts = self.tombstones(layer, table)
+        if ts is None:
+            return t
+        return t.join(
+            F.broadcast(ts.select(id_col).distinct()), id_col, "left_anti"
+        )
+
+    def data_file_count(self, layer: str, table: str) -> int:
+        """Parquet data files currently under the table path (metadata
+        only -- the FS listing, never a scan).  Each absorb appends one
+        file generation per bucket, so this creeping up is the
+        compaction trigger signal (the c40 planner's census, wired to
+        the live table)."""
+        fs, hpath = self._fs_and_path(self.path(layer, table))
+        if not fs.exists(hpath):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    def compact_bucketed(
+        self,
+        layer: str,
+        table: str,
+        bucket_cols: list[str],
+        buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        id_col: str = "doc_id",
+    ) -> None:
+        """Maintenance rewrite: fold all absorb-append generations into
+        ONE file set per bucket under the SAME bucket spec, physically
+        dropping tombstoned rows, then clear the applied tombstones.
+
+        Serve output is identical before/after (pytest-pinned); what
+        changes is the physical layout -- per-bucket file count back to
+        1 and the anti-join gone.  The rewrite reads the table it
+        replaces, so the live rows are frozen executor-side first
+        (eager ``localCheckpoint``, the ``freeze_result`` pattern) --
+        never a driver materialization.  At 100 TB this is the
+        scheduled off-peak job the c40 planner sizes; the bucket spec
+        is unchanged, so serves before and after plan identically."""
+        live = self.read_bucketed_live(layer, table, id_col).localCheckpoint(
+            eager=True
+        )
+        self.write_bucketed(
+            live, layer, table, bucket_cols, buckets, sort_cols,
+            mode="overwrite",
+        )
+        fs, hpath = self._fs_and_path(self.tombstones_path(layer, table))
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+
+    def maybe_compact_bucketed(
+        self,
+        layer: str,
+        table: str,
+        bucket_cols: list[str],
+        buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        id_col: str = "doc_id",
+        max_files_per_bucket: int = 4,
+    ) -> tuple[bool, int, int]:
+        """Threshold-triggered :meth:`compact_bucketed`: compacts when
+        the file census exceeds ``max_files_per_bucket`` per bucket OR
+        tombstones are pending.  Returns (compacted, files_before,
+        files_after)."""
+        before = self.data_file_count(layer, table)
+        pending = self.tombstones(layer, table) is not None
+        if before <= buckets * max_files_per_bucket and not pending:
+            return False, before, before
+        self.compact_bucketed(
+            layer, table, bucket_cols, buckets, sort_cols, id_col
+        )
+        return True, before, self.data_file_count(layer, table)
+
+    def erase_partition_rows(
+        self,
+        layer: str,
+        table: str,
+        part_col: str,
+        erase_ids: DataFrame,
+        id_col: str,
+    ) -> list:
+        """Physical GDPR delete from a partition-laid-out table (the c69
+        IVF index's ``cell=N`` layout), touching ONLY the partitions that
+        contain erased rows.
+
+        Three bounded steps: (1) a left-semi probe finds the affected
+        partition values (driver fetch of at most |partitions| values --
+        the scan itself partition-prunes nothing here, but at 100 TB the
+        erase set is tiny and broadcast); (2) ONLY those partitions are
+        re-read (planning-time partition pruning -- the IN-list is a plan
+        literal) and rewritten minus the erased ids via dynamic-partition
+        overwrite; (3) an affected partition left with ZERO survivors is
+        absent from the dynamic overwrite (which only replaces partitions
+        present in the frame), so its directory is removed explicitly.
+        Untouched partitions keep their exact files (pytest-pinned by
+        file listing).  Returns the affected partition values."""
+        path = self.path(layer, table)
+        t = self.spark.read.parquet(path)
+        eids = F.broadcast(erase_ids.select(id_col).distinct())
+        affected = sorted(
+            r[0]
+            for r in t.join(eids, id_col, "left_semi")
+            .select(part_col)
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return []
+        kept = (
+            t.where(F.col(part_col).isin(affected))
+            .join(eids, id_col, "left_anti")
+            .localCheckpoint(eager=True)  # freeze: we overwrite our source
+        )
+        kept.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(part_col).parquet(path)
+        survivors = {r[0] for r in kept.select(part_col).distinct().collect()}
+        for v in affected:
+            if v not in survivors:
+                fs, hpath = self._fs_and_path(
+                    os.path.join(path, f"{part_col}={v}")
+                )
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
+        return affected
+
     def compact_partition(
         self, layer: str, table: str, etl_date: str, target_files: int
     ) -> None:
