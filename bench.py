@@ -265,6 +265,9 @@ HEADLINE = [
     "c70_minhash_index_serve",  # persisted bucketed MinHash index + delta dedup
     "a213_phash_image_dedup",  # real-codec average-hash + banded Hamming pairs
     "a214_audio_fingerprint_dedup",  # RIFF decode + energy-delta fingerprint
+    # r15 additions (extend-only)
+    "c71_minhash_index_erase",  # build -> absorb -> tombstone-erase -> serve
+    "c72_phash_index_serve",  # persisted perceptual band index + delta decode
 ]
 
 

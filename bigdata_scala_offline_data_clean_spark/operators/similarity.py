@@ -417,6 +417,73 @@ def train_ivf_centroids(
     return centroids.tolist()
 
 
+def calibrate_cosine_threshold(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chance_degree: float = 0.05,
+    sample_size: int = 2048,
+    min_tau: float = 0.0,
+) -> float:
+    """Corpus-calibrated near-duplicate cosine threshold: the smallest
+    6dp tau at which the expected CHANCE pair degree per document stays
+    below ``chance_degree``.
+
+    Round-15 measurement (the reason this operator exists): a FIXED
+    cosine threshold silently stops meaning "near-duplicate" as the
+    corpus grows.  The chance-cosine tail of the corpus is a fixed
+    distribution, so the expected number of chance pairs per document,
+    ``P(cos >= tau) * (n - 1)``, grows LINEARLY with the corpus -- once
+    it crosses ~1, the transitive-closure merge graph percolates into a
+    giant component and the keep rate collapses regardless of quantizer
+    quality (measured on the sf0.1 embeddings: at tau = 0.3 the exact
+    all-pairs keep rate is 0.0005 -- everything merges into one blob --
+    while at the calibrated tau the genuine near-dups still pair).
+    Retraining the quantizer CANNOT fix this (a finer quantizer finds
+    MORE of the chance pairs and makes keep rate strictly worse --
+    tests/test_round15.py pins both directions); the threshold itself
+    must track ``n``.
+
+    Mechanics mirror :func:`train_ivf_centroids`: a bounded canonical
+    sample (top ``sample_size`` by ``id_col``, never the table) crosses
+    to the driver, its off-diagonal 6dp-rounded cosine distribution
+    estimates the tail, and tau is the smallest sampled cosine whose
+    exceedance rate * (n - 1) <= ``chance_degree``, one 6dp step above
+    the largest chance-level cosine (conservative: real duplicate pairs
+    in the sample can only push tau UP, never let chance pairs in).
+    Deterministic: canonical order, no RNG.  Returns
+    ``max(tau, min_tau)``.
+    """
+    import numpy as np
+
+    n_total = corpus.count()
+    if n_total < 2:
+        return min_tau
+    sample = [
+        r[1]
+        for r in sorted(
+            (r[0], r[1])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_size)
+            .collect()
+        )
+    ]
+    m = _np_unit_rows(np.asarray(sample, dtype=np.float64))
+    s = _round_half_up6(m @ m.T)
+    iu = np.triu_indices(len(m), 1)
+    vals = np.sort(s[iu])
+    # exceedance budget: at most chance_degree / (n_total - 1) of pair
+    # space may sit at or above tau
+    budget = chance_degree / (n_total - 1)
+    # sampled pairs allowed >= tau (clamped: an all-permissive budget
+    # degrades to one step above the sample minimum, then min_tau)
+    k = min(int(np.floor(budget * len(vals))), len(vals) - 1)
+    # tau = one 6dp step above the (k+1)-th largest sampled cosine
+    tau = float(vals[len(vals) - 1 - k]) + 1e-6
+    return round(max(tau, min_tau), 6)
+
+
 def _dlit(x: float) -> str:
     """Spark-SQL double literal: repr round-trips the value exactly and
     the D suffix stops the parser reading it as DECIMAL."""

@@ -320,9 +320,10 @@ class Warehouse:
         ts = self.tombstones(layer, table)
         if ts is None:
             return t
-        return t.join(
-            F.broadcast(ts.select(id_col).distinct()), id_col, "left_anti"
-        )
+        # no distinct on the build side: a LeftAnti hashed relation
+        # tolerates duplicate keys, and the dedup would shuffle the
+        # tombstone table on every serve for nothing
+        return t.join(F.broadcast(ts.select(id_col)), id_col, "left_anti")
 
     def data_file_count(self, layer: str, table: str) -> int:
         """Parquet data files currently under the table path (metadata
@@ -357,14 +358,20 @@ class Warehouse:
         1 and the anti-join gone.  The rewrite reads the table it
         replaces, so the live rows are frozen executor-side first
         (eager ``localCheckpoint``, the ``freeze_result`` pattern) --
-        never a driver materialization.  At 100 TB this is the
-        scheduled off-peak job the c40 planner sizes; the bucket spec
-        is unchanged, so serves before and after plan identically."""
+        never a driver materialization.  The frozen rows are then
+        repartitioned INTO the bucket layout (``repartition(buckets,
+        cols)`` hashes exactly like the bucket spec), so each write task
+        holds exactly one bucket and the table lands at ONE file per
+        bucket -- builds and absorbs write whatever task layout they
+        have; this is the defragmenter.  At 100 TB this is the scheduled
+        off-peak job the c40 planner sizes; the bucket spec is
+        unchanged, so serves before and after plan identically."""
         live = self.read_bucketed_live(layer, table, id_col).localCheckpoint(
             eager=True
         )
         self.write_bucketed(
-            live, layer, table, bucket_cols, buckets, sort_cols,
+            live.repartition(buckets, *[F.col(c) for c in bucket_cols]),
+            layer, table, bucket_cols, buckets, sort_cols,
             mode="overwrite",
         )
         fs, hpath = self._fs_and_path(self.tombstones_path(layer, table))

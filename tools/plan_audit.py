@@ -816,6 +816,22 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a214_audio_fingerprint_dedup": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # index-erasure lifecycle (round 15): freeze_result truncates
+    # lineage (the bucketed index is DROPped), so the audited plan is
+    # the checkpointed scan -- the lifecycle properties (serve-after-
+    # erase == full recompute without erased docs; the tombstone
+    # broadcast anti-join keeps the index side exchange-free; compaction
+    # preserves serve output while restoring one file per bucket) are
+    # pinned in tests/test_round15.py, the c69/c70 pattern
+    "c71_minhash_index_erase": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
+    # persisted perceptual-fingerprint index serve (round 15): same
+    # freeze pattern; the zero-index-side-exchange and serve == a213
+    # restricted identities are pinned in tests/test_round15.py
+    "c72_phash_index_serve": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
