@@ -268,6 +268,7 @@ HEADLINE = [
     # r15 additions (extend-only)
     "c71_minhash_index_erase",  # build -> absorb -> tombstone-erase -> serve
     "c72_phash_index_serve",  # persisted perceptual band index + delta decode
+    "c73_ivf_index_erase_serve",  # targeted-partition physical erase + serve
 ]
 
 

@@ -812,7 +812,9 @@ def _quantizer_values_sql(
     return f"(VALUES\n    {vals}) AS {cols}"
 
 
-def _a16_sql() -> str:
+def _a16_sql(src: str = "embeddings") -> str:
+    """``src`` re-points every corpus/query scan (round 15: c73 runs the
+    identical recall algebra over the post-erase live CTE)."""
     from ..operators.similarity import DOT_SQL as dot
 
     from .quantizers import A16_CENTROIDS
@@ -835,10 +837,10 @@ assign AS (
     SELECT e.vec_id AS n_id, s.cid,
            row_number() OVER (
              PARTITION BY e.vec_id ORDER BY {l2} ASC, s.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN seeds s
+    FROM {src} e CROSS JOIN seeds s
   ) WHERE rn = 1
 ), q AS (
-  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  SELECT vec_id AS q_id, embedding AS qv FROM {src}
   WHERE vec_id < {_TOPK_NQ}
 ), probes AS (
   SELECT q_id, cid AS probe FROM (
@@ -855,7 +857,7 @@ assign AS (
   SELECT cand.q_id, cand.n_id,
          round({qc} / (sqrt({qq}) * sqrt({cc})), 6) AS cosine
   FROM cand
-  JOIN (SELECT vec_id, embedding AS cv2 FROM embeddings) c
+  JOIN (SELECT vec_id, embedding AS cv2 FROM {src}) c
     ON c.vec_id = cand.n_id
   JOIN q ON q.q_id = cand.q_id
 ), ranked AS (
@@ -872,8 +874,8 @@ exact AS (
     FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              round({xqc} / (sqrt({xq}) * sqrt({xc})), 6) AS cosine
-      FROM (SELECT vec_id, embedding AS cv FROM embeddings) c,
-           (SELECT vec_id, embedding AS qv FROM embeddings
+      FROM (SELECT vec_id, embedding AS cv FROM {src}) c,
+           (SELECT vec_id, embedding AS qv FROM {src}
             WHERE vec_id < {_TOPK_NQ}) q
       WHERE q.vec_id <> c.vec_id
     )

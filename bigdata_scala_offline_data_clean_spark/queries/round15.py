@@ -233,3 +233,56 @@ WHERE a % {_C72_MOD} = {_C72_DELTA_REM}
 QUERIES["c72_phash_index_serve"] = QuerySpec(
     c72_phash_index_serve, _c72_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# c73 -- PHYSICAL erasure from the persisted IVF (vector) index: the c71
+# DELETE verb on the third modality, in its physically-targeted form.
+# The cell-partitioned layout makes a surgical delete possible: only
+# partitions containing erased vectors are rewritten
+# (Warehouse.erase_partition_rows -- untouched cells keep byte-identical
+# files, an emptied cell disappears; pytest-pinned in
+# tests/test_round15.py), then the serve path runs unchanged and the
+# recall audit recomputes its exact reference over the LIVE corpus -- a
+# stale cell (serving an erased vector) or an over-delete (missing
+# neighbor) breaks the exact-match oracle.  Completes the erasure story:
+# tombstone/merge-on-read where rows are bucket-scattered (c71 text,
+# same machinery for c72 perceptual), partition-targeted physical
+# rewrite where the layout co-locates them (vectors by cell).
+# ---------------------------------------------------------------------------
+
+# disjoint from the query set (vec_id < 5); differentially visible --
+# the erase changes the top-k answer at every test SF (checked in
+# DuckDB at sf0.001/0.01/0.1 during development)
+_C73_ERASE_MOD, _C73_ERASE_REM = 25, 7
+
+
+def c73_ivf_index_erase_serve(
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+) -> DataFrame:
+    from .round13 import _ivf_index_lifecycle
+
+    return _ivf_index_lifecycle(
+        spark,
+        sf_dir,
+        erase_mod=_C73_ERASE_MOD,
+        erase_rem=_C73_ERASE_REM,
+        reliable_pins=reliable_pins,
+    )
+
+
+def _c73_sql() -> str:
+    # the physically-erased index serves exactly the a16 candidate
+    # algebra over the live corpus: re-point every scan at the live view
+    from .analytics import _a16_sql
+
+    live = (
+        "(SELECT * FROM embeddings "
+        f"WHERE vec_id % {_C73_ERASE_MOD} <> {_C73_ERASE_REM})"
+    )
+    return _a16_sql(live)
+
+
+QUERIES["c73_ivf_index_erase_serve"] = QuerySpec(
+    c73_ivf_index_erase_serve, _c73_sql()
+)

