@@ -269,6 +269,7 @@ HEADLINE = [
     "c71_minhash_index_erase",  # build -> absorb -> tombstone-erase -> serve
     "c72_phash_index_serve",  # persisted perceptual band index + delta decode
     "c73_ivf_index_erase_serve",  # targeted-partition physical erase + serve
+    "s17_stream_index_absorb",  # streaming serve-then-absorb micro-batches
 ]
 
 

@@ -286,3 +286,118 @@ def _c73_sql() -> str:
 QUERIES["c73_ivf_index_erase_serve"] = QuerySpec(
     c73_ivf_index_erase_serve, _c73_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# s17 -- STREAMING absorb into the persisted MinHash index: the c70/c71
+# daily loop as a Structured Streaming ingest.  Each micro-batch of new
+# documents is SERVED against the live index (near-dup gate) and then
+# ABSORBED (band rows appended under the same bucket spec) inside one
+# foreachBatch -- the pattern a continuously-ingesting 100 TB corpus
+# runs instead of a nightly job.
+#
+# Exactness without fixing the batch schedule: serve-before-absorb means
+# a pair (x in batch i, y in batch j, i < j) is emitted exactly once --
+# at batch j, when x is already in the index -- and within-batch pairs
+# come from the serve's delta self-join.  The UNION of per-batch serve
+# outputs over ANY partition of the delta into batches therefore equals
+# the full-corpus pair pipeline restricted to delta-involved pairs: the
+# output is batch-order-INDEPENDENT, so the oracle is exact even though
+# the file source's batch order is not contractual.  (The same c70
+# oracle SQL -- computed incrementally under a stream checkpoint.)
+# ---------------------------------------------------------------------------
+
+_S17_MOD, _S17_DELTA_REM, _S17_SLICES = 10, 5, 3
+
+
+def s17_stream_index_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_band_index, serve_minhash_band_index
+    from ..sources.catalog import Warehouse
+    from ._util import freeze_result
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    rem = F.pmod(F.col("doc_id"), F.lit(_S17_MOD))
+    corpus0, delta = d.where(rem != _S17_DELTA_REM), d.where(
+        rem == _S17_DELTA_REM
+    )
+    kw = dict(shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS)
+    spec = dict(
+        bucket_cols=["band_id", "band_sig"], buckets=8,
+        sort_cols=["band_id", "band_sig"],
+    )
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s17_")
+    try:
+        wh = Warehouse(spark, scratch)
+        # BUILD: the pre-existing corpus index
+        wh.write_bucketed(
+            minhash_band_index(corpus0, **kw), "dwd", "s17_idx", **spec
+        )
+        # the arriving delta: one file per "day" slice -> one micro-batch
+        # per file under maxFilesPerTrigger=1 (the s07 precedent)
+        src = f"{scratch}/arrivals"
+        for i in range(_S17_SLICES):
+            delta.where(
+                F.pmod(F.floor(F.col("doc_id") / _S17_MOD), F.lit(_S17_SLICES))
+                == i
+            ).select("doc_id", "text").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        results = f"{scratch}/served"
+
+        def serve_then_absorb(batch: DataFrame, batch_id: int) -> None:
+            # SERVE the batch against the live index (the ingest gate)...
+            serve_minhash_band_index(
+                wh.bucketed_table("dwd", "s17_idx"),
+                batch,
+                d.join(batch.select("doc_id"), "doc_id", "left_anti"),
+                threshold=_MH_THRESHOLD,
+                **kw,
+            ).write.mode("append").parquet(results)
+            # ...then ABSORB its band rows under the same bucket spec
+            wh.write_bucketed(
+                minhash_band_index(batch, **kw),
+                "dwd", "s17_idx", **spec, mode="append",
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(serve_then_absorb)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.schema("a bigint, b bigint, jaccard double")
+            .parquet(results)
+            .distinct()
+        )
+        return freeze_result(out)  # pre-DROP/rmtree, executor-side
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_s17_idx")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _s17_sql() -> str:
+    # batch-order-independent union == the full pipeline restricted to
+    # delta-involved pairs (the c70 identity, computed incrementally)
+    from .analytics import _a07_sql
+
+    return f"""
+SELECT a, b, jaccard FROM ({_a07_sql()})
+WHERE a % {_S17_MOD} = {_S17_DELTA_REM}
+   OR b % {_S17_MOD} = {_S17_DELTA_REM}
+"""
+
+
+QUERIES["s17_stream_index_absorb"] = QuerySpec(
+    s17_stream_index_absorb, _s17_sql()
+)

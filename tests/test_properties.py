@@ -474,3 +474,86 @@ class TestServeMinhashIndexEqualsRestrictedFull:
             if r["a"] in delta_ids or r["b"] in delta_ids
         )
         assert served == full
+
+
+class TestHash64IndexServeIdentity:
+    """Algebraic identities behind c72/c71 (round 15): fingerprints are
+    deterministic in the content, so (1) build-then-serve over ANY
+    corpus/delta split equals the inline pair pipeline restricted to
+    delta-involved pairs, and (2) serving a tombstone-erased index
+    equals the pipeline recomputed without the erased docs (the
+    merge-on-read anti-join is exactly set difference)."""
+
+    @staticmethod
+    def _mk_hash(base: int, flips: list) -> str:
+        v = [0x0123456789ABCDEF, 0xFEDCBA9876543210][base]
+        for b in flips:
+            v ^= 1 << (b % 64)
+        return f"{v:016x}"
+
+    @SETTINGS
+    @given(
+        specs=st.lists(
+            st.tuples(
+                st.integers(0, 1),  # base fingerprint family
+                st.lists(st.integers(0, 63), max_size=3),  # bit flips
+            ),
+            min_size=4,
+            max_size=12,
+        ),
+        split=st.integers(1, 3),
+        erase=st.integers(0, 3),
+    )
+    def test_serve_and_erase_match_restricted_inline(
+        self, spark, specs, split, erase
+    ):
+        from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+            hash64_band_pairs,
+            hash64_band_rows,
+            serve_hash64_band_index,
+        )
+
+        hashes = spark.createDataFrame(
+            [(i, self._mk_hash(b, f)) for i, (b, f) in enumerate(specs)],
+            "doc_id bigint, ahash string",
+        )
+        n = len(specs)
+        delta_ids = {i for i in range(n) if i % 4 == split}
+        erase_ids = {i for i in range(n) if i % 4 == erase} - delta_ids
+        corpus = hashes.where(~F.col("doc_id").isin(list(delta_ids) or [-1]))
+        delta = hashes.where(F.col("doc_id").isin(list(delta_ids) or [-1]))
+        inline = [
+            (r["a"], r["b"], r["hamming"])
+            for r in hash64_band_pairs(hashes, 3).collect()
+        ]
+        # (1) serve == inline restricted to delta-involved pairs
+        served = sorted(
+            (r["a"], r["b"], r["hamming"])
+            for r in serve_hash64_band_index(
+                hash64_band_rows(corpus), delta, 3
+            ).collect()
+        )
+        want = sorted(
+            p for p in inline
+            if p[0] in delta_ids or p[1] in delta_ids
+        )
+        assert served == want
+        # (2) tombstone-erased serve == inline minus erased, restricted
+        live_index = hash64_band_rows(corpus).join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in erase_ids] or [(-1,)], "doc_id bigint"
+                )
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        served_live = sorted(
+            (r["a"], r["b"], r["hamming"])
+            for r in serve_hash64_band_index(live_index, delta, 3).collect()
+        )
+        want_live = sorted(
+            p for p in want
+            if p[0] not in erase_ids and p[1] not in erase_ids
+        )
+        assert served_live == want_live

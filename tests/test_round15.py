@@ -428,3 +428,26 @@ def test_c73_physical_erase_changes_and_matches_live_recompute(spark):
     )  # noqa: E731  (n_id is column 2)
     assert not any(is_erased(r) for r in erased)  # nothing stale served
     assert any(is_erased(r) for r in base)  # ...and they were being served
+
+
+def test_s17_output_invariant_to_batch_split(spark, monkeypatch):
+    """The streaming absorb's correctness argument is batch-order/split
+    INDEPENDENCE (serve-before-absorb emits each pair exactly once, at
+    its later endpoint's batch).  Pin it: one giant batch and three
+    micro-batches must produce the identical pair set."""
+    import bigdata_scala_offline_data_clean_spark.queries.round15 as r15
+
+    if not os.path.exists(f"{SF0001}/documents.parquet"):
+        pytest.skip("testdata not present")
+
+    def run():
+        return sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in r15.s17_stream_index_absorb(spark, SF0001).collect()
+        )
+
+    monkeypatch.setattr(r15, "_S17_SLICES", 1)
+    one = run()
+    monkeypatch.setattr(r15, "_S17_SLICES", 3)
+    three = run()
+    assert one == three and len(one) > 0

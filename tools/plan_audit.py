@@ -839,6 +839,13 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c73_ivf_index_erase_serve": (
         (), ("CartesianProduct", "SortMergeJoin"), None,
     ),
+    # streaming serve-then-absorb (round 15): the audited plan is the
+    # distinct over the per-batch serve results (freeze pattern); the
+    # batch-split invariance is pinned in tests/test_round15.py and the
+    # per-batch serve plan is c70's (its pins apply)
+    "s17_stream_index_absorb": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
