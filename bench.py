@@ -270,6 +270,7 @@ HEADLINE = [
     "c72_phash_index_serve",  # persisted perceptual band index + delta decode
     "c73_ivf_index_erase_serve",  # targeted-partition physical erase + serve
     "s17_stream_index_absorb",  # streaming serve-then-absorb micro-batches
+    "a215_neardup_percolation_report",  # threshold-health probe (pairs+CC)
 ]
 
 

@@ -401,3 +401,115 @@ WHERE a % {_S17_MOD} = {_S17_DELTA_REM}
 QUERIES["s17_stream_index_absorb"] = QuerySpec(
     s17_stream_index_absorb, _s17_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# a215 -- near-dup PERCOLATION health report: the one-row probe a
+# production semantic-dedup runs BEFORE trusting its threshold.  Round
+# 15's measured finding (SCALE.md): at a fixed tau the chance pair
+# degree P(cos >= tau) * (n - 1) grows linearly with the corpus, and
+# once it crosses ~1 the transitive-closure merge graph percolates into
+# a giant component -- semdedup then deletes the corpus, and no
+# quantizer retrain can save it (a finer quantizer finds MORE of the
+# chance pairs).  This query turns that failure mode into a monitored
+# number: exact pair count at the production tau, observed mean pair
+# degree, group census, keep rate, and the giant-component fraction
+# with an explicit percolation flag (giant > n/2).  At sf0.01 the
+# report is already alarming (keep 0.036) and at sf0.1 terminal (keep
+# 0.0005) -- the cue to run `calibrate_cosine_threshold`.
+# Scale: the exact pair stage is the a21 matmul baseline (quadratic --
+# the health probe runs on a SAMPLE at 100 TB; the LSH-bucketed path is
+# the estimator there), CC is the O(log n) star contraction, and the
+# report is three 1-row broadcast aggregates.
+# ---------------------------------------------------------------------------
+
+
+def a215_neardup_percolation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.ordering import pin_frame
+    from ..operators.similarity import embedding_neardup_pairs
+    from .analytics import _ND_THRESHOLD
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = pin_frame(  # feeds the pair count AND the closure
+        embedding_neardup_pairs(e, threshold=_ND_THRESHOLD)
+    )
+    cc = connected_components(pairs)
+    nv = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    comp = cc.groupBy("component").agg(F.count(F.lit(1)).alias("__sz"))
+    cagg = comp.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("__n_comp"),
+        F.coalesce(F.sum("__sz"), F.lit(0)).alias("__n_nodes"),
+        F.coalesce(F.max("__sz"), F.lit(0)).alias("__giant"),
+    )
+    row = nv.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(cagg))
+    n = F.col("n_vecs").cast("double")
+    n_groups = (
+        F.col("n_vecs") - F.col("__n_nodes") + F.col("__n_comp")
+    ).cast("bigint")
+    return row.select(
+        "n_vecs",
+        "n_pairs",
+        F.round(F.lit(2.0) * F.col("n_pairs") / n, 6).alias("pair_degree"),
+        n_groups.alias("n_groups"),
+        F.round(n_groups.cast("double") / n, 4).alias("keep_rate"),
+        F.round(F.col("__giant").cast("double") / n, 4).alias("giant_frac"),
+        (F.col("__giant").cast("double") / n >= 0.5).alias("percolated"),
+    )
+
+
+def _a215_sql() -> str:
+    from ..operators.similarity import DOT_SQL
+    from .analytics import _ND_THRESHOLD
+
+    dot = DOT_SQL.replace("{a}", "{x}").replace("{b}", "{y}")
+    ab = dot.format(x="a.embedding", y="b.embedding")
+    aa = dot.format(x="a.embedding", y="a.embedding")
+    bb = dot.format(x="b.embedding", y="b.embedding")
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({ab} / (sqrt({aa}) * sqrt({bb})), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+  ) WHERE cosine >= {_ND_THRESHOLD}
+), sym AS (
+  SELECT a AS u, w FROM (SELECT a, b AS w FROM pairs)
+  UNION
+  SELECT b AS u, a AS w FROM pairs
+), nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.w = reach.node
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), sizes AS (
+  SELECT component, count(*) AS sz FROM comp GROUP BY component
+), cagg AS (
+  SELECT COALESCE(count(*), 0) AS n_comp,
+         COALESCE(sum(sz), 0) AS n_nodes,
+         COALESCE(max(sz), 0) AS giant
+  FROM sizes
+), base AS (
+  SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+         (SELECT count(*) FROM pairs) AS n_pairs
+)
+SELECT b.n_vecs, b.n_pairs,
+       round(2.0 * b.n_pairs / b.n_vecs, 6) AS pair_degree,
+       CAST(b.n_vecs - c.n_nodes + c.n_comp AS BIGINT) AS n_groups,
+       round(CAST(b.n_vecs - c.n_nodes + c.n_comp AS DOUBLE) / b.n_vecs, 4)
+         AS keep_rate,
+       round(CAST(c.giant AS DOUBLE) / b.n_vecs, 4) AS giant_frac,
+       CAST(c.giant AS DOUBLE) / b.n_vecs >= 0.5 AS percolated
+FROM base b CROSS JOIN cagg c
+"""
+
+
+QUERIES["a215_neardup_percolation_report"] = QuerySpec(
+    a215_neardup_percolation_report, _a215_sql()
+)

@@ -846,6 +846,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "s17_stream_index_absorb": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # percolation health report (round 15): exact matmul pair stage
+    # (Arrow mapInPandas, broadcast-budget guarded) + star-contraction
+    # CC + three 1-row broadcast aggregates -- never a JVM-side
+    # cartesian/nested-loop pair join
+    "a215_neardup_percolation_report": (
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "NestedLoop"),
+        None,
+    ),
 }
 
 
