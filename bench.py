@@ -271,6 +271,8 @@ HEADLINE = [
     "c73_ivf_index_erase_serve",  # targeted-partition physical erase + serve
     "s17_stream_index_absorb",  # streaming serve-then-absorb micro-batches
     "a215_neardup_percolation_report",  # threshold-health probe (pairs+CC)
+    "a216_percolation_probe_sampled",  # the probe's linear bounded-sample form
+    "c74_index_erasure_audit",  # GDPR cascade across all three indexes
 ]
 
 

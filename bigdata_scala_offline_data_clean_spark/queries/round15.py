@@ -513,3 +513,246 @@ FROM base b CROSS JOIN cagg c
 QUERIES["a215_neardup_percolation_report"] = QuerySpec(
     a215_neardup_percolation_report, _a215_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# a216 -- the percolation probe's LINEAR-SCALE form: the same report as
+# a215 estimated from a bounded canonical sample.  a215's exact pair
+# stage is quadratic by contract (wall tracks the pair count -- 79s on
+# the 10x replica as 1.58M pairs emerge); at 100 TB nobody runs that.
+# Percolation is decided by the mean CHANCE pair degree, and a sample's
+# pair-exceedance rate estimates it: degree_hat = pairs_s / (S*(S-1)/2)
+# * (n-1).  The sample is the canonical top-S by vec_id (the
+# train_ivf_centroids/calibrate_cosine_threshold convention) so both
+# engines draw the identical rows and the estimate is deterministic --
+# exact-match oracle, not a tolerance check.  Cost: O(S^2 + n) -- the
+# corpus contributes only its count.
+# ---------------------------------------------------------------------------
+
+_A216_SAMPLE = 256
+
+
+def a216_percolation_probe_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import embedding_neardup_pairs
+    from .analytics import _ND_THRESHOLD
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # canonical bounded sample: top-S by vec_id (TakeOrderedAndProject,
+    # never a full sort); at 100 TB S stays fixed while n grows
+    sample = e.orderBy(F.col("vec_id").asc()).limit(_A216_SAMPLE)
+    pairs = embedding_neardup_pairs(sample, threshold=_ND_THRESHOLD)
+    nv = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    ns = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_sample_pairs"))
+    s = F.col("n_sample").cast("double")
+    degree_hat = F.round(
+        F.col("n_sample_pairs") / (s * (s - 1) / 2.0)
+        * (F.col("n_vecs") - 1),
+        6,
+    )
+    return (
+        nv.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_vecs",
+            "n_sample",
+            "n_sample_pairs",
+            degree_hat.alias("pair_degree_hat"),
+            (degree_hat >= 1.0).alias("percolation_risk"),
+        )
+    )
+
+
+def _a216_sql() -> str:
+    from ..operators.similarity import DOT_SQL
+    from .analytics import _ND_THRESHOLD
+
+    dot = DOT_SQL.replace("{a}", "{x}").replace("{b}", "{y}")
+    ab = dot.format(x="a.embedding", y="b.embedding")
+    aa = dot.format(x="a.embedding", y="a.embedding")
+    bb = dot.format(x="b.embedding", y="b.embedding")
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY vec_id ASC LIMIT {_A216_SAMPLE}
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+  WHERE round({ab} / (sqrt({aa}) * sqrt({bb})), 6) >= {_ND_THRESHOLD}
+), base AS (
+  SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+         (SELECT count(*) FROM s) AS n_sample,
+         (SELECT count(*) FROM pairs) AS n_sample_pairs
+)
+SELECT n_vecs, n_sample, n_sample_pairs,
+       round(n_sample_pairs / (n_sample * (n_sample - 1.0) / 2.0)
+             * (n_vecs - 1), 6) AS pair_degree_hat,
+       n_sample_pairs / (n_sample * (n_sample - 1.0) / 2.0)
+         * (n_vecs - 1) >= 1.0 AS percolation_risk
+FROM base
+"""
+
+
+QUERIES["a216_percolation_probe_sampled"] = QuerySpec(
+    a216_percolation_probe_sampled, _a216_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# c74 -- the GDPR erasure CASCADE executed across every index the corpus
+# maintains, with a read-back audit.  c64 plans erasure (dry-run row
+# counts per table); c71/c72/c73 gave each index its delete verb; c74
+# is the operation a data-protection request actually triggers: one
+# subject set erased from the TEXT band index and the PERCEPTUAL band
+# index (tombstone/merge-on-read -- rows are bucket-scattered) and its
+# vectors from the IVF index (partition-targeted physical rewrite --
+# the cell layout co-locates them), then an audit row per index with
+# rows_before / rows_erased / rows_after COUNTED FROM THE REAL STORAGE
+# (the built tables, the live views, the rewritten partitions).  The
+# DuckDB twin derives the same counts from first principles (exactly
+# 8 band rows per doc, 4 phash rows per doc, 1 IVF row per vector), so
+# a tombstone that misses rows, an anti-join that drops live rows, or a
+# partition rewrite that serves stale data breaks the exact match.
+# Scale: three index builds (each the already-audited amortized shape)
+# + erase verbs that are O(|erased|) / O(affected cells) + six 1-row
+# count aggregates -- the audit itself is metadata-sized.
+# ---------------------------------------------------------------------------
+
+_C74_DOC_MOD, _C74_DOC_REM = 10, 7  # subject documents
+_C74_VEC_MOD, _C74_VEC_REM = 25, 7  # subject vectors (c73's set)
+
+
+def c74_index_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import hash64_band_rows, minhash_band_index
+    from ..sources.catalog import Warehouse
+    from ._util import freeze_result
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE
+    from .round14 import _a213_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    erase_docs = d.where(
+        F.pmod(F.col("doc_id"), F.lit(_C74_DOC_MOD)) == _C74_DOC_REM
+    ).select("doc_id")
+    erase_vecs = e.where(
+        F.pmod(F.col("vec_id"), F.lit(_C74_VEC_MOD)) == _C74_VEC_REM
+    ).select(F.col("vec_id").alias("n_id"))
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c74_")
+    try:
+        wh = Warehouse(spark, scratch)
+        # BUILD all three indexes (amortized at 100 TB; real here so the
+        # audit counts actual storage)
+        wh.write_bucketed(
+            minhash_band_index(
+                d, shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS
+            ),
+            "dwd", "c74_text", ["band_id", "band_sig"], buckets=8,
+            sort_cols=["band_id", "band_sig"],
+        )
+        wh.write_bucketed(
+            hash64_band_rows(_a213_hashes(d)),
+            "dwd", "c74_phash", ["band", "val"], buckets=8,
+            sort_cols=["band", "val"],
+        )
+        from .round13 import _ivf_index_lifecycle  # noqa: F401  (shape ref)
+        from ..operators.similarity import l2_fold_sql, argmin_struct_sql
+        from .quantizers import A16_CENTROIDS
+
+        cell = F.expr(
+            argmin_struct_sql(
+                [l2_fold_sql("embedding", c) for c in A16_CENTROIDS]
+            )
+            + ".cid"
+        ).cast("int")
+        e.select(
+            F.col("vec_id").alias("n_id"), cell.alias("cell")
+        ).write.partitionBy("cell").parquet(f"{scratch}/c74_ivf")
+
+        def audit(name, layout, verb, before_df, erased_n, after_df):
+            return (
+                name, layout, verb,
+                before_df.count(), erased_n, after_df.count(),
+            )
+
+        rows = []
+        # TEXT bands: tombstone erase, live view must drop exactly the
+        # subject docs' 8 rows each
+        t = wh.bucketed_table("dwd", "c74_text")
+        n_hit = t.join(F.broadcast(erase_docs), "doc_id", "left_semi").count()
+        wh.append_tombstones(erase_docs, "dwd", "c74_text")
+        rows.append(audit(
+            "minhash_bands", "bucketed(band_id,band_sig)", "tombstone",
+            t, n_hit, wh.read_bucketed_live("dwd", "c74_text"),
+        ))
+        # PERCEPTUAL bands: same verb, 4 rows per doc
+        p = wh.bucketed_table("dwd", "c74_phash")
+        p_hit = p.join(F.broadcast(erase_docs), "doc_id", "left_semi").count()
+        wh.append_tombstones(erase_docs, "dwd", "c74_phash")
+        rows.append(audit(
+            "phash_bands", "bucketed(band,val)", "tombstone",
+            p, p_hit, wh.read_bucketed_live("dwd", "c74_phash"),
+        ))
+        # IVF cells: physical targeted-partition rewrite
+        ivf_before = spark.read.parquet(f"{scratch}/c74_ivf").count()
+        v_hit = erase_vecs.count()
+        Warehouse(spark, scratch).erase_partition_rows(
+            "", "c74_ivf", "cell", erase_vecs, "n_id"
+        )
+        rows.append((
+            "ivf_vectors", "partitioned(cell)", "partition_rewrite",
+            ivf_before, v_hit,
+            spark.read.parquet(f"{scratch}/c74_ivf").count(),
+        ))
+        out = spark.createDataFrame(
+            rows,
+            "index_name string, layout string, verb string, "
+            "rows_before bigint, rows_erased bigint, rows_after bigint",
+        )
+        return freeze_result(out)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_c74_text")
+        spark.sql("DROP TABLE IF EXISTS dwd_c74_phash")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _c74_sql() -> str:
+    from .analytics import _MH_BANDS
+
+    return f"""
+WITH n AS (
+  SELECT count(*) AS nd,
+         count(*) FILTER (WHERE doc_id % {_C74_DOC_MOD} = {_C74_DOC_REM})
+           AS ed
+  FROM documents
+), v AS (
+  SELECT count(*) AS nv,
+         count(*) FILTER (WHERE vec_id % {_C74_VEC_MOD} = {_C74_VEC_REM})
+           AS ev
+  FROM embeddings
+)
+SELECT 'minhash_bands' AS index_name,
+       'bucketed(band_id,band_sig)' AS layout, 'tombstone' AS verb,
+       CAST({_MH_BANDS} * nd AS BIGINT) AS rows_before,
+       CAST({_MH_BANDS} * ed AS BIGINT) AS rows_erased,
+       CAST({_MH_BANDS} * (nd - ed) AS BIGINT) AS rows_after
+FROM n
+UNION ALL
+SELECT 'phash_bands', 'bucketed(band,val)', 'tombstone',
+       CAST(4 * nd AS BIGINT), CAST(4 * ed AS BIGINT),
+       CAST(4 * (nd - ed) AS BIGINT)
+FROM n
+UNION ALL
+SELECT 'ivf_vectors', 'partitioned(cell)', 'partition_rewrite',
+       CAST(nv AS BIGINT), CAST(ev AS BIGINT), CAST(nv - ev AS BIGINT)
+FROM v
+"""
+
+
+QUERIES["c74_index_erasure_audit"] = QuerySpec(
+    c74_index_erasure_audit, _c74_sql()
+)

@@ -851,8 +851,23 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # CC + three 1-row broadcast aggregates -- never a JVM-side
     # cartesian/nested-loop pair join
     "a215_neardup_percolation_report": (
-        ("BroadcastNestedLoopJoin",), ("CartesianProduct", "NestedLoop"),
+        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+    ),
+    # sampled percolation probe (round 15): bounded top-S sample
+    # (TakeOrderedAndProject, never a full sort) -> in-sample exact
+    # pairs -> 1-row broadcast aggregates; corpus contributes only a
+    # count
+    "a216_percolation_probe_sampled": (
+        ("TakeOrderedAndProject", "BroadcastNestedLoopJoin"),
+        ("CartesianProduct",),
         None,
+    ),
+    # cross-index erasure audit (round 15): freeze_result truncates
+    # lineage (scratch indexes are dropped); the per-index erase pins
+    # live in tests/test_round15.py and the count identities ARE the
+    # oracle
+    "c74_index_erasure_audit": (
+        (), ("CartesianProduct", "NestedLoop", "SortMergeJoin"), None,
     ),
 }
 
