@@ -451,3 +451,68 @@ def test_s17_output_invariant_to_batch_split(spark, monkeypatch):
     monkeypatch.setattr(r15, "_S17_SLICES", 3)
     three = run()
     assert one == three and len(one) > 0
+
+
+def test_phash_index_absorb_two_day_lifecycle(spark, tmp_path):
+    """c72's daily loop must close like c70's (the minhash twin of
+    test_minhash_index_absorb_two_day_lifecycle): build the perceptual
+    index on day-0 history, serve day 1, ABSORB day 1 (append its band
+    rows under the same bucket spec), serve day 2 -- and day 2's answer
+    must equal the full-corpus a213 pipeline restricted to
+    day-2-involved pairs."""
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        hash64_band_pairs,
+        hash64_band_rows,
+        serve_hash64_band_index,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.round14 import (
+        _A213_MAX_HAMMING,
+        _a213_hashes,
+    )
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    if not os.path.exists(f"{SF0001}/documents.parquet"):
+        pytest.skip("testdata not present")
+    d = load_table(spark, SF0001, "documents")
+    mod = F.pmod(F.col("doc_id"), F.lit(10))
+    day0, day1, day2 = (
+        d.where(~mod.isin(8, 9)),
+        d.where(mod == 9),
+        d.where(mod == 8),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    spec = dict(
+        bucket_cols=["band", "val"], buckets=8, sort_cols=["band", "val"]
+    )
+    try:
+        wh.write_bucketed(
+            hash64_band_rows(_a213_hashes(day0)), "dwd", "t72_life", **spec
+        )
+        idx = wh.bucketed_table("dwd", "t72_life")
+        serve_hash64_band_index(
+            idx, _a213_hashes(day1), _A213_MAX_HAMMING
+        ).count()  # day-1 serve runs; its pairs are not under test here
+        # ABSORB day 1 under the same bucket spec
+        wh.write_bucketed(
+            hash64_band_rows(_a213_hashes(day1)),
+            "dwd", "t72_life", **spec, mode="append",
+        )
+        served2 = sorted(
+            (r["a"], r["b"], r["hamming"])
+            for r in serve_hash64_band_index(
+                idx, _a213_hashes(day2), _A213_MAX_HAMMING
+            ).collect()
+        )
+        full = sorted(
+            (r["a"], r["b"], r["hamming"])
+            for r in hash64_band_pairs(
+                _a213_hashes(d), _A213_MAX_HAMMING
+            ).collect()
+            if r["a"] % 10 == 8 or r["b"] % 10 == 8
+        )
+        assert served2 == full and len(served2) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_t72_life")
