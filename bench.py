@@ -273,6 +273,7 @@ HEADLINE = [
     "a215_neardup_percolation_report",  # threshold-health probe (pairs+CC)
     "a216_percolation_probe_sampled",  # the probe's linear bounded-sample form
     "c74_index_erasure_audit",  # GDPR cascade across all three indexes
+    "c75_semdedup_index_serve",  # vector DEDUP gate off the cell index
 ]
 
 

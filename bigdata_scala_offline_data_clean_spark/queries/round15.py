@@ -756,3 +756,161 @@ FROM v
 QUERIES["c74_index_erasure_audit"] = QuerySpec(
     c74_index_erasure_audit, _c74_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# c75 -- semantic-dedup SERVING against the persisted vector index: the
+# missing cell of the serve matrix.  c70/c72 serve text/perceptual
+# DEDUP from their band indexes and c69 serves vector ANN QUERIES from
+# the cell-partitioned index -- c75 serves the vector DEDUP gate from
+# the same cell layout: the corpus' (vector, norm, cluster) rows persist
+# partitioned by their frozen-quantizer cell; a delta assigns ITS OWN
+# vectors (the same literal folds), reads ONLY its clusters' partitions
+# (planning-time pruning, the c69 mechanism), and emits the
+# delta-involved within-cluster cosine near-dup pairs an ingest gate
+# acts on.  Oracle-exact: assignment and the fold-path cosine are
+# deterministic, so serve == the a209 frozen-quantizer pair algebra
+# restricted to delta-involved pairs.
+# Scale: serve cost is O(delta folds) + the probed-cells scan + the
+# within-cluster pair join the SemDeDup contract bounds by quantizer
+# granularity; the corpus is never re-assigned.
+# ---------------------------------------------------------------------------
+
+_C75_MOD, _C75_DELTA_REM = 10, 6  # >= 15 delta-involved pairs at every
+# test SF (29 / 33 / 360 at sf0.001/0.01/0.1, tau = _SD_COS)
+
+
+def c75_semdedup_index_serve(
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ordering import pin_frame
+    from ..operators.similarity import (
+        _norm,
+        argmin_struct_sql,
+        dot_product,
+        l2_fold_sql,
+    )
+    from ._util import freeze_result
+    from .quantizers import A209_CENTROIDS
+    from .round13 import _SD_COS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_delta = F.pmod(F.col("vec_id"), F.lit(_C75_MOD)) == _C75_DELTA_REM
+    corpus, delta = e.where(~is_delta), e.where(is_delta)
+    cell = F.expr(
+        argmin_struct_sql(
+            [l2_fold_sql("embedding", c) for c in A209_CENTROIDS]
+        )
+        + ".cid"
+    ).cast("int")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c75_")
+    try:
+        # BUILD: one corpus assignment pass, persisted cell-partitioned
+        par = spark.sparkContext.defaultParallelism
+        corpus.repartition(par).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("__c_vec"),
+            _norm(F.col("embedding")).alias("__c_norm"),
+            cell.alias("cell"),
+        ).write.partitionBy("cell").parquet(f"{scratch}/sd_index")
+        # SERVE: the delta assigns itself with the same literal folds
+        d = pin_frame(  # feeds the cell list AND both pair joins
+            delta.select(
+                F.col("vec_id").alias("d_id"),
+                F.col("embedding").alias("__d_vec"),
+                _norm(F.col("embedding")).alias("__d_norm"),
+                cell.alias("cell"),
+            ),
+            reliable=reliable_pins,
+        )
+        # probed-cell list: bounded driver fetch (<= k ints) so the
+        # IN-filter is a PLAN LITERAL the scan prunes partitions with
+        cells = sorted({r["cell"] for r in d.select("cell").collect()})
+        idx = (
+            spark.read.parquet(f"{scratch}/sd_index")
+            .withColumn("cell", F.col("cell").cast("int"))
+            .where(F.col("cell").isin(cells))
+        )
+        cos_ci = F.round(
+            dot_product(F.col("__d_vec"), F.col("__c_vec"))
+            / (F.col("__d_norm") * F.col("__c_norm")),
+            6,
+        )
+        cross = (
+            d.join(idx, "cell")
+            .where(cos_ci >= _SD_COS)
+            .select(
+                F.least("d_id", "c_id").alias("a"),
+                F.greatest("d_id", "c_id").alias("b"),
+                cos_ci.alias("cosine"),
+            )
+        )
+        d2 = d.select(
+            F.col("d_id").alias("e_id"),
+            F.col("__d_vec").alias("__e_vec"),
+            F.col("__d_norm").alias("__e_norm"),
+            "cell",
+        )
+        cos_dd = F.round(
+            dot_product(F.col("__d_vec"), F.col("__e_vec"))
+            / (F.col("__d_norm") * F.col("__e_norm")),
+            6,
+        )
+        within = (
+            d.join(d2, "cell")
+            .where((F.col("d_id") < F.col("e_id")) & (cos_dd >= _SD_COS))
+            .select(
+                F.col("d_id").alias("a"),
+                F.col("e_id").alias("b"),
+                cos_dd.alias("cosine"),
+            )
+        )
+        return freeze_result(cross.unionByName(within))  # pre-rmtree
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _c75_sql() -> str:
+    from ..operators.similarity import DOT_SQL as dot
+
+    from .analytics import _quantizer_values_sql
+    from .quantizers import A209_CENTROIDS
+    from .round10 import _l2_seg_sql
+    from .round13 import _SD_COS
+
+    dim = len(A209_CENTROIDS[0])
+    seeds = _quantizer_values_sql(
+        [(i + 1, c) for i, c in enumerate(A209_CENTROIDS)], "t(cid, cv)"
+    )
+    l2 = _l2_seg_sql("e.embedding", "s.cv", "0", dim)
+    ab = dot.format(a="x.embedding", b="y.embedding")
+    aa = dot.format(a="x.embedding", b="x.embedding")
+    bb = dot.format(a="y.embedding", b="y.embedding")
+    return f"""
+WITH seeds AS (SELECT * FROM {seeds}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {l2} ASC, s.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), v AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round({ab} / (sqrt({aa}) * sqrt({bb})), 6) AS cosine
+FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE round({ab} / (sqrt({aa}) * sqrt({bb})), 6) >= {_SD_COS}
+  AND (x.vec_id % {_C75_MOD} = {_C75_DELTA_REM}
+       OR y.vec_id % {_C75_MOD} = {_C75_DELTA_REM})
+"""
+
+
+QUERIES["c75_semdedup_index_serve"] = QuerySpec(
+    c75_semdedup_index_serve, _c75_sql()
+)

@@ -869,6 +869,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c74_index_erasure_audit": (
         (), ("CartesianProduct", "NestedLoop", "SortMergeJoin"), None,
     ),
+    # semdedup index serve (round 15): c69's freeze pattern -- the
+    # probed-cell partition pruning mechanism is pinned by
+    # test_c69_serves_from_probed_cells_only /
+    # test_ivf_index_absorb_appends_into_cells; values by the oracle
+    # (a209 pair algebra restricted to delta-involved pairs)
+    "c75_semdedup_index_serve": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
