@@ -659,8 +659,7 @@ def c74_index_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dwd", "c74_phash", ["band", "val"], buckets=8,
             sort_cols=["band", "val"],
         )
-        from .round13 import _ivf_index_lifecycle  # noqa: F401  (shape ref)
-        from ..operators.similarity import l2_fold_sql, argmin_struct_sql
+        from ..operators.similarity import argmin_struct_sql, l2_fold_sql
         from .quantizers import A16_CENTROIDS
 
         cell = F.expr(
