@@ -1,5 +1,27 @@
 """Round-15 queries: the persisted-index lifecycle completed with its
-missing verbs (VERDICT r14 tasks #1-#3).
+missing verbs (VERDICT r14 tasks #1-#3), plus the serve matrix's last
+cells and the threshold-percolation monitoring pair.
+
+The module's eight queries, by role:
+
+- c71  tombstone ERASURE on the MinHash band index (build -> absorb ->
+       erase -> serve, exact oracle over the live documents)
+- c72  persisted PERCEPTUAL-fingerprint index serving (the c70 pattern
+       on the a213 average-hash; verify needs no corpus re-read)
+- c73  PHYSICAL erasure on the cell-partitioned IVF index (targeted
+       partition rewrite; recall audited over the live corpus)
+- c74  the GDPR erasure CASCADE executed across all three indexes with
+       a read-back count audit (first-principles count oracle)
+- c75  SemDeDup SERVING off the cell-partitioned vector index (the
+       dedup gate counterpart of c69's ANN serving)
+- s17  STREAMING serve-then-absorb ingest (foreachBatch; exact oracle
+       via batch-split independence)
+- a215 near-dup PERCOLATION health report (exact form; quadratic by
+       contract) and
+- a216 its linear bounded-sample form -- the monitored shape of the
+       round's falsified-remediation finding (SCALE.md: fixed tau
+       percolates as n grows; recalibrate tau, retraining k alone makes
+       it worse).
 
 c71 -- ERASURE from the incremental MinHash index: build -> absorb ->
 erase a document set -> serve, with the erase implemented as
