@@ -424,6 +424,7 @@ def calibrate_cosine_threshold(
     chance_degree: float = 0.05,
     sample_size: int = 2048,
     min_tau: float = 0.0,
+    warn_dup_level: float = 0.9,
 ) -> float:
     """Corpus-calibrated near-duplicate cosine threshold: the smallest
     6dp tau at which the expected CHANCE pair degree per document stays
@@ -453,7 +454,24 @@ def calibrate_cosine_threshold(
     in the sample can only push tau UP, never let chance pairs in).
     Deterministic: canonical order, no RNG.  Returns
     ``max(tau, min_tau)``.
+
+    Many-duplicates caveat (ADVICE r15): the tail budget counts ALL
+    sampled pairs at/above tau, chance AND genuine near-duplicates
+    alike.  On a corpus whose sample holds more TRUE-dup pairs than the
+    budget ``k``, those pairs consume it and tau lands one step ABOVE
+    the true-dup cosine level -- semantic dedup then silently becomes a
+    no-op that still satisfies the keep-rate alarm (vacuously: nothing
+    merges).  Conservative by design (tau only goes up; chance pairs
+    are never let in), but it must not pass silently: when the boundary
+    cosine the budget landed on is already near-duplicate-grade
+    (``>= warn_dup_level``), a ``UserWarning`` fires -- cosine alone
+    cannot separate chance from genuine pairs, so the remediation is a
+    larger sample, a tighter ``chance_degree``, or pre-deduping the
+    sample before calibrating.  The return value is unchanged (the
+    guard never silently lowers tau back into chance territory).
     """
+    import warnings
+
     import numpy as np
 
     n_total = corpus.count()
@@ -480,7 +498,19 @@ def calibrate_cosine_threshold(
     # degrades to one step above the sample minimum, then min_tau)
     k = min(int(np.floor(budget * len(vals))), len(vals) - 1)
     # tau = one 6dp step above the (k+1)-th largest sampled cosine
-    tau = float(vals[len(vals) - 1 - k]) + 1e-6
+    boundary = float(vals[len(vals) - 1 - k])
+    if boundary >= warn_dup_level:
+        warnings.warn(
+            f"calibrate_cosine_threshold: the exceedance budget (k={k}) "
+            f"landed on a boundary cosine of {boundary:.6f} >= "
+            f"{warn_dup_level} -- the sample's top pairs look like GENUINE "
+            "near-duplicates consuming the chance budget, so the returned "
+            "tau likely makes semantic dedup a no-op; enlarge the sample, "
+            "tighten chance_degree, or pre-dedup the sample",
+            UserWarning,
+            stacklevel=2,
+        )
+    tau = boundary + 1e-6
     return round(max(tau, min_tau), 6)
 
 

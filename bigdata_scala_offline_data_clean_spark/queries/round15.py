@@ -569,10 +569,13 @@ def a216_percolation_probe_sampled(
     ns = sample.agg(F.count(F.lit(1)).alias("n_sample"))
     np_ = pairs.agg(F.count(F.lit(1)).alias("n_sample_pairs"))
     s = F.col("n_sample").cast("double")
-    degree_hat = F.round(
+    # the risk flag compares the UNROUNDED ratio, exactly like the SQL
+    # twin (ADVICE r15: comparing the 6dp-rounded value would diverge
+    # from the oracle for a ratio in [1 - 5e-7, 1)); rounding is applied
+    # only to the REPORTED column, in both engines
+    degree_hat = (
         F.col("n_sample_pairs") / (s * (s - 1) / 2.0)
-        * (F.col("n_vecs") - 1),
-        6,
+        * (F.col("n_vecs") - 1)
     )
     return (
         nv.crossJoin(F.broadcast(ns))
@@ -581,7 +584,7 @@ def a216_percolation_probe_sampled(
             "n_vecs",
             "n_sample",
             "n_sample_pairs",
-            degree_hat.alias("pair_degree_hat"),
+            F.round(degree_hat, 6).alias("pair_degree_hat"),
             (degree_hat >= 1.0).alias("percolation_risk"),
         )
     )

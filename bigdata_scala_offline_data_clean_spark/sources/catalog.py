@@ -365,7 +365,19 @@ class Warehouse:
         bucket -- builds and absorbs write whatever task layout they
         have; this is the defragmenter.  At 100 TB this is the scheduled
         off-peak job the c40 planner sizes; the bucket spec is
-        unchanged, so serves before and after plan identically."""
+        unchanged, so serves before and after plan identically.
+
+        Durability caveat (ADVICE r15): the rewrite overwrites the
+        table it read, protected only by an eager ``localCheckpoint``
+        whose blocks live in NON-REPLICATED executor storage -- an
+        executor loss between the overwrite's delete and rewrite loses
+        the index with no recovery path, unlike the Delta/Iceberg
+        snapshot swap this emulates.  Acceptable in local mode and for
+        any index that is (cheaply) rebuildable from the corpus; a
+        production deployment schedules it off-peak with the source
+        corpus retained, or writes to a temp table and swaps (the
+        plain-parquet catalog here has no atomic rename-over-table, so
+        the swap variant is deliberately not faked)."""
         live = self.read_bucketed_live(layer, table, id_col).localCheckpoint(
             eager=True
         )
@@ -423,9 +435,28 @@ class Warehouse:
         absent from the dynamic overwrite (which only replaces partitions
         present in the frame), so its directory is removed explicitly.
         Untouched partitions keep their exact files (pytest-pinned by
-        file listing).  Returns the affected partition values."""
+        file listing).  Returns the affected partition values.
+
+        Restricted to INTEGRAL partition columns (ADVICE r15): step (3)
+        reconstructs the emptied partition's directory name as
+        ``{part_col}={v}`` from the read-back typed value, but Spark
+        ESCAPES special characters in partition directory names on
+        write, so for string/date values the reconstructed name can
+        miss the real directory and the fully-erased partition would
+        keep serving stale rows.  Integer values render identically in
+        both directions; anything else raises.  Shares
+        :meth:`compact_bucketed`'s non-atomic-overwrite durability
+        caveat (localCheckpoint freeze, no snapshot swap)."""
         path = self.path(layer, table)
         t = self.spark.read.parquet(path)
+        part_type = dict(t.dtypes).get(part_col)
+        if part_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise NotImplementedError(
+                f"erase_partition_rows requires an integral partition "
+                f"column; {part_col!r} is {part_type!r} (directory-name "
+                "reconstruction would not survive Spark's partition-value "
+                "escaping)"
+            )
         eids = F.broadcast(erase_ids.select(id_col).distinct())
         affected = sorted(
             r[0]
