@@ -82,6 +82,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round13,
         round14,
         round15,
+        round16,
         streaming_q,
     )
 
@@ -108,6 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round13,
         round14,
         round15,
+        round16,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

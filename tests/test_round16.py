@@ -1,0 +1,107 @@
+"""Round-16 pins: the registered tau-calibration query is the
+operator's playbook bit-for-bit, the calibration guard warns on the
+many-duplicates failure mode, and the partition-erase API rejects
+layouts whose directory names it cannot reconstruct."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_a217_tau_matches_operator_bitwise(spark):
+    """The driver-checked a217 row must BE the
+    ``calibrate_cosine_threshold`` playbook: same canonical sample,
+    same budget arithmetic, same tau to the last bit -- otherwise the
+    registered query and the operator could drift apart and the
+    'recalibrate, never retrain alone' remediation would no longer be
+    what the driver actually checks."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        calibrate_cosine_threshold,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.round16 import (
+        _A217_SAMPLE,
+        a217_tau_calibration,
+    )
+
+    row = a217_tau_calibration(spark, SF_SMALL).collect()[0]
+    tau_op = calibrate_cosine_threshold(
+        load_table(spark, SF_SMALL, "embeddings"), sample_size=_A217_SAMPLE
+    )
+    assert row["tau_calibrated"] == tau_op  # bit-exact, both 6dp floats
+    assert row["within_budget"] is True
+    # the estimate the query reports is the one the budget rule bounds
+    assert row["est_chance_degree_at_tau"] <= row["chance_degree_budget"]
+
+
+def test_calibrate_warns_when_true_dups_consume_budget(spark):
+    """ADVICE r15: a sample dominated by GENUINE duplicate pairs pushes
+    tau above the true-dup cosine level and semantic dedup silently
+    no-ops.  The operator cannot fix that (chance and genuine pairs are
+    indistinguishable by cosine), but it must say so: boundary cosine
+    >= warn_dup_level fires a UserWarning.  A chance-dominated corpus
+    stays silent."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        calibrate_cosine_threshold,
+    )
+
+    # 50 vectors, 40 of them identical -> ~780 cosine-1.0 pairs against
+    # a budget of k = floor(0.05/49 * 1225) = 1
+    dup_heavy = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") < 40, F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+        )
+        .otherwise(
+            F.array(
+                F.sin(F.col("id") * 1.0),
+                F.cos(F.col("id") * 2.0),
+                F.sin(F.col("id") * 3.0),
+            )
+        )
+        .alias("embedding"),
+    )
+    with pytest.warns(UserWarning, match="GENUINE"):
+        tau = calibrate_cosine_threshold(dup_heavy, sample_size=64)
+    assert tau > 0.9  # the documented (conservative) outcome
+
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        calibrate_cosine_threshold(
+            load_table(spark, SF_SMALL, "embeddings"), sample_size=128
+        )
+
+
+def test_erase_partition_rows_rejects_non_integral_partition(
+    spark, tmp_path
+):
+    """ADVICE r15: Spark escapes special characters in partition
+    directory names on write, so the manual emptied-partition delete
+    would miss the real directory for string/date values -- the API
+    must refuse them instead of silently serving stale rows."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # non-numeric values: partition-type inference would read numeric
+    # strings back as ints, which the API legitimately accepts
+    rows = spark.range(10).selectExpr(
+        "id AS n_id", "concat('v ', id % 3) AS cell"
+    )
+    rows.write.partitionBy("cell").parquet(wh.path("dwd", "t_str_cells"))
+    with pytest.raises(NotImplementedError, match="integral"):
+        wh.erase_partition_rows(
+            "dwd",
+            "t_str_cells",
+            "cell",
+            spark.range(3).selectExpr("id AS n_id"),
+            "n_id",
+        )

@@ -877,6 +877,15 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c75_semdedup_index_serve": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # tau calibration (round 16): canonical bounded sample
+    # (TakeOrderedAndProject, never a full sort), bounded top-(k+1)
+    # tail pick (also TakeOrdered), 1-row broadcast aggregates; the
+    # corpus contributes only a count -- the a216 probe shape
+    "a217_tau_calibration": (
+        ("TakeOrderedAndProject", "BroadcastNestedLoopJoin"),
+        ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
 }
 
 
