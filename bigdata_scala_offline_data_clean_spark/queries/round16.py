@@ -166,3 +166,148 @@ FROM kcalc k, tau t, exc e
 
 
 QUERIES["a217_tau_calibration"] = QuerySpec(a217_tau_calibration, _a217_sql())
+
+
+# ---------------------------------------------------------------------------
+# c76 -- the COMPACTION lifecycle as a driver-checked row.  Round 15
+# shipped the maintenance verb (Warehouse.maybe_compact_bucketed) with
+# pytest pins only; c76 registers the full loop: build the band index,
+# absorb TWO delta generations, tombstone-erase a doc set, run the
+# threshold-triggered compaction, then serve a day's delta off the
+# compacted index.  The one-row audit reports the REAL filesystem
+# census (files before/after via Warehouse.data_file_count, tombstone
+# counts read back from the side table) while the DuckDB twin derives
+# the same numbers from FIRST PRINCIPLES -- c74's counted-vs-derived
+# pattern applied to the maintenance verb:
+#
+#   files_before = 3 generations x 4 files  (every write is
+#     repartition(buckets, bucket_cols) -> each task holds exactly one
+#     bucket -> one file per non-empty bucket per generation; all 4
+#     buckets are non-empty at every test SF -- hundreds of distinct
+#     band keys per generation hash across 4 buckets)
+#   files_after  = 4                        (the compaction rewrite is
+#     the same repartition-into-bucket-layout: one file per bucket)
+#   compacted    = true                     (pending tombstones force
+#     it; 12 files > buckets * max_files_per_bucket = 8 also would)
+#   tombstones   = |erase set| before, 0 after (applied + cleared)
+#   served_pairs = |c71's serve identity|   (pairs over the LIVE docs
+#     restricted to delta-involved -- compaction must not change WHAT
+#     serves, only the file layout under it)
+#
+# A compaction that drops live rows, resurrects erased ones, fails to
+# collapse the generations, or leaves tombstones pending breaks the
+# exact match.  Scale: the rewrite is executor-side (localCheckpoint
+# freeze -> repartition -> bucketed overwrite), never a driver
+# materialization; erase stays O(|erased|); the serve is c70's
+# zero-index-side-exchange shape (pytest-pinned in test_round15.py).
+# ---------------------------------------------------------------------------
+
+_C76_MOD = 10
+_C76_DELTA_REM = 5   # served delta (c71's rems: differential at all SFs)
+_C76_ABSORB_REM = 9  # absorbed set, split into two generations
+_C76_ERASE_REM = 7   # tombstoned subset of the day-0 build
+_C76_BUCKETS = 4
+_C76_GENERATIONS = 3  # build + two absorbs
+
+
+def c76_compaction_lifecycle(
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_band_index, serve_minhash_band_index
+    from ..sources.catalog import Warehouse
+    from ._util import freeze_result
+    from .analytics import _MH_BANDS, _MH_N, _MH_SHINGLE, _MH_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    rem = F.pmod(F.col("doc_id"), F.lit(_C76_MOD))
+    day0 = d.where(~rem.isin(_C76_DELTA_REM, _C76_ABSORB_REM))
+    absorb = d.where(rem == _C76_ABSORB_REM)
+    # two absorb generations: halves of the absorb set by decade parity
+    gen_a = absorb.where(
+        F.pmod(F.floor(F.col("doc_id") / _C76_MOD), F.lit(2)) == 0
+    )
+    gen_b = absorb.where(
+        F.pmod(F.floor(F.col("doc_id") / _C76_MOD), F.lit(2)) == 1
+    )
+    delta = d.where(rem == _C76_DELTA_REM)
+    erased = d.where(rem == _C76_ERASE_REM)
+    live_corpus = d.where(~rem.isin(_C76_DELTA_REM, _C76_ERASE_REM))
+    kw = dict(shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS)
+    cols = ["band_id", "band_sig"]
+    spec = dict(bucket_cols=cols, buckets=_C76_BUCKETS, sort_cols=cols)
+
+    def one_file_per_bucket(df: DataFrame) -> DataFrame:
+        # repartition hashes exactly like the bucket spec, so each
+        # write task holds one bucket -> one file per generation+bucket
+        # (what makes files_before derivable from first principles)
+        return df.repartition(_C76_BUCKETS, *[F.col(c) for c in cols])
+
+    scratch = tempfile.mkdtemp(prefix="ods_spark_c76_")
+    try:
+        wh = Warehouse(spark, scratch)
+        wh.write_bucketed(
+            one_file_per_bucket(minhash_band_index(day0, **kw)),
+            "dwd", "c76_idx", **spec,
+        )
+        for gen in (gen_a, gen_b):
+            wh.write_bucketed(
+                one_file_per_bucket(minhash_band_index(gen, **kw)),
+                "dwd", "c76_idx", **spec, mode="append",
+            )
+        wh.append_tombstones(erased.select("doc_id"), "dwd", "c76_idx")
+        files_before = wh.data_file_count("dwd", "c76_idx")
+        tomb_before = wh.tombstones("dwd", "c76_idx").count()
+        compacted, _, files_after = wh.maybe_compact_bucketed(
+            "dwd", "c76_idx", **spec, max_files_per_bucket=2
+        )
+        tomb_pending = wh.tombstones("dwd", "c76_idx")
+        tomb_after = 0 if tomb_pending is None else tomb_pending.count()
+        served = serve_minhash_band_index(
+            wh.read_bucketed_live("dwd", "c76_idx"),
+            delta,
+            live_corpus,
+            threshold=_MH_THRESHOLD,
+            reliable_pins=reliable_pins,
+            **kw,
+        )
+        out = served.agg(F.count(F.lit(1)).alias("served_pairs")).select(
+            F.lit(files_before).cast("bigint").alias("files_before"),
+            F.lit(files_after).cast("bigint").alias("files_after"),
+            F.lit(compacted).alias("compacted"),
+            F.lit(tomb_before).cast("bigint").alias("tombstones_before"),
+            F.lit(tomb_after).cast("bigint").alias("tombstones_after"),
+            F.col("served_pairs"),
+        )
+        return freeze_result(out)  # pre-DROP/rmtree, executor-side
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_c76_idx")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _c76_sql() -> str:
+    from .analytics import _a07_sql
+
+    return f"""
+WITH live AS (
+  SELECT * FROM documents WHERE doc_id % {_C76_MOD} <> {_C76_ERASE_REM}
+), served AS (
+  SELECT a, b FROM ({_a07_sql("live")})
+  WHERE a % {_C76_MOD} = {_C76_DELTA_REM}
+     OR b % {_C76_MOD} = {_C76_DELTA_REM}
+)
+SELECT CAST({_C76_GENERATIONS} * {_C76_BUCKETS} AS BIGINT) AS files_before,
+       CAST({_C76_BUCKETS} AS BIGINT) AS files_after,
+       TRUE AS compacted,
+       (SELECT count(*) FROM documents
+        WHERE doc_id % {_C76_MOD} = {_C76_ERASE_REM}) AS tombstones_before,
+       CAST(0 AS BIGINT) AS tombstones_after,
+       (SELECT count(*) FROM served) AS served_pairs
+"""
+
+
+QUERIES["c76_compaction_lifecycle"] = QuerySpec(
+    c76_compaction_lifecycle, _c76_sql()
+)

@@ -79,6 +79,75 @@ def test_calibrate_warns_when_true_dups_consume_budget(spark):
         )
 
 
+def test_bucket_layout_write_census_and_serve_plan_stability(
+    spark, tmp_path
+):
+    """The c76 oracle's load-bearing assumptions, pinned on synthetic
+    data: (1) a repartition-into-bucket-layout write lands EXACTLY one
+    file per bucket per generation (what makes files_before = 3 x 4
+    derivable from first principles); (2) the serve-side join plans the
+    SAME zero-index-side-exchange shape with tombstones pending as
+    after the compaction rewrite -- compaction changes the file layout,
+    never the plan the serve relies on."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    buckets, cols = 4, ["band_id", "band_sig"]
+    spec = dict(bucket_cols=cols, buckets=buckets, sort_cols=cols)
+
+    def gen_rows(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "CAST(id % 8 AS INT) AS band_id",
+            "md5(CAST(id % 97 AS STRING)) AS band_sig",
+        )
+
+    def bucket_layout(df):
+        return df.repartition(buckets, *[F.col(c) for c in cols])
+
+    def serve_exchanges():
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = gen_rows(9000, 9100).withColumnRenamed("doc_id", "d")
+            plan = (
+                wh.read_bucketed_live("dwd", "t76_idx")
+                .join(probe, cols)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # the probe-side hash exchange is the ONLY non-broadcast
+        # exchange; the bucketed index side never shuffles
+        return plan.count("Exchange hashpartitioning")
+
+    try:
+        wh.write_bucketed(bucket_layout(gen_rows(0, 500)), "dwd",
+                          "t76_idx", **spec)
+        assert wh.data_file_count("dwd", "t76_idx") == buckets
+        for day in (1, 2):
+            wh.write_bucketed(
+                bucket_layout(gen_rows(500 * day, 500 * (day + 1))),
+                "dwd", "t76_idx", **spec, mode="append",
+            )
+        assert wh.data_file_count("dwd", "t76_idx") == 3 * buckets
+        wh.append_tombstones(
+            spark.range(0, 1500, 7).selectExpr("id AS doc_id"),
+            "dwd", "t76_idx",
+        )
+        exch_with_tombstones = serve_exchanges()
+        compacted, before, after = wh.maybe_compact_bucketed(
+            "dwd", "t76_idx", **spec, max_files_per_bucket=2
+        )
+        assert (compacted, before, after) == (True, 3 * buckets, buckets)
+        assert serve_exchanges() == exch_with_tombstones == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwd_t76_idx")
+
+
 def test_erase_partition_rows_rejects_non_integral_partition(
     spark, tmp_path
 ):

@@ -886,6 +886,15 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("CartesianProduct", "SortMergeJoin"),
         None,
     ),
+    # compaction lifecycle (round 16): freeze_result truncates lineage
+    # (the bucketed index is DROPped); the per-state plan pins (zero
+    # index-side exchanges with tombstones pending AND after the
+    # compaction rewrite; one file per bucket per generation) live in
+    # tests/test_round15.py and tests/test_round16.py, and the file
+    # census IS the oracle
+    "c76_compaction_lifecycle": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
 }
 
 
