@@ -485,6 +485,85 @@ class Warehouse:
                     fs.delete(hpath, True)
         return affected
 
+    def partition_file_census(
+        self, layer: str, table: str, part_col: str
+    ) -> dict[int, int]:
+        """Per-partition parquet file counts from the FS listing
+        (metadata only, never a scan) for an integral hive-partitioned
+        layout -- :meth:`data_file_count`'s per-cell form, the trigger
+        signal for :meth:`compact_partitions`."""
+        fs, hpath = self._fs_and_path(self.path(layer, table))
+        out: dict[int, int] = {}
+        if not fs.exists(hpath):
+            return out
+        prefix = f"{part_col}="
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                out[int(name[len(prefix):])] = sum(
+                    1
+                    for f in fs.listStatus(st.getPath())
+                    if f.getPath().getName().endswith(".parquet")
+                )
+        return out
+
+    def compact_partitions(
+        self,
+        layer: str,
+        table: str,
+        part_col: str,
+        max_files_per_partition: int = 1,
+    ) -> list[int]:
+        """Maintenance rewrite for a PARTITION-laid-out table (the c69
+        IVF index's ``cell=N`` layout): fold each fragmented partition's
+        absorb-append file generations back into ONE file, touching only
+        partitions over the ``max_files_per_partition`` threshold.
+
+        :meth:`compact_bucketed`'s counterpart for the second index
+        layout: absorbs append one file generation per affected cell, so
+        a hot cell accumulates per-file task overhead on every serve;
+        the census (FS metadata, no scan) picks the fragmented cells,
+        ONLY those are re-read (the IN-list is a plan literal ->
+        planning-time partition pruning, the same targeting as
+        :meth:`erase_partition_rows`), each is rewritten as one file via
+        dynamic-partition overwrite, and untouched cells keep their
+        exact files.  Rows are never dropped -- there is no tombstone
+        side table in this layout (erasure is physical, see
+        :meth:`erase_partition_rows`), so compaction here is purely a
+        file-count defragmenter.  Returns the compacted cell values.
+
+        Shares :meth:`erase_partition_rows`'s integral-partition-column
+        restriction (the census parses directory names) and
+        :meth:`compact_bucketed`'s non-atomic-overwrite durability
+        caveat (localCheckpoint freeze, no snapshot swap)."""
+        path = self.path(layer, table)
+        t = self.spark.read.parquet(path)
+        part_type = dict(t.dtypes).get(part_col)
+        if part_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise NotImplementedError(
+                f"compact_partitions requires an integral partition "
+                f"column; {part_col!r} is {part_type!r} (the file census "
+                "parses hive directory names, which Spark escapes for "
+                "non-integral values)"
+            )
+        census = self.partition_file_census(layer, table, part_col)
+        affected = sorted(
+            v for v, n in census.items() if n > max_files_per_partition
+        )
+        if not affected:
+            return []
+        frozen = (
+            t.where(F.col(part_col).isin(affected))
+            .localCheckpoint(eager=True)  # freeze: we overwrite our source
+        )
+        # hash-repartition on the partition column: every cell lands
+        # wholly in one task, and the writer splits per partition dir,
+        # so each compacted cell comes back as exactly one file
+        frozen.repartition(F.col(part_col)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(part_col).parquet(path)
+        return affected
+
     def compact_partition(
         self, layer: str, table: str, etl_date: str, target_files: int
     ) -> None:

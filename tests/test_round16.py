@@ -148,6 +148,66 @@ def test_bucket_layout_write_census_and_serve_plan_stability(
         spark.sql("DROP TABLE IF EXISTS dwd_t76_idx")
 
 
+def test_compact_partitions_lifecycle(spark, tmp_path):
+    """VERDICT r15 task #3: the cell-partitioned (c69 IVF) layout gets
+    the same maintenance verb the bucketed layout has.  absorb x2 ->
+    compact -> the served row set is identical, every fragmented cell
+    collapses to ONE file, and a cell no absorb touched keeps its exact
+    files (same names, same sizes -- never rewritten)."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    layer, table = "dwd", "t_cells"
+
+    def gen_rows(lo, hi, min_cell):
+        return spark.range(lo, hi).selectExpr(
+            "id AS n_id", f"CAST({min_cell} + id % 4 AS INT) AS cell"
+        )
+
+    def files_in_cell(v):
+        fs, hpath = wh._fs_and_path(
+            wh.path(layer, table) + f"/cell={v}"
+        )
+        return sorted(
+            (f.getPath().getName(), f.getLen())
+            for f in fs.listStatus(hpath)
+            if f.getPath().getName().endswith(".parquet")
+        )
+
+    # BUILD covers cells 0..4; the two ABSORB generations append only
+    # into cells 1..4 -- cell 0 must come through compaction untouched
+    spark.range(0, 200).selectExpr(
+        "id AS n_id", "CAST(id % 5 AS INT) AS cell"
+    ).repartition(1).write.partitionBy("cell").parquet(wh.path(layer, table))
+    for day in (1, 2):
+        gen_rows(1000 * day, 1000 * day + 200, 1).repartition(1).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(wh.path(layer, table))
+
+    census = wh.partition_file_census(layer, table, "cell")
+    assert census[0] == 1 and all(census[v] == 3 for v in (1, 2, 3, 4))
+    cell0_files = files_in_cell(0)
+    before = sorted(
+        map(tuple, spark.read.parquet(wh.path(layer, table)).collect())
+    )
+
+    affected = wh.compact_partitions(layer, table, "cell")
+    assert affected == [1, 2, 3, 4]
+    census_after = wh.partition_file_census(layer, table, "cell")
+    assert census_after == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    assert files_in_cell(0) == cell0_files  # byte-identical listing
+    after = sorted(
+        map(tuple, spark.read.parquet(wh.path(layer, table)).collect())
+    )
+    assert after == before  # serve-identical: pure defragmentation
+
+    # idle steady state: nothing over threshold -> no-op, no rewrites
+    assert wh.compact_partitions(layer, table, "cell") == []
+    assert wh.partition_file_census(layer, table, "cell") == census_after
+
+
 def test_erase_partition_rows_rejects_non_integral_partition(
     spark, tmp_path
 ):
