@@ -159,6 +159,77 @@ def l2_norm(vec: Column) -> Column:
     return _norm(vec)
 
 
+class PercolationRiskError(ValueError):
+    """The requested cosine threshold would percolate the near-dup
+    merge graph (estimated chance pair degree over budget) -- raised by
+    the opt-in guard on :func:`embedding_neardup_pairs` /
+    :func:`semdedup` BEFORE any pair work runs.  Remediation:
+    :func:`calibrate_cosine_threshold` (round-15 finding: recalibrate
+    tau; retraining the quantizer alone makes keep rate worse)."""
+
+
+def estimate_chance_pair_degree(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    sample_size: int = 256,
+) -> float:
+    """Bounded-cost estimate of the mean chance pair degree at a cosine
+    threshold: ``P(cos >= tau) * (n - 1)`` from the canonical top-S
+    sample's pair-exceedance rate -- the a216 probe's math as an
+    operator, O(S^2 + count) while the corpus grows.
+
+    Percolation is decided by this number (round 15, SCALE.md): once it
+    crosses ~1 the transitive-closure merge graph collapses into a
+    giant component and dedup deletes the corpus.  Deterministic
+    (canonical top-``sample_size`` rows by ``id_col``, no RNG), so
+    guards built on it are reproducible across sessions."""
+    import numpy as np
+
+    n_total = corpus.count()
+    if n_total < 2:
+        return 0.0
+    sample = [
+        r[1]
+        for r in sorted(
+            (r[0], r[1])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_size)
+            .collect()
+        )
+    ]
+    m = _np_unit_rows(np.asarray(sample, dtype=np.float64))
+    s = _round_half_up6(m @ m.T)
+    iu = np.triu_indices(len(m), 1)
+    npairs = len(iu[0])
+    if npairs == 0:
+        return 0.0
+    exceed = int((s[iu] >= threshold).sum())
+    return exceed / npairs * (n_total - 1)
+
+
+def _percolation_guard(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    budget: float,
+    op_name: str,
+) -> None:
+    deg = estimate_chance_pair_degree(corpus, vec_col, id_col, threshold)
+    if deg >= budget:
+        raise PercolationRiskError(
+            f"{op_name}: estimated chance pair degree {deg:.3f} >= "
+            f"budget {budget} at cosine threshold {threshold} -- the "
+            "merge graph would percolate and dedup would collapse the "
+            "corpus into one group.  Recalibrate the threshold with "
+            "calibrate_cosine_threshold (retraining the quantizer alone "
+            "makes this WORSE; see a215/a216 and SCALE.md round 15)."
+        )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -166,9 +237,18 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
     method: str = "matmul",
+    guard_max_chance_degree: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
     cosine >= threshold.
+
+    ``guard_max_chance_degree`` (round 16, opt-in): run the a216
+    percolation estimate FIRST and raise :class:`PercolationRiskError`
+    when the estimated chance pair degree at ``threshold`` meets the
+    budget -- turning round 15's falsification (a fixed tau silently
+    percolates as n grows) into a precondition.  ``None`` (default)
+    preserves the unguarded behavior; monitoring-style callers
+    (a215/a216 themselves) must NOT set it.
 
     With ``planes`` given, candidates come from hyperplane-LSH buckets (the
     100 TB path: the self-join is keyed on the bucket id and high-cosine
@@ -188,6 +268,11 @@ def embedding_neardup_pairs(
       ordered list_reduce *before* rounding; matmul matches after the
       documented round-to-6 quantization).
     """
+    if guard_max_chance_degree is not None:
+        _percolation_guard(
+            corpus, vec_col, id_col, threshold,
+            guard_max_chance_degree, "embedding_neardup_pairs",
+        )
     if planes is None and method == "matmul":
         return _neardup_pairs_matmul(corpus, id_col, vec_col, threshold)
     # norms are computed ONCE per vector before the join -- inside the
@@ -1065,6 +1150,7 @@ def semdedup(
     vec_col: str = "embedding",
     assign: str = "fold",
     pair_block: int = 4096,
+    guard_max_chance_degree: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, find within-cluster cosine
@@ -1095,9 +1181,23 @@ def semdedup(
     The quantizer knob remains the real fix (a whale cluster still
     costs O(|cluster|^2) sims in total); the sub-split turns the
     failure mode from an OOM/error into bounded, scheduled work.
+
+    ``guard_max_chance_degree`` (round 16, opt-in): the a216
+    percolation estimate runs FIRST -- before any assignment work --
+    and raises :class:`PercolationRiskError` when the estimated
+    CORPUS-WIDE chance pair degree at ``threshold`` meets the budget.
+    The quantizer only partitions the pair space, it cannot remove
+    chance pairs (round 15 measured that a finer quantizer finds MORE
+    of them), so the corpus-level estimate is the right precondition
+    for the within-cluster merge too.
     """
     from .dedup import connected_components
 
+    if guard_max_chance_degree is not None:
+        _percolation_guard(
+            corpus, vec_col, id_col, threshold,
+            guard_max_chance_degree, "semdedup",
+        )
     if assign == "matmul":
         v = _assign_matmul(corpus, centroids, id_col, vec_col)
     elif assign == "fold":

@@ -148,6 +148,50 @@ def test_bucket_layout_write_census_and_serve_plan_stability(
         spark.sql("DROP TABLE IF EXISTS dwd_t76_idx")
 
 
+def test_percolation_guard_blocks_percolating_threshold(spark):
+    """VERDICT r15 task #4: a215/a216 monitored; nothing ENFORCED.  The
+    opt-in guard turns the round-15 falsification into a precondition:
+    at sf0.1 the fixed tau 0.3 percolates (chance degree >> 1) and the
+    guarded operators must refuse to run, while the calibrated tau
+    passes the same guard.  The guard fires BEFORE any pair/assignment
+    work (pinned via semdedup with an unusable dummy centroid)."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        PercolationRiskError,
+        calibrate_cosine_threshold,
+        embedding_neardup_pairs,
+        estimate_chance_pair_degree,
+        semdedup,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+
+    # direction 1: the percolating production tau trips the guard
+    with pytest.raises(PercolationRiskError, match="[Rr]ecalibrate"):
+        embedding_neardup_pairs(
+            e, threshold=0.3, guard_max_chance_degree=1.0
+        )
+    # ...and it fires before assignment work: the dummy centroid would
+    # blow up the fold if the guard ran second
+    with pytest.raises(PercolationRiskError):
+        semdedup(
+            e, centroids=[[0.0]], threshold=0.3, guard_max_chance_degree=1.0
+        )
+
+    # direction 2: the calibrated tau passes the identical guard
+    tau = calibrate_cosine_threshold(e, sample_size=512)
+    assert estimate_chance_pair_degree(e, threshold=tau) < 1.0
+    guarded = embedding_neardup_pairs(
+        e, threshold=tau, guard_max_chance_degree=1.0
+    )
+    assert guarded.count() >= 0  # plan built and runnable
+
+    # default (None) preserves unguarded monitoring behavior: a215/a216
+    # style callers can still measure a percolating threshold
+    unguarded = embedding_neardup_pairs(e, threshold=0.3)
+    assert unguarded.limit(1).count() == 1
+
+
 def test_compact_partitions_lifecycle(spark, tmp_path):
     """VERDICT r15 task #3: the cell-partitioned (c69 IVF) layout gets
     the same maintenance verb the bucketed layout has.  absorb x2 ->
