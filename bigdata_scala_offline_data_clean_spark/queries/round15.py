@@ -329,7 +329,10 @@ QUERIES["c73_ivf_index_erase_serve"] = QuerySpec(
 # oracle SQL -- computed incrementally under a stream checkpoint.)
 # ---------------------------------------------------------------------------
 
-_S17_MOD, _S17_DELTA_REM, _S17_SLICES = 10, 5, 3
+# 2 slices since round 16 (bench-budget rule: the smallest SF-visible
+# split -- split-invariance is the pinned property, not the slice
+# count; test_s17_output_invariant_to_batch_split compares 1 vs 3)
+_S17_MOD, _S17_DELTA_REM, _S17_SLICES = 10, 5, 2
 
 
 def s17_stream_index_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
