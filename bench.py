@@ -274,6 +274,9 @@ HEADLINE = [
     "a216_percolation_probe_sampled",  # the probe's linear bounded-sample form
     "c74_index_erasure_audit",  # GDPR cascade across all three indexes
     "c75_semdedup_index_serve",  # vector DEDUP gate off the cell index
+    # r16 additions (extend-only; budget rule: smallest SF-visible split)
+    "a217_tau_calibration",  # corpus-calibrated near-dup threshold row
+    "c76_compaction_lifecycle",  # build->absorb x2->erase->compact->serve
 ]
 
 
