@@ -277,6 +277,7 @@ HEADLINE = [
     # r16 additions (extend-only; budget rule: smallest SF-visible split)
     "a217_tau_calibration",  # corpus-calibrated near-dup threshold row
     "c76_compaction_lifecycle",  # build->absorb x2->erase->compact->serve
+    "a218_semdedup_calibrated",  # calibrate -> guard -> semdedup -> census
 ]
 
 

@@ -15,6 +15,13 @@ driver-checkable (VERDICT r15 tasks #1-#2).
   derives them from first principles (3 generations x 4 one-bucket
   write tasks before; one file per bucket after), c74's
   counted-vs-derived pattern applied to the maintenance verb.
+- a218 SELF-CALIBRATING SemDeDup: the loop closed -- calibrate (a217's
+  playbook), pass the percolation guard, run the production semdedup
+  at the calibrated tau, report the keep census.  Keep rate 0.996 at
+  sf0.1 where the fixed tau keeps 0.0005, with genuine near-dups still
+  merging; the DuckDB twin recomputes tau INSIDE SQL and threads it
+  into the a209 pair algebra as a scalar subquery, keeping the whole
+  data-dependent-threshold pipeline exact-match.
 
 Reference parity note: the reference suite (873 lines,
 src/main/scala/com/kanseiu/spark/handler -- warehouse ETL only) has no
@@ -310,4 +317,152 @@ SELECT CAST({_C76_GENERATIONS} * {_C76_BUCKETS} AS BIGINT) AS files_before,
 
 QUERIES["c76_compaction_lifecycle"] = QuerySpec(
     c76_compaction_lifecycle, _c76_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# a218 -- SELF-CALIBRATING SemDeDup: the round's loop closed.  a215/a216
+# MONITOR percolation, a217 CALIBRATES the threshold, the operator guard
+# ENFORCES it -- a218 RUNS the production dedup at the calibrated tau:
+# calibrate over the canonical sample, pass the percolation guard, run
+# SemDeDup (frozen production quantizer, BLAS assignment, block-pair
+# sub-split) at that tau, and report the keep census.  This is the
+# pipeline a 100 TB curation run executes nightly, where the fixed-tau
+# variant provably collapses (keep 0.0005 at sf0.1/tau=0.3, SCALE.md
+# round 15) -- at the calibrated tau the keep rate stays healthy at
+# every SF while REAL near-dups still merge (n_kept < n_vecs).
+#
+# Exactness across a data-dependent threshold: the Spark side computes
+# tau with operators.similarity.calibrate_cosine_threshold (pinned
+# bit-equal to the a217 query by test_a217_tau_matches_operator_bitwise,
+# and a217 is exact-match vs DuckDB), while the DuckDB twin recomputes
+# tau INSIDE SQL -- a217's CTE chain feeding the a209 pair algebra as a
+# scalar subquery.  Both engines threshold bit-identical 6dp cosines
+# against bit-identical taus, so the pair sets -- and the closure, the
+# keepers, the census -- match exactly.
+# Scale: calibration + guard are bounded probes (O(S^2 + count));
+# semdedup is the audited a209 shape (k ~ sqrt(n) quantizer bounds the
+# within-cluster pair work; whale sub-split bounds per-task memory).
+# ---------------------------------------------------------------------------
+
+
+def a218_semdedup_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import calibrate_cosine_threshold, semdedup
+    from .quantizers import A209_CENTROIDS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # the a217 playbook as the production step: a bounded canonical
+    # sample crosses to the driver ONCE, tau comes back as a plan
+    # literal (bit-equal to the a217 query's tau -- pytest-pinned)
+    tau = calibrate_cosine_threshold(e, sample_size=_A217_SAMPLE)
+    sd = semdedup(
+        e,
+        A209_CENTROIDS,
+        threshold=tau,
+        assign="matmul",
+        guard_max_chance_degree=1.0,  # the enforcement path, live
+    )
+    return (
+        sd.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "n_vecs",
+            F.lit(tau).alias("tau_calibrated"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_vecs"), 4).alias("keep_rate"),
+            (F.col("n_kept") < F.col("n_vecs")).alias("merged_any"),
+        )
+    )
+
+
+def _a218_sql() -> str:
+    from ..operators.similarity import DOT_SQL as dot
+
+    from .analytics import _quantizer_values_sql
+    from .quantizers import A209_CENTROIDS
+    from .round10 import _l2_seg_sql
+
+    dim = len(A209_CENTROIDS[0])
+    seeds = _quantizer_values_sql(
+        [(i + 1, c) for i, c in enumerate(A209_CENTROIDS)], "t(cid, cv)"
+    )
+    l2 = _l2_seg_sql("e.embedding", "s.cv", "0", dim)
+    ab = dot.format(a="x.embedding", b="y.embedding")
+    aa = dot.format(a="x.embedding", b="x.embedding")
+    bb = dot.format(a="y.embedding", b="y.embedding")
+    cab = dot.format(a="a.embedding", b="b.embedding")
+    caa = dot.format(a="a.embedding", b="a.embedding")
+    cbb = dot.format(a="b.embedding", b="b.embedding")
+    # tau recomputed in SQL: a217's CTE chain (identical arithmetic),
+    # then threaded into a209's pair algebra as a scalar subquery
+    return f"""
+WITH RECURSIVE samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY vec_id ASC LIMIT {_A217_SAMPLE}
+), scos AS (
+  SELECT round({cab} / (sqrt({caa}) * sqrt({cbb})), 6) AS cosine
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+), base AS (
+  SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+         (SELECT count(*) FROM scos) AS n_sample_pairs
+), kcalc AS (
+  SELECT least(CAST(floor(CAST(0.05 AS DOUBLE) / (n_vecs - 1)
+                          * n_sample_pairs) AS BIGINT),
+               n_sample_pairs - 1) AS k_allowed
+  FROM base
+), kth AS (
+  SELECT min(cosine) AS kth FROM (
+    SELECT cosine, row_number() OVER (ORDER BY cosine DESC) AS rn
+    FROM scos
+  ), kcalc WHERE rn <= k_allowed + 1
+), tau AS (
+  SELECT round(greatest(kth + 1e-6, CAST(0 AS DOUBLE)), 6)
+           AS tau_calibrated
+  FROM kth
+), seeds AS (SELECT * FROM {seeds}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster, d AS d2c FROM (
+    SELECT e.vec_id, s.cid, {l2} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {l2} ASC, s.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+), v AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, a.d2c, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), pairs AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round({ab} / (sqrt({aa}) * sqrt({bb})), 6)
+          >= (SELECT tau_calibrated FROM tau)
+), sym AS (
+  SELECT a AS u, b AS w FROM pairs
+  UNION
+  SELECT b AS u, a AS w FROM pairs
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.w = reach.node
+), comp AS (
+  SELECT node AS vec_id, min(r) AS group_id FROM reach GROUP BY node
+), kept AS (
+  SELECT row_number() OVER (
+           PARTITION BY c.group_id ORDER BY v.d2c ASC, v.vec_id ASC) = 1
+           AS is_kept
+  FROM v JOIN comp c USING (vec_id)
+)
+SELECT (SELECT count(*) FROM kept) AS n_vecs,
+       (SELECT tau_calibrated FROM tau) AS tau_calibrated,
+       (SELECT count(*) FROM kept WHERE is_kept) AS n_kept,
+       round((SELECT count(*) FROM kept WHERE is_kept)
+             / (SELECT count(*) FROM kept), 4) AS keep_rate,
+       (SELECT count(*) FROM kept WHERE is_kept)
+         < (SELECT count(*) FROM kept) AS merged_any
+"""
+
+
+QUERIES["a218_semdedup_calibrated"] = QuerySpec(
+    a218_semdedup_calibrated, _a218_sql()
 )

@@ -192,6 +192,22 @@ def test_percolation_guard_blocks_percolating_threshold(spark):
     assert unguarded.limit(1).count() == 1
 
 
+def test_a218_calibrated_dedup_keeps_corpus_and_still_merges(spark):
+    """The closed loop's end state, pinned where the fixed tau dies: at
+    sf0.1 the calibrated-tau semdedup must keep (nearly) the whole
+    corpus -- tau 0.3 keeps 0.0005 of it (round 15) -- while still
+    merging GENUINE near-duplicates (a no-op dedup would also 'keep
+    everything'; merged_any separates health from vacuity)."""
+    from bigdata_scala_offline_data_clean_spark.queries.round16 import (
+        a218_semdedup_calibrated,
+    )
+
+    row = a218_semdedup_calibrated(spark, "/root/testdata/sf0.1").collect()[0]
+    assert row["keep_rate"] > 0.9  # healthy, not percolated
+    assert row["merged_any"] is True  # and not vacuous
+    assert row["tau_calibrated"] > 0.3  # tau tracked n past the old fixed tau
+
+
 def test_compact_partitions_lifecycle(spark, tmp_path):
     """VERDICT r15 task #3: the cell-partitioned (c69 IVF) layout gets
     the same maintenance verb the bucketed layout has.  absorb x2 ->

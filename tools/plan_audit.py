@@ -886,6 +886,19 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
         ("CartesianProduct", "SortMergeJoin"),
         None,
     ),
+    # self-calibrating SemDeDup (round 16): a209's audited shape at the
+    # a217-calibrated tau -- BLAS assignment via mapInPandas, cluster-id
+    # keyed pair search, 1-row aggregates; calibration and guard are
+    # bounded driver probes that never appear as plan nodes.  The
+    # components<->corpus LEFT join is allowed to plan SMJ: unlike a209
+    # (whose pin_frame truncates lineage before this audit sees it),
+    # a218's single-consumer output keeps the join visible, the CC side
+    # is corpus-scale in the worst case so a forced broadcast would be
+    # wrong at 100 TB, and AQE converts it to broadcast at runtime when
+    # the pair set is small (the common case at a calibrated tau)
+    "a218_semdedup_calibrated": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
     # compaction lifecycle (round 16): freeze_result truncates lineage
     # (the bucketed index is DROPped); the per-state plan pins (zero
     # index-side exchanges with tombstones pending AND after the
