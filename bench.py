@@ -278,6 +278,7 @@ HEADLINE = [
     "a217_tau_calibration",  # corpus-calibrated near-dup threshold row
     "c76_compaction_lifecycle",  # build->absorb x2->erase->compact->serve
     "a218_semdedup_calibrated",  # calibrate -> guard -> semdedup -> census
+    "a219_bloom_blocklist",  # bloom prefilter + exact-verify semi-join
 ]
 
 

@@ -22,6 +22,12 @@ driver-checkable (VERDICT r15 tasks #1-#2).
   merging; the DuckDB twin recomputes tau INSIDE SQL and threads it
   into the a209 pair algebra as a scalar subquery, keeping the whole
   data-dependent-threshold pipeline exact-match.
+- a219 BLOOM-FILTER blocklist screening: broadcast-bitmap prefilter +
+  exact-verify semi-join over candidates only -- the shape that removes
+  a too-big-to-broadcast blocklist from a 100 TB corpus without a
+  corpus shuffle.  No false negatives by construction; the fixed-m
+  census (FPR 0.002 -> 0.197 -> 1.0 as occupancy grows) is the
+  production m-sizing signal.
 
 Reference parity note: the reference suite (873 lines,
 src/main/scala/com/kanseiu/spark/handler -- warehouse ETL only) has no
@@ -466,3 +472,150 @@ SELECT (SELECT count(*) FROM kept) AS n_vecs,
 QUERIES["a218_semdedup_calibrated"] = QuerySpec(
     a218_semdedup_calibrated, _a218_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# a219 -- BLOOM-FILTER blocklist screening: the canonical "remove a
+# billion blocklisted ids from a 100 TB corpus" shape.  At that scale
+# the blocklist's raw ids are too big to broadcast (1e9 x 8 B = 8 GB)
+# but its Bloom bitmap fits (~1.2 GB at 1% FPR), so the corpus-side
+# scan tests k hash positions against the broadcast bitmap and ONLY the
+# candidates (true members + the FPR sliver) pay the exact-verify
+# semi-join -- no corpus shuffle, no false negatives by construction,
+# false positives rescued by the verify.  Here the filter is the SET of
+# occupied positions (distinct over k x |blocklist| md5-derived ints,
+# <= m rows -- the m-bit bitmap's semantic content), folded into the
+# corpus scan as a literal array per the expr-text fold rule; the
+# membership probes are pure expressions, so the bloom stage adds ZERO
+# plan nodes beyond the scan.
+#
+# Exactness: positions derive from md5 arithmetic both engines compute
+# bit-identically (the a208 HLL idiom), the Spark side's literal
+# position set is a bounded driver fetch of the same distinct the SQL
+# twin recomputes from first principles (n_bits_set cross-checks it),
+# and every census value -- candidates, verified blocks, false
+# positives, measured FPR -- is an integer-exact aggregate.  The m is
+# deliberately FIXED across SFs so the row shows FPR growing with
+# blocklist occupancy (near 0 at sf0.01, ~0.2 at sf0.1): production
+# sizes m to the blocklist, and this census is exactly the signal that
+# says when.
+# ---------------------------------------------------------------------------
+
+_A219_M = 1024  # filter positions (the bitmap width)
+_A219_K = 3  # hash probes per id
+_A219_BLOCK_MOD, _A219_BLOCK_REM = 17, 3  # the simulated blocklist
+
+
+def _a219_pos_sql(i: int) -> str:
+    """Position i as engine-portable SQL text: 48 md5 bits mod m.
+    Identical string in Spark (F.expr) and DuckDB modulo the hex-cast
+    spelling, which each side's builder supplies."""
+    return (
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':{i}')), "
+        "1, 12), 16, 10) as bigint) % {m}"
+    ).format(i=i, m=_A219_M)
+
+
+def a219_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blocked = F.pmod(F.col("doc_id"), F.lit(_A219_BLOCK_MOD)) == _A219_BLOCK_REM
+    block = d.where(blocked)
+    # BUILD: the occupied-position set -- k probes per blocklisted id,
+    # distinct, then a BOUNDED driver fetch (<= m ints): this IS the
+    # broadcast bloom artifact, like a16's frozen centroids or a218's
+    # calibrated tau a plan literal derived from a bounded probe
+    pos_any = F.explode(
+        F.array(*[F.expr(_a219_pos_sql(i)) for i in range(_A219_K)])
+    )
+    setbits = sorted(
+        r[0] for r in block.select(pos_any.alias("p")).distinct().collect()
+    )
+    bits_arr = "array(" + ", ".join(str(int(p)) for p in setbits) + ")"
+    # SCREEN: candidate iff ALL k positions are occupied -- one parsed
+    # expr (the literal-fold rule), zero joins, zero exchanges
+    cand = F.expr(
+        " AND ".join(
+            f"array_contains({bits_arr}, {_a219_pos_sql(i)})"
+            for i in range(_A219_K)
+        )
+    )
+    cands = d.where(cand)
+    # VERIFY: only candidates pay the exact membership join (broadcast
+    # left-semi -- at 100 TB this is the FPR-sized shuffle, not a
+    # corpus-sized one)
+    n_corpus = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_block = block.agg(F.count(F.lit(1)).alias("n_blocklist"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = (
+        cands.join(F.broadcast(block), "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+    )
+    fp = F.col("n_candidates") - F.col("n_blocked")
+    return (
+        n_corpus.crossJoin(F.broadcast(n_block))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_corpus",
+            "n_blocklist",
+            F.lit(len(setbits)).cast("bigint").alias("n_bits_set"),
+            "n_candidates",
+            "n_blocked",
+            fp.alias("n_false_positives"),
+            F.round(
+                fp / (F.col("n_corpus") - F.col("n_blocklist")), 6
+            ).alias("fpr_measured"),
+            (F.col("n_corpus") - F.col("n_blocked")).alias("n_kept"),
+            (F.col("n_blocked") == F.col("n_blocklist")).alias(
+                "no_false_negatives"
+            ),
+        )
+    )
+
+
+def _a219_sql() -> str:
+    def pos(i: int, src: str = "doc_id") -> str:
+        return (
+            f"CAST(('0x' || substr(md5(CAST({src} AS VARCHAR) || ':{i}'), "
+            f"1, 12)) AS BIGINT) % {_A219_M}"
+        )
+
+    probes = "\n  UNION\n".join(
+        f"  SELECT {pos(i)} AS p FROM block" for i in range(_A219_K)
+    )
+    cand = " AND ".join(
+        f"({pos(i)}) IN (SELECT p FROM setbits)" for i in range(_A219_K)
+    )
+    return f"""
+WITH block AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % {_A219_BLOCK_MOD} = {_A219_BLOCK_REM}
+), setbits AS (
+{probes}
+), flags AS (
+  SELECT doc_id,
+         {cand} AS is_cand,
+         doc_id % {_A219_BLOCK_MOD} = {_A219_BLOCK_REM} AS is_block
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n_corpus,
+         sum(CASE WHEN is_block THEN 1 ELSE 0 END) AS n_blocklist,
+         sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS n_candidates,
+         sum(CASE WHEN is_cand AND is_block THEN 1 ELSE 0 END) AS n_blocked
+  FROM flags
+)
+SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+       CAST(n_blocklist AS BIGINT) AS n_blocklist,
+       (SELECT count(*) FROM setbits) AS n_bits_set,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(n_candidates - n_blocked AS BIGINT) AS n_false_positives,
+       round(CAST(n_candidates - n_blocked AS BIGINT)
+             / CAST(n_corpus - n_blocklist AS BIGINT), 6) AS fpr_measured,
+       CAST(n_corpus - n_blocked AS BIGINT) AS n_kept,
+       n_blocked = n_blocklist AS no_false_negatives
+FROM agg
+"""
+
+
+QUERIES["a219_bloom_blocklist"] = QuerySpec(a219_bloom_blocklist, _a219_sql())

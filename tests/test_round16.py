@@ -208,6 +208,29 @@ def test_a218_calibrated_dedup_keeps_corpus_and_still_merges(spark):
     assert row["tau_calibrated"] > 0.3  # tau tracked n past the old fixed tau
 
 
+def test_a219_bloom_has_no_false_negatives_and_signals_sizing(spark):
+    """The bloom contract, pinned where it matters: (1) NO false
+    negatives at any SF (a blocklisted doc slipping through the
+    prefilter would survive curation -- the one unacceptable failure);
+    (2) with m FIXED across SFs the measured FPR must GROW with
+    blocklist occupancy -- the census is the production signal that m
+    needs resizing, so it must actually move."""
+    from bigdata_scala_offline_data_clean_spark.queries.round16 import (
+        a219_bloom_blocklist,
+    )
+
+    small = a219_bloom_blocklist(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    big = a219_bloom_blocklist(spark, "/root/testdata/sf0.1").collect()[0]
+    assert small["no_false_negatives"] and big["no_false_negatives"]
+    assert big["n_blocklist"] > small["n_blocklist"]  # occupancy grew
+    assert big["fpr_measured"] > small["fpr_measured"]  # and FPR with it
+    # the exact verify rescued every false positive: kept = corpus - block
+    for row in (small, big):
+        assert row["n_kept"] == row["n_corpus"] - row["n_blocklist"]
+
+
 def test_compact_partitions_lifecycle(spark, tmp_path):
     """VERDICT r15 task #3: the cell-partitioned (c69 IVF) layout gets
     the same maintenance verb the bucketed layout has.  absorb x2 ->

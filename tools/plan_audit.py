@@ -899,6 +899,16 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a218_semdedup_calibrated": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # bloom blocklist screening (round 16): the membership probes fold
+    # into the scan as literal-array expressions (no join), the exact
+    # verify is a broadcast left-semi over candidates only, and the
+    # census is 1-row broadcast aggregates -- never a corpus-shuffling
+    # join, never a cartesian
+    "a219_bloom_blocklist": (
+        ("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+        ("CartesianProduct", "SortMergeJoin"),
+        None,
+    ),
     # compaction lifecycle (round 16): freeze_result truncates lineage
     # (the bucketed index is DROPped); the per-state plan pins (zero
     # index-side exchanges with tombstones pending AND after the
