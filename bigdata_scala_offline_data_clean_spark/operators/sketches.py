@@ -32,7 +32,7 @@ k=200 is ~1.7%, bounded at 5 rank points.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HLL_LGK = 12  # 2^12 registers, ~1.6% RSE
@@ -280,3 +280,57 @@ def hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(e_raw)
     return per.select(*keys, est.alias("hll_estimate"))
+
+
+# -- Bloom filter (round 16) -------------------------------------------------
+#
+# The broadcast-membership sketch: k md5-derived positions per id over an
+# m-slot space.  The OCCUPIED-POSITION SET (distinct over k x |keys|,
+# <= m ints) is the filter's semantic content -- the m-bit bitmap without
+# the bit packing -- and is small enough to fold into a corpus scan as a
+# literal array (the expr-text fold rule), so the membership screen adds
+# ZERO plan nodes beyond the scan: no join, no shuffle.  No false
+# negatives by construction; callers rescue false positives with an
+# exact verify over the candidates only (a219's broadcast left-semi).
+# Positions reuse the a208 HLL md5 idiom, so a DuckDB oracle recomputes
+# them bit-identically.
+
+
+def bloom_pos_sql(id_sql: str, i: int, m: int) -> str:
+    """Engine-portable SQL text of hash probe ``i``: 48 md5 bits of
+    ``id:i`` mod ``m``.  The DuckDB twin spells the hex cast as
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':i'), 1, 12)) AS
+    BIGINT) % m`` -- identical arithmetic."""
+    return (
+        f"cast(conv(substring(md5(concat(cast({id_sql} as string), "
+        f"':{i}')), 1, 12), 16, 10) as bigint) % {m}"
+    )
+
+
+def bloom_setbits(
+    keys: DataFrame, id_col: str, m: int = 1024, k: int = 3
+) -> list[int]:
+    """Build the filter: the sorted occupied-position set, a BOUNDED
+    driver fetch (<= m ints) -- the shippable broadcast artifact, like
+    a frozen quantizer or a calibrated tau."""
+    pos_any = F.explode(
+        F.array(*[F.expr(bloom_pos_sql(id_col, i, m)) for i in range(k)])
+    )
+    return sorted(
+        r[0] for r in keys.select(pos_any.alias("p")).distinct().collect()
+    )
+
+
+def bloom_candidate_expr(
+    setbits: list[int], id_col: str, m: int = 1024, k: int = 3
+) -> Column:
+    """Membership screen as ONE parsed expression: candidate iff ALL k
+    probe positions are occupied.  Pure expression -- folds into the
+    scan, never a join."""
+    arr = "array(" + ", ".join(str(int(p)) for p in setbits) + ")"
+    return F.expr(
+        " AND ".join(
+            f"array_contains({arr}, {bloom_pos_sql(id_col, i, m)})"
+            for i in range(k)
+        )
+    )

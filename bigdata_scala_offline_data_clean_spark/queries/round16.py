@@ -506,17 +506,9 @@ _A219_K = 3  # hash probes per id
 _A219_BLOCK_MOD, _A219_BLOCK_REM = 17, 3  # the simulated blocklist
 
 
-def _a219_pos_sql(i: int) -> str:
-    """Position i as engine-portable SQL text: 48 md5 bits mod m.
-    Identical string in Spark (F.expr) and DuckDB modulo the hex-cast
-    spelling, which each side's builder supplies."""
-    return (
-        "cast(conv(substring(md5(concat(cast(doc_id as string), ':{i}')), "
-        "1, 12), 16, 10) as bigint) % {m}"
-    ).format(i=i, m=_A219_M)
-
-
 def a219_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_candidate_expr, bloom_setbits
+
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     blocked = F.pmod(F.col("doc_id"), F.lit(_A219_BLOCK_MOD)) == _A219_BLOCK_REM
     block = d.where(blocked)
@@ -524,22 +516,12 @@ def a219_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct, then a BOUNDED driver fetch (<= m ints): this IS the
     # broadcast bloom artifact, like a16's frozen centroids or a218's
     # calibrated tau a plan literal derived from a bounded probe
-    pos_any = F.explode(
-        F.array(*[F.expr(_a219_pos_sql(i)) for i in range(_A219_K)])
-    )
-    setbits = sorted(
-        r[0] for r in block.select(pos_any.alias("p")).distinct().collect()
-    )
-    bits_arr = "array(" + ", ".join(str(int(p)) for p in setbits) + ")"
+    setbits = bloom_setbits(block, "doc_id", m=_A219_M, k=_A219_K)
     # SCREEN: candidate iff ALL k positions are occupied -- one parsed
     # expr (the literal-fold rule), zero joins, zero exchanges
-    cand = F.expr(
-        " AND ".join(
-            f"array_contains({bits_arr}, {_a219_pos_sql(i)})"
-            for i in range(_A219_K)
-        )
+    cands = d.where(
+        bloom_candidate_expr(setbits, "doc_id", m=_A219_M, k=_A219_K)
     )
-    cands = d.where(cand)
     # VERIFY: only candidates pay the exact membership join (broadcast
     # left-semi -- at 100 TB this is the FPR-sized shuffle, not a
     # corpus-sized one)
