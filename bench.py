@@ -279,6 +279,7 @@ HEADLINE = [
     "c76_compaction_lifecycle",  # build->absorb x2->erase->compact->serve
     "a218_semdedup_calibrated",  # calibrate -> guard -> semdedup -> census
     "a219_bloom_blocklist",  # bloom prefilter + exact-verify semi-join
+    "s18_stream_tau_calibration",  # a217 maintained as streaming state
 ]
 
 

@@ -28,6 +28,13 @@ driver-checkable (VERDICT r15 tasks #1-#2).
   corpus shuffle.  No false negatives by construction; the fixed-m
   census (FPR 0.002 -> 0.197 -> 1.0 as occupancy grows) is the
   production m-sizing signal.
+- s18 STREAMING threshold calibration: a217's two inputs (canonical
+  top-S sample, corpus count) maintained as mergeable foreachBatch
+  state -- recalibration without ever re-scanning the corpus; oracle =
+  a217's SQL verbatim via the maintained-state identity, split
+  invariance pytest-pinned.  Completes the calibration deployment
+  matrix: batch (a217), enforced (guard), composed (a218), streaming
+  (s18).
 
 Reference parity note: the reference suite (873 lines,
 src/main/scala/com/kanseiu/spark/handler -- warehouse ETL only) has no
@@ -79,13 +86,21 @@ _A217_MIN_TAU = 0.0
 
 
 def a217_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # bounded driver scalar (the S12 pattern): the budget rank k and
+    # the sample limit must be PLAN LITERALS, and both derive from one
+    # corpus count
+    sample = e.orderBy(F.col("vec_id").asc()).limit(_A217_SAMPLE)
+    return _calibration_row(sample, e.count())
+
+
+def _calibration_row(sample: DataFrame, n: int) -> DataFrame:
+    """The a217 tail shared with s18: the calibration report row from a
+    CANONICAL top-S sample frame and the corpus count -- the only two
+    inputs the playbook needs (which is exactly why s18 can maintain
+    them as streaming state)."""
     from ..operators.similarity import embedding_neardup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
-    # bounded driver scalars (the S12 pattern): the sample size, pair
-    # count, and budget rank k must be PLAN LITERALS (limit() takes an
-    # int), and all derive from one corpus count
-    n = e.count()
     s_n = min(_A217_SAMPLE, n)
     npairs = s_n * (s_n - 1) // 2
     # identical double arithmetic to the oracle's
@@ -93,7 +108,6 @@ def a217_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = min(
         math.floor(_A217_CHANCE_DEGREE / (n - 1) * npairs), npairs - 1
     )
-    sample = e.orderBy(F.col("vec_id").asc()).limit(_A217_SAMPLE)
     # ALL sample pairs: threshold -2 < min cosine, matmul path (6dp
     # values identical to the fold/DuckDB contract per a21/a216)
     cos = embedding_neardup_pairs(sample, threshold=-2.0)
@@ -601,3 +615,89 @@ FROM agg
 
 
 QUERIES["a219_bloom_blocklist"] = QuerySpec(a219_bloom_blocklist, _a219_sql())
+
+
+# ---------------------------------------------------------------------------
+# s18 -- STREAMING threshold calibration: a217's playbook maintained
+# incrementally as the corpus arrives.  The calibration needs exactly
+# two inputs -- the canonical top-S sample and the corpus count -- and
+# BOTH are mergeable O(S)/O(1) state: top-S of a union is the top-S of
+# the maintained top-S plus the batch (monotone, order- and
+# split-independent, idempotent under batch retries), and the count is
+# a per-batch partial keyed by batch_id (exactly-once by overwrite).
+# So a 100 TB corpus NEVER re-scans to recalibrate: each micro-batch
+# folds into bounded state, and the report row reads only that state.
+# The maintained-state identity makes the oracle exact: after ANY batch
+# schedule the state equals the batch computation over the whole
+# corpus, so the DuckDB twin is a217's SQL verbatim (the s17/c70
+# relationship applied to calibration).
+# ---------------------------------------------------------------------------
+
+_S18_SLICES = 2  # smallest SF-visible split (the bench budget rule);
+# split-invariance is pinned independently in tests/test_round16.py
+
+
+def s18_stream_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ._util import freeze_result
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="ods_spark_s18_")
+    src = f"{scratch}/arrivals"
+    for i in range(_S18_SLICES):
+        e.where(
+            F.pmod(F.col("vec_id"), F.lit(_S18_SLICES)) == i
+        ).coalesce(1).write.mode("append").parquet(src)
+    sample_dir = f"{scratch}/state_sample"
+    counts_dir = f"{scratch}/state_counts"
+
+    def absorb(batch: DataFrame, batch_id: int) -> None:
+        # count partial keyed by batch_id: overwrite-per-directory makes
+        # a retried batch land on the same file -- effectively once
+        batch.agg(F.count(F.lit(1)).alias("c")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{counts_dir}/bid={batch_id}")
+        # sample state: top-S of (state UNION batch) -- the monotone
+        # merge; frozen executor-side before overwriting its own source
+        import os
+
+        cur = None
+        if os.path.isdir(sample_dir):
+            cur = spark.read.parquet(sample_dir)
+        rows = batch.select("vec_id", "embedding")
+        merged = rows if cur is None else cur.unionByName(rows)
+        top = (
+            merged.orderBy(F.col("vec_id").asc())
+            .limit(_A217_SAMPLE)
+            .localCheckpoint(eager=True)
+        )
+        top.coalesce(1).write.mode("overwrite").parquet(sample_dir)
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        n = int(
+            spark.read.parquet(counts_dir)
+            .agg(F.sum("c"))
+            .collect()[0][0]
+        )
+        out = _calibration_row(spark.read.parquet(sample_dir), n)
+        return freeze_result(out)  # pre-rmtree, executor-side
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# maintained state == batch computation, so the twin is a217's verbatim
+QUERIES["s18_stream_tau_calibration"] = QuerySpec(
+    s18_stream_tau_calibration, _a217_sql()
+)

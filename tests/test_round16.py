@@ -231,6 +231,22 @@ def test_a219_bloom_has_no_false_negatives_and_signals_sizing(spark):
         assert row["n_kept"] == row["n_corpus"] - row["n_blocklist"]
 
 
+def test_s18_state_identity_invariant_to_batch_split(spark, monkeypatch):
+    """s18's exactness argument is the maintained-state identity: top-S
+    of a union equals the merged per-batch top-S, and counts are
+    additive partials -- so the report row must be IDENTICAL under any
+    batch schedule (1 slice == 2 slices == the batch a217)."""
+    from bigdata_scala_offline_data_clean_spark.queries import round16 as r16
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(r16, "_S18_SLICES", 1)
+    one = r16.s18_stream_tau_calibration(spark, sf).collect()
+    monkeypatch.setattr(r16, "_S18_SLICES", 2)
+    two = r16.s18_stream_tau_calibration(spark, sf).collect()
+    batch = r16.a217_tau_calibration(spark, sf).collect()
+    assert one == two == batch
+
+
 def test_compact_partitions_lifecycle(spark, tmp_path):
     """VERDICT r15 task #3: the cell-partitioned (c69 IVF) layout gets
     the same maintenance verb the bucketed layout has.  absorb x2 ->

@@ -899,6 +899,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a218_semdedup_calibrated": (
         (), ("CartesianProduct", "NestedLoop"), None,
     ),
+    # streaming tau calibration (round 16): freeze_result truncates
+    # lineage (the report reads only the maintained O(S) state); the
+    # per-batch merge is a TakeOrdered over state+batch and the state
+    # identity (top-S of union == merged top-S) is pinned in
+    # tests/test_round16.py; the oracle is a217's verbatim
+    "s18_stream_tau_calibration": (
+        (), ("CartesianProduct", "NestedLoop"), None,
+    ),
     # bloom blocklist screening (round 16): the membership probes fold
     # into the scan as literal-array expressions (no join), the exact
     # verify is a broadcast left-semi over candidates only, and the
