@@ -557,3 +557,113 @@ class TestHash64IndexServeIdentity:
             if p[0] not in erase_ids and p[1] not in erase_ids
         )
         assert served_live == want_live
+
+
+@pytest.mark.usefixtures("spark")
+class TestBloomFilter:
+    """Differential test of the round-16 bloom operators against a pure
+    hashlib model of the identical md5-position arithmetic: candidacy is
+    EXACTLY what the model predicts (not just no-false-negatives), so
+    the engine-portable position SQL can never drift from its spec."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.sets(st.integers(0, 60), min_size=1, max_size=10),
+        corpus=st.sets(st.integers(0, 60), min_size=1, max_size=25),
+        m=st.sampled_from([16, 64]),
+        k=st.integers(1, 3),
+    )
+    def test_candidacy_matches_md5_model(self, spark, keys, corpus, m, k):
+        import hashlib
+
+        from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+            bloom_candidate_expr,
+            bloom_setbits,
+        )
+
+        def model_pos(x, i):
+            return int(
+                hashlib.md5(f"{x}:{i}".encode()).hexdigest()[:12], 16
+            ) % m
+
+        key_df = spark.createDataFrame([(x,) for x in sorted(keys)], ["id"])
+        setbits = bloom_setbits(key_df, "id", m=m, k=k)
+        model_bits = {model_pos(x, i) for x in keys for i in range(k)}
+        assert setbits == sorted(model_bits)  # the artifact itself
+
+        corpus_df = spark.createDataFrame(
+            [(x,) for x in sorted(corpus)], ["id"]
+        )
+        got = {
+            r.id
+            for r in corpus_df.where(
+                bloom_candidate_expr(setbits, "id", m=m, k=k)
+            ).collect()
+        }
+        want = {
+            x
+            for x in corpus
+            if all(model_pos(x, i) in model_bits for i in range(k))
+        }
+        assert got == want  # exact candidacy, not just no-FN
+        assert keys & corpus <= got  # and therefore no false negatives
+
+
+@pytest.mark.usefixtures("spark")
+class TestCalibrateThreshold:
+    """The calibration contract on arbitrary small corpora: the returned
+    tau always keeps the sample's exceedance-estimated chance degree
+    within budget, and tau is monotone (a looser budget never RAISES
+    the threshold)."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vecs=st.lists(
+            st.tuples(
+                st.integers(-3, 3), st.integers(-3, 3), st.integers(-3, 3)
+            ).filter(lambda v: any(v)),
+            min_size=3,
+            max_size=12,
+        ),
+        budget=st.sampled_from([0.05, 0.5, 2.0]),
+    )
+    def test_budget_bound_and_monotonicity(self, spark, vecs, budget):
+        import warnings
+
+        import numpy as np
+
+        from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+            calibrate_cosine_threshold,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)],
+            ["vec_id", "embedding"],
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # dup-heavy draws may warn
+            tau = calibrate_cosine_threshold(df, chance_degree=budget)
+            tau_loose = calibrate_cosine_threshold(
+                df, chance_degree=budget * 2
+            )
+        assert tau_loose <= tau  # looser budget never raises tau
+
+        # the bound: exceedance at tau, scaled to the corpus, <= budget
+        n = len(vecs)
+        m = np.asarray([v for v in (r[1] for r in sorted(
+            (r.vec_id, r.embedding) for r in df.collect()))], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        u = m / np.where(norms == 0.0, 1.0, norms)
+        s = np.sign(u @ u.T) * np.floor(np.abs(u @ u.T) * 1e6 + 0.5) / 1e6
+        iu = np.triu_indices(n, 1)
+        vals = s[iu]
+        exceed = int((vals >= tau).sum())
+        assert exceed / len(vals) * (n - 1) <= budget
