@@ -168,28 +168,29 @@ class PercolationRiskError(ValueError):
     tau; retraining the quantizer alone makes keep rate worse)."""
 
 
-def estimate_chance_pair_degree(
+def _sample_pair_cosines(
     corpus: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.3,
-    sample_size: int = 256,
-) -> float:
-    """Bounded-cost estimate of the mean chance pair degree at a cosine
-    threshold: ``P(cos >= tau) * (n - 1)`` from the canonical top-S
-    sample's pair-exceedance rate -- the a216 probe's math as an
-    operator, O(S^2 + count) while the corpus grows.
-
-    Percolation is decided by this number (round 15, SCALE.md): once it
-    crosses ~1 the transitive-closure merge graph collapses into a
-    giant component and dedup deletes the corpus.  Deterministic
-    (canonical top-``sample_size`` rows by ``id_col``, no RNG), so
-    guards built on it are reproducible across sessions."""
+    vec_col: str,
+    id_col: str,
+    sample_size: int,
+    n_total: int | None = None,
+):
+    """Shared canonical-sample pair-cosine block for
+    :func:`calibrate_cosine_threshold` and
+    :func:`estimate_chance_pair_degree`: (n_total, sorted ascending 6dp
+    off-diagonal cosines of the top-``sample_size``-by-``id_col``
+    sample).  ONE implementation on purpose -- both operators' contracts
+    depend on the identical canonical order, zero-norm handling
+    (:func:`_np_unit_rows`) and HALF_UP rounding
+    (:func:`_round_half_up6`); review r16 flagged the previous
+    hand-duplication.  ``n_total`` skips the count when the caller
+    already holds it.  Returns vals=None when n_total < 2."""
     import numpy as np
 
-    n_total = corpus.count()
+    if n_total is None:
+        n_total = corpus.count()
     if n_total < 2:
-        return 0.0
+        return n_total, None
     sample = [
         r[1]
         for r in sorted(
@@ -203,11 +204,35 @@ def estimate_chance_pair_degree(
     m = _np_unit_rows(np.asarray(sample, dtype=np.float64))
     s = _round_half_up6(m @ m.T)
     iu = np.triu_indices(len(m), 1)
-    npairs = len(iu[0])
-    if npairs == 0:
+    return n_total, np.sort(s[iu])
+
+
+def estimate_chance_pair_degree(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    sample_size: int = 256,
+    n_total: int | None = None,
+) -> float:
+    """Bounded-cost estimate of the mean chance pair degree at a cosine
+    threshold: ``P(cos >= tau) * (n - 1)`` from the canonical top-S
+    sample's pair-exceedance rate -- the a216 probe's math as an
+    operator, O(S^2 + count) while the corpus grows.
+
+    Percolation is decided by this number (round 15, SCALE.md): once it
+    crosses ~1 the transitive-closure merge graph collapses into a
+    giant component and dedup deletes the corpus.  Deterministic
+    (canonical top-``sample_size`` rows by ``id_col``, no RNG), so
+    guards built on it are reproducible across sessions.  ``n_total``
+    lets a caller that already counted the corpus skip the re-count."""
+    n_total, vals = _sample_pair_cosines(
+        corpus, vec_col, id_col, sample_size, n_total
+    )
+    if vals is None or len(vals) == 0:
         return 0.0
-    exceed = int((s[iu] >= threshold).sum())
-    return exceed / npairs * (n_total - 1)
+    exceed = int((vals >= threshold).sum())
+    return exceed / len(vals) * (n_total - 1)
 
 
 def _percolation_guard(
@@ -217,8 +242,11 @@ def _percolation_guard(
     threshold: float,
     budget: float,
     op_name: str,
+    n_total: int | None = None,
 ) -> None:
-    deg = estimate_chance_pair_degree(corpus, vec_col, id_col, threshold)
+    deg = estimate_chance_pair_degree(
+        corpus, vec_col, id_col, threshold, n_total=n_total
+    )
     if deg >= budget:
         raise PercolationRiskError(
             f"{op_name}: estimated chance pair degree {deg:.3f} >= "
@@ -510,6 +538,7 @@ def calibrate_cosine_threshold(
     sample_size: int = 2048,
     min_tau: float = 0.0,
     warn_dup_level: float = 0.9,
+    n_total: int | None = None,
 ) -> float:
     """Corpus-calibrated near-duplicate cosine threshold: the smallest
     6dp tau at which the expected CHANCE pair degree per document stays
@@ -559,23 +588,11 @@ def calibrate_cosine_threshold(
 
     import numpy as np
 
-    n_total = corpus.count()
-    if n_total < 2:
+    n_total, vals = _sample_pair_cosines(
+        corpus, vec_col, id_col, sample_size, n_total
+    )
+    if vals is None:
         return min_tau
-    sample = [
-        r[1]
-        for r in sorted(
-            (r[0], r[1])
-            for r in corpus.select(id_col, vec_col)
-            .orderBy(F.col(id_col).asc())
-            .limit(sample_size)
-            .collect()
-        )
-    ]
-    m = _np_unit_rows(np.asarray(sample, dtype=np.float64))
-    s = _round_half_up6(m @ m.T)
-    iu = np.triu_indices(len(m), 1)
-    vals = np.sort(s[iu])
     # exceedance budget: at most chance_degree / (n_total - 1) of pair
     # space may sit at or above tau
     budget = chance_degree / (n_total - 1)

@@ -101,6 +101,21 @@ def _calibration_row(sample: DataFrame, n: int) -> DataFrame:
     them as streaming state)."""
     from ..operators.similarity import embedding_neardup_pairs
 
+    if n < 2:
+        # mirror calibrate_cosine_threshold's n_total < 2 guard (the
+        # bit-parity contract; review r16 -- the bare arithmetic would
+        # raise ZeroDivisionError): no pair space, tau = min_tau.  The
+        # SQL twin is undefined here, like the operator's own guard.
+        return sample.sparkSession.range(1).select(
+            F.lit(n).cast("bigint").alias("n_vecs"),
+            F.lit(n).cast("bigint").alias("n_sample"),
+            F.lit(0).cast("bigint").alias("n_sample_pairs"),
+            F.lit(0).cast("bigint").alias("k_allowed"),
+            F.lit(_A217_MIN_TAU).alias("tau_calibrated"),
+            F.lit(0.0).alias("est_chance_degree_at_tau"),
+            F.lit(_A217_CHANCE_DEGREE).alias("chance_degree_budget"),
+            F.lit(True).alias("within_budget"),
+        )
     s_n = min(_A217_SAMPLE, n)
     npairs = s_n * (s_n - 1) // 2
     # identical double arithmetic to the oracle's
@@ -141,43 +156,58 @@ def _calibration_row(sample: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _a217_sql() -> str:
+def _sample_cos_cte_sql(sample_cte: str, cos_cte: str) -> str:
+    """The canonical-sample + pair-cosine CTE pair, parameterized on
+    CTE names (a218 needs non-colliding names inside its larger
+    chain)."""
     from ..operators.similarity import DOT_SQL
 
     dot = DOT_SQL.replace("{a}", "{x}").replace("{b}", "{y}")
     ab = dot.format(x="a.embedding", y="b.embedding")
     aa = dot.format(x="a.embedding", y="a.embedding")
     bb = dot.format(x="b.embedding", y="b.embedding")
-    # CAST(0.05 AS DOUBLE): a bare 0.05 parses as DECIMAL in DuckDB and
-    # the budget arithmetic would run in decimal, not the double ops
-    # the Spark side uses
-    return f"""
-WITH s AS (
+    return f"""{sample_cte} AS (
   SELECT vec_id, embedding FROM embeddings
   ORDER BY vec_id ASC LIMIT {_A217_SAMPLE}
-), cos AS (
+), {cos_cte} AS (
   SELECT round({ab} / (sqrt({aa}) * sqrt({bb})), 6) AS cosine
-  FROM s a JOIN s b ON a.vec_id < b.vec_id
-), base AS (
+  FROM {sample_cte} a JOIN {sample_cte} b ON a.vec_id < b.vec_id
+)"""
+
+
+def _tau_cte_sql(sample_cte: str, cos_cte: str) -> str:
+    """The calibration CTE chain (base/kcalc/kth/tau) shared VERBATIM
+    by _a217_sql and _a218_sql -- one emitter on purpose (review r16):
+    both oracles' exactness rests on this arithmetic staying identical,
+    so it must not exist twice.  CAST(0.05 AS DOUBLE): a bare 0.05
+    parses as DECIMAL in DuckDB and the budget arithmetic would run in
+    decimal, not the double ops the Spark side uses."""
+    return f"""base AS (
   SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
-         (SELECT count(*) FROM s) AS n_sample,
-         (SELECT count(*) FROM cos) AS n_sample_pairs
+         (SELECT count(*) FROM {sample_cte}) AS n_sample,
+         (SELECT count(*) FROM {cos_cte}) AS n_sample_pairs
 ), kcalc AS (
   SELECT n_vecs, n_sample, n_sample_pairs,
-         least(CAST(floor(CAST(0.05 AS DOUBLE) / (n_vecs - 1)
+         least(CAST(floor(CAST({_A217_CHANCE_DEGREE} AS DOUBLE)
+                          / (n_vecs - 1)
                           * n_sample_pairs) AS BIGINT),
                n_sample_pairs - 1) AS k_allowed
   FROM base
 ), kth AS (
   SELECT min(cosine) AS kth FROM (
     SELECT cosine, row_number() OVER (ORDER BY cosine DESC) AS rn
-    FROM cos
+    FROM {cos_cte}
   ), kcalc WHERE rn <= k_allowed + 1
 ), tau AS (
   SELECT round(greatest(kth + 1e-6, CAST(0 AS DOUBLE)), 6)
            AS tau_calibrated
   FROM kth
-), exc AS (
+)"""
+
+
+def _a217_sql() -> str:
+    return f"""
+WITH {_sample_cos_cte_sql("s", "cos")}, {_tau_cte_sql("s", "cos")}, exc AS (
   SELECT count(*) AS n_exceed FROM cos, tau
   WHERE cosine >= tau_calibrated
 )
@@ -367,21 +397,30 @@ QUERIES["c76_compaction_lifecycle"] = QuerySpec(
 
 
 def a218_semdedup_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import calibrate_cosine_threshold, semdedup
+    from ..operators.similarity import (
+        _percolation_guard,
+        calibrate_cosine_threshold,
+        semdedup,
+    )
     from .quantizers import A209_CENTROIDS
 
     e = load_table(spark, sf_dir, "embeddings")
-    # the a217 playbook as the production step: a bounded canonical
-    # sample crosses to the driver ONCE, tau comes back as a plan
-    # literal (bit-equal to the a217 query's tau -- pytest-pinned)
-    tau = calibrate_cosine_threshold(e, sample_size=_A217_SAMPLE)
-    sd = semdedup(
-        e,
-        A209_CENTROIDS,
-        threshold=tau,
-        assign="matmul",
-        guard_max_chance_degree=1.0,  # the enforcement path, live
+    # the a217 playbook as the production step: ONE corpus count and
+    # one bounded canonical-sample collect feed BOTH the calibration
+    # and the guard (review r16: the guard previously re-counted and
+    # re-collected inside semdedup); tau comes back as a plan literal
+    # (bit-equal to the a217 query's tau -- pytest-pinned)
+    n = e.count()
+    tau = calibrate_cosine_threshold(
+        e, sample_size=_A217_SAMPLE, n_total=n
     )
+    # the enforcement path, live: same function semdedup's opt-in
+    # guard calls, fed the already-known count
+    _percolation_guard(
+        e, "embedding", "vec_id", tau, 1.0, "a218_semdedup_calibrated",
+        n_total=n,
+    )
+    sd = semdedup(e, A209_CENTROIDS, threshold=tau, assign="matmul")
     return (
         sd.agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -412,36 +451,12 @@ def _a218_sql() -> str:
     ab = dot.format(a="x.embedding", b="y.embedding")
     aa = dot.format(a="x.embedding", b="x.embedding")
     bb = dot.format(a="y.embedding", b="y.embedding")
-    cab = dot.format(a="a.embedding", b="b.embedding")
-    caa = dot.format(a="a.embedding", b="a.embedding")
-    cbb = dot.format(a="b.embedding", b="b.embedding")
-    # tau recomputed in SQL: a217's CTE chain (identical arithmetic),
-    # then threaded into a209's pair algebra as a scalar subquery
+    # tau recomputed in SQL: a217's CTE chain via the SHARED emitters
+    # (identical arithmetic by construction), then threaded into a209's
+    # pair algebra as a scalar subquery
     return f"""
-WITH RECURSIVE samp AS (
-  SELECT vec_id, embedding FROM embeddings
-  ORDER BY vec_id ASC LIMIT {_A217_SAMPLE}
-), scos AS (
-  SELECT round({cab} / (sqrt({caa}) * sqrt({cbb})), 6) AS cosine
-  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
-), base AS (
-  SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
-         (SELECT count(*) FROM scos) AS n_sample_pairs
-), kcalc AS (
-  SELECT least(CAST(floor(CAST(0.05 AS DOUBLE) / (n_vecs - 1)
-                          * n_sample_pairs) AS BIGINT),
-               n_sample_pairs - 1) AS k_allowed
-  FROM base
-), kth AS (
-  SELECT min(cosine) AS kth FROM (
-    SELECT cosine, row_number() OVER (ORDER BY cosine DESC) AS rn
-    FROM scos
-  ), kcalc WHERE rn <= k_allowed + 1
-), tau AS (
-  SELECT round(greatest(kth + 1e-6, CAST(0 AS DOUBLE)), 6)
-           AS tau_calibrated
-  FROM kth
-), seeds AS (SELECT * FROM {seeds}),
+WITH RECURSIVE {_sample_cos_cte_sql("samp", "scos")},
+{_tau_cte_sql("samp", "scos")}, seeds AS (SELECT * FROM {seeds}),
 assign AS MATERIALIZED (
   SELECT vec_id, cid AS cluster, d AS d2c FROM (
     SELECT e.vec_id, s.cid, {l2} AS d,
@@ -637,7 +652,25 @@ _S18_SLICES = 2  # smallest SF-visible split (the bench budget rule);
 # split-invariance is pinned independently in tests/test_round16.py
 
 
+def _s18_merge_sample(cur: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """The maintained-sample merge: top-S by vec_id of (state UNION
+    batch), deduped on vec_id.  The dropDuplicates is what makes the
+    merge IDEMPOTENT under foreachBatch's at-least-once delivery
+    (review r16): a batch retried after the state overwrite re-unions
+    rows already absorbed, and without the dedup the top-S would hold
+    duplicate vec_ids whose self-pairs (cosine 1.0) corrupt the
+    calibration.  Module-level so the idempotency is unit-pinned."""
+    rows = batch.select("vec_id", "embedding")
+    merged = rows if cur is None else cur.unionByName(rows)
+    return (
+        merged.dropDuplicates(["vec_id"])
+        .orderBy(F.col("vec_id").asc())
+        .limit(_A217_SAMPLE)
+    )
+
+
 def s18_stream_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
     import tempfile
 
@@ -645,47 +678,42 @@ def s18_stream_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     scratch = tempfile.mkdtemp(prefix="ods_spark_s18_")
-    src = f"{scratch}/arrivals"
-    for i in range(_S18_SLICES):
-        e.where(
-            F.pmod(F.col("vec_id"), F.lit(_S18_SLICES)) == i
-        ).coalesce(1).write.mode("append").parquet(src)
-    sample_dir = f"{scratch}/state_sample"
-    counts_dir = f"{scratch}/state_counts"
+    try:  # owns the scratch from mkdtemp on -- a failed slice write or
+        # a StreamingQueryException must not leak it (review r16)
+        src = f"{scratch}/arrivals"
+        for i in range(_S18_SLICES):
+            e.where(
+                F.pmod(F.col("vec_id"), F.lit(_S18_SLICES)) == i
+            ).coalesce(1).write.mode("append").parquet(src)
+        sample_dir = f"{scratch}/state_sample"
+        counts_dir = f"{scratch}/state_counts"
 
-    def absorb(batch: DataFrame, batch_id: int) -> None:
-        # count partial keyed by batch_id: overwrite-per-directory makes
-        # a retried batch land on the same file -- effectively once
-        batch.agg(F.count(F.lit(1)).alias("c")).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{counts_dir}/bid={batch_id}")
-        # sample state: top-S of (state UNION batch) -- the monotone
-        # merge; frozen executor-side before overwriting its own source
-        import os
+        def absorb(batch: DataFrame, batch_id: int) -> None:
+            # count partial keyed by batch_id: overwrite-per-directory
+            # makes a retried batch land on the same file -- once
+            batch.agg(F.count(F.lit(1)).alias("c")).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{counts_dir}/bid={batch_id}")
+            # sample state: idempotent top-S merge, frozen executor-side
+            # before overwriting its own source
+            cur = (
+                spark.read.parquet(sample_dir)
+                if os.path.isdir(sample_dir)
+                else None
+            )
+            top = _s18_merge_sample(cur, batch).localCheckpoint(eager=True)
+            top.coalesce(1).write.mode("overwrite").parquet(sample_dir)
 
-        cur = None
-        if os.path.isdir(sample_dir):
-            cur = spark.read.parquet(sample_dir)
-        rows = batch.select("vec_id", "embedding")
-        merged = rows if cur is None else cur.unionByName(rows)
-        top = (
-            merged.orderBy(F.col("vec_id").asc())
-            .limit(_A217_SAMPLE)
-            .localCheckpoint(eager=True)
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(absorb)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .start()
         )
-        top.coalesce(1).write.mode("overwrite").parquet(sample_dir)
-
-    q = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(absorb)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{scratch}/ckpt")
-        .start()
-    )
-    q.awaitTermination()
-    try:
+        q.awaitTermination()
         n = int(
             spark.read.parquet(counts_dir)
             .agg(F.sum("c"))

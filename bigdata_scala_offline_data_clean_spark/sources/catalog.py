@@ -457,6 +457,11 @@ class Warehouse:
                 "reconstruction would not survive Spark's partition-value "
                 "escaping)"
             )
+        # the dtype alone cannot catch a STRING source column holding
+        # zero-padded numerics ('07' infers as int 7 but lives in
+        # cell=07) or a NULL partition -- verify every directory name
+        # round-trips before touching anything (review r16)
+        self._integral_partition_dirs(layer, table, part_col)
         eids = F.broadcast(erase_ids.select(id_col).distinct())
         affected = sorted(
             r[0]
@@ -485,27 +490,64 @@ class Warehouse:
                     fs.delete(hpath, True)
         return affected
 
+    def _integral_partition_dirs(
+        self, layer: str, table: str, part_col: str
+    ) -> dict[int, object]:
+        """The table's hive partition directories as {int value: dir
+        FileStatus}, REFUSING any directory whose name does not
+        round-trip through int (review r16): a NULL partition lands as
+        ``__HIVE_DEFAULT_PARTITION__``, and a STRING column holding
+        numeric text like '07' writes ``cell=07`` but type-infers back
+        as int 7 -- in both cases name reconstruction from the typed
+        value would target the WRONG directory, so the erase/compact
+        verbs must fail loudly here instead of silently serving stale
+        rows.  (The dtype guard alone cannot catch the '07' case: the
+        inferred dtype IS int.)"""
+        fs, hpath = self._fs_and_path(self.path(layer, table))
+        out: dict[int, object] = {}
+        if not fs.exists(hpath):
+            return out
+        prefix = f"{part_col}="
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not st.isDirectory() or not name.startswith(prefix):
+                continue
+            suffix = name[len(prefix):]
+            try:
+                v = int(suffix)
+                round_trips = str(v) == suffix
+            except ValueError:
+                round_trips = False
+            if not round_trips:
+                raise NotImplementedError(
+                    f"partition directory {name!r} does not round-trip "
+                    f"through an integral value (NULL partition or "
+                    "zero-padded/non-integral source column); the "
+                    "partition-targeted erase/compact verbs support only "
+                    "layouts whose directory names are reconstructible"
+                )
+            out[v] = st
+        return out
+
     def partition_file_census(
         self, layer: str, table: str, part_col: str
     ) -> dict[int, int]:
         """Per-partition parquet file counts from the FS listing
         (metadata only, never a scan) for an integral hive-partitioned
         layout -- :meth:`data_file_count`'s per-cell form, the trigger
-        signal for :meth:`compact_partitions`."""
-        fs, hpath = self._fs_and_path(self.path(layer, table))
-        out: dict[int, int] = {}
-        if not fs.exists(hpath):
-            return out
-        prefix = f"{part_col}="
-        for st in fs.listStatus(hpath):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith(prefix):
-                out[int(name[len(prefix):])] = sum(
-                    1
-                    for f in fs.listStatus(st.getPath())
-                    if f.getPath().getName().endswith(".parquet")
-                )
-        return out
+        signal for :meth:`compact_partitions`.  Shares
+        :meth:`_integral_partition_dirs`' round-trip guard."""
+        fs, _ = self._fs_and_path(self.path(layer, table))
+        return {
+            v: sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            for v, st in self._integral_partition_dirs(
+                layer, table, part_col
+            ).items()
+        }
 
     def compact_partitions(
         self,

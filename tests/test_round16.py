@@ -247,6 +247,84 @@ def test_s18_state_identity_invariant_to_batch_split(spark, monkeypatch):
     assert one == two == batch
 
 
+def test_s18_sample_merge_idempotent_under_redelivery(spark):
+    """foreachBatch is at-least-once: a batch retried after the state
+    overwrite gets merged AGAIN, so the maintained-sample merge must be
+    idempotent -- merging the same batch twice equals merging it once
+    (review r16: the pre-fix union kept duplicate vec_ids whose
+    cosine-1.0 self-pairs would corrupt the calibration)."""
+    from bigdata_scala_offline_data_clean_spark.queries.round16 import (
+        _s18_merge_sample,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    once = _s18_merge_sample(None, batch)
+    twice = _s18_merge_sample(once, batch)
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(map(tuple, once.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, twice.collect()), key=lambda t: t[0]
+    )
+    assert twice.count() == 6  # no duplicate vec_ids survive
+
+
+def test_partition_verbs_reject_non_round_trip_directories(
+    spark, tmp_path
+):
+    """Review r16: the dtype guard alone cannot catch a STRING source
+    column holding zero-padded numerics -- 'cell=07' type-infers back
+    as int 7, and name reconstruction would target the WRONG directory
+    (a GDPR erase that silently does not erase).  Same for a NULL
+    partition's __HIVE_DEFAULT_PARTITION__.  Both must fail loudly."""
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # zero-padded numeric strings: dirs cell=07/cell=08, inferred int
+    spark.range(10).selectExpr(
+        "id AS n_id", "concat('0', 7 + id % 2) AS cell"
+    ).write.partitionBy("cell").parquet(wh.path("dwd", "t_pad"))
+    assert dict(
+        spark.read.parquet(wh.path("dwd", "t_pad")).dtypes
+    )["cell"] in ("int", "bigint")  # the dtype guard is blind here
+    with pytest.raises(NotImplementedError, match="round-trip"):
+        wh.erase_partition_rows(
+            "dwd", "t_pad", "cell",
+            spark.range(2).selectExpr("id AS n_id"), "n_id",
+        )
+    with pytest.raises(NotImplementedError, match="round-trip"):
+        wh.compact_partitions("dwd", "t_pad", "cell")
+
+    # NULL partition value: __HIVE_DEFAULT_PARTITION__ directory
+    spark.range(10).selectExpr(
+        "id AS n_id",
+        "CASE WHEN id < 2 THEN CAST(NULL AS INT) "
+        "ELSE CAST(id % 3 AS INT) END AS cell",
+    ).write.partitionBy("cell").parquet(wh.path("dwd", "t_null"))
+    with pytest.raises(NotImplementedError, match="round-trip"):
+        wh.partition_file_census("dwd", "t_null", "cell")
+
+
+def test_calibration_row_degenerate_corpus_matches_operator(spark):
+    """_calibration_row at n < 2 must mirror calibrate_cosine_threshold's
+    guard (tau = min_tau, no pair space) instead of dividing by zero --
+    the bit-parity contract covers the degenerate corpus too."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        calibrate_cosine_threshold,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round16 import (
+        _A217_MIN_TAU,
+        _calibration_row,
+    )
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    row = _calibration_row(one, 1).collect()[0]
+    assert row["tau_calibrated"] == calibrate_cosine_threshold(one) == _A217_MIN_TAU
+    assert row["n_sample_pairs"] == 0 and row["within_budget"] is True
+
+
 def test_compact_partitions_lifecycle(spark, tmp_path):
     """VERDICT r15 task #3: the cell-partitioned (c69 IVF) layout gets
     the same maintenance verb the bucketed layout has.  absorb x2 ->
