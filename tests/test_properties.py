@@ -667,3 +667,52 @@ class TestCalibrateThreshold:
         vals = s[iu]
         exceed = int((vals >= tau).sum())
         assert exceed / len(vals) * (n - 1) <= budget
+
+
+@pytest.mark.usefixtures("spark")
+class TestS18MaintainedSample:
+    """s18's exactness core as a property: folding ANY partition of the
+    rows through the maintained-sample merge, in ANY batch order, with
+    ANY batch redelivered, equals the batch top-S over all rows -- the
+    identity that lets the streaming calibration reuse a217's oracle
+    verbatim."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ids=st.sets(st.integers(0, 40), min_size=1, max_size=15),
+        splits=st.lists(st.integers(0, 2), min_size=15, max_size=15),
+        order=st.permutations([0, 1, 2]),
+        redeliver=st.integers(0, 2),
+        data=st.data(),
+    )
+    def test_any_schedule_equals_batch_top_s(
+        self, spark, ids, splits, order, redeliver, data
+    ):
+        from bigdata_scala_offline_data_clean_spark.queries import (
+            round16 as r16,
+        )
+
+        ids = sorted(ids)
+        rows = [(i, [float(i), 1.0]) for i in ids]
+        batches = {b: [] for b in range(3)}
+        for row, b in zip(rows, splits):
+            batches[b].append(row)
+        schedule = [b for b in order if batches[b]]
+        if not schedule:
+            return
+        # redeliver one scheduled batch (at-least-once semantics)
+        schedule.append(schedule[redeliver % len(schedule)])
+
+        state = None
+        for b in schedule:
+            batch = spark.createDataFrame(
+                batches[b], ["vec_id", "embedding"]
+            )
+            state = r16._s18_merge_sample(state, batch)
+        got = sorted(r.vec_id for r in state.collect())
+        want = ids[: r16._A217_SAMPLE]  # batch top-S over all rows
+        assert got == want
