@@ -201,6 +201,10 @@ def _sample_pair_cosines(
             .collect()
         )
     ]
+    if len(sample) < 2:
+        # a stale caller-supplied n_total >= 2 over a corpus that now
+        # holds < 2 rows (ADVICE r16): no pair space, empty distribution
+        return n_total, np.empty(0, dtype=np.float64)
     m = _np_unit_rows(np.asarray(sample, dtype=np.float64))
     s = _round_half_up6(m @ m.T)
     iu = np.triu_indices(len(m), 1)
@@ -243,9 +247,17 @@ def _percolation_guard(
     budget: float,
     op_name: str,
     n_total: int | None = None,
+    sample_size: int = 256,
 ) -> None:
+    """``sample_size`` (ADVICE r16): a guard protecting a CALIBRATED tau
+    must estimate on the same canonical sample the calibration used -- a
+    smaller subsample's exceedance rate can be higher than the full
+    sample's, so the default-256 guard could reject a tau that
+    legitimately meets its budget on the 512+-row calibration sample.
+    Callers that calibrated pass their S through."""
     deg = estimate_chance_pair_degree(
-        corpus, vec_col, id_col, threshold, n_total=n_total
+        corpus, vec_col, id_col, threshold,
+        sample_size=sample_size, n_total=n_total,
     )
     if deg >= budget:
         raise PercolationRiskError(
@@ -266,6 +278,7 @@ def embedding_neardup_pairs(
     planes: list[list[float]] | None = None,
     method: str = "matmul",
     guard_max_chance_degree: float | None = None,
+    guard_sample_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
     cosine >= threshold.
@@ -300,6 +313,7 @@ def embedding_neardup_pairs(
         _percolation_guard(
             corpus, vec_col, id_col, threshold,
             guard_max_chance_degree, "embedding_neardup_pairs",
+            sample_size=guard_sample_size,
         )
     if planes is None and method == "matmul":
         return _neardup_pairs_matmul(corpus, id_col, vec_col, threshold)
@@ -591,7 +605,11 @@ def calibrate_cosine_threshold(
     n_total, vals = _sample_pair_cosines(
         corpus, vec_col, id_col, sample_size, n_total
     )
-    if vals is None:
+    # len == 0 (ADVICE r16): a caller-supplied stale n_total >= 2 over a
+    # corpus with < 2 rows yields an EMPTY pair array, and the rank
+    # arithmetic below would index vals[-...] -- same degenerate case as
+    # vals is None, same answer
+    if vals is None or len(vals) == 0:
         return min_tau
     # exceedance budget: at most chance_degree / (n_total - 1) of pair
     # space may sit at or above tau
@@ -614,6 +632,42 @@ def calibrate_cosine_threshold(
         )
     tau = boundary + 1e-6
     return round(max(tau, min_tau), 6)
+
+
+# Adaptive calibration sample size (round 17, VERDICT r16 task #2).
+# Round 16 hit the k=0 boundary: at the 10x replica (n = 50k) a FIXED
+# S = 512 gives npairs ~ 131k and a budget rank k = floor(0.05/(n-1) *
+# npairs) that floors to 0, so tau degenerates to sample-max + 1e-6.
+# The budget rank stays >= 1 only if the pair count grows with n, i.e.
+# S ~ sqrt(n): with S = c * isqrt(n), k ~ 0.05 * c^2 / 2 -- constant in
+# n.  c = 8 puts that constant at ~1.6.  The floor keeps small corpora
+# at the round-16 behavior (512 was exact there); the cap bounds the
+# driver-side canonical-sample collect (_sample_pair_cosines is
+# O(S * dim) driver memory and O(S^2) pair work: at S_MAX = 2048 and
+# dim = 64 that is ~1 MiB collected and ~2M sampled pairs -- the stated
+# ceiling the round-16 verdict asked for; corpora needing tighter
+# budgets at n > (2048/8)^2 = 65k tighten chance_degree instead).
+CALIBRATION_SAMPLE_MIN = 512
+CALIBRATION_SAMPLE_MAX = 2048
+CALIBRATION_SAMPLE_PER_SQRT = 8
+
+
+def calibration_sample_size(n_total: int) -> int:
+    """S(n) = clamp(8 * isqrt(n), 512, 2048) -- the adaptive canonical
+    sample size for :func:`calibrate_cosine_threshold` /
+    :func:`estimate_chance_pair_degree`.  Pure integer arithmetic
+    (``math.isqrt``; the SQL twin's ``floor(sqrt(n))`` is exact for
+    n < 2^52), so both engines derive the identical plan literal from
+    the corpus count."""
+    import math
+
+    return min(
+        max(
+            CALIBRATION_SAMPLE_PER_SQRT * math.isqrt(max(n_total, 0)),
+            CALIBRATION_SAMPLE_MIN,
+        ),
+        CALIBRATION_SAMPLE_MAX,
+    )
 
 
 def _dlit(x: float) -> str:
@@ -1168,6 +1222,7 @@ def semdedup(
     assign: str = "fold",
     pair_block: int = 4096,
     guard_max_chance_degree: float | None = None,
+    guard_sample_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, find within-cluster cosine
@@ -1214,6 +1269,7 @@ def semdedup(
         _percolation_guard(
             corpus, vec_col, id_col, threshold,
             guard_max_chance_degree, "semdedup",
+            sample_size=guard_sample_size,
         )
     if assign == "matmul":
         v = _assign_matmul(corpus, centroids, id_col, vec_col)

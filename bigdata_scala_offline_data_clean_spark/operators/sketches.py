@@ -327,6 +327,12 @@ def bloom_candidate_expr(
     """Membership screen as ONE parsed expression: candidate iff ALL k
     probe positions are occupied.  Pure expression -- folds into the
     scan, never a join."""
+    if not setbits:
+        # an empty filter has no occupied positions -> nothing is a
+        # candidate.  The literal form would emit array() (type
+        # array<null>) and fail analysis against the bigint probe
+        # (ADVICE r16).
+        return F.lit(False)
     arr = "array(" + ", ".join(str(int(p)) for p in setbits) + ")"
     return F.expr(
         " AND ".join(

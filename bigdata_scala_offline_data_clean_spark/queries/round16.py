@@ -80,21 +80,29 @@ QUERIES: dict[str, QuerySpec] = {}
 # bounded-probe shape as a216.
 # ---------------------------------------------------------------------------
 
-_A217_SAMPLE = 512
 _A217_CHANCE_DEGREE = 0.05
 _A217_MIN_TAU = 0.0
 
 
 def a217_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import calibration_sample_size
+
     e = load_table(spark, sf_dir, "embeddings")
     # bounded driver scalar (the S12 pattern): the budget rank k and
     # the sample limit must be PLAN LITERALS, and both derive from one
-    # corpus count
-    sample = e.orderBy(F.col("vec_id").asc()).limit(_A217_SAMPLE)
-    return _calibration_row(sample, e.count())
+    # corpus count.  S is ADAPTIVE since round 17 (VERDICT r16 task
+    # #2): S = clamp(8 * isqrt(n), 512, 2048), so the budget rank k
+    # stays >= 1 as n grows instead of flooring to 0 (the round-16 k=0
+    # boundary where tau degenerated to sample-max + 1e-6 at the 10x
+    # replica); integer-exact in both engines, so S stays a derivable
+    # plan literal and the oracle stays FULL exact-match.
+    n = e.count()
+    s_cap = calibration_sample_size(n)
+    sample = e.orderBy(F.col("vec_id").asc()).limit(s_cap)
+    return _calibration_row(sample, n, s_cap)
 
 
-def _calibration_row(sample: DataFrame, n: int) -> DataFrame:
+def _calibration_row(sample: DataFrame, n: int, s_cap: int) -> DataFrame:
     """The a217 tail shared with s18: the calibration report row from a
     CANONICAL top-S sample frame and the corpus count -- the only two
     inputs the playbook needs (which is exactly why s18 can maintain
@@ -116,7 +124,7 @@ def _calibration_row(sample: DataFrame, n: int) -> DataFrame:
             F.lit(_A217_CHANCE_DEGREE).alias("chance_degree_budget"),
             F.lit(True).alias("within_budget"),
         )
-    s_n = min(_A217_SAMPLE, n)
+    s_n = min(s_cap, n)
     npairs = s_n * (s_n - 1) // 2
     # identical double arithmetic to the oracle's
     # floor(0.05 / (n - 1) * npairs): divide first, then scale
@@ -159,16 +167,34 @@ def _calibration_row(sample: DataFrame, n: int) -> DataFrame:
 def _sample_cos_cte_sql(sample_cte: str, cos_cte: str) -> str:
     """The canonical-sample + pair-cosine CTE pair, parameterized on
     CTE names (a218 needs non-colliding names inside its larger
-    chain)."""
-    from ..operators.similarity import DOT_SQL
+    chain).  The sample cap is the ADAPTIVE S(n) = clamp(8 * isqrt(n),
+    512, 2048) recomputed in SQL (``floor(sqrt(n))`` == ``isqrt(n)``
+    exactly for n < 2^52: integer squares are exact doubles and sqrt is
+    correctly rounded), interpolating the SAME constants the Spark side
+    uses -- one source of truth per the review-r16 one-emitter rule."""
+    from ..operators.similarity import (
+        CALIBRATION_SAMPLE_MAX,
+        CALIBRATION_SAMPLE_MIN,
+        CALIBRATION_SAMPLE_PER_SQRT,
+        DOT_SQL,
+    )
 
     dot = DOT_SQL.replace("{a}", "{x}").replace("{b}", "{y}")
     ab = dot.format(x="a.embedding", y="b.embedding")
     aa = dot.format(x="a.embedding", y="a.embedding")
     bb = dot.format(x="b.embedding", y="b.embedding")
+    s_of_n = (
+        f"least(greatest({CALIBRATION_SAMPLE_PER_SQRT} * "
+        f"CAST(floor(sqrt(CAST((SELECT count(*) FROM embeddings) "
+        f"AS DOUBLE))) AS BIGINT), {CALIBRATION_SAMPLE_MIN}), "
+        f"{CALIBRATION_SAMPLE_MAX})"
+    )
     return f"""{sample_cte} AS (
-  SELECT vec_id, embedding FROM embeddings
-  ORDER BY vec_id ASC LIMIT {_A217_SAMPLE}
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY vec_id ASC) AS rn
+    FROM embeddings)
+  WHERE rn <= {s_of_n}
 ), {cos_cte} AS (
   SELECT round({ab} / (sqrt({aa}) * sqrt({bb})), 6) AS cosine
   FROM {sample_cte} a JOIN {sample_cte} b ON a.vec_id < b.vec_id
@@ -179,9 +205,12 @@ def _tau_cte_sql(sample_cte: str, cos_cte: str) -> str:
     """The calibration CTE chain (base/kcalc/kth/tau) shared VERBATIM
     by _a217_sql and _a218_sql -- one emitter on purpose (review r16):
     both oracles' exactness rests on this arithmetic staying identical,
-    so it must not exist twice.  CAST(0.05 AS DOUBLE): a bare 0.05
-    parses as DECIMAL in DuckDB and the budget arithmetic would run in
-    decimal, not the double ops the Spark side uses."""
+    so it must not exist twice.  The budget and min-tau literals are
+    INTERPOLATED from the module constants (ADVICE r16: hardcoded
+    copies would silently desync the oracle if a constant changed).
+    CAST(... AS DOUBLE): a bare numeric literal parses as DECIMAL in
+    DuckDB and the budget arithmetic would run in decimal, not the
+    double ops the Spark side uses."""
     return f"""base AS (
   SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
          (SELECT count(*) FROM {sample_cte}) AS n_sample,
@@ -199,7 +228,7 @@ def _tau_cte_sql(sample_cte: str, cos_cte: str) -> str:
     FROM {cos_cte}
   ), kcalc WHERE rn <= k_allowed + 1
 ), tau AS (
-  SELECT round(greatest(kth + 1e-6, CAST(0 AS DOUBLE)), 6)
+  SELECT round(greatest(kth + 1e-6, CAST({_A217_MIN_TAU} AS DOUBLE)), 6)
            AS tau_calibrated
   FROM kth
 )"""
@@ -215,9 +244,9 @@ SELECT k.n_vecs, k.n_sample, k.n_sample_pairs, k.k_allowed,
        t.tau_calibrated,
        round(e.n_exceed / k.n_sample_pairs * (k.n_vecs - 1), 6)
          AS est_chance_degree_at_tau,
-       CAST(0.05 AS DOUBLE) AS chance_degree_budget,
+       CAST({_A217_CHANCE_DEGREE} AS DOUBLE) AS chance_degree_budget,
        e.n_exceed / k.n_sample_pairs * (k.n_vecs - 1)
-         <= CAST(0.05 AS DOUBLE) AS within_budget
+         <= CAST({_A217_CHANCE_DEGREE} AS DOUBLE) AS within_budget
 FROM kcalc k, tau t, exc e
 """
 
@@ -400,6 +429,7 @@ def a218_semdedup_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         _percolation_guard,
         calibrate_cosine_threshold,
+        calibration_sample_size,
         semdedup,
     )
     from .quantizers import A209_CENTROIDS
@@ -411,14 +441,15 @@ def a218_semdedup_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-collected inside semdedup); tau comes back as a plan literal
     # (bit-equal to the a217 query's tau -- pytest-pinned)
     n = e.count()
-    tau = calibrate_cosine_threshold(
-        e, sample_size=_A217_SAMPLE, n_total=n
-    )
+    s_cap = calibration_sample_size(n)
+    tau = calibrate_cosine_threshold(e, sample_size=s_cap, n_total=n)
     # the enforcement path, live: same function semdedup's opt-in
-    # guard calls, fed the already-known count
+    # guard calls, fed the already-known count AND the calibration's
+    # own S (ADVICE r16: a smaller guard subsample's exceedance rate
+    # can exceed the budget a tau legitimately met on the full sample)
     _percolation_guard(
         e, "embedding", "vec_id", tau, 1.0, "a218_semdedup_calibrated",
-        n_total=n,
+        n_total=n, sample_size=s_cap,
     )
     sd = semdedup(e, A209_CENTROIDS, threshold=tau, assign="matmul")
     return (
@@ -653,19 +684,27 @@ _S18_SLICES = 2  # smallest SF-visible split (the bench budget rule);
 
 
 def _s18_merge_sample(cur: DataFrame | None, batch: DataFrame) -> DataFrame:
-    """The maintained-sample merge: top-S by vec_id of (state UNION
+    """The maintained-sample merge: top-S_MAX by vec_id of (state UNION
     batch), deduped on vec_id.  The dropDuplicates is what makes the
     merge IDEMPOTENT under foreachBatch's at-least-once delivery
     (review r16): a batch retried after the state overwrite re-unions
     rows already absorbed, and without the dedup the top-S would hold
     duplicate vec_ids whose self-pairs (cosine 1.0) corrupt the
-    calibration.  Module-level so the idempotency is unit-pinned."""
+    calibration.  Module-level so the idempotency is unit-pinned.
+
+    The maintained cap is CALIBRATION_SAMPLE_MAX, not the adaptive
+    S(n): S(n) depends on the FINAL corpus count, unknown mid-stream,
+    but S(n) <= S_MAX always, and the top-S(n) prefix of the maintained
+    top-S_MAX equals the corpus' top-S(n) -- so the report step cuts
+    the state to S(n) after the count state settles the n."""
+    from ..operators.similarity import CALIBRATION_SAMPLE_MAX
+
     rows = batch.select("vec_id", "embedding")
     merged = rows if cur is None else cur.unionByName(rows)
     return (
         merged.dropDuplicates(["vec_id"])
         .orderBy(F.col("vec_id").asc())
-        .limit(_A217_SAMPLE)
+        .limit(CALIBRATION_SAMPLE_MAX)
     )
 
 
@@ -719,7 +758,18 @@ def s18_stream_tau_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c"))
             .collect()[0][0]
         )
-        out = _calibration_row(spark.read.parquet(sample_dir), n)
+        from ..operators.similarity import calibration_sample_size
+
+        # the maintained state holds top-S_MAX; the report cuts it to
+        # the adaptive S(n) (a prefix of the state -- see
+        # _s18_merge_sample), so s18 == a217 under any batch schedule
+        s_cap = calibration_sample_size(n)
+        sample = (
+            spark.read.parquet(sample_dir)
+            .orderBy(F.col("vec_id").asc())
+            .limit(s_cap)
+        )
+        out = _calibration_row(sample, n, s_cap)
         return freeze_result(out)  # pre-rmtree, executor-side
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -713,6 +713,10 @@ class TestS18MaintainedSample:
                 batches[b], ["vec_id", "embedding"]
             )
             state = r16._s18_merge_sample(state, batch)
+        from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+            CALIBRATION_SAMPLE_MAX,
+        )
+
         got = sorted(r.vec_id for r in state.collect())
-        want = ids[: r16._A217_SAMPLE]  # batch top-S over all rows
+        want = ids[:CALIBRATION_SAMPLE_MAX]  # batch top-S over all rows
         assert got == want

@@ -22,16 +22,17 @@ def test_a217_tau_matches_operator_bitwise(spark):
     what the driver actually checks."""
     from bigdata_scala_offline_data_clean_spark.operators.similarity import (
         calibrate_cosine_threshold,
+        calibration_sample_size,
     )
     from bigdata_scala_offline_data_clean_spark.queries._util import load_table
     from bigdata_scala_offline_data_clean_spark.queries.round16 import (
-        _A217_SAMPLE,
         a217_tau_calibration,
     )
 
     row = a217_tau_calibration(spark, SF_SMALL).collect()[0]
+    e = load_table(spark, SF_SMALL, "embeddings")
     tau_op = calibrate_cosine_threshold(
-        load_table(spark, SF_SMALL, "embeddings"), sample_size=_A217_SAMPLE
+        e, sample_size=calibration_sample_size(e.count())
     )
     assert row["tau_calibrated"] == tau_op  # bit-exact, both 6dp floats
     assert row["within_budget"] is True
@@ -320,7 +321,7 @@ def test_calibration_row_degenerate_corpus_matches_operator(spark):
     )
 
     one = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
-    row = _calibration_row(one, 1).collect()[0]
+    row = _calibration_row(one, 1, 512).collect()[0]
     assert row["tau_calibrated"] == calibrate_cosine_threshold(one) == _A217_MIN_TAU
     assert row["n_sample_pairs"] == 0 and row["within_budget"] is True
 

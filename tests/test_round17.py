@@ -1,0 +1,137 @@
+"""Round-17 pins: the adaptive calibration sample size fixes the k=0
+boundary at the 10x replica, the ADVICE-r16 edge cases fail safe
+(stale-count calibration, empty bloom filter), and the percolation
+guard estimates on the calibration's own sample."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def replica_dir(tmp_path_factory):
+    """The 10x embeddings replica (the SCALE.md protocol: sf0.1 rows
+    replicated with shifted ids and a per-copy first-component epsilon),
+    built fresh so the k=0-boundary pin does not depend on an ephemeral
+    /tmp/sf10x from a measurement session."""
+    import duckdb
+
+    dst = tmp_path_factory.mktemp("sf10x_embeddings")
+    duckdb.connect().sql(
+        """COPY (
+          SELECT vec_id + c.copy * 1000000 AS vec_id,
+                 CAST(list_prepend(
+                   CAST(embedding[1] + c.copy * 0.001 AS FLOAT),
+                   embedding[2:]) AS FLOAT[]) AS embedding
+          FROM '/root/testdata/sf0.1/embeddings.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS copy) c
+        ) TO '{}' (FORMAT PARQUET)""".format(dst / "embeddings.parquet")
+    )
+    return str(dst)
+
+
+def test_adaptive_sample_fixes_k0_boundary_at_replica(spark, replica_dir):
+    """VERDICT r16 task #2: at n = 50k the fixed S = 512 floored the
+    budget rank to k = 0 and tau degenerated to sample-max + 1e-6
+    (SCALE.md r16).  With S = clamp(8 * isqrt(n), 512, 2048) the rank
+    stays >= 1, tau is a real tail quantile, and the budget still
+    holds."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        calibration_sample_size,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round16 import (
+        a217_tau_calibration,
+    )
+
+    row = a217_tau_calibration(spark, replica_dir).collect()[0]
+    assert row["n_vecs"] == 20000
+    assert row["n_sample"] == calibration_sample_size(20000) == 1128
+    assert row["k_allowed"] >= 1  # the round-16 boundary, gone
+    assert row["within_budget"] is True
+    assert row["tau_calibrated"] < 1.0  # not the degenerate sample-max
+
+
+def test_calibration_sample_size_clamps():
+    """S(n) is integer-exact and clamped: small corpora keep the
+    round-16 S = 512 (their taus are unchanged), the cap bounds the
+    O(S*dim) driver collect and O(S^2) pair work."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        CALIBRATION_SAMPLE_MAX,
+        CALIBRATION_SAMPLE_MIN,
+        calibration_sample_size,
+    )
+
+    assert calibration_sample_size(0) == CALIBRATION_SAMPLE_MIN
+    assert calibration_sample_size(500) == CALIBRATION_SAMPLE_MIN
+    assert calibration_sample_size(5000) == 560  # 8 * isqrt(5000)
+    assert calibration_sample_size(10**9) == CALIBRATION_SAMPLE_MAX
+
+
+def test_calibrate_stale_count_over_empty_corpus_returns_min_tau(spark):
+    """ADVICE r16: a caller-supplied stale n_total >= 2 over a corpus
+    with < 2 rows used to raise IndexError on the empty pair array; it
+    must degrade to min_tau like the n_total < 2 guard."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        calibrate_cosine_threshold,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert calibrate_cosine_threshold(empty, n_total=100, min_tau=0.25) == 0.25
+
+
+def test_bloom_candidate_expr_empty_filter_matches_nothing(spark):
+    """ADVICE r16: an empty blocklist's filter has no occupied
+    positions, so the screen must select zero candidates -- not fail
+    analysis on an array<null> literal."""
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        bloom_candidate_expr,
+        bloom_setbits,
+    )
+
+    d = spark.range(100).selectExpr("id AS doc_id")
+    setbits = bloom_setbits(d.where(F.lit(False)), "doc_id")
+    assert setbits == []
+    assert d.where(bloom_candidate_expr(setbits, "doc_id")).count() == 0
+
+
+def test_guard_runs_on_the_calibration_sample(spark):
+    """ADVICE r16: a tau calibrated on S rows must be judged on the
+    same S rows -- the guarded operators accept the calibrated tau when
+    the calibration's S is passed through ``guard_sample_size``."""
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        calibrate_cosine_threshold,
+        calibration_sample_size,
+        estimate_chance_pair_degree,
+        semdedup,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.quantizers import (
+        A209_CENTROIDS,
+    )
+
+    e = load_table(spark, SF_MID, "embeddings")
+    n = e.count()
+    s = calibration_sample_size(n)
+    tau = calibrate_cosine_threshold(e, sample_size=s, n_total=n)
+    # on the calibration's own sample the budget holds by construction
+    assert (
+        estimate_chance_pair_degree(
+            e, threshold=tau, sample_size=s, n_total=n
+        )
+        <= 0.05
+    )
+    out = semdedup(
+        e,
+        A209_CENTROIDS,
+        threshold=tau,
+        assign="matmul",
+        guard_max_chance_degree=1.0,
+        guard_sample_size=s,
+    )
+    assert out.count() == n  # guard passed; plan ran
