@@ -634,6 +634,38 @@ def calibrate_cosine_threshold(
     return round(max(tau, min_tau), 6)
 
 
+def corpus_fingerprint(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, int]:
+    """(count, checksum) identity of an embedding corpus -- the key of
+    a220's trained-artifact registry (round 17).
+
+    The checksum is ``SUM(CAST(floor(1e6 * CAST(vec[1] AS DOUBLE)) AS
+    BIGINT))``: float -> double widening is exact, ``floor`` of a double
+    is exact, and integer sums are order/partitioning-independent, so
+    BOTH engines (and any partition layout) compute the identical pair.
+    A corpus COUNT alone is ambiguous (the sf0.001 and sf0.01 testdata
+    both hold 500 embeddings with different values); production
+    registries key artifacts by a dataset snapshot id, and this is that
+    id derived from the data itself.  One bounded aggregate -- the S12
+    driver-scalar pattern, O(1) rows back."""
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(
+                F.element_at(F.col(vec_col), 1).cast("double") * 1e6
+            ).cast("long")
+        ).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"] or 0)
+
+
+# DuckDB twin of corpus_fingerprint's checksum -- format with the table
+CORPUS_CHK_SQL = (
+    "SUM(CAST(floor(CAST({t}.embedding[1] AS DOUBLE) * 1e6) AS BIGINT))"
+)
+
+
 # Adaptive calibration sample size (round 17, VERDICT r16 task #2).
 # Round 16 hit the k=0 boundary: at the 10x replica (n = 50k) a FIXED
 # S = 512 gives npairs ~ 131k and a budget rank k = floor(0.05/(n-1) *

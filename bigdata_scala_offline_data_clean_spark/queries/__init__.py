@@ -83,6 +83,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round14,
         round15,
         round16,
+        round17,
         streaming_q,
     )
 
@@ -110,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round14,
         round15,
         round16,
+        round17,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -100,6 +100,58 @@ def test_bloom_candidate_expr_empty_filter_matches_nothing(spark):
     assert d.where(bloom_candidate_expr(setbits, "doc_id")).count() == 0
 
 
+def test_a220_registry_matches_live_training_at_every_sf(spark):
+    """The a220 artifact registry IS the runtime training path frozen:
+    at every test corpus, training k = max(4, isqrt(n)) on the
+    canonical sample reproduces the registry's doubles exactly -- so
+    the registry-hit and live-retrain branches of
+    _a220_trained_centroids are the same quantizer where they overlap
+    (the a209 frozen-artifact contract, now corpus-keyed)."""
+    import math
+
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        corpus_fingerprint,
+        train_ivf_centroids,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.quantizers import (
+        A220_CENTROIDS_BY_CORPUS,
+    )
+
+    seen = set()
+    for sf in (SF_SMALL, SF_MID, "/root/testdata/sf0.1"):
+        e = load_table(spark, sf, "embeddings")
+        key = corpus_fingerprint(e)
+        seen.add(key)
+        live = train_ivf_centroids(
+            e, n_clusters=max(4, math.isqrt(key[0])), sample_size=2048,
+            iters=10, seed=42, order_col="vec_id",
+        )
+        assert A220_CENTROIDS_BY_CORPUS[key] == live
+    # the three test corpora are distinct identities (two share n=500;
+    # the checksum is what disambiguates them)
+    assert len(seen) == 3 == len(A220_CENTROIDS_BY_CORPUS)
+
+
+def test_a220_replica_retrains_and_keeps_the_distinct_count(
+    spark, replica_dir
+):
+    """The production claim, end to end at 10x: the replica's corpus is
+    OUTSIDE the registry, so a220 retrains live (k = isqrt(20000) =
+    141) and recalibrates tau -- and the keep census lands at ~the
+    distinct count (each vector has 10 epsilon-shifted copies), where
+    round 15 measured retrain-alone and fixed-tau both collapse."""
+    from bigdata_scala_offline_data_clean_spark.queries.round17 import (
+        a220_semdedup_production,
+    )
+
+    row = a220_semdedup_production(spark, replica_dir).collect()[0]
+    assert row["n_vecs"] == 20000
+    assert row["k_trained"] == 141  # isqrt(20000): the live retrain ran
+    assert row["merged_any"] is True
+    assert 0.08 <= row["keep_rate"] <= 0.2  # ~0.1 = the distinct share
+
+
 def test_guard_runs_on_the_calibration_sample(spark):
     """ADVICE r16: a tau calibrated on S rows must be judged on the
     same S rows -- the guarded operators accept the calibrated tau when

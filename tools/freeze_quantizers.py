@@ -25,6 +25,23 @@ fixed seed, fixed iteration count):
         DuckDB twin recomputes assignment/pair-search/closure over them
         (round 14, VERDICT r13 task #1)
 
+    A220_CENTROIDS_BY_CORPUS (round 17, VERDICT r16 task #1): the SAME
+        a209 training call run at EACH test SF's corpus --
+        n_clusters=max(4, isqrt(n)) over the canonical top-2048 sample
+        -- keyed by (corpus count, corpus checksum), because a220 runs
+        the full production recipe (retrain k ~ sqrt(n) AND recalibrate
+        tau together) and the frozen artifact must track the corpus it
+        was trained on.  The count alone is AMBIGUOUS (sf0.001 and
+        sf0.01 both hold 500 embeddings with different values), so the
+        key adds an integer corpus checksum -- SUM(floor(1e6 *
+        embedding[1])) as BIGINT -- that both engines compute
+        bit-identically (float -> double widening is exact, floor of a
+        double is exact, integer sums are order-independent).  The
+        sf0.01 entry IS A209_CENTROIDS (identical call, identical
+        doubles -- emitted as a reference, not a copy); a220's runtime
+        fallback retrains for any corpus outside this registry (e.g.
+        the 10x replica).
+
 Run: python tools/freeze_quantizers.py  (rewrites queries/quantizers.py)
 """
 
@@ -95,6 +112,35 @@ def main() -> None:
         e, n_clusters=k209, sample_size=2048, iters=10, seed=42,
         order_col="vec_id",
     )
+    # a220: the identical training call at every test SF, keyed by the
+    # (count, checksum) corpus identity (sf0.01's artifact is A209
+    # itself -- same call, same doubles)
+    from bigdata_scala_offline_data_clean_spark.operators.similarity import (
+        corpus_fingerprint,
+    )
+
+    cents220: list[tuple[str, tuple[int, int], list[list[float]] | None]] = []
+    for tag, sf in (
+        ("SF0001", "/root/testdata/sf0.001"),
+        ("SF001", "/root/testdata/sf0.01"),
+        ("SF01", "/root/testdata/sf0.1"),
+    ):
+        esf = load_table(spark, sf, "embeddings")
+        key = corpus_fingerprint(esf)
+        if tag == "SF001":
+            cents220.append((tag, key, None))  # A209 reference
+            continue
+        cents220.append(
+            (
+                tag,
+                key,
+                train_ivf_centroids(
+                    esf, n_clusters=max(4, math.isqrt(key[0])),
+                    sample_size=2048, iters=10, seed=42,
+                    order_col="vec_id",
+                ),
+            )
+        )
     spark.stop()
 
     out = [HEADER]
@@ -118,6 +164,29 @@ def main() -> None:
     for c in cents209:
         out.append("    [\n" + _fmt_floats(c, "        ") + "\n    ],\n")
     out.append("]\n")
+    entries = []
+    for tag, key, cents in cents220:
+        if cents is None:
+            entries.append((key, "A209_CENTROIDS"))
+            continue
+        name = f"_A220_{tag}_CENTROIDS"
+        out.append(
+            f"\n{name} = [  # {len(cents)} x 64, "
+            f"trained k = max(4, isqrt({key[0]}))\n"
+        )
+        for c in cents:
+            out.append(
+                "    [\n" + _fmt_floats(c, "        ") + "\n    ],\n"
+            )
+        out.append("]\n")
+        entries.append((key, name))
+    keys = ",\n    ".join(f"{k!r}: {name}" for k, name in entries)
+    out.append(
+        "\n# (corpus count, corpus checksum) -> trained quantizer (a220's"
+        "\n# artifact registry; the sf0.01 artifact is A209 itself --"
+        "\n# identical training call).  Key = similarity.corpus_fingerprint."
+        f"\nA220_CENTROIDS_BY_CORPUS = {{\n    {keys},\n}}\n"
+    )
     OUT.write_text("".join(out))
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
 
