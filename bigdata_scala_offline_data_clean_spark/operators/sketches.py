@@ -307,6 +307,24 @@ def bloom_pos_sql(id_sql: str, i: int, m: int) -> str:
     )
 
 
+# bits/key for a 1% false-positive target, times 100: ceil(100 *
+# ln(1/0.01) / ln(2)^2) = ceil(958.51) = 959.  Precomputed as an INTEGER
+# constant so both engines size m with exact integer arithmetic instead
+# of each rounding its own ln() calls (the engine-parity rule).
+BLOOM_BITS_PER_KEY_X100 = 959
+
+
+def bloom_sized_m(n_keys: int) -> int:
+    """The production filter width for ``n_keys`` at the 1% FPR target:
+    next power of two >= ceil(n_keys * 9.59) bits.  Integer-exact; the
+    SQL twin recomputes it as ``(nb * 959 + 99) // 100`` + a min over
+    powers of two.  With the fixed k = 3 probes the theoretical FPR at
+    this m is (1 - e^(-3/9.59))^3 ~ 0.019 <= 2 * target -- the bound
+    a222's census checks against."""
+    target = max((n_keys * BLOOM_BITS_PER_KEY_X100 + 99) // 100, 1)
+    return 1 << (target - 1).bit_length()
+
+
 def bloom_setbits(
     keys: DataFrame, id_col: str, m: int = 1024, k: int = 3
 ) -> list[int]:

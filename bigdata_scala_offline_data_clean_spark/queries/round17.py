@@ -192,3 +192,141 @@ SELECT (SELECT count(*) FROM kept) AS n_vecs,
 QUERIES["a220_semdedup_production"] = QuerySpec(
     a220_semdedup_production, _a220_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# a222 -- the SIZED bloom blocklist screen (VERDICT r16 task #3).  a219
+# deliberately fixes m = 1024 so its census shows the FPR saturating as
+# the blocklist grows (0.002 -> 0.197 -> 1.0 at 10x) -- the alarm.
+# a222 is the response: m is COMPUTED IN-QUERY from the blocklist count
+# at the 1% FPR target -- m = next_pow2(ceil(nb * 9.59)) bits, the
+# standard -n ln p / ln^2 2 sizing with the bits/key precomputed as an
+# integer constant so both engines derive the identical m -- and the
+# census now carries the bound check: measured FPR <= 2 * target at
+# every scale instead of saturating.  Same zero-join screen shape as
+# a219 (occupied-position set folded into the scan as literal probes,
+# exact verify over candidates only); a219 stays registered as the
+# fixed-m comparison row.  Scale: the filter artifact is <= k * nb
+# positions -- it grows LINEARLY with the blocklist like any bloom
+# bitmap (1e9 ids -> ~1.2 GB at 1%), while the corpus side still pays
+# zero shuffle for the screen; tests pin the native
+# bloom_filter_agg/might_contain path (the c65 machinery) as a
+# plan-level twin of the same screen.
+# ---------------------------------------------------------------------------
+
+_A222_BLOCK_MOD, _A222_BLOCK_REM = 17, 3  # a219's simulated blocklist
+_A222_K = 3
+_A222_TARGET_P = 0.01
+
+
+def a222_bloom_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        bloom_candidate_expr,
+        bloom_setbits,
+        bloom_sized_m,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blocked = (
+        F.pmod(F.col("doc_id"), F.lit(_A222_BLOCK_MOD)) == _A222_BLOCK_REM
+    )
+    block = d.where(blocked)
+    # SIZE: m from the blocklist count -- one bounded aggregate (the
+    # S12 pattern); m becomes a plan literal like a219's fixed 1024
+    nb = block.count()
+    m = bloom_sized_m(nb)
+    setbits = bloom_setbits(block, "doc_id", m=m, k=_A222_K)
+    cands = d.where(
+        bloom_candidate_expr(setbits, "doc_id", m=m, k=_A222_K)
+    )
+    n_corpus = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = cands.join(F.broadcast(block), "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_blocked")
+    )
+    fp = F.col("n_candidates") - F.col("n_blocked")
+    fpr = fp / (F.col("n_corpus") - F.lit(nb))
+    return (
+        n_corpus.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_corpus",
+            F.lit(nb).cast("bigint").alias("n_blocklist"),
+            F.lit(m).cast("bigint").alias("m_sized"),
+            F.lit(len(setbits)).cast("bigint").alias("n_bits_set"),
+            "n_candidates",
+            "n_blocked",
+            fp.alias("n_false_positives"),
+            F.round(fpr, 6).alias("fpr_measured"),
+            # unrounded comparison, the a216 rule; 2p absorbs the
+            # fixed-k-3-vs-optimal-k gap (see bloom_sized_m)
+            (fpr <= F.lit(2 * _A222_TARGET_P)).alias("fpr_ok"),
+            (F.col("n_corpus") - F.col("n_blocked")).alias("n_kept"),
+            (F.col("n_blocked") == F.lit(nb)).alias("no_false_negatives"),
+        )
+    )
+
+
+def _a222_sql() -> str:
+    from ..operators.sketches import BLOOM_BITS_PER_KEY_X100
+
+    msel = "(SELECT m FROM msz)"
+
+    def pos(i: int, src: str = "doc_id") -> str:
+        return (
+            f"CAST(('0x' || substr(md5(CAST({src} AS VARCHAR) || ':{i}'), "
+            f"1, 12)) AS BIGINT) % {msel}"
+        )
+
+    probes = "\n  UNION\n".join(
+        f"  SELECT {pos(i)} AS p FROM block" for i in range(_A222_K)
+    )
+    cand = " AND ".join(
+        f"({pos(i)}) IN (SELECT p FROM setbits)" for i in range(_A222_K)
+    )
+    return f"""
+WITH block AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % {_A222_BLOCK_MOD} = {_A222_BLOCK_REM}
+), msz AS (
+  SELECT min(p) AS m FROM (
+    SELECT CAST(power(2, g.generate_series) AS BIGINT) AS p
+    FROM generate_series(0, 40) g
+  ), (
+    SELECT greatest(
+      (count(*) * {BLOOM_BITS_PER_KEY_X100} + 99) // 100, 1
+    ) AS target FROM block
+  ) WHERE p >= target
+), setbits AS (
+{probes}
+), flags AS (
+  SELECT doc_id,
+         {cand} AS is_cand,
+         doc_id % {_A222_BLOCK_MOD} = {_A222_BLOCK_REM} AS is_block
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n_corpus,
+         sum(CASE WHEN is_block THEN 1 ELSE 0 END) AS n_blocklist,
+         sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS n_candidates,
+         sum(CASE WHEN is_cand AND is_block THEN 1 ELSE 0 END) AS n_blocked
+  FROM flags
+)
+SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+       CAST(n_blocklist AS BIGINT) AS n_blocklist,
+       (SELECT m FROM msz) AS m_sized,
+       (SELECT count(*) FROM setbits) AS n_bits_set,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(n_candidates - n_blocked AS BIGINT) AS n_false_positives,
+       round(CAST(n_candidates - n_blocked AS BIGINT)
+             / CAST(n_corpus - n_blocklist AS BIGINT), 6) AS fpr_measured,
+       CAST(n_candidates - n_blocked AS BIGINT)
+         / CAST(n_corpus - n_blocklist AS BIGINT)
+         <= CAST({2 * _A222_TARGET_P!r} AS DOUBLE) AS fpr_ok,
+       CAST(n_corpus - n_blocked AS BIGINT) AS n_kept,
+       n_blocked = n_blocklist AS no_false_negatives
+FROM agg
+"""
+
+
+QUERIES["a222_bloom_sized"] = QuerySpec(a222_bloom_sized, _a222_sql())

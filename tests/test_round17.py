@@ -20,8 +20,9 @@ def replica_dir(tmp_path_factory):
     /tmp/sf10x from a measurement session."""
     import duckdb
 
-    dst = tmp_path_factory.mktemp("sf10x_embeddings")
-    duckdb.connect().sql(
+    dst = tmp_path_factory.mktemp("sf10x_replica")
+    con = duckdb.connect()
+    con.sql(
         """COPY (
           SELECT vec_id + c.copy * 1000000 AS vec_id,
                  CAST(list_prepend(
@@ -30,6 +31,15 @@ def replica_dir(tmp_path_factory):
           FROM '/root/testdata/sf0.1/embeddings.parquet',
                (SELECT unnest(generate_series(0, 9)) AS copy) c
         ) TO '{}' (FORMAT PARQUET)""".format(dst / "embeddings.parquet")
+    )
+    con.sql(
+        """COPY (
+          SELECT doc_id + c.copy * 1000000 AS doc_id,
+                 text || ' copytok' || c.copy AS text,
+                 lang, source, n_chars + 9 AS n_chars
+          FROM '/root/testdata/sf0.1/documents.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS copy) c
+        ) TO '{}' (FORMAT PARQUET)""".format(dst / "documents.parquet")
     )
     return str(dst)
 
@@ -150,6 +160,69 @@ def test_a220_replica_retrains_and_keeps_the_distinct_count(
     assert row["k_trained"] == 141  # isqrt(20000): the live retrain ran
     assert row["merged_any"] is True
     assert 0.08 <= row["keep_rate"] <= 0.2  # ~0.1 = the distinct share
+
+
+def test_a222_sized_m_holds_fpr_where_fixed_m_saturates(
+    spark, replica_dir
+):
+    """VERDICT r16 task #3's done-condition: at the 10x replica the
+    fixed-m a219 filter saturates (FPR 1.0, SCALE.md r16) while the
+    sized-m screen must hold measured FPR <= 2 * target -- the filter
+    grew with the blocklist instead of drowning in it."""
+    from bigdata_scala_offline_data_clean_spark.operators.sketches import (
+        bloom_sized_m,
+    )
+    from bigdata_scala_offline_data_clean_spark.queries.round17 import (
+        a222_bloom_sized,
+    )
+
+    row = a222_bloom_sized(spark, replica_dir).collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["m_sized"] == bloom_sized_m(row["n_blocklist"]) == 32768
+    assert row["fpr_ok"] is True
+    assert row["fpr_measured"] <= 0.02
+    assert row["n_kept"] == row["n_corpus"] - row["n_blocklist"]
+
+
+def test_a222_screen_matches_native_bloom_plan_twin(spark):
+    """The c65 machinery as a plan-level twin of the a222 screen:
+    Spark's own InjectRuntimeFilter builds a bloom over the blocklist
+    side and pushes might_contain() onto the corpus scan -- same
+    superset-filter + exact-verify semantics, engine-native.  The
+    blocked set must be identical, and the native plan must actually
+    carry the bloom probe."""
+    from pyspark.sql import functions as F
+
+    from bigdata_scala_offline_data_clean_spark.queries._util import load_table
+    from bigdata_scala_offline_data_clean_spark.queries.round17 import (
+        _A222_BLOCK_MOD,
+        _A222_BLOCK_REM,
+        a222_bloom_sized,
+    )
+
+    row = a222_bloom_sized(spark, SF_MID).collect()[0]
+
+    s2 = spark.newSession()  # conf knobs isolated, the c65 pattern
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "1GB",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    d = load_table(s2, SF_MID, "documents").select("doc_id")
+    block = d.where(
+        F.pmod(F.col("doc_id"), F.lit(_A222_BLOCK_MOD)) == _A222_BLOCK_REM
+    ).select(F.col("doc_id").alias("b_id"))
+    native = d.join(block, d.doc_id == block.b_id)
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan  # the native bloom screen is live
+    assert native.count() == row["n_blocked"]
+    assert row["n_kept"] == row["n_corpus"] - native.count()
 
 
 def test_guard_runs_on_the_calibration_sample(spark):
