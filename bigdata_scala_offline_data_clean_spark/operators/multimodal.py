@@ -309,6 +309,128 @@ def resample_audio(
     raise NotImplementedError("resample requires an injected resampler")
 
 
+def decode_y4m(payload: bytes) -> dict:
+    """Pure-stdlib decoder for YUV4MPEG2 (Y4M) video streams.
+
+    Round-17 (VERDICT r16 task #4): the uncompressed-format default
+    behind :func:`decode_video`, completing the a201 (P6 image) / a202
+    (RIFF/WAVE audio) pattern for the video modality.  Parses the full
+    stream-header grammar -- ``YUV4MPEG2`` magic, space-separated
+    tagged parameters (``W``idth, ``H``eight, ``F``ps num:den,
+    ``I``nterlace, ``A``spect, ``C``olorspace, ``X``comment), 0x0A
+    terminator -- then walks the ``FRAME`` chunks (each its own
+    0x0A-terminated marker line, optionally with parameters, followed
+    by the raw planar raster).  Returns ``{"width", "height",
+    "fps_num", "fps_den", "colorspace", "n_frames", "frames"}`` with
+    each frame ``{"y", "u", "v"}`` raw plane bytes (``u``/``v`` empty
+    for mono).
+
+    Supported colorspaces: the 4:2:0 family (``C420`` /
+    ``C420jpeg`` / ``C420mpeg2`` / ``C420paldv``), ``C422``, ``C444``,
+    ``Cmono``; anything else -- and any truncated frame, unterminated
+    header, or odd dimensions under chroma subsampling -- fails
+    loudly, like :func:`decode_ppm`'s truncated-raster check.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\x0a")
+    if nl < 0:
+        raise ValueError("unterminated Y4M stream header")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420"  # the Y4M default when no C tag is present
+    for p in payload[9:nl].split(b" "):
+        if not p:
+            continue
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+            if fps_den == 0:
+                raise ValueError("malformed Y4M header: zero fps " "denominator")
+        elif tag == b"C":
+            colorspace = val.decode("ascii")
+        elif tag in (b"I", b"A", b"X"):
+            pass  # interlace/aspect/comments: metadata, no plane effect
+        else:
+            raise ValueError(f"unknown Y4M header parameter {p!r}")
+    if not width or not height:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace.startswith("420"):
+        if width % 2 or height % 2:
+            # 4:2:0 chroma planes are (w/2)x(h/2); odd dims would
+            # silently truncate half-samples -- malformed by contract
+            raise ValueError("odd dimensions under 4:2:0 subsampling")
+        y_size, c_size = width * height, (width // 2) * (height // 2)
+    elif colorspace.startswith("422"):
+        if width % 2:
+            raise ValueError("odd width under 4:2:2 subsampling")
+        y_size, c_size = width * height, (width // 2) * height
+    elif colorspace == "444":
+        y_size, c_size = width * height, width * height
+    elif colorspace == "mono":
+        y_size, c_size = width * height, 0
+    else:
+        raise ValueError(
+            f"unsupported Y4M colorspace C{colorspace}; inject a decoder"
+        )
+    frames: list[dict] = []
+    pos = nl + 1
+    frame_bytes = y_size + 2 * c_size
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        fnl = payload.find(b"\x0a", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME marker line")
+        if fnl > pos + 5 and payload[pos + 5 : pos + 6] != b" ":
+            # frame parameters must be space-separated from the marker;
+            # anything else is a corrupt chunk boundary
+            raise ValueError("malformed FRAME marker")
+        pos = fnl + 1
+        raster = payload[pos : pos + frame_bytes]
+        if len(raster) != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            {
+                "y": raster[:y_size],
+                "u": raster[y_size : y_size + c_size],
+                "v": raster[y_size + c_size :],
+            }
+        )
+        pos += frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def decode_video(payload: bytes, decoder: Callable[[bytes], object] | None = None):
+    """Decode a video payload.  Default: stdlib :func:`decode_y4m` for
+    uncompressed YUV4MPEG2 streams (round 17 -- the last modality's
+    formerly-stub default is now a real exercised codec); compressed
+    formats (mp4/h264/vp9) still require an injected ``decoder``
+    (e.g. PyAV) -- those libraries do not ship here, and the injection
+    point is the production contract."""
+    if decoder is not None:
+        return decoder(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
+    raise NotImplementedError(
+        "only uncompressed YUV4MPEG2 decodes natively; inject a decoder "
+        "(e.g. PyAV) for compressed formats"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -330,3 +330,215 @@ FROM agg
 
 
 QUERIES["a222_bloom_sized"] = QuerySpec(a222_bloom_sized, _a222_sql())
+
+
+# ---------------------------------------------------------------------------
+# a221 -- perceptual VIDEO near-dup dedup (VERDICT r16 task #4): the
+# a213/a214 scheme on the last modality, end to end on the REAL stdlib
+# Y4M codec.  A deterministic 3-frame 8x8 Cmono YUV4MPEG2 stream is
+# synthesized per document JVM-side (frame f's cell i = first md5 byte
+# of the canonically-sorted word stream salted with the frame index, so
+# near-dup documents yield near-identical streams), decode_video's REAL
+# stream-header + FRAME-chunk walk parses it back inside Arrow
+# ``mapInPandas``, and each frame's 64-bit average-hash uses INTEGER
+# arithmetic only (bit i set iff 64*y_i > sum(y) -- a213's rule on the
+# luma plane).  Two videos match when a MAJORITY of frame pairs (>= 2
+# of 3) are within hamming <= 3 -- the partial-overlap semantic video
+# dedup actually needs (one edited/replaced frame must not hide a
+# duplicated clip; the testdata's near-dup tail confirms it: all-frames
+# is vacuous at sf0.01 while majority finds the true pairs).
+# Candidates come from the Manku 4x16 band join keyed on (frame_idx,
+# band) -- sound: >= 2 matching frames implies SOME frame at hamming
+# <= 3 < 4 bands, which guarantees a shared band row on that frame --
+# then every frame pair verifies by exact per-byte bit_count(xor).
+#
+# The DuckDB twin recomputes every raster from the GENERATING
+# arithmetic (never the decoder) -- a mis-parse of the stream header,
+# a FRAME boundary off by one, or a wrong plane slice breaks the exact
+# match.  Scale: synthesis + decode is one Arrow pass, no shuffle; the
+# pair stage joins 4 narrow band keys on frame 0 and the per-frame
+# verify joins only surviving candidates (never all-pairs; the oracle
+# brute-forces because DuckDB is the small-scale referee).
+# ---------------------------------------------------------------------------
+
+_A221_MAX_HAMMING = 3
+_A221_N_FRAMES = 3
+_A221_MIN_FRAMES = 2  # majority of the 3 sampled frames must match
+_A221_HEADER = "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"
+
+
+def _a221_frame_hashes(docs: DataFrame) -> DataFrame:
+    """The per-frame fingerprint pass: ``(doc_id, frame_idx, ahash)``
+    from the synthesized Y4M payload through the REAL stdlib decode."""
+    import pandas as pd
+
+    from ..operators.etl import spread_narrow_scan
+    from ..operators.multimodal import decode_video
+
+    docs = spread_narrow_scan(docs, "doc_id")  # the a213 synthesis rule
+    base = docs.select(
+        "doc_id",
+        F.array_sort(F.split(F.col("text"), " ")).alias("__ws"),
+    ).withColumn("__nw", F.size("__ws"))
+    frame_hex = [
+        F.expr(
+            "concat_ws('', transform(sequence(0, 63), "
+            "i -> substr(md5(concat(element_at(__ws, "
+            f"cast(1 + ((i * __nw) div 64) as int)), ':f{f}')), 1, 2)))"
+        )
+        for f in range(_A221_N_FRAMES)
+    ]
+    payload = F.concat(
+        F.encode(F.lit(_A221_HEADER), "utf-8"),
+        *[
+            part
+            for hx in frame_hex
+            for part in (F.encode(F.lit("FRAME\n"), "utf-8"), F.unhex(hx))
+        ],
+    )
+    pdf_in = base.select("doc_id", payload.alias("payload"))
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [],
+                                    "ahash": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                video = decode_video(bytes(b))  # REAL stdlib Y4M parse
+                for f, frame in enumerate(video["frames"]):
+                    y = frame["y"]  # 64-byte luma raster (Cmono)
+                    s = sum(y)
+                    bits = [1 if 64 * p > s else 0 for p in y]
+                    byts = [
+                        sum(bits[8 * j + k] << k for k in range(8))
+                        for j in range(8)
+                    ]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["ahash"].append("".join(f"{v:02x}" for v in byts))
+            yield pd.DataFrame(out)
+
+    return pdf_in.mapInPandas(
+        gen, schema="doc_id bigint, frame_idx int, ahash string"
+    )
+
+
+def a221_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hamming64_sql
+    from ..operators.ordering import pin_frame
+
+    fh = pin_frame(  # feeds the band join AND the per-frame verify
+        _a221_frame_hashes(load_table(spark, sf_dir, "documents"))
+    )
+    # band rows PER FRAME: the Manku quarters keyed on (frame_idx,
+    # band, val), so only same-frame fingerprints can collide
+    rows = fh.select(
+        "doc_id",
+        "frame_idx",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "j -> struct(j as band, substr(ahash, 4*j + 1, 4)"
+                " as val))"
+            )
+        ).alias("__b"),
+    ).select("doc_id", "frame_idx", "__b.band", "__b.val")
+    cands = (
+        rows.select(
+            F.col("doc_id").alias("__l"), "frame_idx", "band", "val"
+        )
+        .join(
+            rows.select(
+                F.col("doc_id").alias("__r"), "frame_idx", "band", "val"
+            ),
+            ["frame_idx", "band", "val"],
+        )
+        .where(F.col("__l") != F.col("__r"))
+        .select(
+            F.least("__l", "__r").alias("a"),
+            F.greatest("__l", "__r").alias("b"),
+        )
+        .distinct()
+    )
+    ha = fh.select(
+        F.col("doc_id").alias("a"), "frame_idx",
+        F.col("ahash").alias("__fa"),
+    )
+    hb = fh.select(
+        F.col("doc_id").alias("b"), "frame_idx",
+        F.col("ahash").alias("__fb"),
+    )
+    per = (
+        cands.join(ha, "a")
+        .join(hb, ["b", "frame_idx"])
+        .withColumn(
+            "__hf", F.expr(hamming64_sql("__fa", "__fb")).cast("int")
+        )
+    )
+    matched = (
+        F.col("__hf") <= F.lit(_A221_MAX_HAMMING)
+    ).cast("int")
+    return (
+        per.groupBy("a", "b")
+        .agg(
+            F.sum(matched).alias("__nm"),
+            F.sum("__hf").alias("__tot"),
+        )
+        .where(F.col("__nm") >= _A221_MIN_FRAMES)
+        .select(
+            "a",
+            "b",
+            F.col("__nm").cast("int").alias("n_frames_matched"),
+            F.col("__tot").cast("int").alias("hamming_total"),
+        )
+    )
+
+
+def _a221_sql() -> str:
+    hexd = "0123456789abcdef"
+    md5 = "md5(ws[1 + ((i * nw) // 64)] || ':f' || fr.f)"
+    cell = (
+        f"(16 * (strpos('{hexd}', substr({md5}, 1, 1)) - 1)"
+        f" + (strpos('{hexd}', substr({md5}, 2, 1)) - 1))"
+    )
+    ham = (
+        "list_reduce(list_transform(range(1, 9), "
+        "j -> bit_count(CAST(xor(x.by[j], y.by[j]) AS BIGINT))), "
+        "(p, q) -> p + q)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT doc_id, fr.f,
+         list_transform(range(0, 64), i -> {cell}) AS c
+  FROM (SELECT doc_id, list_sort(string_split(text, ' ')) AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents),
+       (SELECT unnest(range(0, {_A221_N_FRAMES})) AS f) fr
+), hashes AS (
+  SELECT doc_id, f,
+         list_transform(range(0, 64),
+           i -> CASE WHEN 64 * c[i + 1] > list_reduce(c, (a, b) -> a + b)
+                THEN 1 ELSE 0 END) AS bits
+  FROM cells
+), bytes AS (
+  SELECT doc_id, f,
+         list_transform(range(0, 8),
+           j -> list_reduce(list_transform(range(0, 8),
+                  k -> bits[8*j + k + 1] * (1 << k)), (a, b) -> a + b)) AS by
+  FROM hashes
+), ham AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.f, {ham} AS hf
+  FROM bytes x JOIN bytes y ON x.doc_id < y.doc_id AND x.f = y.f
+)
+SELECT a, b,
+       CAST(sum(CASE WHEN hf <= {_A221_MAX_HAMMING} THEN 1 ELSE 0 END)
+            AS INT) AS n_frames_matched,
+       CAST(sum(hf) AS INT) AS hamming_total
+FROM ham GROUP BY a, b
+HAVING sum(CASE WHEN hf <= {_A221_MAX_HAMMING} THEN 1 ELSE 0 END)
+         >= {_A221_MIN_FRAMES}
+"""
+
+
+QUERIES["a221_video_phash_dedup"] = QuerySpec(
+    a221_video_phash_dedup, _a221_sql()
+)

@@ -225,6 +225,87 @@ def test_a222_screen_matches_native_bloom_plan_twin(spark):
     assert row["n_kept"] == row["n_corpus"] - native.count()
 
 
+def test_decode_y4m_parses_header_grammar_and_planes():
+    """The real-codec contract (a201/a202 pattern, video edition): full
+    stream-header grammar -- tagged params in any order, comments,
+    multiple spaces -- and FRAME chunks with per-colorspace plane
+    sizes."""
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_video,
+        decode_y4m,
+    )
+
+    y = bytes(range(16))  # 4x4 luma
+    u, v = bytes([100, 101, 102, 103]), bytes([200, 201, 202, 203])
+    payload = (
+        b"YUV4MPEG2 W4 H4  F30000:1001 Ip A1:1 C420jpeg Xcomment\x0a"
+        + b"FRAME\x0a" + y + u + v
+        + b"FRAME Xtag\x0a" + y + u + v
+    )
+    video = decode_y4m(payload)
+    assert (video["width"], video["height"]) == (4, 4)
+    assert (video["fps_num"], video["fps_den"]) == (30000, 1001)
+    assert video["colorspace"] == "420jpeg"
+    assert video["n_frames"] == 2
+    assert video["frames"][0] == {"y": y, "u": u, "v": v}
+    assert video["frames"][1]["v"] == v  # frame params skipped cleanly
+    # decode_video dispatches the magic; mono = luma only
+    mono = decode_video(b"YUV4MPEG2 W2 H2 Cmono\x0aFRAME\x0a\x01\x02\x03\x04")
+    assert mono["frames"][0] == {"y": b"\x01\x02\x03\x04", "u": b"",
+                                 "v": b""}
+
+
+def test_decode_y4m_fails_loudly_on_malformed_streams():
+    """Corrupt streams must error, never return a shifted raster: the
+    decode_ppm/decode_wav discipline applied to video."""
+    from bigdata_scala_offline_data_clean_spark.operators.multimodal import (
+        decode_video,
+        decode_y4m,
+    )
+
+    ok_hdr = b"YUV4MPEG2 W2 H2 Cmono\x0a"
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="unterminated"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 Cmono")
+    with pytest.raises(ValueError, match="missing W/H"):
+        decode_y4m(b"YUV4MPEG2 Cmono\x0a")
+    with pytest.raises(ValueError, match="unknown Y4M header"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 Q9\x0a")
+    with pytest.raises(ValueError, match="odd dimensions"):
+        decode_y4m(b"YUV4MPEG2 W3 H2 C420\x0a")
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C411\x0a")
+    with pytest.raises(ValueError, match="expected FRAME"):
+        decode_y4m(ok_hdr + b"FRAMX\x0a\x01\x02\x03\x04")
+    with pytest.raises(ValueError, match="malformed FRAME"):
+        decode_y4m(ok_hdr + b"FRAMEx\x0a\x01\x02\x03\x04")
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        decode_y4m(ok_hdr + b"FRAME\x0a\x01\x02\x03")
+    # compressed formats stay an injection point
+    with pytest.raises(NotImplementedError, match="inject a decoder"):
+        decode_video(b"\x00\x00\x00\x20ftypisom....")
+    assert decode_video(b"anything", decoder=len) == 8  # injection works
+
+
+def test_a221_majority_rule_finds_partial_clip_overlap(spark):
+    """The match semantic, pinned where all-frames fails: at sf0.01 the
+    near-dup tail has pairs matching on 2 of 3 frames but not all 3
+    (an edited frame must not hide a duplicated clip).  Majority finds
+    them; every reported pair carries >= 2 matched frames by
+    construction."""
+    from bigdata_scala_offline_data_clean_spark.queries.round17 import (
+        a221_video_phash_dedup,
+    )
+
+    rows = a221_video_phash_dedup(spark, SF_MID).collect()
+    assert len(rows) >= 3  # non-vacuous at the driver's correctness SF
+    assert all(r["n_frames_matched"] >= 2 for r in rows)
+    # at least one pair is a PARTIAL overlap (2 of 3): the case the
+    # all-frames rule cannot represent
+    assert any(r["n_frames_matched"] == 2 for r in rows)
+
+
 def test_guard_runs_on_the_calibration_sample(spark):
     """ADVICE r16: a tau calibrated on S rows must be judged on the
     same S rows -- the guarded operators accept the calibrated tau when
