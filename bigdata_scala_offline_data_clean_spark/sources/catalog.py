@@ -437,6 +437,14 @@ class Warehouse:
         Untouched partitions keep their exact files (pytest-pinned by
         file listing).  Returns the affected partition values.
 
+        The rewrite hash-repartitions on ``part_col`` first (round 17),
+        so each surviving affected partition lands as exactly ONE file
+        -- the erase verb must not itself fragment the cells it touches
+        (the pre-fix write used whatever task layout the anti-join
+        left, scattering a rewritten cell across many small files), and
+        the deterministic file count is what lets a first-principles
+        audit (c77) derive the post-erase census.
+
         Restricted to INTEGRAL partition columns (ADVICE r15): step (3)
         reconstructs the emptied partition's directory name as
         ``{part_col}={v}`` from the read-back typed value, but Spark
@@ -475,6 +483,7 @@ class Warehouse:
         kept = (
             t.where(F.col(part_col).isin(affected))
             .join(eids, id_col, "left_anti")
+            .repartition(F.col(part_col))  # one file per rewritten cell
             .localCheckpoint(eager=True)  # freeze: we overwrite our source
         )
         kept.write.mode("overwrite").option(

@@ -306,6 +306,71 @@ def test_a221_majority_rule_finds_partial_clip_overlap(spark):
     assert any(r["n_frames_matched"] == 2 for r in rows)
 
 
+def test_erase_partition_rows_rewrites_each_cell_to_one_file(
+    spark, tmp_path
+):
+    """Round-17 guarantee: the physical erase must not fragment the
+    cells it rewrites -- each surviving affected partition lands as
+    exactly ONE file (the pre-fix write scattered a cell across the
+    anti-join's task layout).  c77's derived file census rests on
+    this."""
+    import os
+
+    from bigdata_scala_offline_data_clean_spark.sources.catalog import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    path = wh.path("dwd", "t_cells")
+    # many input partitions -> the old write left many files per cell
+    spark.range(400).selectExpr(
+        "id AS n_id", "CAST(id % 4 AS INT) AS cell"
+    ).repartition(16).write.partitionBy("cell").parquet(path)
+
+    def files_in(c):
+        d = os.path.join(path, f"cell={c}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert files_in(1) > 1  # fragmented before
+    erase = spark.range(1, 400, 8).selectExpr("id AS n_id")  # cells 1,3(?)
+    affected = wh.erase_partition_rows("dwd", "t_cells", "cell", erase,
+                                       "n_id")
+    for c in affected:
+        assert files_in(c) == 1, c  # the one-file rewrite guarantee
+
+
+def test_c77_audit_frame_invariants(spark):
+    """The nightly composition's cross-row invariants at the driver SF
+    (the oracle already checks exact equality; this pins the semantics
+    a reader of the audit frame relies on): every verb actually fired
+    -- rows were erased and physically dropped, generations collapsed,
+    each serve is non-vacuous -- and the vector gate ran at the
+    calibrated tau."""
+    from bigdata_scala_offline_data_clean_spark.queries.round17 import (
+        c77_nightly_index_lifecycle,
+    )
+
+    rows = {
+        r["index_name"]: r
+        for r in c77_nightly_index_lifecycle(spark, SF_MID).collect()
+    }
+    assert set(rows) == {"minhash_bands", "phash_bands", "ivf_cells"}
+    for r in rows.values():
+        assert r["rows_erased"] > 0
+        assert r["rows_live"] == r["rows_built"] - r["rows_erased"]
+        assert r["files_after"] < r["files_before"]  # defragmented
+        assert r["served_pairs"] > 0  # every serve non-vacuous
+    t, p, v = (rows["minhash_bands"], rows["phash_bands"],
+               rows["ivf_cells"])
+    assert t.compacted and p.compacted
+    assert (t["files_before"], t["files_after"]) == (8, 4)
+    assert t["rows_built"] // 8 == p["rows_built"] // 4  # same doc set
+    assert v["tau"] is not None and v["tau"] > 0.3  # calibrated, not fixed
+    assert t["tau"] is None and p["tau"] is None
+
+
 def test_guard_runs_on_the_calibration_sample(spark):
     """ADVICE r16: a tau calibrated on S rows must be judged on the
     same S rows -- the guarded operators accept the calibrated tau when
