@@ -280,6 +280,13 @@ HEADLINE = [
     "a218_semdedup_calibrated",  # calibrate -> guard -> semdedup -> census
     "a219_bloom_blocklist",  # bloom prefilter + exact-verify semi-join
     "s18_stream_tau_calibration",  # a217 maintained as streaming state
+    # r17 additions (extend-only; the interrupted-build queries verified
+    # green at the start of the optimization round -- timed from their
+    # first measured round onward)
+    "a220_semdedup_production",  # trained-k + calibrated-tau combined nightly
+    "a221_video_phash_dedup",  # Y4M decode + per-frame phash band pairs
+    "a222_bloom_sized",  # in-query sized bloom filter (vs fixed-m a219)
+    "c77_nightly_index_lifecycle",  # all index verbs x all three modalities
 ]
 
 

@@ -67,6 +67,8 @@ def cosine_topk(
     k: int = 5,
     round_digits: int | None = 6,
     label_col: str | None = None,
+    carry_labels: bool = False,
+    method: str = "matmul",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (q_id, n_id, cosine, rank).
 
@@ -80,36 +82,65 @@ def cosine_topk(
     and the output gains ``(q_label, n_label)`` -- the
     :func:`hard_negative_topk` contract, which delegates here so the
     scoring/rounding/tie-break flow has exactly one implementation.
+    ``carry_labels`` keeps the labels on the output WITHOUT filtering
+    same-label pairs (the a172 label-noise contract).
+
+    ``method`` (optimization round 17, guide §4.2): ``"matmul"``
+    (default) scores each corpus partition against the broadcast query
+    matrix with one BLAS matmul inside ``mapInPandas`` and emits only the
+    per-partition top-``k`` rows per query -- the per-pair
+    ``aggregate``/``zip_with`` fold evaluates interpreted per element,
+    numpy does the same FLOPs vectorized (the established
+    ``_neardup_pairs_matmul`` pattern, same ``_round_half_up6``
+    quantization so ranks are the documented 6dp contract in both paths).
+    Partial top-k is exact: (cosine desc, n_id asc) is a total order, so
+    the union of per-partition top-k contains the global top-k, which the
+    final window then selects.  ``"fold"`` keeps the pure-Catalyst
+    sequential-fold path (bit-identical to the oracle BEFORE rounding).
+    The matmul path requires ``round_digits`` (rank stability across the
+    BLAS/fold ulp gap is what the quantization provides); unrounded
+    callers fall back to the fold.
     """
     from pyspark.sql import Window
 
-    # per-vector norms computed before the join, not per pair (see
-    # embedding_neardup_pairs) -- identical fold, O(n*dim) instead of
-    # O(n*q*dim)
-    q_lbl = [F.col(label_col).alias("q_label")] if label_col else []
-    c_lbl = [F.col(label_col).alias("n_label")] if label_col else []
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        *q_lbl,
-        F.col(vec_col).alias("__q_vec"),
-        _norm(F.col(vec_col)).alias("__q_norm"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        *c_lbl,
-        F.col(vec_col).alias("__c_vec"),
-        _norm(F.col(vec_col)).alias("__c_norm"),
-    )
-    cond = F.col("q_id") != F.col("n_id")
-    if label_col:
-        cond = cond & (F.col("q_label") != F.col("n_label"))
-    scored = c.join(F.broadcast(q), cond).withColumn(
-        "cosine",
-        _dot(F.col("__q_vec"), F.col("__c_vec"))
-        / (F.col("__q_norm") * F.col("__c_norm")),
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    use_matmul = method == "matmul" and round_digits is not None
+    if use_matmul:
+        scored = _topk_partials_matmul(
+            corpus, queries, id_col, vec_col, k, round_digits,
+            label_col=label_col, carry_labels=carry_labels,
+        )
+    else:
+        # per-vector norms computed before the join, not per pair (see
+        # embedding_neardup_pairs) -- identical fold, O(n*dim) instead of
+        # O(n*q*dim)
+        q_lbl = [F.col(label_col).alias("q_label")] if label_col else []
+        c_lbl = [F.col(label_col).alias("n_label")] if label_col else []
+        if carry_labels and not label_col:
+            raise ValueError("carry_labels requires label_col")
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            *q_lbl,
+            F.col(vec_col).alias("__q_vec"),
+            _norm(F.col(vec_col)).alias("__q_norm"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("n_id"),
+            *c_lbl,
+            F.col(vec_col).alias("__c_vec"),
+            _norm(F.col(vec_col)).alias("__c_norm"),
+        )
+        cond = F.col("q_id") != F.col("n_id")
+        if label_col and not carry_labels:
+            cond = cond & (F.col("q_label") != F.col("n_label"))
+        scored = c.join(F.broadcast(q), cond).withColumn(
+            "cosine",
+            _dot(F.col("__q_vec"), F.col("__c_vec"))
+            / (F.col("__q_norm") * F.col("__c_norm")),
+        )
+        if round_digits is not None:
+            scored = scored.withColumn(
+                "cosine", F.round("cosine", round_digits)
+            )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("n_id").asc()
     )
@@ -121,6 +152,99 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select(*out)
     )
+
+
+def _topk_partials_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int,
+    label_col: str | None = None,
+    carry_labels: bool = False,
+) -> DataFrame:
+    """Per-partition cosine top-k candidates via Arrow + BLAS.
+
+    The query batch (ids, labels, row-normalized float64 matrix) is a
+    Spark broadcast -- bounded by the :func:`cosine_topk` contract (the
+    query side IS the small side).  Each corpus partition computes one
+    ``block @ Q.T`` matmul, quantizes HALF_UP at ``round_digits`` (the
+    fold path's ``F.round`` mode -- :func:`_round_half_up6`'s ulp caveat
+    applies), masks self-pairs (and same-label pairs in hard-negative
+    mode), and emits its top-``k`` rows per query under the (cosine
+    desc, n_id asc) total order.  Output is a candidate superset of the
+    global top-k: ``<= k * n_queries`` rows per partition, so the final
+    window's exchange carries k-bounded rows, never |corpus| x |queries|.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"q_id {id_type}, n_id {id_type}, cosine double"
+    if label_col:
+        lbl_type = corpus.schema[label_col].dataType.simpleString()
+        schema += f", q_label {lbl_type}, n_label {lbl_type}"
+
+    qpdf = queries.select(*cols).toPandas()
+    if len(qpdf) == 0:
+        # empty query batch -> empty result (the 2-D matmul/argsort below
+        # needs at least one query column)
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = qpdf[id_col].to_numpy()
+    q_m = _np_unit_rows(
+        np.asarray(qpdf[vec_col].tolist(), dtype=np.float64)
+    )
+    q_labels = qpdf[label_col].to_numpy() if label_col else None
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_m, q_labels))
+    scale = 10.0 ** round_digits
+    exclude_same_label = bool(label_col) and not carry_labels
+
+    def gen(batches):
+        b_ids, b_m, b_labels = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            n_ids = batch[id_col].to_numpy()
+            order = np.argsort(n_ids, kind="stable")
+            n_ids = n_ids[order]
+            c = _np_unit_rows(
+                np.asarray(
+                    batch[vec_col].to_numpy()[order].tolist(),
+                    dtype=np.float64,
+                )
+            )
+            n_labels = (
+                batch[label_col].to_numpy()[order]
+                if label_col is not None
+                else None
+            )
+            # HALF_UP quantization at round_digits (F.round's mode)
+            s = c @ b_m.T
+            s = np.sign(s) * np.floor(np.abs(s) * scale + 0.5) / scale
+            mask = n_ids[:, None] == b_ids[None, :]
+            if exclude_same_label:
+                mask |= n_labels[:, None] == b_labels[None, :]
+            s[mask] = -np.inf
+            # rows are sorted by n_id asc, so a STABLE argsort of -s is
+            # exactly the (cosine desc, n_id asc) rank order
+            top = np.argsort(-s, axis=0, kind="stable")[:k, :]
+            qi = np.broadcast_to(
+                np.arange(len(b_ids))[None, :], top.shape
+            ).ravel()
+            ci = top.ravel()
+            cos = s[ci, qi]
+            keep = cos != -np.inf
+            qi, ci, cos = qi[keep], ci[keep], cos[keep]
+            out = {"q_id": b_ids[qi], "n_id": n_ids[ci], "cosine": cos}
+            if label_col:
+                out["q_label"] = b_labels[qi]
+                out["n_label"] = n_labels[ci]
+            yield pd.DataFrame(out)
+
+    return corpus.select(*cols).mapInPandas(gen, schema=schema)
 
 
 def hard_negative_topk(

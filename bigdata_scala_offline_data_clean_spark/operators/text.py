@@ -854,52 +854,144 @@ def winnow_fingerprints(
     Returns the distinct ``(id_col, fp)`` long form.
     """
     return (
-        _winnow_windows(df, id_col, text_col, k, w)
-        .select(id_col, "fp")
+        _winnow_core(df, id_col, text_col, k, w, mode="fps")
         .distinct()
     )
 
 
-def _winnow_windows(
+def _winnow_core(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int, mode: str
+) -> DataFrame:
+    """Per-document winnowing, vectorized in one Arrow pass (guide §4.2).
+
+    ``mode='runs'``: maximal runs of consecutive equal-fp windows --
+    ``(id_col, fp, __s, __e)`` with ``[__s, __e]`` the union of the
+    run's window character spans (span of the window at gram position
+    ``p`` is ``[p, p + w + k - 2]``).  ``mode='fps'``: the per-document
+    distinct window minima -- ``(id_col, fp)``.
+
+    Optimization round 17 (guide §2.4 + §4.2): the previous shape
+    exploded one row per k-gram (a corpus of N chars became ~N rows),
+    exchanged them on the doc id and ran WindowExec min/count + lag +
+    groupBy passes over the gram stream.  A document's windows depend
+    only on its own text, so the whole computation runs inside
+    ``mapInPandas``: md5 digests per gram (identical bytes to the JVM
+    ``md5(encode(gram, 'utf-8'))`` -- Python slicing and Spark
+    ``substring`` both index code points), then a numpy sliding
+    lexicographic min over the digests viewed as big-endian (hi, lo)
+    uint64 pairs -- byte order == hex-string order, so window selection
+    is bit-identical to the exploded form -- then run boundaries via
+    vectorized neighbor comparison.  Zero exchanges, no WindowExec, and
+    rows never multiply until the (much sparser) runs/fps output.  ``fp``
+    is emitted as the 16-byte digest (binary): every consumer uses fp
+    only for equality/grouping, and Spark's binary comparison orders it
+    exactly like the former hex string (min-id keeper semantics etc.
+    unchanged).
+
+    ASCII fast path: when the utf-8 encoding has the same length as the
+    string, grams are sliced from the encoded bytes directly; otherwise
+    per-gram string slices are encoded individually (code-point exact).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if mode not in ("runs", "fps"):
+        raise ValueError("mode must be 'runs' or 'fps'")
+    span = w + k - 2
+    id_type = df.schema[id_col].dataType.simpleString()
+    if mode == "runs":
+        schema = f"{id_col} {id_type}, fp binary, __s int, __e int"
+    else:
+        schema = f"{id_col} {id_type}, fp binary"
+    emit_runs = mode == "runs"
+
+    def gen(batches):
+        from hashlib import md5
+
+        for batch in batches:
+            ids_out: list = []
+            fps_out: list = []
+            s_out: list = []
+            e_out: list = []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                if text is None:
+                    continue
+                ln = len(text)
+                m = ln - span  # number of FULL w-gram windows
+                if m < 1:
+                    continue
+                n = ln - k + 1
+                enc = text.encode("utf-8")
+                if len(enc) == ln:  # pure-ASCII: slice bytes directly
+                    digs = b"".join(
+                        md5(enc[p: p + k]).digest() for p in range(n)
+                    )
+                else:
+                    digs = b"".join(
+                        md5(text[p: p + k].encode("utf-8")).digest()
+                        for p in range(n)
+                    )
+                d = np.frombuffer(digs, dtype=">u8").reshape(n, 2)
+                hi, lo = d[:, 0], d[:, 1]
+                whi, wlo = hi[:m].copy(), lo[:m].copy()
+                for j in range(1, w):
+                    h2, l2 = hi[j: j + m], lo[j: j + m]
+                    lt = (h2 < whi) | ((h2 == whi) & (l2 < wlo))
+                    np.copyto(whi, h2, where=lt)
+                    np.copyto(wlo, l2, where=lt)
+                if emit_runs:
+                    # run starts: window 1 + every fp change (1-based)
+                    neq = (whi[1:] != whi[:-1]) | (wlo[1:] != wlo[:-1])
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], neq))
+                    )  # 0-based window indices of run starts
+                    ends = np.concatenate((starts[1:], [m]))  # excl.
+                    sel_hi, sel_lo = whi[starts], wlo[starts]
+                    fb = np.empty((len(starts), 2), dtype=">u8")
+                    fb[:, 0], fb[:, 1] = sel_hi, sel_lo
+                    fps = np.frombuffer(fb.tobytes(), dtype="S16")
+                    ids_out.append(
+                        np.full(len(starts), doc_id, dtype=object)
+                    )
+                    fps_out.append(fps)
+                    s_out.append(starts + 1)
+                    e_out.append(ends + span)  # (last 1-based pos)+span
+                else:
+                    fb = np.unique(
+                        np.frombuffer(
+                            np.ascontiguousarray(
+                                np.stack((whi, wlo), axis=1)
+                            ).tobytes(),
+                            dtype="S16",
+                        )
+                    )
+                    ids_out.append(np.full(len(fb), doc_id, dtype=object))
+                    fps_out.append(fb)
+            if not ids_out:
+                continue
+            out = {
+                id_col: np.concatenate(ids_out),
+                "fp": np.concatenate(fps_out),
+            }
+            if emit_runs:
+                out["__s"] = np.concatenate(s_out).astype("int32")
+                out["__e"] = np.concatenate(e_out).astype("int32")
+            yield pd.DataFrame(out)
+
+    # spread narrow byte-split scans across the cores before the
+    # CPU-heavy per-document digest loop (no-op on cluster-wide inputs)
+    from .etl import spread_narrow_scan
+
+    src = spread_narrow_scan(df.select(id_col, text_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
+
+
+def _winnow_runs(
     df: DataFrame, id_col: str, text_col: str, k: int, w: int
 ) -> DataFrame:
-    """Positioned winnowing windows: one row per FULL w-gram window,
-    ``(id_col, __pos, fp)`` with ``__pos`` the window's first gram
-    position (1-based char offset) and ``fp`` its minimum k-gram md5.
-    The window's character span is ``[__pos, __pos + w + k - 2]``.
-    Shared core of :func:`winnow_fingerprints` (which discards positions)
-    and :func:`winnow_span_dedup` (which excises the spans)."""
-    n_expr = f"length({text_col}) - {k} + 1"
-    grams = df.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN length({text_col}) >= {k} THEN "
-                f"transform(sequence(1, {n_expr}), p -> "
-                f"substring({text_col}, p, {k})) "
-                f"ELSE array() END"
-            )
-        ).alias("__i", "__gram"),
-    ).select(
-        id_col,
-        (F.col("__i") + 1).alias("__pos"),
-        F.md5(F.encode("__gram", "utf-8")).alias("__h"),
-    )
-    wmin = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
-    return (
-        # trailing positions lack a full w-window; they still participate
-        # in earlier windows' frames (the oracle must ALSO filter after
-        # its window -- DuckDB's WHERE runs before window functions).
-        # The full-window predicate is a COUNT over the SAME frame spec
-        # as the min -- both fold in ONE WindowExec pass (round-11 A/B:
-        # 4.2s, vs 4.5s for a second whole-partition count window and
-        # 6.5s for carrying length(text) through the 26M-row gram
-        # shuffle -- the extra exchanged column cost more than a window).
-        grams.withColumn("fp", F.min("__h").over(wmin))
-        .withColumn("__wn", F.count(F.lit(1)).over(wmin))
-        .where(F.col("__wn") == w)
-        .select(id_col, "__pos", "fp")
-    )
+    """Maximal runs of consecutive equal-fp winnowing windows --
+    ``(id_col, fp, __s, __e)``; see :func:`_winnow_core`."""
+    return _winnow_core(df, id_col, text_col, k, w, mode="runs")
 
 
 def winnow_match_pairs(
@@ -970,16 +1062,18 @@ def winnow_span_dedup(
     standard winnowing-granularity tradeoff).  Intra-document repeats are
     NOT removed (doc frequency counts distinct documents).
 
-    100 TB plan shape: the gram explode and window-min are per-document
-    (one repartition by id); consecutive same-fp windows collapse to runs
-    (lag + running count inside the SAME doc partition -- no extra
-    shuffle) before the fingerprint join, cutting its input by ~the
-    winnowing density; duplicated-fp detection is a groupBy on fp (never
-    a self-join -- removal needs no pairs, unlike match detection, so no
+    100 TB plan shape (optimization round 17, guide §2.4): winnowing
+    windows AND their equal-fp runs are per-document functions of the
+    text, so both fold into zero-shuffle array projections on the scan
+    (:func:`_winnow_runs`) -- the former gram explode + doc-id exchange
+    + three WindowExec passes over a near-character-count row stream are
+    gone entirely; duplicated-fp detection is ONE groupBy on fp (never a
+    self-join -- removal needs no pairs, unlike match detection, so no
     df_cap is needed and ubiquitous boilerplate is REMOVED rather than
-    whale-capped); span coverage is a difference-array cumsum per
-    document (events are +1/-1 at span edges), never a per-character
-    frame; the only per-character work is the initial gram explode.
+    whale-capped); span coverage is an interval-merge fold over each
+    document's collected spans (one groupBy on the id), never a
+    per-character frame; the only per-character work is the in-row gram
+    hash array.
 
     Returns ``(id_col, clean_text, orig_len, kept_len, removed_chars,
     n_spans)`` -- one row per input document, untouched documents pass
@@ -987,35 +1081,15 @@ def winnow_span_dedup(
     """
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
-    span = w + k - 2  # chars covered by one window, minus 1 (span length - 1)
 
-    wins = _winnow_windows(df, id_col, text_col, k, w)
-    wdoc = Window.partitionBy(id_col).orderBy("__pos")
-
-    # collapse consecutive same-fp windows into runs: [first_pos,
-    # last_pos + w + k - 2] covers exactly the union of the run's spans
-    runs = (
-        wins.withColumn(
-            "__new",
-            F.when(
-                F.lag("fp").over(wdoc).isNull()
-                | (F.lag("fp").over(wdoc) != F.col("fp")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("__isl", F.sum("__new").over(wdoc))
-        .groupBy(id_col, "__isl", "fp")
-        .agg(F.min("__pos").alias("__s"), F.max("__pos").alias("__p1"))
-        .select(id_col, "fp", "__s", (F.col("__p1") + span).alias("__e"))
-    )
+    runs = _winnow_runs(df, id_col, text_col, k, w)
     # pin: runs feeds BOTH the duplicated-fp groupBy and the fp join
-    # below -- without it the per-character gram explode and its three
-    # doc-partition windows re-run for each consumer (plan-audited:
-    # the corpus must be scanned ~2x, not 7x).  Deterministic frame, so
-    # this is purely a recompute guard; reliable=True (with a configured
-    # checkpoint dir) swaps in replicated checkpoint() so an executor
-    # loss recomputes instead of failing the job -- see
-    # ordering.pin_frame (VERDICT r10 task #4).
+    # below -- without it the per-character gram-hash arrays are
+    # recomputed per consumer (the corpus must be scanned ~2x, not 4x).
+    # Deterministic frame, so this is purely a recompute guard;
+    # reliable=True (with a configured checkpoint dir) swaps in
+    # replicated checkpoint() so an executor loss recomputes instead of
+    # failing the job -- see ordering.pin_frame (VERDICT r10 task #4).
     runs = pin_frame(runs, reliable=reliable)
 
     # duplicated fingerprints + their canonical keeper (min id); a plain
@@ -1033,56 +1107,48 @@ def winnow_span_dedup(
     rem = runs.join(dup, "fp")
     if keep == "first":
         rem = rem.where(F.col(id_col) != F.col("__keeper"))
-    # pin: three event legs below consume rem (span starts, span ends,
-    # per-doc sentinels); span-count-sized, far smaller than the corpus
-    rem = pin_frame(rem.select(id_col, "__s", "__e"), reliable=reliable)
 
-    # difference-array coverage: +1 at span start, -1 past span end, a
-    # 0-delta sentinel at position 1 so the leading kept segment exists;
-    # running sum over the per-doc boundary rows (tiny: 2 per span)
-    ev = (
-        rem.select(id_col, F.col("__s").alias("__pos"), F.lit(1).alias("__d"))
-        .unionByName(
-            rem.select(
-                id_col, (F.col("__e") + 1).alias("__pos"), F.lit(-1).alias("__d")
-            )
-        )
-        .unionByName(
-            rem.select(id_col)
-            .distinct()
-            .select(id_col, F.lit(1).alias("__pos"), F.lit(0).alias("__d"))
-        )
-        .groupBy(id_col, "__pos")
-        .agg(F.sum("__d").alias("__d"))
+    # interval-merge fold over each document's collected removal spans:
+    # ONE groupBy(id) replaces the former 3-leg event union, grouped
+    # difference-array cumsum, and two more window passes (guide §2.4 --
+    # 3 exchanges + 2 WindowExec became 1 exchange).  Spans merge when
+    # overlapping OR adjacent (x.s <= prev.e + 1), exactly the positions
+    # where the old +1/-1 events cancelled and coverage never returned
+    # to zero; kept segments are the gaps plus the unbounded tail, the
+    # same (s, nxt-or-null) intervals the event walk emitted.
+    merged_sql = (
+        "aggregate(__sp, cast(array() as array<struct<s: int, e: int>>), "
+        "(acc, x) -> CASE WHEN size(acc) = 0 "
+        "OR x.s > element_at(acc, -1).e + 1 THEN concat(acc, array(x)) "
+        "ELSE concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        "'s', element_at(acc, -1).s, "
+        "'e', greatest(element_at(acc, -1).e, x.e)))) END)"
     )
-    wb = Window.partitionBy(id_col).orderBy("__pos")
-    bounds = ev.select(
-        id_col,
-        "__pos",
-        F.sum("__d").over(wb).alias("__cov"),
-        F.lead("__pos").over(wb).alias("__nxt"),
-    ).select(
-        id_col,
-        "__pos",
-        "__cov",
-        "__nxt",
-        F.coalesce(F.lag("__cov").over(wb), F.lit(0)).alias("__prevcov"),
+    ivs_sql = (
+        "concat("
+        "CASE WHEN element_at(__mg, 1).s > 1 THEN "
+        "array(named_struct('s', 1, 'e', element_at(__mg, 1).s)) "
+        "ELSE cast(array() as array<struct<s: int, e: int>>) END, "
+        "transform(sequence(1, size(__mg)), i -> named_struct("
+        "'s', element_at(__mg, i).e + 1, "
+        "'e', if(i < size(__mg), element_at(__mg, i + 1).s, "
+        "cast(null as int)))))"
     )
-
-    # kept segments -> sorted interval array per doc; covered 0->+
-    # transitions count the merged removed spans
-    segs = bounds.groupBy(id_col).agg(
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("__cov") == 0,
-                    F.struct(F.col("__pos").alias("s"), F.col("__nxt").alias("e")),
+    segs = (
+        rem.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__s").alias("s"), F.col("__e").alias("e"))
                 )
-            )
-        ).alias("__ivs"),
-        F.sum(
-            F.when((F.col("__cov") > 0) & (F.col("__prevcov") == 0), 1).otherwise(0)
-        ).alias("__nspans"),
+            ).alias("__sp")
+        )
+        .withColumn("__mg", F.expr(merged_sql))
+        .select(
+            id_col,
+            F.expr(ivs_sql).alias("__ivs"),
+            F.size("__mg").alias("__nspans"),
+        )
     )
 
     out = df.join(segs, id_col, "left")

@@ -555,29 +555,24 @@ _DC_MOD, _DC_THRESH = 20, 0.42
 def a171_embedding_decontamination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.similarity import l2_norm
+    from ..operators.similarity import _topk_partials_matmul
 
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.where(F.col("vec_id") % _DC_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("__q_vec"),
-        l2_norm(F.col("embedding")).alias("__q_norm"),
+    ev = e.where(F.col("vec_id") % _DC_MOD == 0)
+    tr = e.where(F.col("vec_id") % _DC_MOD != 0)
+    # optimization round 17 (guide §4.2): the train-side scan now scores
+    # each partition against the broadcast eval batch with one BLAS
+    # matmul and emits per-partition top-1 partials (k=1 candidates);
+    # max over partials == the global max, at the same 6dp HALF_UP
+    # quantization the fold path rounded to.  The mod split makes
+    # eval/train ids disjoint, so the helper's self-pair mask never
+    # fires.  Replaces a |train| x |eval| fold crossJoin.
+    partials = _topk_partials_matmul(
+        tr, ev, "vec_id", "embedding", 1, 6,
+        label_col="label", carry_labels=True,
     )
-    tr = e.where(F.col("vec_id") % _DC_MOD != 0).select(
-        F.col("embedding").alias("__c_vec"),
-        l2_norm(F.col("embedding")).alias("__c_norm"),
-    )
-    from ..operators.similarity import dot_product
-
-    dot = dot_product(F.col("__q_vec"), F.col("__c_vec"))
-    per_eval = (
-        tr.crossJoin(F.broadcast(ev))
-        .withColumn(
-            "cos", F.round(dot / (F.col("__q_norm") * F.col("__c_norm")), 6)
-        )
-        .groupBy("q_id", "q_label")
-        .agg(F.max("cos").alias("max_cos"))
+    per_eval = partials.groupBy("q_id", "q_label").agg(
+        F.max("cosine").alias("max_cos")
     )
     return (
         per_eval.groupBy(F.col("q_label").alias("label"))
@@ -659,41 +654,24 @@ _LN_CAP = 500
 
 
 def a172_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.similarity import l2_norm
+    from ..operators.similarity import cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     cand = (
         e.where(F.col("vec_id") % _LN_MOD == 0)
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(_LN_CAP)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("__q_vec"),
-            l2_norm(F.col("embedding")).alias("__q_norm"),
-        )
     )
-    corpus = e.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("label").alias("n_label"),
-        F.col("embedding").alias("__c_vec"),
-        l2_norm(F.col("embedding")).alias("__c_norm"),
-    )
-    from ..operators.similarity import dot_product
-
-    dot = dot_product(F.col("__q_vec"), F.col("__c_vec"))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("n_id").asc()
-    )
-    knn = (
-        corpus.join(F.broadcast(cand), F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cos", F.round(dot / (F.col("__q_norm") * F.col("__c_norm")), 6)
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _LN_K)
+    # optimization round 17 (guide §4.2): the inline broadcast-join +
+    # per-pair fold + full-corpus window became cosine_topk's BLAS
+    # matmul path in carry-labels mode -- one Arrow stage scores each
+    # corpus partition against the broadcast audit batch and emits
+    # k-bounded partials, so the rank exchange carries <= |batch| * k
+    # rows instead of |corpus| * |batch|.  Same 6dp HALF_UP quantization
+    # and (cos desc, n_id asc) tie-break: ranks, and therefore every
+    # downstream count, are unchanged (oracle re-verified at 3 SFs).
+    knn = cosine_topk(
+        e, cand, k=_LN_K, label_col="label", carry_labels=True
     )
     per_q = knn.groupBy("q_id", "q_label").agg(
         F.sum(

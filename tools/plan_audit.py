@@ -28,7 +28,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "q07_star_join": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
     "q10_partition_scan": (("EqualTo(event_type,click)",), (), 0),  # pushdown, no shuffle
     "a03_exact_dedup": ((), ("SortMergeJoin",), 1),  # digest groupBy, one exchange
-    "a10_embedding_topk": (("BroadcastNestedLoopJoin",), ("CartesianProduct",), None),
+    # exact top-k scores via the Arrow/BLAS partial-top-k stage since
+    # r17: the corpus never joins against the batch at all -- the rank
+    # exchange carries k-bounded candidate rows (MapInPandas partials)
+    "a10_embedding_topk": (("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), 2),
     "a13_revenue_by_region": (("BroadcastHashJoin",), (), None),  # dims broadcast
     "a14_brand_volume": (("BroadcastHashJoin",), ("SortMergeJoin",), None),
     "q14_asof_join": ((), ("NestedLoop", "CartesianProduct"), 2),
@@ -478,8 +481,9 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     # round-9b curation-health queries.
     # hard-negative mining: labeled query batch broadcasts (a10 shape);
     # the corpus must never cartesian against it
+    # r17: label-masked Arrow/BLAS partial top-k (a10 shape) -- no join
     "a164_hard_negative_mining": (
-        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+        ("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), 2,
     ),
     # char-class census / token fertility: single projection + one
     # source/lang-keyed agg, no join at all (+1 AQE final agg exchange)
@@ -507,11 +511,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     ),
     # decontamination / label-noise: the audited batch broadcasts (the
     # accepted BNLJ over a tiny frame), never a cartesian
+    # (r17: both ride cosine_topk's Arrow/BLAS partial-top-k stage --
+    # the batch is a plain Spark broadcast inside the MapInPandas
+    # worker, so no join node of any kind remains)
     "a171_embedding_decontamination": (
-        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+        ("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), None,
     ),
     "a172_knn_label_noise": (
-        ("BroadcastNestedLoopJoin",), ("CartesianProduct",), None,
+        ("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), 2,
     ),
     # privacy family: QI-keyed agg cascades, no join at all (c61/c63) /
     # vocab-sized value frame + 1-row N broadcast riding the QI exchange
@@ -720,12 +727,17 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a203_winnowing_matches": (
         ("TakeOrderedAndProject",), ("CartesianProduct",), None,
     ),
-    # span-removal transform: the gram explode + doc-partition windows
-    # run ONCE behind the runs/rem recompute pins (post-pin plan: one
-    # documents scan for the final reassembly join, <= 4 exchanges:
-    # dup groupBy, fp-join side, event groupBy, boundary-window sort);
-    # removal never needs a pair join, so no cartesian under any corpus
-    "a204_span_dedup": ((), ("CartesianProduct", "NestedLoop"), 4),
+    # span-removal transform (r17: per-doc Arrow winnowing -- the gram
+    # explode, doc-id exchange and all three WindowExec passes are gone;
+    # runs come out of one MapInPandas behind the recompute pin).  The
+    # post-pin plan now shows the WHOLE remaining pipeline -- <= 5
+    # exchanges: (id,fp) distinct, dup fp groupBy, fp-join side, segs
+    # id groupBy, reassembly join -- one more VISIBLE than the old
+    # budget because the old form hid its event-walk legs behind a
+    # second pin; total exchanges (visible + pinned) dropped 7 -> 5 and
+    # none carries gram-sized data anymore.  Removal never needs a pair
+    # join, so no cartesian under any corpus
+    "a204_span_dedup": ((), ("CartesianProduct", "NestedLoop"), 5),
     # DSIR: the 64-row log-ratio frame (provably bounded by the hash
     # modulus) must broadcast onto the (doc, bucket) term frame; the
     # 1-row corpus-total crossJoin is the accepted scalar BNLJ (a64/a49
