@@ -295,6 +295,100 @@ def ingest_neardup_dedup(
     )
 
 
+def _minhash_bands_py(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Fused per-document MinHash band rows in ONE Arrow pass
+    (optimization round 17, guide §2.4 + §4.2): shingle set -> 32-bit
+    base hashes -> ``num_hashes`` universal-hash minima (one vectorized
+    numpy broadcast per document) -> ``bands`` md5 band signatures.
+
+    Replaces the explode + corpus-wide (id)-keyed groupBy with 32
+    min-aggregates + band re-explode: a document's signature depends
+    only on its own text, so nothing needs to shuffle -- the gram rows
+    never exist outside the worker.  Bit-parity with the staged
+    operators (asserted by pytest + every band-index oracle):
+
+    - grams: ``text.split(' ')`` == Spark ``split(text, ' ')`` (both
+      keep interior/trailing empties); ``' '.join(toks[i:i+n])`` over
+      ``max(len - n + 1, 1)`` starts == ``word_ngrams``'s zip_with/
+      concat_ws null-skip (short docs yield one partial gram); the
+      per-doc set == ``array_distinct`` + explode + distinct grouping.
+    - base hash: first 4 md5 bytes big-endian == ``conv(substring(
+      md5(g), 1, 8), 16, 10)``.
+    - h_i = (a_i*h + b_i) mod 2^32 in uint64: a < 2^31 so the product
+      stays < 2^63 -- exact in BOTH engines (same no-overflow argument
+      as ``_mh_consts``) and in numpy.
+    - band_sig: md5 of the '|'-joined DECIMAL minima == ``md5(
+      concat_ws('|', mh_...))`` (bigints render identically).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = num_hashes // bands
+    consts = [_mh_consts(i) for i in range(num_hashes)]
+    a_arr = [a for a, _ in consts]
+    b_arr = [b for _, b in consts]
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, band_id int, band_sig string"
+
+    def gen(batches):
+        from hashlib import md5
+
+        A = np.array(a_arr, dtype=np.uint64)[None, :]
+        B = np.array(b_arr, dtype=np.uint64)[None, :]
+        mask = np.uint64(0xFFFFFFFF)
+        for batch in batches:
+            ids: list = []
+            bids: list = []
+            sigs: list = []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                n_grams = max(len(toks) - (shingle_n - 1), 1)
+                grams = {
+                    " ".join(toks[i: i + shingle_n])
+                    for i in range(n_grams)
+                }
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(g.encode("utf-8")).digest()[:4], "big"
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                mins = ((hs[:, None] * A + B) & mask).min(axis=0)
+                for b in range(bands):
+                    seg = "|".join(
+                        str(int(mins[b * rows + i])) for i in range(rows)
+                    )
+                    ids.append(doc_id)
+                    bids.append(b)
+                    sigs.append(md5(seg.encode("utf-8")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "band_id": np.array(bids, dtype="int32"),
+                        "band_sig": sigs,
+                    }
+                )
+
+    from .etl import spread_narrow_scan
+
+    src = spread_narrow_scan(df.select(id_col, text_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
+
+
 def minhash_band_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -313,14 +407,15 @@ def minhash_band_index(
     interchangeable -- the property :func:`serve_minhash_band_index`'s
     exactness (and the c70 oracle) rests on.  Absorbing an accepted
     delta is appending ITS band rows to the same table
-    (``write_bucketed(..., mode="append")``, same bucket spec)."""
-    return lsh_bands(
-        minhash_signatures(
-            shingles(df, id_col, text_col, shingle_n), id_col, num_hashes
-        ),
-        id_col,
-        num_hashes,
-        bands,
+    (``write_bucketed(..., mode="append")``, same bucket spec).
+
+    Since round 17 the rows come from the fused zero-shuffle Arrow pass
+    (:func:`_minhash_bands_py` -- bit-identical, see its parity notes);
+    the staged ``shingles -> minhash_signatures -> lsh_bands`` operators
+    remain the composable forms for callers that need the intermediates.
+    """
+    return _minhash_bands_py(
+        df, id_col, text_col, shingle_n, num_hashes, bands
     )
 
 
@@ -481,6 +576,11 @@ def minhash_dedup_pairs(
     (``persist_shingles=False`` + explicit write) -- MEMORY_AND_DISK
     spilling of a corpus-sized explode is slower than a columnar re-read.
     """
+    # the staged path on purpose (r17 A/B): the shingle frame is
+    # persisted for the verify sides anyway, so deriving signatures from
+    # it is cheaper than a second (fused-Arrow) pass over the text --
+    # measured 2.4s vs 3.2s at sf0.1; the fused pass wins only where no
+    # shingle reuse exists (minhash_band_index)
     sh = shingles(df, id_col, text_col, shingle_n)
     if persist_shingles and not _plan_already_cached(sh):
         sh = sh.persist()

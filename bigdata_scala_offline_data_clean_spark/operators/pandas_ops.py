@@ -139,6 +139,18 @@ def debounce(
     timestamp per group -- same cost shape as a windowed dedup; the
     Python loop is O(rows per key).
 
+    Optimization round 17 (guide §4.5 / §2.3): the grouped-map
+    ``applyInPandas`` form invoked Python once per KEY -- one pandas
+    DataFrame construction and one Arrow round-trip per (typically
+    tiny) user group, and the grouped-map shuffle ships whole groups.
+    The same semantics fall out of one hash(key) repartition + an
+    in-partition (key, ts, order) sort + a single ``mapInPandas`` scan:
+    groups are contiguous within a partition, batches arrive in
+    partition order, and the per-key anchor carries across batch
+    boundaries -- so Python is now invoked once per ~10k-row Arrow
+    batch instead of once per key, with the identical keep decisions
+    (asserted by the unchanged pytest + a103's recursive-CTE oracle).
+
     Output: input columns + ``kept`` boolean.
     """
     import pandas as pd  # noqa: F811 (Arrow worker re-import)
@@ -146,18 +158,42 @@ def debounce(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", kept boolean"
+    cols = [f.name for f in df.schema.fields]
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_us_col, order_col]).reset_index(drop=True)
-        kept = []
-        last = None
-        for t in pdf[ts_us_col]:
-            if last is None or t - last >= gap_us:
-                kept.append(True)
-                last = t
-            else:
-                kept.append(False)
-        pdf["kept"] = kept
-        return pdf
+    def scan(batches):
+        prev_key = None
+        last = None  # last KEPT ts of prev_key (never None mid-group)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf[key_col].to_numpy()
+            if pdf[key_col].isna().any():
+                # a null key group must not re-arm per row (NaN != NaN):
+                # normalize nulls to a single sentinel object
+                keys = pdf[key_col].astype(object).where(
+                    pdf[key_col].notna(), None
+                ).to_numpy()
+            ts = pdf[ts_us_col].to_numpy()
+            kept = np.empty(n, dtype=bool)
+            for i in range(n):
+                k = keys[i]
+                if k != prev_key:
+                    prev_key = k
+                    last = ts[i]
+                    kept[i] = True
+                elif ts[i] - last >= gap_us:
+                    last = ts[i]
+                    kept[i] = True
+                else:
+                    kept[i] = False
+            out = pdf[cols].copy()
+            out["kept"] = kept
+            yield out
 
-    return df.groupBy(key_col).applyInPandas(scan, out_schema)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parts, key_col)
+        .sortWithinPartitions(key_col, ts_us_col, order_col)
+        .mapInPandas(scan, out_schema)
+    )

@@ -244,7 +244,13 @@ def _topk_partials_matmul(
                 out["n_label"] = n_labels[ci]
             yield pd.DataFrame(out)
 
-    return corpus.select(*cols).mapInPandas(gen, schema=schema)
+    # spread narrow byte-split scans across the cores before the BLAS
+    # stage (the corpus parquet can arrive as one split at bench scale;
+    # no-op on cluster-wide inputs) -- operators/etl.spread_narrow_scan
+    from .etl import spread_narrow_scan
+
+    src = spread_narrow_scan(corpus.select(*cols), id_col)
+    return src.mapInPandas(gen, schema=schema)
 
 
 def hard_negative_topk(

@@ -626,14 +626,7 @@ def c77_nightly_index_lifecycle(
     d_erase = d.where(drem == _C77_ERASE_REM).select("doc_id")
     d_live = d.where(~drem.isin(_C77_DELTA_REM, _C77_ERASE_REM))
 
-    # CALIBRATE: the a217 playbook feeds the vector gate's tau
-    n_vec = e.count()
-    tau = calibrate_cosine_threshold(
-        e, sample_size=calibration_sample_size(n_vec), n_total=n_vec
-    )
-
     scratch = tempfile.mkdtemp(prefix="ods_spark_c77_")
-    rows: list[tuple] = []
     try:
         wh = Warehouse(spark, scratch)
 
@@ -657,10 +650,17 @@ def c77_nightly_index_lifecycle(
                 "dwd", name, **spec, mode="append",
             )
             t = wh.bucketed_table("dwd", name)
-            rows_built = t.count()
-            rows_erased = t.join(
-                F.broadcast(d_erase), "doc_id", "left_semi"
-            ).count()
+            # one pass for built + erased (r17, guide §1.2): the former
+            # count() + semi-join count() scanned the fresh table twice;
+            # a broadcast-marked left join counts both in one aggregate
+            built_erased = t.select("doc_id").join(
+                F.broadcast(d_erase.withColumn("__er", F.lit(1))),
+                "doc_id",
+                "left",
+            ).agg(
+                F.count(F.lit(1)).alias("b"), F.count("__er").alias("e")
+            ).collect()[0]
+            rows_built, rows_erased = built_erased["b"], built_erased["e"]
             wh.append_tombstones(d_erase, "dwd", name)
             files_before = wh.data_file_count("dwd", name)
             compacted, _, files_after = wh.maybe_compact_bucketed(
@@ -670,128 +670,161 @@ def c77_nightly_index_lifecycle(
             return (rows_built, rows_erased, rows_live, files_before,
                     files_after, compacted)
 
-        # --- TEXT: MinHash band index (tombstone erase, c71's verbs) --
-        kw = dict(shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS)
-        stats = bucketed_lifecycle(
-            "c77_text",
-            minhash_band_index(d_day0, **kw),
-            minhash_band_index(d_abs, **kw),
-            ["band_id", "band_sig"],
-        )
-        served = serve_minhash_band_index(
-            wh.read_bucketed_live("dwd", "c77_text"),
-            d_delta,
-            d_live,
-            threshold=_MH_THRESHOLD,
-            reliable_pins=reliable_pins,
-            **kw,
-        ).count()
-        rows.append((
-            "minhash_bands", "bucketed(band_id,band_sig)",
-            *stats, served, None,
-        ))
+        # The three index legs below touch disjoint tables/paths and
+        # share only read-only inputs, so they run as CONCURRENT driver
+        # jobs (guide §2.6 "overlap independent jobs"): each leg is a
+        # chain of small actions whose tails would otherwise leave
+        # local[32] (or a cluster) mostly idle.  Results are collected
+        # in a fixed order, so the output frame is unchanged.
+        def text_leg() -> tuple:
+            kw = dict(
+                shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS
+            )
+            stats = bucketed_lifecycle(
+                "c77_text",
+                minhash_band_index(d_day0, **kw),
+                minhash_band_index(d_abs, **kw),
+                ["band_id", "band_sig"],
+            )
+            served = serve_minhash_band_index(
+                wh.read_bucketed_live("dwd", "c77_text"),
+                d_delta,
+                d_live,
+                threshold=_MH_THRESHOLD,
+                reliable_pins=reliable_pins,
+                **kw,
+            ).count()
+            return (
+                "minhash_bands", "bucketed(band_id,band_sig)",
+                *stats, served, None,
+            )
 
-        # --- PERCEPTUAL: phash band index (same verbs, 4 rows/doc) ----
-        stats = bucketed_lifecycle(
-            "c77_phash",
-            hash64_band_rows(_a213_hashes(d_day0)),
-            hash64_band_rows(_a213_hashes(d_abs)),
-            ["band", "val"],
-        )
-        served = serve_hash64_band_index(
-            wh.read_bucketed_live("dwd", "c77_phash"),
-            _a213_hashes(d_delta),
-            _A213_MAX_HAMMING,
-            reliable_pins=reliable_pins,
-        ).count()
-        rows.append((
-            "phash_bands", "bucketed(band,val)", *stats, served, None,
-        ))
+        def phash_leg() -> tuple:
+            stats = bucketed_lifecycle(
+                "c77_phash",
+                hash64_band_rows(_a213_hashes(d_day0)),
+                hash64_band_rows(_a213_hashes(d_abs)),
+                ["band", "val"],
+            )
+            served = serve_hash64_band_index(
+                wh.read_bucketed_live("dwd", "c77_phash"),
+                _a213_hashes(d_delta),
+                _A213_MAX_HAMMING,
+                reliable_pins=reliable_pins,
+            ).count()
+            return (
+                "phash_bands", "bucketed(band,val)", *stats, served, None,
+            )
 
         # --- VECTOR: cell-partitioned semantic index (physical erase,
         # c73/c75's verbs, the gate at the CALIBRATED tau) -------------
-        cell = F.expr(
-            argmin_struct_sql(
-                [l2_fold_sql("embedding", c) for c in A209_CENTROIDS]
+        def vector_leg() -> tuple:
+            # CALIBRATE: the a217 playbook feeds the vector gate's tau
+            # (only this leg consumes it, so it calibrates in-leg and
+            # overlaps the text/phash builds)
+            n_vec = e.count()
+            tau = calibrate_cosine_threshold(
+                e, sample_size=calibration_sample_size(n_vec),
+                n_total=n_vec,
             )
-            + ".cid"
-        ).cast("int")
-        ipath = f"{scratch}/c77_ivf"
+            cell = F.expr(
+                argmin_struct_sql(
+                    [l2_fold_sql("embedding", c) for c in A209_CENTROIDS]
+                )
+                + ".cid"
+            ).cast("int")
+            ipath = f"{scratch}/c77_ivf"
 
-        def vec_rows(src: DataFrame) -> DataFrame:
-            return src.select(
-                F.col("vec_id").alias("c_id"),
-                F.col("embedding").alias("__c_vec"),
-                _norm(F.col("embedding")).alias("__c_norm"),
-                cell.alias("cell"),
+            def vec_rows(src: DataFrame) -> DataFrame:
+                return src.select(
+                    F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("__c_vec"),
+                    _norm(F.col("embedding")).alias("__c_norm"),
+                    cell.alias("cell"),
+                )
+
+            # build + absorb: repartition by cell -> one file per touched
+            # cell per generation (the census derivation's invariant)
+            vec_rows(e.where(~vrem.isin(_C77_DELTA_REM, _C77_ABSORB_REM))
+                     ).repartition(F.col("cell")).write.partitionBy(
+                "cell"
+            ).parquet(ipath)
+            vec_rows(e.where(vrem == _C77_ABSORB_REM)).repartition(
+                F.col("cell")
+            ).write.mode("append").partitionBy("cell").parquet(ipath)
+            rows_built = spark.read.parquet(ipath).count()
+            files_before = sum(
+                wh.partition_file_census("", "c77_ivf", "cell").values()
+            )
+            v_erase = e.where(vrem == _C77_ERASE_REM).select(
+                F.col("vec_id").alias("c_id")
+            )
+            rows_erased = v_erase.count()
+            wh.erase_partition_rows("", "c77_ivf", "cell", v_erase, "c_id")
+            compacted_cells = wh.compact_partitions("", "c77_ivf", "cell")
+            files_after = sum(
+                wh.partition_file_census("", "c77_ivf", "cell").values()
+            )
+            rows_live = spark.read.parquet(ipath).count()
+            # SERVE: the delta assigns itself, reads only its probed
+            # cells (planning-time pruning), pairs gate at the
+            # calibrated tau
+            dv = pin_frame(
+                e.where(vrem == _C77_DELTA_REM).select(
+                    F.col("vec_id").alias("d_id"),
+                    F.col("embedding").alias("__d_vec"),
+                    _norm(F.col("embedding")).alias("__d_norm"),
+                    cell.alias("cell"),
+                ),
+                reliable=reliable_pins,
+            )
+            cells = sorted({r["cell"] for r in dv.select("cell").collect()})
+            idx = (
+                spark.read.parquet(ipath)
+                .withColumn("cell", F.col("cell").cast("int"))
+                .where(F.col("cell").isin(cells))
+            )
+            cos_ci = F.round(
+                dot_product(F.col("__d_vec"), F.col("__c_vec"))
+                / (F.col("__d_norm") * F.col("__c_norm")),
+                6,
+            )
+            cross = dv.join(idx, "cell").where(cos_ci >= tau)
+            d2 = dv.select(
+                F.col("d_id").alias("e_id"),
+                F.col("__d_vec").alias("__e_vec"),
+                F.col("__d_norm").alias("__e_norm"),
+                "cell",
+            )
+            cos_dd = F.round(
+                dot_product(F.col("__d_vec"), F.col("__e_vec"))
+                / (F.col("__d_norm") * F.col("__e_norm")),
+                6,
+            )
+            within = dv.join(d2, "cell").where(
+                (F.col("d_id") < F.col("e_id")) & (cos_dd >= tau)
+            )
+            # one job for both pair counts: count(union) == the sum
+            served = (
+                cross.select(F.lit(1).alias("__one"))
+                .unionAll(within.select(F.lit(1).alias("__one")))
+                .count()
+            )
+            return (
+                "ivf_cells", "partitioned(cell)", rows_built, rows_erased,
+                rows_live, files_before, files_after,
+                len(compacted_cells) > 0, served, tau,
             )
 
-        # build + absorb: repartition by cell -> one file per touched
-        # cell per generation (the census derivation's invariant)
-        vec_rows(e.where(~vrem.isin(_C77_DELTA_REM, _C77_ABSORB_REM))
-                 ).repartition(F.col("cell")).write.partitionBy(
-            "cell"
-        ).parquet(ipath)
-        vec_rows(e.where(vrem == _C77_ABSORB_REM)).repartition(
-            F.col("cell")
-        ).write.mode("append").partitionBy("cell").parquet(ipath)
-        rows_built = spark.read.parquet(ipath).count()
-        files_before = sum(
-            wh.partition_file_census("", "c77_ivf", "cell").values()
-        )
-        v_erase = e.where(vrem == _C77_ERASE_REM).select(
-            F.col("vec_id").alias("c_id")
-        )
-        rows_erased = v_erase.count()
-        wh.erase_partition_rows("", "c77_ivf", "cell", v_erase, "c_id")
-        compacted_cells = wh.compact_partitions("", "c77_ivf", "cell")
-        files_after = sum(
-            wh.partition_file_census("", "c77_ivf", "cell").values()
-        )
-        rows_live = spark.read.parquet(ipath).count()
-        # SERVE: the delta assigns itself, reads only its probed cells
-        # (planning-time pruning), pairs gate at the calibrated tau
-        dv = pin_frame(
-            e.where(vrem == _C77_DELTA_REM).select(
-                F.col("vec_id").alias("d_id"),
-                F.col("embedding").alias("__d_vec"),
-                _norm(F.col("embedding")).alias("__d_norm"),
-                cell.alias("cell"),
-            ),
-            reliable=reliable_pins,
-        )
-        cells = sorted({r["cell"] for r in dv.select("cell").collect()})
-        idx = (
-            spark.read.parquet(ipath)
-            .withColumn("cell", F.col("cell").cast("int"))
-            .where(F.col("cell").isin(cells))
-        )
-        cos_ci = F.round(
-            dot_product(F.col("__d_vec"), F.col("__c_vec"))
-            / (F.col("__d_norm") * F.col("__c_norm")),
-            6,
-        )
-        cross = dv.join(idx, "cell").where(cos_ci >= tau)
-        d2 = dv.select(
-            F.col("d_id").alias("e_id"),
-            F.col("__d_vec").alias("__e_vec"),
-            F.col("__d_norm").alias("__e_norm"),
-            "cell",
-        )
-        cos_dd = F.round(
-            dot_product(F.col("__d_vec"), F.col("__e_vec"))
-            / (F.col("__d_norm") * F.col("__e_norm")),
-            6,
-        )
-        within = dv.join(d2, "cell").where(
-            (F.col("d_id") < F.col("e_id")) & (cos_dd >= tau)
-        )
-        served = cross.count() + within.count()
-        rows.append((
-            "ivf_cells", "partitioned(cell)", rows_built, rows_erased,
-            rows_live, files_before, files_after,
-            len(compacted_cells) > 0, served, tau,
-        ))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(text_leg),
+                pool.submit(phash_leg),
+                pool.submit(vector_leg),
+            ]
+            rows = [f.result() for f in futs]
 
         return spark.createDataFrame(
             rows,

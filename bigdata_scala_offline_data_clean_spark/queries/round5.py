@@ -554,7 +554,7 @@ def s11_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s11_")
     try:
         src = f"{scratch}/src"
-        ev.select("event_id", "user_id", "event_type").repartition(4)\
+        ev.select("event_id", "user_id", "event_type").repartition(2)\
             .write.parquet(src)
         stream = spark.readStream.schema(
             "event_id long, user_id long, event_type string"

@@ -624,7 +624,7 @@ def s12_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s12_")
     try:
         src = f"{scratch}/src"
-        ev.select("event_id", "user_id").repartition(4).write.parquet(src)
+        ev.select("event_id", "user_id").repartition(2).write.parquet(src)
         stream = (
             spark.readStream.schema("event_id long, user_id long")
             .option("maxFilesPerTrigger", "1")

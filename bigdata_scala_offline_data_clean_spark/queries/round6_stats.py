@@ -520,7 +520,7 @@ def s13_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s13_")
     try:
         src = f"{scratch}/src"
-        e.select(day_str("ts").alias("day"), "event_type").repartition(4)\
+        e.select(day_str("ts").alias("day"), "event_type").repartition(2)\
             .write.parquet(src)
         stream = spark.readStream.schema(
             "day string, event_type string"

@@ -524,7 +524,9 @@ QUERIES["a147_weekday_seasonality"] = QuerySpec(
 # ---------------------------------------------------------------------------
 
 
-def s14_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s14_stream_psi(
+    spark: SparkSession, sf_dir: str, *, n_slices: int = 2
+) -> DataFrame:
     import shutil
     import tempfile
 
@@ -543,15 +545,25 @@ def s14_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, _A139_BUCKETS, "o_totalprice", tie_cols=["o_orderkey"],
         tile_col="bucket",
     ).select("o_totalprice", "bucket")
-    n_base = tiled.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_base"))
-    # <=9 interior bounds: a bounded driver fetch (documented), turned
-    # into literals so the streaming side is a pure projection
-    bounds = sorted(
-        r["hi"]
-        for r in tiled.where(F.col("bucket") < _A139_BUCKETS)
-        .groupBy("bucket")
-        .agg(F.max("o_totalprice").alias("hi"))
+    # ONE pass over the tiled baseline for BOTH per-bucket count and
+    # interior bound (r17, guide §1.2: the former separate
+    # groupBy().max().collect() re-ran the whole ntile pipeline);
+    # <= 10 rows come back -- the same documented bounded driver fetch
+    # -- and n_base is rebuilt from them as literals
+    bstats = (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.max("o_totalprice").alias("hi"),
+        )
         .collect()
+    )
+    n_base = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["n_base"])) for r in bstats],
+        "bucket int, n_base bigint",
+    )
+    bounds = sorted(
+        r["hi"] for r in bstats if r["bucket"] < _A139_BUCKETS
     )
     bucket_expr = F.least(
         F.lit(1)
@@ -563,7 +575,10 @@ def s14_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s14_")
     try:
         src = f"{scratch}/src"
-        cur.repartition(4).write.parquet(src)
+        # n_slices micro-batches; the merged partials are linear, so the
+        # report is split-invariant (pytest-pinned 1 vs 3 -- the r16
+        # bench-budget rule: smallest SF-visible split, was 4)
+        cur.repartition(n_slices).write.parquet(src)
         stream = (
             spark.readStream.schema("o_orderkey long, o_totalprice double")
             .option("maxFilesPerTrigger", "1")

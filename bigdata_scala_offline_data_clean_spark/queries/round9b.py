@@ -1097,7 +1097,7 @@ def s15_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s15_")
     try:
         src = f"{scratch}/src"
-        ev.select("event_id", "event_type").repartition(4).write.parquet(src)
+        ev.select("event_id", "event_type").repartition(2).write.parquet(src)
         stream = spark.readStream.schema(
             "event_id long, event_type string"
         ).option("maxFilesPerTrigger", "1").parquet(src)

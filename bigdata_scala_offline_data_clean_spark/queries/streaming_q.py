@@ -449,7 +449,7 @@ def s10_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s10_")
     try:
         src = f"{scratch}/src"
-        ev.select("event_id", "user_id", "event_type").repartition(4)\
+        ev.select("event_id", "user_id", "event_type").repartition(2)\
             .write.parquet(src)
         stream = spark.readStream.schema(
             "event_id long, user_id long, event_type string"

@@ -975,3 +975,43 @@ def test_pq_ann_recall_and_code_shape(spark):
         for r in pq_ann_topk(e, q, k=5, m=16, refine=50).collect()
     }
     assert got == again
+
+
+def test_fused_minhash_bands_match_staged_pipeline(spark):
+    """r17: minhash_band_index's fused Arrow pass must be bit-identical
+    to the staged shingles -> minhash_signatures -> lsh_bands operators
+    on awkward inputs (empty text, doc shorter than the shingle, interior
+    / trailing double spaces, unicode, duplicate grams)."""
+    from bigdata_scala_offline_data_clean_spark.operators.dedup import (
+        _minhash_bands_py,
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),
+            (3, "one"),
+            (4, "double  space  runs "),
+            (5, "héllo wörld héllo wörld héllo"),
+            (6, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    staged = sorted(
+        map(
+            tuple,
+            lsh_bands(
+                minhash_signatures(
+                    shingles(df, "doc_id", "text", 2), "doc_id", 32
+                ),
+                "doc_id", 32, 8,
+            ).collect(),
+        )
+    )
+    fused = sorted(
+        map(tuple, _minhash_bands_py(df, "doc_id", "text", 2, 32, 8).collect())
+    )
+    assert staged == fused and len(fused) == 6 * 8

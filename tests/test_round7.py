@@ -185,3 +185,31 @@ def test_bfs_multi_seed_min_hop(spark):
     seeds = spark.createDataFrame([(0,), (6,)], "node long")
     got = {r.node: r.hop for r in bfs_hops(e, seeds, 3).collect()}
     assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_s14_psi_invariant_to_batch_split(spark):
+    """The streamed PSI's correctness argument is batch-split
+    INDEPENDENCE (count partials merge linearly, bounds are batch-side
+    literals).  Pin it: one giant micro-batch and three micro-batches
+    must produce the identical report -- the r16 bench-budget rule's
+    precondition for running the bench default at 2 slices (was 4)."""
+    import os
+
+    import pytest
+
+    from bigdata_scala_offline_data_clean_spark.queries.round7 import (
+        s14_stream_psi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/orders.parquet"):
+        pytest.skip("testdata not present")
+
+    def run(n):
+        return sorted(
+            map(tuple, s14_stream_psi(spark, sf, n_slices=n).collect())
+        )
+
+    one = run(1)
+    three = run(3)
+    assert one == three and len(one) > 0

@@ -230,8 +230,10 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "c42_backfill_plan": ((), ("CartesianProduct",), None),
     # dedup eval: gram/fingerprint equi-joins only, never all-pairs
     "a102_dedup_eval": ((), ("NestedLoop", "CartesianProduct"), None),
-    # debounce: one hash(user) exchange into the Arrow group scan, no joins
-    "a103_debounce": (("FlatMapGroupsInPandas",), ("Join",), 1),
+    # debounce (r17): one hash(user) exchange + in-partition sort into
+    # ONE MapInPandas scan (was FlatMapGroupsInPandas per tiny user
+    # group -- a pandas frame and Arrow round-trip per key), no joins
+    "a103_debounce": (("MapInPandas",), ("Join", "FlatMapGroupsInPandas"), 1),
     # bitmap cube: three merges read the checkpointed partials -- no
     # joins, no Expand, and the event scan appears exactly once upstream
     "c43_bitmap_cube": ((), ("Join", "Expand"), None),
