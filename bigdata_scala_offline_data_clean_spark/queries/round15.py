@@ -674,67 +674,110 @@ def c74_index_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         wh = Warehouse(spark, scratch)
         # BUILD all three indexes (amortized at 100 TB; real here so the
-        # audit counts actual storage)
-        wh.write_bucketed(
-            minhash_band_index(
-                d, shingle_n=_MH_SHINGLE, num_hashes=_MH_N, bands=_MH_BANDS
-            ),
-            "dwd", "c74_text", ["band_id", "band_sig"], buckets=8,
-            sort_cols=["band_id", "band_sig"],
-        )
-        wh.write_bucketed(
-            hash64_band_rows(_a213_hashes(d)),
-            "dwd", "c74_phash", ["band", "val"], buckets=8,
-            sort_cols=["band", "val"],
-        )
+        # audit counts actual storage) -- independent writes to disjoint
+        # tables/paths, run concurrently (guide §2.6, the c77 pattern)
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..operators.similarity import argmin_struct_sql, l2_fold_sql
         from .quantizers import A16_CENTROIDS
 
-        cell = F.expr(
-            argmin_struct_sql(
-                [l2_fold_sql("embedding", c) for c in A16_CENTROIDS]
-            )
-            + ".cid"
-        ).cast("int")
-        e.select(
-            F.col("vec_id").alias("n_id"), cell.alias("cell")
-        ).write.partitionBy("cell").parquet(f"{scratch}/c74_ivf")
-
-        def audit(name, layout, verb, before_df, erased_n, after_df):
-            return (
-                name, layout, verb,
-                before_df.count(), erased_n, after_df.count(),
+        def build_text():
+            wh.write_bucketed(
+                minhash_band_index(
+                    d, shingle_n=_MH_SHINGLE, num_hashes=_MH_N,
+                    bands=_MH_BANDS,
+                ),
+                "dwd", "c74_text", ["band_id", "band_sig"], buckets=8,
+                sort_cols=["band_id", "band_sig"],
             )
 
-        rows = []
+        def build_phash():
+            wh.write_bucketed(
+                hash64_band_rows(_a213_hashes(d)),
+                "dwd", "c74_phash", ["band", "val"], buckets=8,
+                sort_cols=["band", "val"],
+            )
+
+        def build_ivf():
+            cell = F.expr(
+                argmin_struct_sql(
+                    [l2_fold_sql("embedding", c) for c in A16_CENTROIDS]
+                )
+                + ".cid"
+            ).cast("int")
+            e.select(
+                F.col("vec_id").alias("n_id"), cell.alias("cell")
+            ).write.partitionBy("cell").parquet(f"{scratch}/c74_ivf")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [
+                pool.submit(build_text),
+                pool.submit(build_phash),
+                pool.submit(build_ivf),
+            ]:
+                fut.result()
+
+        def before_and_hit(t: DataFrame) -> tuple[int, int]:
+            # one pass for rows_before + rows_erased (r17, guide §1.2):
+            # a broadcast-marked left join counts both in one aggregate
+            # (was count() + semi-join count() = two scans)
+            r = t.select("doc_id").join(
+                F.broadcast(erase_docs.withColumn("__er", F.lit(1))),
+                "doc_id",
+                "left",
+            ).agg(
+                F.count(F.lit(1)).alias("b"), F.count("__er").alias("e")
+            ).collect()[0]
+            return r["b"], r["e"]
+
         # TEXT bands: tombstone erase, live view must drop exactly the
         # subject docs' 8 rows each
-        t = wh.bucketed_table("dwd", "c74_text")
-        n_hit = t.join(F.broadcast(erase_docs), "doc_id", "left_semi").count()
-        wh.append_tombstones(erase_docs, "dwd", "c74_text")
-        rows.append(audit(
-            "minhash_bands", "bucketed(band_id,band_sig)", "tombstone",
-            t, n_hit, wh.read_bucketed_live("dwd", "c74_text"),
-        ))
+        def text_leg():
+            t = wh.bucketed_table("dwd", "c74_text")
+            n_before, n_hit = before_and_hit(t)
+            wh.append_tombstones(erase_docs, "dwd", "c74_text")
+            return (
+                "minhash_bands", "bucketed(band_id,band_sig)", "tombstone",
+                n_before, n_hit,
+                wh.read_bucketed_live("dwd", "c74_text").count(),
+            )
+
         # PERCEPTUAL bands: same verb, 4 rows per doc
-        p = wh.bucketed_table("dwd", "c74_phash")
-        p_hit = p.join(F.broadcast(erase_docs), "doc_id", "left_semi").count()
-        wh.append_tombstones(erase_docs, "dwd", "c74_phash")
-        rows.append(audit(
-            "phash_bands", "bucketed(band,val)", "tombstone",
-            p, p_hit, wh.read_bucketed_live("dwd", "c74_phash"),
-        ))
+        def phash_leg():
+            p = wh.bucketed_table("dwd", "c74_phash")
+            p_before, p_hit = before_and_hit(p)
+            wh.append_tombstones(erase_docs, "dwd", "c74_phash")
+            return (
+                "phash_bands", "bucketed(band,val)", "tombstone",
+                p_before, p_hit,
+                wh.read_bucketed_live("dwd", "c74_phash").count(),
+            )
+
         # IVF cells: physical targeted-partition rewrite
-        ivf_before = spark.read.parquet(f"{scratch}/c74_ivf").count()
-        v_hit = erase_vecs.count()
-        Warehouse(spark, scratch).erase_partition_rows(
-            "", "c74_ivf", "cell", erase_vecs, "n_id"
-        )
-        rows.append((
-            "ivf_vectors", "partitioned(cell)", "partition_rewrite",
-            ivf_before, v_hit,
-            spark.read.parquet(f"{scratch}/c74_ivf").count(),
-        ))
+        def ivf_leg():
+            ivf_before = spark.read.parquet(f"{scratch}/c74_ivf").count()
+            v_hit = erase_vecs.count()
+            Warehouse(spark, scratch).erase_partition_rows(
+                "", "c74_ivf", "cell", erase_vecs, "n_id"
+            )
+            return (
+                "ivf_vectors", "partitioned(cell)", "partition_rewrite",
+                ivf_before, v_hit,
+                spark.read.parquet(f"{scratch}/c74_ivf").count(),
+            )
+
+        # the three erasure legs touch disjoint tables/paths -- run them
+        # as concurrent driver jobs (guide §2.6, the c77 pattern);
+        # results collected in fixed order, output unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(text_leg),
+                pool.submit(phash_leg),
+                pool.submit(ivf_leg),
+            ]
+            rows = [f.result() for f in futs]
         out = spark.createDataFrame(
             rows,
             "index_name string, layout string, verb string, "

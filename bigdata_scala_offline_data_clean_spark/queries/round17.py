@@ -369,41 +369,53 @@ _A221_HEADER = "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"
 
 def _a221_frame_hashes(docs: DataFrame) -> DataFrame:
     """The per-frame fingerprint pass: ``(doc_id, frame_idx, ahash)``
-    from the synthesized Y4M payload through the REAL stdlib decode."""
+    from the synthesized Y4M payload through the REAL stdlib decode.
+
+    Optimization round 17 (guide §4.2): synthesis moved INTO the same
+    Arrow pass as the decode -- the former Catalyst form evaluated
+    64 x 3 interpreted ``transform`` md5 lambdas per document and
+    shipped the assembled payload through Arrow; the Python form runs
+    the identical generating arithmetic (sorted word stream -- Spark's
+    ``array_sort`` UTF8 byte order == Python code-point order for valid
+    UTF-8 -- then cell i of frame f = first md5 byte of
+    ``word[(i*nw)//64] + ':f{f}'``), so the payload bytes are unchanged
+    and the REAL ``decode_video`` stream walk still parses them back.
+    The DuckDB twin keeps recomputing rasters from the same arithmetic.
+    """
     import pandas as pd
 
     from ..operators.etl import spread_narrow_scan
     from ..operators.multimodal import decode_video
 
     docs = spread_narrow_scan(docs, "doc_id")  # the a213 synthesis rule
-    base = docs.select(
-        "doc_id",
-        F.array_sort(F.split(F.col("text"), " ")).alias("__ws"),
-    ).withColumn("__nw", F.size("__ws"))
-    frame_hex = [
-        F.expr(
-            "concat_ws('', transform(sequence(0, 63), "
-            "i -> substr(md5(concat(element_at(__ws, "
-            f"cast(1 + ((i * __nw) div 64) as int)), ':f{f}')), 1, 2)))"
-        )
-        for f in range(_A221_N_FRAMES)
-    ]
-    payload = F.concat(
-        F.encode(F.lit(_A221_HEADER), "utf-8"),
-        *[
-            part
-            for hx in frame_hex
-            for part in (F.encode(F.lit("FRAME\n"), "utf-8"), F.unhex(hx))
-        ],
-    )
-    pdf_in = base.select("doc_id", payload.alias("payload"))
+    pdf_in = docs.select("doc_id", "text")
+    header = _A221_HEADER.encode("utf-8")
+    n_frames = _A221_N_FRAMES
 
     def gen(batches):
+        from hashlib import md5
+
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [],
                                     "ahash": []}
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                video = decode_video(bytes(b))  # REAL stdlib Y4M parse
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                ws = sorted(text.split(" "))
+                nw = len(ws)
+                parts = [header]
+                for f in range(n_frames):
+                    salt = f":f{f}".encode("utf-8")
+                    parts.append(b"FRAME\n")
+                    parts.append(
+                        b"".join(
+                            md5(
+                                ws[(i * nw) // 64].encode("utf-8") + salt
+                            ).digest()[:1]
+                            for i in range(64)
+                        )
+                    )
+                video = decode_video(b"".join(parts))  # REAL Y4M parse
                 for f, frame in enumerate(video["frames"]):
                     y = frame["y"]  # 64-byte luma raster (Cmono)
                     s = sum(y)

@@ -1064,27 +1064,44 @@ def a139_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, _A139_BUCKETS, "o_totalprice", tie_cols=["o_orderkey"],
         tile_col="bucket",
     ).select("o_totalprice", "bucket")
-    bounds = tiled.groupBy("bucket").agg(
-        F.max("o_totalprice").alias("hi")
-    )
-    n_base = tiled.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_base"))
-
-    # assign the current half by counting bounds strictly below the price
-    # (bucket = 1 + #bounds < price, capped at the last decile)
-    assigned = (
-        cur.join(F.broadcast(bounds.where(F.col("bucket") < _A139_BUCKETS)),
-                 F.col("o_totalprice") > F.col("hi"), "left")
-        .groupBy("o_orderkey")
+    # ONE pass over the tiled baseline for per-bucket count + interior
+    # bound (r17, guide §1.2 -- the s14 pattern: the former separate
+    # bounds/n_base groupBys each re-ran the whole ntile pipeline);
+    # <= 10 rows come back (the documented bounded driver fetch), so
+    # n_base, the baseline total, and the bound literals all derive
+    # from the same collect
+    bstats = (
+        tiled.groupBy("bucket")
         .agg(
-            (F.least(
-                F.sum(F.when(F.col("hi").isNotNull(), 1).otherwise(0)) + 1,
-                F.lit(_A139_BUCKETS),
-            )).alias("bucket")
+            F.count(F.lit(1)).alias("n_base"),
+            F.max("o_totalprice").alias("hi"),
         )
+        .collect()
     )
-    n_cur = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_cur"))
-    tot = base.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
-        cur.agg(F.count(F.lit(1)).alias("nc"))
+    n_base = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["n_base"])) for r in bstats],
+        "bucket int, n_base bigint",
+    )
+    blits = sorted(r["hi"] for r in bstats if r["bucket"] < _A139_BUCKETS)
+
+    # assign the current half with a pure projection over the bound
+    # literals (bucket = 1 + #bounds < price, capped -- the s14 form;
+    # replaces a theta-join + per-order groupBy)
+    bucket_expr = F.least(
+        F.lit(1)
+        + sum(
+            (F.col("o_totalprice") > F.lit(b)).cast("int") for b in blits
+        ),
+        F.lit(_A139_BUCKETS),
+    )
+    n_cur = (
+        cur.select(bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    nb = sum(int(r["n_base"]) for r in bstats)
+    tot = cur.agg(F.count(F.lit(1)).alias("nc")).select(
+        F.lit(nb).cast("bigint").alias("nb"), "nc"
     )
     return _psi_report(n_base, n_cur, tot)
 

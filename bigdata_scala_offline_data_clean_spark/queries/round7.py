@@ -306,16 +306,23 @@ _A145_QS = [0.25, 0.5, 0.9]
 def a145_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ordering import grouped_exact_percentiles
 
+    from ..operators.ordering import pin_frame
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    lat = li.join(
-        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
-        "l_orderkey",
-    ).select(
-        "l_linestatus",
-        F.datediff(
-            F.to_date("l_shipdate"), F.to_date("o_orderdate")
-        ).alias("lat_days"),
+    # pin the joined latency frame (r17, guide §1.2): the percentile
+    # construction reads its input 3x internally; without the pin each
+    # pass re-runs the lineitem-orders join
+    lat = pin_frame(
+        li.join(
+            o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+            "l_orderkey",
+        ).select(
+            "l_linestatus",
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("lat_days"),
+        )
     )
     out = grouped_exact_percentiles(lat, ["l_linestatus"], "lat_days", _A145_QS)
     return out.select(

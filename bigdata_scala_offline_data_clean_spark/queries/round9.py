@@ -61,7 +61,7 @@ _DEC = "decimal(28,9)"
 
 
 def a157_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ordering import grouped_exact_percentiles
+    from ..operators.ordering import grouped_exact_percentiles, pin_frame
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -71,8 +71,13 @@ def a157_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = grouped_exact_percentiles(ev, ["event_type"], "v", [0.5]).select(
         "event_type", F.col("value").alias("med")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "d", F.abs(F.col("v") - F.col("med"))
+    # pin the deviation frame (r17, guide §1.2): it feeds the MAD
+    # percentile construction (3 internal passes) plus the final
+    # aggregate -- without the pin each pass re-runs the scan + join
+    dev = pin_frame(
+        ev.join(F.broadcast(med), "event_type").withColumn(
+            "d", F.abs(F.col("v") - F.col("med"))
+        )
     )
     mad = grouped_exact_percentiles(dev, ["event_type"], "d", [0.5]).select(
         "event_type", F.col("value").alias("mad")

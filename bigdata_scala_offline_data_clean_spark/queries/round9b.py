@@ -394,17 +394,25 @@ QUERIES["a168_cross_source_leakage"] = QuerySpec(
 def a169_embedding_norm_outliers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.ordering import grouped_exact_percentiles
+    from ..operators.ordering import grouped_exact_percentiles, pin_frame
     from ..operators.similarity import l2_norm
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.round(l2_norm(F.col("embedding")), 9).alias("norm")
+    # pin both multi-consumer frames (r17, guide §1.2 -- the a157
+    # pattern): the norm fold feeds the median machinery's 3 internal
+    # passes + dev; dev feeds the MAD machinery's 3 passes + the final
+    # aggregate.  Without the pins the per-row L2 fold re-runs ~7x.
+    e = pin_frame(
+        load_table(spark, sf_dir, "embeddings").select(
+            "label", F.round(l2_norm(F.col("embedding")), 9).alias("norm")
+        )
     )
     med = grouped_exact_percentiles(e, ["label"], "norm", [0.5]).select(
         "label", F.col("value").alias("med")
     )
-    dev = e.join(F.broadcast(med), "label").withColumn(
-        "d", F.abs(F.col("norm") - F.col("med"))
+    dev = pin_frame(
+        e.join(F.broadcast(med), "label").withColumn(
+            "d", F.abs(F.col("norm") - F.col("med"))
+        )
     )
     mad = grouped_exact_percentiles(dev, ["label"], "d", [0.5]).select(
         "label", F.col("value").alias("mad")
