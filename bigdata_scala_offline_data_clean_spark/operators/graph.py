@@ -284,13 +284,17 @@ def pagerank(
         )
         # the union keeps r covering every SOURCE (agg emits nodes with
         # in-edges; no_in supplies the rest), so next round's inner join
-        # loses nothing -- bit-identical to the left-join/coalesce form
+        # loses nothing -- bit-identical to the left-join/coalesce form.
+        # LAZY checkpoint (r17 A/B: 7.5s -> 5.2s at sf0.1): still
+        # truncates each round's lineage and pins its blocks, but all
+        # rounds materialize inside the ONE final job instead of paying
+        # an eager job barrier per iteration (guide §1.2)
         r = contrib.groupBy("u").agg(
             (
                 F.lit(base).cast("bigint")
                 + F.expr(f"({d_num} * sum(c)) div {d_den}")
             ).alias("pr")
-        ).unionByName(no_in).localCheckpoint(eager=True)
+        ).unionByName(no_in).localCheckpoint(eager=False)
     # one final backfill restores the full source universe in the output
     # (no-in-edge nodes sit at the base rank); eager checkpoint
     # materializes the node-sized result so the edge cache can be released

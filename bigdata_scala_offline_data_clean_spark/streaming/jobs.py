@@ -305,10 +305,25 @@ def run_available_now(
     ``state_partitions`` sizes the state store: streaming stages take their
     partition count from ``spark.sql.shuffle.partitions`` at first batch
     and AQE never coalesces them, so a stock 200-partition session pays
-    ~200 state-store tasks per stage regardless of data volume.  Default:
-    the cluster's defaultParallelism (one state partition per core).  The
-    session conf is restored after the run.
+    ~200 state-store tasks per stage regardless of data volume.
+
+    Default (r17, guide §2.2/§6): ``min(8, defaultParallelism)``,
+    overridable via ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``.  Every
+    state partition pays FIXED per-micro-batch costs -- store open,
+    delta-file commit, snapshot maintenance -- so the partition count
+    must track STATE VOLUME (the 100 MB-1 GB/partition sizing rule),
+    never the core count: a per-core default multiplies the fixed I/O
+    by cores while a bounded-horizon stream's state stays KB-scale per
+    partition (A/B at sf0.1, the s16 outer join: 32 partitions 7.9 s ->
+    8 partitions 3.1 s, identical results).  Production rate x horizon
+    state sets the env var (e.g. 200 for ~50 GB of live join state);
+    the default is deliberately core-count-independent above tiny
+    machines so per-core scaling measurements reflect compute, not
+    state-store administration.  The session conf is restored after the
+    run.
     """
+    import os
+
     name = f"mem_{uuid.uuid4().hex[:12]}"
     if output_mode is None:
         plan = streaming_df._jdf.queryExecution().analyzed().toString()
@@ -319,7 +334,13 @@ def run_available_now(
         else:
             output_mode = "append"
     if state_partitions is None:
-        state_partitions = max(1, spark.sparkContext.defaultParallelism)
+        env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+        if env:
+            state_partitions = max(1, int(env))
+        else:
+            state_partitions = max(
+                1, min(8, spark.sparkContext.defaultParallelism)
+            )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
