@@ -519,8 +519,11 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a171_embedding_decontamination": (
         ("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), None,
     ),
+    # (+1 exchange since the narrow corpus scan is spread across cores
+    # before the BLAS stage -- spread_narrow_scan, a no-op on
+    # cluster-wide inputs)
     "a172_knn_label_noise": (
-        ("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), 2,
+        ("MapInPandas",), ("CartesianProduct", "BroadcastNestedLoopJoin"), 3,
     ),
     # privacy family: QI-keyed agg cascades, no join at all (c61/c63) /
     # vocab-sized value frame + 1-row N broadcast riding the QI exchange
