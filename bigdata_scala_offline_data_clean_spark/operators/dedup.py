@@ -445,16 +445,18 @@ def serve_minhash_band_index(
     """
     from .ordering import pin_frame
 
-    delta_sh = pin_frame(  # feeds signatures AND the verify
+    delta_sh = pin_frame(  # feeds the verify union
         shingles(delta, id_col, text_col, shingle_n),
         reliable=reliable_pins,
     )
     delta_bands = pin_frame(  # feeds the index join AND the self-join
-        lsh_bands(
-            minhash_signatures(delta_sh, id_col, num_hashes),
-            id_col,
-            num_hashes,
-            bands,
+        # fused Arrow band rows (r17 A/B: the staged signatures groupBy
+        # + band explode cost ~0.8s of fixed plan/shuffle overhead per
+        # serve, dominating small daily deltas; the fused pass re-reads
+        # the delta text once, which is the far smaller term -- serve
+        # deltas are bounded by construction)
+        _minhash_bands_py(
+            delta, id_col, text_col, shingle_n, num_hashes, bands
         ),
         reliable=reliable_pins,
     )
