@@ -310,6 +310,36 @@ def _round_no() -> int:
     return (max(ns) + 1) if ns else 0
 
 
+def _detail_name() -> str:
+    """Deterministic BENCH_DETAIL file name for this run.
+
+    Round 18 (VERDICT r17 bug): the driver runs bench TWICE per round --
+    the main run at full cpus, then a scaling run at lower cpus AFTER it
+    has already saved BENCH_r{N}.json, which bumps max(existing)+1 by one.
+    The r17 scaling run therefore wrote its detail to BENCH_DETAIL_r18.json
+    -- the NEXT round's name -- breaking the driver's per-query pairing
+    (PERF_r17 n_common: 0) and colliding with round 18's own detail file.
+
+    Fix: when the just-written detail for round N-1 records a DIFFERENT
+    cpu count than the current run, this is a same-round re-run at another
+    core count, so keep round N-1 and qualify the name with the cpu count
+    (mirroring the driver's own BENCH_r{N}_c{cpus}.json convention) instead
+    of claiming round N's plain name.  SPARK_GRAFT_ROUND still overrides
+    the round number for ad-hoc runs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n = _round_no()
+    prev = Path(__file__).resolve().parent / f"BENCH_DETAIL_r{n - 1:02d}.json"
+    if cpus and prev.exists():
+        try:
+            prev_cpus = str(json.loads(prev.read_text()).get("cpus", ""))
+        except (OSError, ValueError):
+            prev_cpus = ""
+        if prev_cpus and prev_cpus != cpus:
+            return f"BENCH_DETAIL_r{n - 1:02d}_c{cpus}.json"
+    return f"BENCH_DETAIL_r{n:02d}.json"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -375,7 +405,7 @@ def main() -> None:
     # goes to a committed BENCH_DETAIL_r{N}.json (extend-only names, the
     # round-over-round comparison base) and the FINAL stdout line is a
     # compact summary the driver can always parse.
-    detail_path = Path(__file__).resolve().parent / f"BENCH_DETAIL_r{_round_no():02d}.json"
+    detail_path = Path(__file__).resolve().parent / _detail_name()
     detail_written = False
     try:
         detail_path.write_text(
