@@ -309,6 +309,136 @@ def equidepth_histogram(
     )
 
 
+def _ntile_prep(df, n, order_col, ascending, n_slices):
+    """Shared prefix of the exact distributed-ntile constructions: the
+    numeric-domain check, the null/NaN guard, the checkpointed per-value
+    count table with its POISON child, and the two-level value ranking.
+
+    Returns ``(b, counts_rk, poison, dt, bad)`` where ``b`` is ``df``
+    plus the guarded ``__ord`` order key, ``counts_rk`` is one row per
+    distinct order value with ``__cnt``/``__rb`` (rank before)/``__nt``
+    (total rows), and ``poison`` is the zero-row frame whose execution
+    raises if any null/NaN order value existed (see the guard notes
+    below -- both layers are load-bearing).
+
+    Reject nulls (they would silently vanish through the inner value
+    joins) and, for floating columns, NaN (it sorts LAST under SQL
+    ORDER BY but would land in the lowest range slice -- a silent
+    mis-tile rather than an error).
+
+    Round-8 advice fix: the previous guard was a raise_error predicate
+    on the row filter, which only fired because CombineFilters happened
+    to keep the user conjunct ahead of the IsNotNull(__ord) that
+    Catalyst infers from the downstream equi-joins -- an optimizer
+    change reordering cheap null checks first would have short-circuited
+    the raise and silently DROPPED the null rows.  The guard is now
+    structural and order-independent: the bad-row COUNT is aggregated
+    from the checkpointed value-count table (an RDD-scan boundary
+    Catalyst cannot push inferred filters below, so the NULL/NaN groups
+    are guaranteed to reach the aggregate) and becomes a POISON UNION
+    child of the result -- a 1-row frame whose filter predicate raises
+    when the count is nonzero and is false otherwise.  Under FULL
+    execution the poison child always runs (proving it empty requires
+    executing the predicate), so the raise cannot be pruned, reordered
+    around, or (the failure mode a per-row gate column has) skipped by
+    AQE empty-relation propagation when the good-value side of the
+    frame is empty.
+
+    Round-9 advice fix (belt-and-braces): the poison guarantee holds
+    only under full execution -- an incremental-limit consumer
+    (``show()``/``limit``/``take``) can satisfy its limit from
+    part1/part2 partitions without ever scheduling the poison
+    partition.  So a per-row gate is RESTORED in addition -- embedded
+    INSIDE the ``__ord`` expression itself (a plain row FILTER is not
+    enough: Catalyst pushes the IsNotNull(__ord) it infers from the
+    downstream equi-joins ahead of the filter, dropping bad rows
+    before the gate can see them -- measured, not hypothetical).  As
+    the CASE guard of the order key, the raise executes wherever a bad
+    row's key is evaluated, and EVERY execution path needs the key:
+    even ``take(1)`` on part1 must first materialize the value-count
+    aggregate (the join's other side), whose groupBy evaluates
+    ``__ord`` on all rows.  The poison child stays as defense in depth
+    for any future rewrite that skips per-row key evaluation.
+    """
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
+
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"distributed_ntile: order_col {order_col!r} must be numeric "
+            f"(got {dt.simpleString()}); the range-slice assignment needs "
+            "a monotone numeric domain"
+        )
+    ord_expr = F.col(order_col) if ascending else (-F.col(order_col))
+
+    def _bad(c):
+        cond = c.isNull()
+        if isinstance(dt, (DoubleType, FloatType)):
+            cond = cond | F.isnan(c)
+        return cond
+
+    _bad_msg = (
+        f"distributed_ntile: null/NaN {order_col} -- such "
+        "rows have no well-defined tile under the ntile "
+        "ORDER BY semantics shared with the oracle; filter "
+        "them first"
+    )
+    b = df.withColumn(
+        "__ord",
+        F.when(
+            _bad(F.col(order_col)), F.raise_error(F.lit(_bad_msg))
+        ).otherwise(ord_expr),
+    )
+    # the value-count table feeds four consumers (the bad-row gate,
+    # min/max stats, slice totals, the ranked join); checkpoint it once
+    # so the data-sized groupBy runs once, not per consumer.  (Callers
+    # with an expensive input lineage should likewise persist/checkpoint
+    # `df` -- it is scanned by the count aggregate and both join-back
+    # branches.)
+    counts_all = (
+        b.groupBy("__ord")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    poison = (
+        counts_all.agg(
+            F.sum(
+                F.when(_bad(F.col("__ord")), F.col("__cnt")).otherwise(F.lit(0))
+            ).alias("__badn")
+        )
+        .where(
+            F.when(
+                F.col("__badn") > 0,
+                F.raise_error(F.lit(_bad_msg)).isNull(),
+            ).otherwise(F.lit(False))
+        )
+    )
+    counts = counts_all.where(~_bad(F.col("__ord")))
+    rk = ranked_value_counts(
+        counts, value_col="__ord", count_col="__cnt", n_slices=n_slices
+    ).withColumnRenamed("rank_before", "__rb").withColumnRenamed(
+        "n_total", "__nt"
+    )
+    return b, rk, poison
+
+
+def _ntile_of_expr(n: int, rank_sql: str):
+    """``ntile(n)`` of the 1-based global rank ``rank_sql`` given the
+    total count column ``__nt`` in scope -- q = N div n, rem = N % n;
+    the first rem tiles hold q+1 rows.  Pure integer arithmetic (div),
+    exact at any N; greatest(q,1) guards the (unreachable when r <= N)
+    q=0 branch under ANSI division."""
+    q = f"(__nt div {int(n)})"
+    rem = f"(__nt % {int(n)})"
+    cut = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {rank_sql} <= {cut}"
+        f" THEN ({rank_sql} + {q}) div ({q} + 1)"
+        f" ELSE {rem} + ({rank_sql} - {cut} + {q} - 1)"
+        f" div greatest({q}, 1) END"
+    ).cast("int")
+
+
 def distributed_ntile(
     df: DataFrame,
     n: int,
@@ -346,23 +476,18 @@ def distributed_ntile(
 
     ``order_col`` must be numeric (enforced at build time: the slice
     assignment needs a monotone cast to double) and non-null / non-NaN
-    (enforced at execution via ``raise_error`` -- a null would silently
-    vanish through the inner value joins, and a NaN would mis-slice).
-    ``tie_cols`` is REQUIRED (build-time error when empty): ascending
-    columns that make the order total for the straddling groups (pass
-    the primary key).  ``ascending=False`` negates the order column, matching
-    ``ORDER BY order_col DESC, tie ASC``.  Returns ``df`` plus an int
-    ``tile_col`` in 1..n.
-    """
-    from pyspark.sql.types import DoubleType, FloatType, NumericType
+    (enforced at execution via ``raise_error`` -- see ``_ntile_prep``'s
+    two-layer guard notes).  ``tie_cols`` is REQUIRED (build-time error
+    when empty): ascending columns that make the order total for the
+    straddling groups (pass the primary key).  ``ascending=False``
+    negates the order column, matching ``ORDER BY order_col DESC, tie
+    ASC``.  Returns ``df`` plus an int ``tile_col`` in 1..n.
 
-    dt = df.schema[order_col].dataType
-    if not isinstance(dt, NumericType):
-        raise ValueError(
-            f"distributed_ntile: order_col {order_col!r} must be numeric "
-            f"(got {dt.simpleString()}); the range-slice assignment needs "
-            "a monotone numeric domain"
-        )
+    Consumers that only aggregate per tile BY THE ORDER COLUMN (counts,
+    min/max, sums of ``order_col`` itself) never need the row-level tile
+    assignment: take :func:`distributed_ntile_value_counts` instead and
+    skip both data-sized join-backs.
+    """
     if not tie_cols:
         raise ValueError(
             "distributed_ntile: tie_cols must name at least one column "
@@ -370,110 +495,10 @@ def distributed_ntile(
             "need a total order, and without a tie-break ntile itself is "
             "nondeterministic and cannot match any oracle"
         )
-    ord_expr = F.col(order_col) if ascending else (-F.col(order_col))
-
-    # Reject nulls (they would silently vanish through the inner value
-    # joins) and, for floating columns, NaN (it sorts LAST under SQL
-    # ORDER BY but would land in the lowest range slice -- a silent
-    # mis-tile rather than an error).
-    #
-    # Round-8 advice fix: the previous guard was a raise_error predicate
-    # on the row filter, which only fired because CombineFilters happened
-    # to keep the user conjunct ahead of the IsNotNull(__ord) that
-    # Catalyst infers from the downstream equi-joins -- an optimizer
-    # change reordering cheap null checks first would have short-circuited
-    # the raise and silently DROPPED the null rows.  The guard is now
-    # structural and order-independent: the bad-row COUNT is aggregated
-    # from the checkpointed value-count table (an RDD-scan boundary
-    # Catalyst cannot push inferred filters below, so the NULL/NaN groups
-    # are guaranteed to reach the aggregate) and becomes a POISON UNION
-    # child of the result -- a 1-row frame whose filter predicate raises
-    # when the count is nonzero and is false otherwise.  Under FULL
-    # execution the poison child always runs (proving it empty requires
-    # executing the predicate), so the raise cannot be pruned, reordered
-    # around, or (the failure mode a per-row gate column has) skipped by
-    # AQE empty-relation propagation when the good-value side of the
-    # frame is empty.
-    #
-    # Round-9 advice fix (belt-and-braces): the poison guarantee holds
-    # only under full execution -- an incremental-limit consumer
-    # (``show()``/``limit``/``take``) can satisfy its limit from
-    # part1/part2 partitions without ever scheduling the poison
-    # partition.  So a per-row gate is RESTORED in addition -- embedded
-    # INSIDE the ``__ord`` expression itself (a plain row FILTER is not
-    # enough: Catalyst pushes the IsNotNull(__ord) it infers from the
-    # downstream equi-joins ahead of the filter, dropping bad rows
-    # before the gate can see them -- measured, not hypothetical).  As
-    # the CASE guard of the order key, the raise executes wherever a bad
-    # row's key is evaluated, and EVERY execution path needs the key:
-    # even ``take(1)`` on part1 must first materialize the value-count
-    # aggregate (the join's other side), whose groupBy evaluates
-    # ``__ord`` on all rows.  The poison child stays as defense in depth
-    # for any future rewrite that skips per-row key evaluation.
-    def _bad(c):
-        cond = c.isNull()
-        if isinstance(dt, (DoubleType, FloatType)):
-            cond = cond | F.isnan(c)
-        return cond
-
-    _bad_msg = (
-        f"distributed_ntile: null/NaN {order_col} -- such "
-        "rows have no well-defined tile under the ntile "
-        "ORDER BY semantics shared with the oracle; filter "
-        "them first"
-    )
-    b = df.withColumn(
-        "__ord",
-        F.when(
-            _bad(F.col(order_col)), F.raise_error(F.lit(_bad_msg))
-        ).otherwise(ord_expr),
-    )
-
-    # the value-count table feeds four consumers (the bad-row gate,
-    # min/max stats, slice totals, the ranked join); checkpoint it once
-    # so the data-sized groupBy runs once, not per consumer.  (Callers
-    # with an expensive input lineage should likewise persist/checkpoint
-    # `df` -- it is scanned by the count aggregate and both join-back
-    # branches.)
-    counts_all = (
-        b.groupBy("__ord")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)
-    )
-    poison = (
-        counts_all.agg(
-            F.sum(
-                F.when(_bad(F.col("__ord")), F.col("__cnt")).otherwise(F.lit(0))
-            ).alias("__badn")
-        )
-        .where(
-            F.when(
-                F.col("__badn") > 0,
-                F.raise_error(F.lit(_bad_msg)).isNull(),
-            ).otherwise(F.lit(False))
-        )
-    )
-    counts = counts_all.where(~_bad(F.col("__ord")))
-    rk = ranked_value_counts(
-        counts, value_col="__ord", count_col="__cnt", n_slices=n_slices
-    ).withColumnRenamed("rank_before", "__rb").withColumnRenamed(
-        "n_total", "__nt"
-    )
+    b, rk, poison = _ntile_prep(df, n, order_col, ascending, n_slices)
 
     def tile_of(rank_sql: str):
-        # ntile semantics: q = N div n, rem = N % n; the first rem tiles
-        # hold q+1 rows.  Pure integer arithmetic (div), exact at any N;
-        # greatest(q,1) guards the (unreachable when r <= N) q=0 branch
-        # under ANSI division.
-        q = f"(__nt div {int(n)})"
-        rem = f"(__nt % {int(n)})"
-        cut = f"({rem} * ({q} + 1))"
-        return F.expr(
-            f"CASE WHEN {rank_sql} <= {cut}"
-            f" THEN ({rank_sql} + {q}) div ({q} + 1)"
-            f" ELSE {rem} + ({rank_sql} - {cut} + {q} - 1)"
-            f" div greatest({q}, 1) END"
-        ).cast("int")
+        return _ntile_of_expr(n, rank_sql)
 
     tiles = rk.select(
         "__ord",
@@ -509,6 +534,84 @@ def distributed_ntile(
         F.lit(None).cast("int").alias(tile_col),
     )
     return part1.unionByName(part2).unionByName(poison_rows)
+
+
+def distributed_ntile_value_counts(
+    df: DataFrame,
+    n: int,
+    order_col: str,
+    *,
+    ascending: bool = True,
+    tile_col: str = "tile",
+    n_slices: int = 256,
+) -> DataFrame:
+    """Exact per-(distinct order value, tile) row census of ``ntile(n)
+    OVER (ORDER BY order_col [ASC|DESC])`` -- WITHOUT assigning tiles to
+    rows (round 18, guide §1.2 "don't compute things you throw away").
+
+    ``distributed_ntile`` joins the tile table back onto the data twice
+    (whole-tile values, straddling values + a tie-break window) so every
+    ROW carries its tile.  A consumer that then aggregates per tile by
+    functions of the ORDER COLUMN alone -- counts, min/max, decimal sums
+    of the order value (a141's decile report) -- throws that row-level
+    detail away: rows of one value are indistinguishable to it, so only
+    HOW MANY of a value's rows land in each tile matters, and that is
+    pure rank arithmetic on the value table.  ntile places the rows of
+    value v (global ranks ``[__rb+1, __rb+cnt]``) into tiles
+    ``tlo..thi``; the rows of v in tile t are the overlap of that rank
+    range with t's rank range -- integer-exact, independent of any
+    tie-break order.
+
+    Output: one row per (value, tile it occupies) -- ``order_col``
+    (original value), ``tile_col`` (1..n), ``n_rows`` (> 0).  At most
+    ``|distinct| + n - 1`` rows.  The null/NaN guard is inherited: the
+    per-row CASE raise rides the count aggregate and the poison child
+    unions in (as a null row that can never materialize without
+    raising), exactly like ``distributed_ntile``.
+    """
+    b, rk, poison = _ntile_prep(df, n, order_col, ascending, n_slices)
+    tiles = rk.select(
+        "__ord",
+        "__rb",
+        "__cnt",
+        "__nt",
+        _ntile_of_expr(n, "(__rb + 1)").alias("__tlo"),
+        _ntile_of_expr(n, "(__rb + __cnt)").alias("__thi"),
+    )
+    # per occupied tile t: rows = |[__rb+1, __rb+__cnt] ∩ [start_t, end_t]|
+    # where start_t/end_t invert the ntile arithmetic (first rem tiles
+    # hold q+1 rows).  Straddling values explode into <= n tiny rows;
+    # whole-tile values yield exactly one row with n_rows = __cnt.
+    q = f"(__nt div {int(n)})"
+    rem = f"(__nt % {int(n)})"
+    start_t = f"((__t - 1) * {q} + least(__t - 1, {rem}) + 1)"
+    end_t = f"(__t * {q} + least(__t, {rem}))"
+    exploded = tiles.select(
+        "__ord",
+        "__rb",
+        "__cnt",
+        "__nt",
+        F.explode(F.expr("sequence(__tlo, __thi)")).alias("__t"),
+    ).select(
+        "__ord",
+        F.col("__t").alias(tile_col),
+        F.expr(
+            f"least(__rb + __cnt, {end_t}) "
+            f"- greatest(__rb + 1, {start_t}) + 1"
+        ).alias("n_rows"),
+    )
+    ord_back = F.col("__ord") if ascending else (-F.col("__ord"))
+    out = exploded.select(
+        ord_back.cast(df.schema[order_col].dataType).alias(order_col),
+        tile_col,
+        "n_rows",
+    )
+    poison_rows = poison.select(
+        F.lit(None).cast(df.schema[order_col].dataType).alias(order_col),
+        F.lit(None).cast("int").alias(tile_col),
+        F.lit(None).cast("long").alias("n_rows"),
+    )
+    return out.unionByName(poison_rows)
 
 
 def _check_quantiles(qs: list[float]) -> None:
@@ -714,6 +817,7 @@ def grouped_exact_percentiles(
     buckets: int = 256,
     _single_group: bool = False,
     reliable: bool = False,
+    small_groups: bool = False,
 ) -> DataFrame:
     """Exact per-group interpolated percentiles, fully declarative.
 
@@ -744,6 +848,20 @@ def grouped_exact_percentiles(
     Returns the long form ``group_cols + (q, value)`` -- one row per
     (group, requested percentile), bit-identical to the built-in
     aggregate (asserted in tests), so DuckDB oracles keep matching.
+
+    ``small_groups`` (round 18, guide §3.1): declare that the group
+    cardinality is a SMALL CONSTANT (an enum-like column -- event types,
+    line statuses), so every group-sized frame (stats, offsets, rank
+    targets) is explicitly broadcast.  The r17 ``pin_frame`` on callers'
+    inputs exposed a planner blind spot: a ``localCheckpoint``ed
+    LogicalRDD carries no size statistics, so all seven internal joins
+    degraded to SortMergeJoin (a157's r17 plan: 14 SMJ / 2 BHJ vs 50
+    BHJ unpinned) -- each one two exchanges plus sorts, and the bench
+    regression VERDICT r17 flagged.  The default stays False because
+    the frames carry a (buckets-1)-double boundary array PER GROUP: at
+    millions of groups a forced broadcast is the OOM, not the
+    optimization -- exactly the note below.  Values are identical
+    either way; only join strategy changes.
     """
     from functools import reduce
 
@@ -781,7 +899,8 @@ def grouped_exact_percentiles(
     # and the checkpointed LogicalRDD carries no size stats, so without
     # the hint the optimizer shuffles the full column on a constant key
     # -- twice, since `binned` feeds both the count and rank branches.
-    stats_j = F.broadcast(stats) if _single_group else stats
+    small = small_groups or _single_group
+    stats_j = F.broadcast(stats) if small else stats
     rows2 = rows.join(stats_j, g)
     binned = rows2.select(*g, "v", bexpr.alias("__b"))
     bcounts = binned.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"))
@@ -829,7 +948,10 @@ def grouped_exact_percentiles(
             )
         ).alias("__s"),
     ).select(*g, "q", "__pos", "__l", "__h", "__s.side", "__s.r")
-    s_, o_ = sides.alias("s"), offs.alias("o")
+    s_ = sides.alias("s")
+    # offs is groups x (<= buckets) count rows; under the small-groups
+    # declaration it is broadcast-sized by construction
+    o_ = (F.broadcast(offs) if small else offs).alias("o")
     eq = reduce(
         lambda a, b: a & b, [F.col(f"s.{c}") == F.col(f"o.{c}") for c in g]
     )
@@ -848,10 +970,15 @@ def grouped_exact_percentiles(
         F.col("o.__off").alias("__off"),
     )
     need = hold.select(*g, "__b").distinct()
+    if small:
+        need = F.broadcast(need)
     sel = binned.join(need, [*g, "__b"], "left_semi")
     wr = Window.partitionBy(*g, "__b").orderBy("v")
     ranked = sel.withColumn("__r", F.row_number().over(wr) - 1)
-    r_, h_ = ranked.alias("rk"), hold.alias("hd")
+    # hold is (group, q, side)-sized -- broadcast-sized under the same
+    # declaration, so the needed-rank probe never shuffles the ranked rows
+    r_ = ranked.alias("rk")
+    h_ = (F.broadcast(hold) if small else hold).alias("hd")
     req = reduce(
         lambda a, b: a & b, [F.col(f"rk.{c}") == F.col(f"hd.{c}") for c in g]
     )
@@ -868,6 +995,113 @@ def grouped_exact_percentiles(
         "__h",
         "side",
         F.col("rk.v").alias("v"),
+    )
+    piv = vals.groupBy(*g, "q", "__pos", "__l", "__h").agg(
+        F.max(F.when(F.col("side") == "l", F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("side") == "h", F.col("v"))).alias("v1"),
+    )
+    return piv.select(
+        *g,
+        "q",
+        F.when(F.col("__l") == F.col("__h"), F.col("v0"))
+        .otherwise(
+            (F.col("__h") - F.col("__pos")) * F.col("v0")
+            + (F.col("__pos") - F.col("__l")) * F.col("v1")
+        )
+        .alias("value"),
+    )
+
+
+def grouped_exact_percentiles_by_value(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact grouped interpolated percentiles for BOUNDED-DOMAIN columns
+    -- one data pass (round 18, guide §1.2/§2.3).
+
+    :func:`grouped_exact_percentiles` reads its input three times (stats
+    sketch, bucket census, needed-bucket ranking) because it assumes the
+    value domain can be continuous and data-sized.  When the column's
+    distinct count is DOMAIN-bounded -- integer day gaps, enum buckets,
+    anything whose cardinality is a business constant rather than a
+    function of corpus size -- the scalable exact construction is the
+    value-collapse: ONE map-side-combining ``groupBy(group, value)``
+    shuffle whose output is the bounded count table, then pure rank
+    arithmetic over that table (the ``equidepth_histogram`` insight
+    applied to quantiles).  Interpolation is the same ``(h - pos) * v0 +
+    (pos - l) * v1`` over the same 0-based ``floor/ceil((n-1)*q)`` ranks
+    as the 3-pass form and the built-in ``percentile()`` /
+    ``quantile_cont`` -- bit-identical output, long form
+    ``group_cols + (q, value)``.
+
+    Precondition (the caller's to certify): per-group distinct values of
+    ``col`` must be bounded by the DOMAIN, not the data -- the per-group
+    cumulative walk is a window over the count table partitioned only by
+    group.  For continuous / data-sized domains use
+    :func:`grouped_exact_percentiles`.
+    """
+    from functools import reduce
+
+    _check_quantiles(qs)
+    g = list(group_cols)
+    rows = df.select(*g, F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    counts = rows.groupBy(*g, "v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "__rb", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    )
+    stats = counts.groupBy(*g).agg(F.sum("__c").alias("__n"))
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    targets = (
+        stats.select(*g, "__n", F.explode(qarr).alias("q"))
+        .withColumn("__pos", (F.col("__n") - 1) * F.col("q"))
+        .select(
+            *g,
+            "q",
+            "__pos",
+            F.floor("__pos").cast("bigint").alias("__l"),
+            F.ceil("__pos").cast("bigint").alias("__h"),
+        )
+    )
+    sides = targets.select(
+        *g,
+        "q",
+        "__pos",
+        "__l",
+        "__h",
+        F.explode(
+            F.array(
+                F.struct(F.lit("l").alias("side"), F.col("__l").alias("r")),
+                F.struct(F.lit("h").alias("side"), F.col("__h").alias("r")),
+            )
+        ).alias("__s"),
+    ).select(*g, "q", "__pos", "__l", "__h", "__s.side", "__s.r")
+    # value at 0-based rank r = the count row whose [__rb, __rb + __c)
+    # contains r; sides is (groups x qs x 2) rows -- broadcast onto the
+    # bounded count table
+    s_, c_ = F.broadcast(sides).alias("s"), cum.alias("c")
+    eq = reduce(
+        lambda a, b: a & b, [F.col(f"s.{cn}") == F.col(f"c.{cn}") for cn in g]
+    )
+    in_row = (F.col("c.__rb") <= F.col("r")) & (
+        F.col("r") < F.col("c.__rb") + F.col("c.__c")
+    )
+    vals = c_.join(s_, eq & in_row).select(
+        *[F.col(f"s.{cn}") for cn in g],
+        "q",
+        "__pos",
+        "__l",
+        "__h",
+        "side",
+        F.col("c.v").alias("v"),
     )
     piv = vals.groupBy(*g, "q", "__pos", "__l", "__h").agg(
         F.max(F.when(F.col("side") == "l", F.col("v"))).alias("v0"),

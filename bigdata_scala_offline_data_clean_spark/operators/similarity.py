@@ -1306,6 +1306,132 @@ def pq_ann_topk(
     )
 
 
+def pq_adc_topk_partials(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-partition PQ encode + asymmetric-distance top-k candidates,
+    one Arrow pass against a broadcast numpy codebook.
+
+    Round 18 (guide §4.2): the frozen-codebook queries (a76, a200) used
+    to inline the ``m x ksub x dsub`` codebook as literal Spark-SQL
+    fold trees -- a76's encode is 256 zip_with/aggregate folds and its
+    ADC term forest carries ~16k double literals, so PARSE + analysis +
+    codegen dominated the query (~4 s driver-side at ANY data size;
+    8c/32c scaling ratio 1.07 confirmed it never touched executors).
+    The identical arithmetic now runs vectorized per corpus partition;
+    the codebook travels once as a broadcast array.
+
+    Bit-exactness contract (the oracle is unchanged):
+
+    - folds accumulate left-to-right in float64 exactly like Catalyst's
+      ``aggregate(..., 0D, (acc, v) -> acc + v)`` -- numpy elementwise
+      ``acc = acc + term`` applied in the same index order (never
+      ``np.sum``, whose pairwise order differs);
+    - code assignment is ``np.argmin`` = first strict minimum, the
+      ``argmin_struct_sql`` / first-min ``row_number(d ASC, cid ASC)``
+      tie rule;
+    - the ADC distance is a per-(query, j, cid) term table -- the term
+      value only depends on that triple, so one table replaces the
+      per-pair fold bit-identically -- summed in j order;
+    - ``normalize=True`` divides each element by the vector's
+      sequential-fold L2 norm before the subtraction, matching the
+      a76 form ``(cast(a as double) / nrm - b)`` (same fold as
+      ``_norm``); zero-norm rows produce the same inf/nan doubles the
+      Catalyst division would.
+
+    Output: ``(q_id, n_id, __dist)`` -- each corpus partition's top-k
+    rows per query under the (dist asc, n_id asc) total order, a
+    candidate superset of the global top-k (partial top-k under a
+    total order).  The caller's row_number window selects the final
+    pool; its exchange carries <= k * |queries| rows per partition
+    instead of |corpus| x |queries|.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bks = np.asarray(books, dtype=np.float64)  # m x ksub x dsub
+    m, _, dsub = bks.shape
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"q_id {id_type}, n_id {id_type}, __dist double"
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = qpdf[id_col].to_numpy()
+    q_m = np.asarray(qpdf[vec_col].tolist(), dtype=np.float64)
+
+    def _seq_norm(x: "np.ndarray") -> "np.ndarray":
+        # sqrt of the left-to-right fold of x_i^2 -- bit-identical to
+        # operators.similarity._norm / queries.analytics._norm_sql
+        acc = np.zeros(len(x), dtype=np.float64)
+        for i in range(x.shape[1]):
+            acc = acc + x[:, i] * x[:, i]
+        return np.sqrt(acc)
+
+    def _sub_dists(v: "np.ndarray", j: int) -> "np.ndarray":
+        # (rows, ksub) squared-L2 of subvector j to every centroid,
+        # accumulated in dim order (the zip_with/aggregate fold)
+        acc = np.zeros((len(v), bks.shape[1]), dtype=np.float64)
+        for i in range(dsub):
+            diff = v[:, j * dsub + i][:, None] - bks[j, :, i][None, :]
+            acc = acc + diff * diff
+        return acc
+
+    vq = q_m / _seq_norm(q_m)[:, None] if normalize else q_m
+    # lut[q, j, c] = the ADC term for (query q, subspace j, code c) --
+    # exactly the value the per-pair Catalyst fold computed, which only
+    # ever depended on this triple
+    lut = np.stack([_sub_dists(vq, j) for j in range(m)], axis=1)
+
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, lut))
+
+    def gen(batches):
+        b_ids, b_lut = bc.value
+        nq = len(b_ids)
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            n_ids = batch[id_col].to_numpy()
+            order = np.argsort(n_ids, kind="stable")
+            n_ids = n_ids[order]
+            x = np.asarray(
+                batch[vec_col].to_numpy()[order].tolist(), dtype=np.float64
+            )
+            v = x / _seq_norm(x)[:, None] if normalize else x
+            dist = np.zeros((len(v), nq), dtype=np.float64)
+            for j in range(m):
+                code_j = _sub_dists(v, j).argmin(axis=1)  # first-min ties
+                dist = dist + b_lut[:, j, :][:, code_j].T  # j-ordered fold
+            mask = n_ids[:, None] == b_ids[None, :]
+            dist[mask] = np.inf
+            # rows are n_id-sorted, so a STABLE argsort of dist is the
+            # (dist asc, n_id asc) rank order
+            top = np.argsort(dist, axis=0, kind="stable")[:k, :]
+            qi = np.broadcast_to(np.arange(nq)[None, :], top.shape).ravel()
+            ci = top.ravel()
+            keep = ~mask[ci, qi]
+            qi, ci = qi[keep], ci[keep]
+            yield pd.DataFrame(
+                {
+                    "q_id": b_ids[qi],
+                    "n_id": n_ids[ci],
+                    "__dist": dist[ci, qi],
+                }
+            )
+
+    from .etl import spread_narrow_scan
+
+    src = spread_narrow_scan(corpus.select(id_col, vec_col), id_col)
+    return src.mapInPandas(gen, schema=schema)
+
+
 def _assign_matmul(
     corpus: DataFrame,
     centroids: list[list[float]],

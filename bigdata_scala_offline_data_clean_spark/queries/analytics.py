@@ -571,7 +571,11 @@ def a17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     gp = grouped_exact_percentiles(
-        o, ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99]
+        o,
+        ["o_orderstatus"],
+        "o_totalprice",
+        [0.5, 0.9, 0.99],
+        small_groups=True,
     )
     wide = gp.groupBy("o_orderstatus").agg(
         F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("p50"),

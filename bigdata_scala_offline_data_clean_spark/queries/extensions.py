@@ -768,98 +768,42 @@ _A76_RECALL_FLOOR = 0.7  # mirrors test_pq_ann_recall_and_code_shape
 def a76_embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import cosine_topk, dot_product
-    from .analytics import _TOPK_K, _TOPK_NQ, _ann_with_recall, _dlit, _norm_sql
+    from ..operators.similarity import (
+        cosine_topk,
+        dot_product,
+        pq_adc_topk_partials,
+    )
+    from .analytics import _TOPK_K, _TOPK_NQ, _ann_with_recall, _norm_sql
     from .quantizers import A76_CODEBOOKS
 
     e = load_table(spark, sf_dir, "embeddings")
-    m, ksub = _A76_M, _A76_KSUB
-    dsub = len(A76_CODEBOOKS[0][0])
 
-    # All quantizer folds are Spark-SQL STRINGS (F.expr), not nested
-    # Column lambdas: the m x ksub literal-codebook tree costs thousands
-    # of py4j round-trips (~14 s of driver time, measured) built
-    # node-by-node, while the JVM parses the identical expression text
-    # in milliseconds.  Ops/order match the DuckDB twin exactly.
-    def l2n_sql(vec: str, nrm: str, j: int, c: int) -> str:
-        """(vec[j*dsub+i]/nrm - book[j][c][i])^2 sequential fold -- the
-        normalized-subvector L2, mirrored by the oracle's
-        generate_series fold over the same literals."""
-        arr = "array(" + ", ".join(_dlit(x) for x in A76_CODEBOOKS[j][c]) + ")"
-        return (
-            f"aggregate(zip_with(slice({vec}, {j * dsub + 1}, {dsub}), {arr}, "
-            f"(a, b) -> (cast(a as double) / {nrm} - b) "
-            f"* (cast(a as double) / {nrm} - b)), "
-            f"0D, (acc, v) -> acc + v)"
-        )
-
-    def code_sql(j: int) -> str:
-        # single-pass argmin fold: array_position(d, array_min(d)) would
-        # evaluate every distance fold TWICE (no CSE on interpreted
-        # HOFs); the struct fold keeps one evaluation and the same
-        # first-min tie rule (strict <) as the oracle's
-        # row_number(d ASC, cid ASC)
-        items = ", ".join(
-            f"struct({l2n_sql('embedding', '__nrm', j, c)} as d, "
-            f"{c + 1} as cid)"
-            for c in range(ksub)
-        )
-        return (
-            f"aggregate(array({items}), "
-            f"struct(cast('Infinity' as double) as d, 1 as cid), "
-            f"(acc, x) -> if(x.d < acc.d, x, acc)).cid"
-        )
-
-    # the encode fold is compute-bound (m x ksub subvector folds of
-    # interpreted HOF per row): spread it across cores -- the local
-    # single-file scan would otherwise serialize it on one partition
-    # (a cluster scan's own split count does this for free)
-    par = spark.sparkContext.defaultParallelism
-    corpus = e.repartition(par).select(
-        F.col("vec_id").alias("n_id"),
-        "embedding",
-        _norm_sql("embedding").alias("__nrm"),
-    ).select(
-        "n_id",
-        F.expr(
-            "array(" + ", ".join(code_sql(j) for j in range(m)) + ")"
-        ).alias("__codes"),
-    )
+    # Round 18 (guide §4.2): the encode + ADC legs used to inline the
+    # 16x16x4 frozen codebook as literal Spark-SQL fold trees (256
+    # zip_with/aggregate folds for the encode, ~16k double literals in
+    # the ADC term forest) -- parse + codegen dominated the query (~4 s
+    # of driver time at ANY data size; 8c/32c scaling ratio 1.07).  The
+    # identical arithmetic -- same sequential folds, same first-min
+    # argmin, same j-ordered ADC sum -- now runs in ONE Arrow pass
+    # against a broadcast numpy codebook (pq_adc_topk_partials's
+    # bit-exactness contract); the oracle twin is unchanged.
     queries = e.where(F.col("vec_id") < _TOPK_NQ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("__q_vec"),
         _norm_sql("embedding").alias("__q_norm"),
     )
-
-    def term_sql(j: int) -> str:
-        book_j = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(_dlit(x) for x in A76_CODEBOOKS[j][c]) + ")"
-                for c in range(ksub)
-            )
-            + ")"
-        )
-        cent = f"element_at({book_j}, element_at(__codes, {j + 1}))"
-        return (
-            f"aggregate(zip_with(slice(__q_vec, {j * dsub + 1}, {dsub}), "
-            f"{cent}, (a, b) -> (cast(a as double) / __q_norm - b) "
-            f"* (cast(a as double) / __q_norm - b)), "
-            f"0D, (acc, v) -> acc + v)"
-        )
-
-    dist = F.expr(
-        "aggregate(array("
-        + ", ".join(term_sql(j) for j in range(m))
-        + "), 0D, (acc, v) -> acc + v)"
+    parts = pq_adc_topk_partials(
+        e,
+        e.where(F.col("vec_id") < _TOPK_NQ),
+        A76_CODEBOOKS,
+        _A76_REFINE,
+        normalize=True,
     )
     wp = Window.partitionBy("q_id").orderBy(
         F.col("__dist").asc(), F.col("n_id").asc()
     )
     pool = (
-        corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
-        .withColumn("__dist", dist)
-        .withColumn("__pr", F.row_number().over(wp))
+        parts.withColumn("__pr", F.row_number().over(wp))
         .where(F.col("__pr") <= _A76_REFINE)
         .select("q_id", "n_id", "__dist")
     )

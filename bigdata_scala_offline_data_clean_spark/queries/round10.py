@@ -221,7 +221,7 @@ QUERIES["a199_ivf_assign"] = QuerySpec(a199_ivf_assign, _a199_sql())
 
 
 def a200_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _dlit, argmin_struct_sql, l2_fold_sql
+    from ..operators.similarity import pq_adc_topk_partials
 
     cents = _seed_vectors(spark, sf_dir)
     books = [
@@ -229,62 +229,20 @@ def a200_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]  # books[j][cid-1] = centroid subvector
     e = load_table(spark, sf_dir, "embeddings")
 
-    # All folds below are Spark-SQL TEXT (one F.expr parse), not nested
-    # Column lambdas (~8x8x8 py4j constructions), per the recorded
-    # expr-text fold rule; the code argmin is additionally the
-    # single-pass struct fold (each subspace's 8 distance folds evaluate
-    # ONCE instead of twice -- ADVICE r13).  Values, fold order, and the
-    # first-min tie rule are identical, so the oracle is unchanged.
-    def code_sql(j: int) -> str:
-        dists = [
-            l2_fold_sql("embedding", books[j][c], off=j * _DSUB)
-            for c in range(_N_CENT)
-        ]
-        return f"cast({argmin_struct_sql(dists)}.cid as int)"
-
-    corpus = e.select(
-        F.col("vec_id").alias("n_id"),
-        F.expr(
-            "array(" + ", ".join(code_sql(j) for j in range(_M)) + ")"
-        ).alias("__codes"),
-    )
-    queries = e.where(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("__q_vec")
-    )
-    # term_j: L2(query subvector j, codebook-j centroid picked by the
-    # candidate's code_j).  element_at over the literal book is JVM-side;
-    # the j-ordered array fold mirrors DuckDB's list(t ORDER BY j) fold.
-    def term_sql(j: int) -> str:
-        book_j = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(_dlit(x) for x in books[j][c]) + ")"
-                for c in range(_N_CENT)
-            )
-            + ")"
-        )
-        cent = f"element_at({book_j}, element_at(__codes, {j + 1}))"
-        return (
-            f"aggregate(zip_with(slice(__q_vec, {j * _DSUB + 1}, {_DSUB}), "
-            f"{cent}, "
-            f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
-            f"0D, (acc, v) -> acc + v)"
-        )
-
-    dist = F.expr(
-        "aggregate(array("
-        + ", ".join(term_sql(j) for j in range(_M))
-        + "), 0D, (acc, v) -> acc + v)"
-    )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
-        .withColumn("__dist", dist)
+    # Round 18 (guide §4.2): the 8x8x8 literal fold trees (encode argmin
+    # + ADC term forest, formerly Spark-SQL expr text) are replaced by
+    # ONE Arrow pass against the broadcast numpy codebook --
+    # pq_adc_topk_partials preserves the fold order, the first-min tie
+    # rule, and the j-ordered ADC sum bit-identically (its docstring is
+    # the contract), so the oracle twin is unchanged.
+    parts = pq_adc_topk_partials(
+        e, e.where(F.col("vec_id") < _NQ), books, _K, normalize=False
     )
     wk = Window.partitionBy("q_id").orderBy(
         F.col("__dist").asc(), F.col("n_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(wk))
+        parts.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= _K)
         .select(
             "q_id",

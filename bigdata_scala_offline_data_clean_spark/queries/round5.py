@@ -406,14 +406,16 @@ def a98_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ordering import grouped_exact_percentiles
 
     e = load_table(spark, sf_dir, "events")
-    med = grouped_exact_percentiles(e, ["event_type"], "value", [0.5]).select(
+    med = grouped_exact_percentiles(
+        e, ["event_type"], "value", [0.5], small_groups=True
+    ).select(
         "event_type", F.col("value").alias("med")
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = grouped_exact_percentiles(
-        dev, ["event_type"], "absdev", [0.5]
+        dev, ["event_type"], "absdev", [0.5], small_groups=True
     ).select("event_type", F.col("value").alias("mad"))
     flagged = dev.join(F.broadcast(mad), "event_type")
     return (

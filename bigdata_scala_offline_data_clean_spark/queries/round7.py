@@ -53,23 +53,34 @@ _DEC = "decimal(28,9)"
 
 
 def a141_price_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ordering import distributed_ntile
+    from ..operators.ordering import distributed_ntile_value_counts
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    tiled = distributed_ntile(
-        li,
-        10,
-        "l_extendedprice",
-        tie_cols=["l_orderkey", "l_linenumber"],
-        tile_col="decile",
+    # Round 18 (guide §1.2): the report aggregates per decile by
+    # functions of the ORDER COLUMN alone (count, min/max, decimal sum
+    # of the price), so the row-level tile assignment -- two data-sized
+    # join-backs plus a tie-break window in distributed_ntile -- was
+    # computed and thrown away.  The value-tile census yields the same
+    # aggregates from rank arithmetic on the per-price count table:
+    # n_rows sums the per-tile census, lo/hi are min/max over occupied
+    # values, and the decimal sum multiplies each price by its per-tile
+    # row count (integer x DECIMAL(18,2) is exact == repeated
+    # addition).  Tie order never mattered to these aggregates, so the
+    # output is bit-identical; the ntile(10) oracle is unchanged.
+    census = distributed_ntile_value_counts(
+        li, 10, "l_extendedprice", tile_col="decile"
     )
-    return tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_rows"),
+    return census.groupBy("decile").agg(
+        F.sum("n_rows").alias("n_rows"),
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
-        dsum("l_extendedprice").alias("sum_price"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)") * F.col("n_rows")
+        )
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -304,27 +315,31 @@ _A145_QS = [0.25, 0.5, 0.9]
 
 
 def a145_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ordering import grouped_exact_percentiles
-
-    from ..operators.ordering import pin_frame
+    from ..operators.ordering import grouped_exact_percentiles_by_value
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    # pin the joined latency frame (r17, guide §1.2): the percentile
-    # construction reads its input 3x internally; without the pin each
-    # pass re-runs the lineitem-orders join
-    lat = pin_frame(
-        li.join(
-            o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
-            "l_orderkey",
-        ).select(
-            "l_linestatus",
-            F.datediff(
-                F.to_date("l_shipdate"), F.to_date("o_orderdate")
-            ).alias("lat_days"),
-        )
+    # Round 18 (guide §1.2): lat_days is a DOMAIN-bounded integer (an
+    # order-to-ship day gap -- its distinct count is a business constant,
+    # not a function of corpus size), so the value-collapsed one-pass
+    # percentile construction applies: the join is scanned ONCE into a
+    # per-(status, days) count table and the quantiles are rank
+    # arithmetic over it -- replacing the r17 pin + 3-pass bucket
+    # machinery (which regressed: the pinned LogicalRDD carried no stats
+    # and the internal joins degraded, VERDICT r17).  Bit-identical
+    # interpolation; oracle unchanged.
+    lat = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+        "l_orderkey",
+    ).select(
+        "l_linestatus",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lat_days"),
     )
-    out = grouped_exact_percentiles(lat, ["l_linestatus"], "lat_days", _A145_QS)
+    out = grouped_exact_percentiles_by_value(
+        lat, ["l_linestatus"], "lat_days", _A145_QS
+    )
     return out.select(
         "l_linestatus",
         "q",
@@ -711,7 +726,9 @@ def a149_dwell_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_ms").isNotNull())
     )
-    out = grouped_exact_percentiles(gaps, ["event_type"], "gap_ms", _A149_QS)
+    out = grouped_exact_percentiles(
+        gaps, ["event_type"], "gap_ms", _A149_QS, small_groups=True
+    )
     return out.select(
         "event_type", "q", F.round("value", 6).alias("gap_ms_q")
     )

@@ -68,7 +68,9 @@ def a157_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("value").cast("double").alias("v"))
         .where(F.col("v").isNotNull())
     )
-    med = grouped_exact_percentiles(ev, ["event_type"], "v", [0.5]).select(
+    med = grouped_exact_percentiles(
+        ev, ["event_type"], "v", [0.5], small_groups=True
+    ).select(
         "event_type", F.col("value").alias("med")
     )
     # pin the deviation frame (r17, guide §1.2): it feeds the MAD
@@ -79,7 +81,9 @@ def a157_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", F.abs(F.col("v") - F.col("med"))
         )
     )
-    mad = grouped_exact_percentiles(dev, ["event_type"], "d", [0.5]).select(
+    mad = grouped_exact_percentiles(
+        dev, ["event_type"], "d", [0.5], small_groups=True
+    ).select(
         "event_type", F.col("value").alias("mad")
     )
     return (

@@ -406,7 +406,9 @@ def a169_embedding_norm_outliers(
             "label", F.round(l2_norm(F.col("embedding")), 9).alias("norm")
         )
     )
-    med = grouped_exact_percentiles(e, ["label"], "norm", [0.5]).select(
+    med = grouped_exact_percentiles(
+        e, ["label"], "norm", [0.5], small_groups=True
+    ).select(
         "label", F.col("value").alias("med")
     )
     dev = pin_frame(
@@ -414,7 +416,9 @@ def a169_embedding_norm_outliers(
             "d", F.abs(F.col("norm") - F.col("med"))
         )
     )
-    mad = grouped_exact_percentiles(dev, ["label"], "d", [0.5]).select(
+    mad = grouped_exact_percentiles(
+        dev, ["label"], "d", [0.5], small_groups=True
+    ).select(
         "label", F.col("value").alias("mad")
     )
     return (

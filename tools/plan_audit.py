@@ -713,12 +713,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a199_ivf_assign": (
         ("BroadcastHashJoin",), ("CartesianProduct", "SortMergeJoin"), None,
     ),
-    # PQ ADC: code array is a literal-codebook expression (one corpus
-    # pass); the 5-query frame is the accepted 5-row BNLJ; never a
-    # cartesian or SMJ
+    # PQ ADC (r18): encode + ADC + per-partition top-k partials run in
+    # ONE Arrow pass against the broadcast numpy codebook
+    # (pq_adc_topk_partials) -- the literal-codebook expression forest
+    # and its 5-row BNLJ are gone; only the k-bounded rank window's
+    # exchange remains.  Never a cartesian or SMJ.
     "a200_pq_adc": (
-        ("BroadcastNestedLoopJoin",),
-        ("CartesianProduct", "SortMergeJoin"),
+        ("MapInPandas",),
+        ("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"),
         None,
     ),
     # real-codec queries: one corpus projection (payload synthesis is
@@ -776,10 +778,14 @@ EXPECTATIONS: dict[str, tuple[tuple[str, ...], tuple[str, ...], int | None]] = {
     "a16_embedding_ivf_ann": (
         ("BroadcastHashJoin",), ("SortMergeJoin",), None,
     ),
-    # frozen-codebook PQ ANN: codes are a map-only fold; ADC join
-    # broadcasts the 5-row query side; rerank reads only the refine pool
+    # frozen-codebook PQ ANN (r18): encode + ADC + refine-pool partials
+    # are ONE Arrow pass against the broadcast numpy codebook
+    # (pq_adc_topk_partials; the literal expression forest is gone);
+    # rerank reads only the refine pool through broadcast hash joins
     "a76_embedding_pq_ann": (
-        ("BroadcastHashJoin",), ("SortMergeJoin", "CartesianProduct"), None,
+        ("MapInPandas", "BroadcastHashJoin"),
+        ("SortMergeJoin", "CartesianProduct"),
+        None,
     ),
     # curation+packing funnel: stage frames chain through semi joins and
     # the audit row is 1-row crossJoin-broadcasts (c67's shape) -- pair
