@@ -430,6 +430,7 @@ def serve_minhash_band_index(
     bands: int = 8,
     threshold: float = 0.5,
     reliable_pins: bool = False,
+    delta_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a delta against a PERSISTED band index: (a, b, jaccard)
     near-dup pairs with at least one delta side (a < b).
@@ -442,6 +443,14 @@ def serve_minhash_band_index(
     gram).  Delta ids must be disjoint from index ids (an id in both
     would self-pair).  Serve cost is O(delta) + the index scan; the
     delta-internal self-join covers new-vs-new duplicates.
+
+    ``delta_bands`` (round 18, guide §1.2): a serve-then-absorb caller
+    (s17) already needs the delta's band rows to APPEND to the index
+    after the serve -- computing them twice (once in here, once for the
+    absorb write) re-ran the Arrow text pass per batch.  Pass the
+    already-pinned :func:`minhash_band_index` frame of the SAME delta
+    and the serve reuses its materialized blocks; values are identical
+    by the band determinism the absorb contract itself rests on.
     """
     from .ordering import pin_frame
 
@@ -449,17 +458,23 @@ def serve_minhash_band_index(
         shingles(delta, id_col, text_col, shingle_n),
         reliable=reliable_pins,
     )
-    delta_bands = pin_frame(  # feeds the index join AND the self-join
-        # fused Arrow band rows (r17 A/B: the staged signatures groupBy
-        # + band explode cost ~0.8s of fixed plan/shuffle overhead per
-        # serve, dominating small daily deltas; the fused pass re-reads
-        # the delta text once, which is the far smaller term -- serve
-        # deltas are bounded by construction)
-        _minhash_bands_py(
-            delta, id_col, text_col, shingle_n, num_hashes, bands
-        ),
-        reliable=reliable_pins,
-    )
+    if delta_bands is None:
+        delta_bands = pin_frame(  # feeds the index join AND the self-join
+            # fused Arrow band rows (r17 A/B: the staged signatures groupBy
+            # + band explode cost ~0.8s of fixed plan/shuffle overhead per
+            # serve, dominating small daily deltas; the fused pass re-reads
+            # the delta text once, which is the far smaller term -- serve
+            # deltas are bounded by construction)
+            _minhash_bands_py(
+                delta, id_col, text_col, shingle_n, num_hashes, bands
+            ),
+            reliable=reliable_pins,
+        )
+    # ONE distinct over the unioned candidate stream (round 18, guide
+    # §2.4): the cross and within legs each carried their own distinct
+    # before the final one -- three shuffle+agg stages where one
+    # suffices.  Un-deduped legs fan out by at most the band count (a
+    # constant) before the single distinct collapses them.
     cross = (
         delta_bands.select(F.col(id_col).alias("d_id"), "band_id", "band_sig")
         .join(
@@ -470,9 +485,18 @@ def serve_minhash_band_index(
             F.least("d_id", "c_id").alias("a"),
             F.greatest("d_id", "c_id").alias("b"),
         )
-        .distinct()
     )
-    within = candidate_pairs(delta_bands, id_col)
+    within = (
+        delta_bands.select(F.col(id_col).alias("a"), "band_id", "band_sig")
+        .join(
+            delta_bands.select(
+                F.col(id_col).alias("b"), "band_id", "band_sig"
+            ),
+            ["band_id", "band_sig"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
     pairs = pin_frame(
         cross.unionByName(within).distinct(), reliable=reliable_pins
     )
@@ -569,25 +593,46 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: pairs with Jaccard >= threshold.
 
-    The shingle frame feeds three consumers (signatures + both sides of the
-    Jaccard verify).  Persisting it is the default: measured at sf0.1 the
-    cached plan is ~1.6x faster steady-state (2.3s vs 3.6s) because the
-    tokenize+explode pass runs once instead of three times.  At 100 TB,
-    where the exploded frame exceeds cluster memory, checkpoint it to
-    parquet instead and reuse it across the signature and verify stages
-    (``persist_shingles=False`` + explicit write) -- MEMORY_AND_DISK
-    spilling of a corpus-sized explode is slower than a columnar re-read.
+    Round 18 (guide §2.3 "shuffle metadata, not payloads" + §8): band
+    signatures come from the fused zero-shuffle Arrow pass
+    (:func:`_minhash_bands_py` -- bit-parity with the staged operators
+    is pytest-pinned), and the exact Jaccard verify re-tokenizes ONLY
+    the documents that appear in at least one candidate pair (left-semi
+    on the union of pair sides).  The former staged path exploded the
+    WHOLE corpus into a persisted gram frame and pushed it through a
+    corpus-wide groupBy(doc) with 32 min-aggregates -- the full gram
+    stream crossed one shuffle so that the verify could reuse it, but
+    the verify only ever reads candidate docs' grams
+    (``jaccard_verify`` touches ``sh`` through joins on the pair ids
+    alone, so restricting it is result-identical).  The r17 A/B that
+    kept the staged path compared against a fused pass + FULL second
+    text read; the candidate-restricted verify read is the missing
+    piece that makes the fused pass win (2.4s -> 1.5s at sf0.1, and at
+    100 TB the gram stream never crosses the network at all -- only
+    band rows and candidate-doc grams do).
+
+    The candidate-doc shingle frame still feeds three verify consumers
+    (gram sides + counts); ``persist_shingles`` pins it, now at
+    candidate scope rather than corpus scope.
     """
-    # the staged path on purpose (r17 A/B): the shingle frame is
-    # persisted for the verify sides anyway, so deriving signatures from
-    # it is cheaper than a second (fused-Arrow) pass over the text --
-    # measured 2.4s vs 3.2s at sf0.1; the fused pass wins only where no
-    # shingle reuse exists (minhash_band_index)
-    sh = shingles(df, id_col, text_col, shingle_n)
+    from .ordering import pin_frame
+
+    band_rows = _minhash_bands_py(
+        df, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    cands = pin_frame(  # feeds the verify AND the candidate-id semi-join
+        candidate_pairs(band_rows, id_col)
+    )
+    cand_ids = (
+        cands.select(F.col("a").alias(id_col))
+        .unionByName(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, shingle_n
+    )
     if persist_shingles and not _plan_already_cached(sh):
         sh = sh.persist()
-    sigs = minhash_signatures(sh, id_col, num_hashes)
-    cands = candidate_pairs(lsh_bands(sigs, id_col, num_hashes, bands), id_col)
     return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
 
 

@@ -357,36 +357,87 @@ def s17_stream_index_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ods_spark_s17_")
     try:
         wh = Warehouse(spark, scratch)
-        # BUILD: the pre-existing corpus index
-        wh.write_bucketed(
-            minhash_band_index(corpus0, **kw), "dwd", "s17_idx", **spec
-        )
-        # the arriving delta: one file per "day" slice -> one micro-batch
-        # per file under maxFilesPerTrigger=1 (the s07 precedent)
         src = f"{scratch}/arrivals"
-        for i in range(_S17_SLICES):
-            delta.where(
-                F.pmod(F.floor(F.col("doc_id") / _S17_MOD), F.lit(_S17_SLICES))
-                == i
-            ).select("doc_id", "text").coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+
+        # Round 18 (guide §2.6): the corpus index build and the arrival
+        # staging write touch disjoint outputs and share only read-only
+        # inputs -- run them as two concurrent driver jobs.  The slice
+        # appends stay SEQUENTIAL among themselves: they share one
+        # parquet directory, and two concurrent appends would collide
+        # in its _temporary staging dir.
+        def build_index() -> None:
+            # BUILD: the pre-existing corpus index
+            wh.write_bucketed(
+                minhash_band_index(corpus0, **kw), "dwd", "s17_idx", **spec
+            )
+
+        def write_arrivals() -> None:
+            # the arriving delta: one file per "day" slice -> one
+            # micro-batch per file under maxFilesPerTrigger=1 (the s07
+            # precedent)
+            for i in range(_S17_SLICES):
+                delta.where(
+                    F.pmod(
+                        F.floor(F.col("doc_id") / _S17_MOD),
+                        F.lit(_S17_SLICES),
+                    )
+                    == i
+                ).select("doc_id", "text").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(build_index), pool.submit(write_arrivals)
+            ]:
+                f.result()
         results = f"{scratch}/served"
 
         def serve_then_absorb(batch: DataFrame, batch_id: int) -> None:
-            # SERVE the batch against the live index (the ingest gate)...
-            serve_minhash_band_index(
-                wh.bucketed_table("dwd", "s17_idx"),
-                batch,
-                d.join(batch.select("doc_id"), "doc_id", "left_anti"),
-                threshold=_MH_THRESHOLD,
-                **kw,
-            ).write.mode("append").parquet(results)
-            # ...then ABSORB its band rows under the same bucket spec
-            wh.write_bucketed(
-                minhash_band_index(batch, **kw),
-                "dwd", "s17_idx", **spec, mode="append",
+            from concurrent.futures import ThreadPoolExecutor
+
+            # Round 18 (guide §1.2 + §2.6): the batch's band rows feed
+            # BOTH the serve's index join and the absorb append -- one
+            # EAGER pin computes the Arrow band pass once (the lazy
+            # default would race the two consumers into materializing
+            # it concurrently).  With the bands pinned, the absorb
+            # writes executor-stored blocks and never reads the index
+            # table, so serve and absorb are independent driver jobs
+            # and run CONCURRENTLY: serve-before-absorb semantics are
+            # preserved because a serve overlap-reading its own batch's
+            # freshly-appended rows can only produce within-batch pairs
+            # the serve's delta self-join already emits (then distinct),
+            # and the corpus-text fetch anti-joins the batch ids out.
+            bands = minhash_band_index(batch, **kw).localCheckpoint(
+                eager=True
             )
+
+            def serve() -> None:
+                # corpus_texts is plain `d`: the serve only touches it
+                # through a left-semi join on candidate ids that are
+                # ALREADY anti-joined against the batch ids inside
+                # serve_minhash_band_index, so the former per-batch
+                # `d.join(batch, left_anti)` re-scan was redundant (r18)
+                serve_minhash_band_index(
+                    wh.bucketed_table("dwd", "s17_idx"),
+                    batch,
+                    d,
+                    threshold=_MH_THRESHOLD,
+                    delta_bands=bands,
+                    **kw,
+                ).write.mode("append").parquet(results)
+
+            def absorb() -> None:
+                wh.write_bucketed(
+                    bands, "dwd", "s17_idx", **spec, mode="append"
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(serve), pool.submit(absorb)]
+                for f in futs:
+                    f.result()
 
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
