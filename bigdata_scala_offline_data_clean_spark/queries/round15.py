@@ -86,8 +86,12 @@ _C71_BUCKETS = 8
 
 
 def c71_minhash_index_erase(
-    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     """The full incremental-index lifecycle including the DELETE verb:
     build the corpus band index, absorb day-1, tombstone-erase a doc
     set, serve day-2 against the live index.  Output: the (a, b,
@@ -185,8 +189,12 @@ _C72_BUCKETS = 8
 
 
 def c72_phash_index_serve(
-    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     """Build the corpus' average-hash band index once (bucketed on the
     (band, val) join key), then dedup the delta's images against it:
     (a, b, hamming) near-dup pairs with at least one delta side.
@@ -280,8 +288,12 @@ _C73_ERASE_MOD, _C73_ERASE_REM = 25, 7
 
 
 def c73_ivf_index_erase_serve(
-    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     from .round13 import _ivf_index_lifecycle
 
     return _ivf_index_lifecycle(
@@ -902,8 +914,12 @@ _C75_MOD, _C75_DELTA_REM = 10, 6  # >= 15 delta-involved pairs at every
 
 
 def c75_semdedup_index_serve(
-    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     import shutil
     import tempfile
 

@@ -297,8 +297,12 @@ _C76_GENERATIONS = 3  # build + two absorbs
 
 
 def c76_compaction_lifecycle(
-    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     import shutil
     import tempfile
 

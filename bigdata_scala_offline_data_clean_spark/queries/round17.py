@@ -603,8 +603,12 @@ _C77_BUCKETS = 4
 
 
 def c77_nightly_index_lifecycle(
-    spark: SparkSession, sf_dir: str, *, reliable_pins: bool = False
+    spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     import shutil
     import tempfile
 
@@ -662,19 +666,34 @@ def c77_nightly_index_lifecycle(
                 "dwd", name, **spec, mode="append",
             )
             t = wh.bucketed_table("dwd", name)
+
             # one pass for built + erased (r17, guide §1.2): the former
             # count() + semi-join count() scanned the fresh table twice;
-            # a broadcast-marked left join counts both in one aggregate
-            built_erased = t.select("doc_id").join(
-                F.broadcast(d_erase.withColumn("__er", F.lit(1))),
-                "doc_id",
-                "left",
-            ).agg(
-                F.count(F.lit(1)).alias("b"), F.count("__er").alias("e")
-            ).collect()[0]
+            # a broadcast-marked left join counts both in one aggregate.
+            # Round 18 (guide §2.6): that census, the tombstone append
+            # and the file count touch disjoint targets (table scan /
+            # side table write / filesystem metadata), so they overlap
+            # as concurrent jobs inside the leg -- the compaction below
+            # is the only step that must see the tombstones.
+            def census():
+                return t.select("doc_id").join(
+                    F.broadcast(d_erase.withColumn("__er", F.lit(1))),
+                    "doc_id",
+                    "left",
+                ).agg(
+                    F.count(F.lit(1)).alias("b"), F.count("__er").alias("e")
+                ).collect()[0]
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as lp:
+                f_census = lp.submit(census)
+                f_tomb = lp.submit(wh.append_tombstones, d_erase, "dwd", name)
+                f_files = lp.submit(wh.data_file_count, "dwd", name)
+                built_erased = f_census.result()
+                f_tomb.result()
+                files_before = f_files.result()
             rows_built, rows_erased = built_erased["b"], built_erased["e"]
-            wh.append_tombstones(d_erase, "dwd", name)
-            files_before = wh.data_file_count("dwd", name)
             compacted, _, files_after = wh.maybe_compact_bucketed(
                 "dwd", name, **spec, max_files_per_bucket=1
             )
@@ -764,14 +783,29 @@ def c77_nightly_index_lifecycle(
             vec_rows(e.where(vrem == _C77_ABSORB_REM)).repartition(
                 F.col("cell")
             ).write.mode("append").partitionBy("cell").parquet(ipath)
-            rows_built = spark.read.parquet(ipath).count()
-            files_before = sum(
-                wh.partition_file_census("", "c77_ivf", "cell").values()
-            )
             v_erase = e.where(vrem == _C77_ERASE_REM).select(
                 F.col("vec_id").alias("c_id")
             )
-            rows_erased = v_erase.count()
+
+            # r18 (guide §2.6): the three pre-erase censuses are
+            # independent reads -- overlap them before the erase rewrite
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as lp:
+                f_rows = lp.submit(
+                    lambda: spark.read.parquet(ipath).count()
+                )
+                f_files = lp.submit(
+                    lambda: sum(
+                        wh.partition_file_census(
+                            "", "c77_ivf", "cell"
+                        ).values()
+                    )
+                )
+                f_erased = lp.submit(v_erase.count)
+                rows_built = f_rows.result()
+                files_before = f_files.result()
+                rows_erased = f_erased.result()
             wh.erase_partition_rows("", "c77_ivf", "cell", v_erase, "c_id")
             compacted_cells = wh.compact_partitions("", "c77_ivf", "cell")
             files_after = sum(

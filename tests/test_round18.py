@@ -132,3 +132,48 @@ def test_value_collapsed_percentiles_match_builtin(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], k
+
+
+# ---------------------------------------------------------------------------
+# reliable_pins production default (VERDICT r17 task #10): with a
+# checkpoint dir configured the composite lifecycles route every stage
+# pin through replicated checkpoint() automatically, with identical
+# results; without one, nothing changes (the local bench path).
+# ---------------------------------------------------------------------------
+
+
+def test_reliable_pins_auto_resolution(spark, tmp_path):
+    from bigdata_scala_offline_data_clean_spark.operators.ordering import (
+        auto_reliable_pins,
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    assert auto_reliable_pins(spark) is False
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert auto_reliable_pins(spark) is True
+    finally:
+        sc._jsc.setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+
+
+def test_reliable_pins_lifecycle_same_rows(spark, tmp_path):
+    import glob
+
+    from bigdata_scala_offline_data_clean_spark.queries import all_queries
+
+    specs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    fn = specs["c70_minhash_index_serve"].spark
+    base = sorted(map(tuple, fn(spark, sf).collect()))
+    sc = spark.sparkContext
+    ckpt = tmp_path / "ckpt"
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        rel = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        sc._jsc.setCheckpointDir(None)
+    assert rel == base
+    # the reliable path really wrote replicated checkpoint data
+    assert glob.glob(str(ckpt / "**" / "rdd-*"), recursive=True)

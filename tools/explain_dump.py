@@ -36,12 +36,26 @@ def main() -> int:
     spark = build_session(app_name="explain_dump")
     specs = all_queries()
     rc = 0
+    from bigdata_scala_offline_data_clean_spark.operators import ordering
+
     for name in args.queries:
         if name not in specs:
             print(f"unknown query: {name}", file=sys.stderr)
             rc = 1
             continue
-        df = specs[name].spark(spark, args.sf)
+        # Round 18 (VERDICT r17): pins truncate dumped plans to
+        # `Scan ExistingRDD` stubs, so composite lifecycles were
+        # unauditable from plans/.  With the env flag set, pin_frame
+        # records each frame's plan BEFORE checkpointing; those pre-pin
+        # trees land in a companion `_prepin.txt`.
+        ordering.PREPIN_PLANS.clear()
+        import os
+
+        os.environ["SPARK_GRAFT_EXPLAIN_PREPIN"] = "1"
+        try:
+            df = specs[name].spark(spark, args.sf)
+        finally:
+            os.environ.pop("SPARK_GRAFT_EXPLAIN_PREPIN", None)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
@@ -50,6 +64,19 @@ def main() -> int:
         path = out_dir / f"{name}_{args.tag}.txt"
         path.write_text(plan + "\n")
         print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+        if ordering.PREPIN_PLANS:
+            sep = "\n" + "=" * 72 + "\n"
+            pre = sep.join(
+                f"-- pinned frame {i + 1} of {len(ordering.PREPIN_PLANS)} --\n"
+                + p
+                for i, p in enumerate(ordering.PREPIN_PLANS)
+            )
+            ppath = out_dir / f"{name}_{args.tag}_prepin.txt"
+            ppath.write_text(pre + "\n")
+            print(
+                f"wrote {ppath} ({len(ordering.PREPIN_PLANS)} pinned frames, "
+                f"{pre.count('Exchange')} Exchange refs)"
+            )
     spark.stop()
     return rc
 
