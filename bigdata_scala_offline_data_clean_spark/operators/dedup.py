@@ -78,27 +78,37 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
+def gram_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, ``__grams``) DISTINCT word n-gram ARRAY per document -- the
+    pre-explode form of :func:`shingles` (round 18: one definition of
+    the gram construction so the exploded and array-based Jaccard
+    verifies can never diverge).
+
+    Gram construction: ``text.word_ngrams`` (chained ``zip_with``, ~2x
+    faster than the transform+slice form; identical output order).
+    """
+    from .etl import spread_narrow_scan
+    from .text import word_ngrams
+
+    toks = F.split(F.col(text_col), " ")
+    return spread_narrow_scan(df, id_col).select(
+        id_col, F.array_distinct(word_ngrams(toks, n)).alias("__grams")
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, gram) rows.
 
-    Gram construction: ``text.word_ngrams`` (chained ``zip_with``, ~2x
-    faster than the transform+slice form; identical output order).
+    The two-step select materializes the array before exploding it,
+    keeping the O(tokens) gram construction out of the Generate's
+    per-output-row projection (inlined, it re-evaluates per gram ->
+    O(tokens^2) per doc); the scan is spread before the ~50x explode.
     """
-    from .text import word_ngrams
-
-    toks = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(word_ngrams(toks, n))
-    # two-step select: materialize the array before exploding it, keeping
-    # the O(tokens) gram construction out of the Generate's per-output-row
-    # projection (inlined, it re-evaluates per gram -> O(tokens^2) per doc)
-    #
-    # spread narrow scans before the ~50x gram explode (etl.spread_narrow_scan)
-    from .etl import spread_narrow_scan
-
-    df = spread_narrow_scan(df, id_col)
-    return df.select(id_col, grams.alias("__grams")).select(
+    return gram_arrays(df, id_col, text_col, n).select(
         id_col, F.explode("__grams").alias("gram")
     )
 
@@ -188,6 +198,41 @@ def candidate_pairs(
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def jaccard_verify_arrays(
+    pairs: DataFrame, garr: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc DISTINCT-gram
+    ARRAYS: ``size(array_intersect)`` per pair, no gram explode and no
+    count aggregate (round 18, guide §2.3).
+
+    :func:`jaccard_verify` joins the EXPLODED gram frame twice and
+    re-aggregates the matches -- every pair's grams cross an exchange as
+    individual rows, plus a separate per-doc count pass.  Here ``garr``
+    is the pre-explode frame (``id_col``, ``__grams`` distinct array):
+    the same bytes attach to each pair ONCE as one array cell, the
+    intersection is a hash-set walk inside codegen, and the union count
+    is plain arithmetic over the two array sizes.  Bit-identical
+    jaccard: both sides are distinct arrays, so
+    ``size(array_intersect)`` equals the exploded join's match count,
+    and the int/int -> double division is the same expression.
+    """
+    ga = garr.select(F.col(id_col).alias("a"), F.col("__grams").alias("__ga"))
+    gb = garr.select(F.col(id_col).alias("b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (
+        pairs.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                inter
+                / (F.size("__ga") + F.size("__gb") - inter)
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -454,8 +499,8 @@ def serve_minhash_band_index(
     """
     from .ordering import pin_frame
 
-    delta_sh = pin_frame(  # feeds the verify union
-        shingles(delta, id_col, text_col, shingle_n),
+    delta_garr = pin_frame(  # feeds the verify union
+        gram_arrays(delta, id_col, text_col, shingle_n),
         reliable=reliable_pins,
     )
     if delta_bands is None:
@@ -506,16 +551,19 @@ def serve_minhash_band_index(
         .distinct()
         .join(delta.select(id_col), id_col, "left_anti")
     )
-    cand_corpus_sh = shingles(
+    cand_corpus_garr = gram_arrays(
         corpus_texts.join(cand_corpus_ids, id_col, "left_semi"),
         id_col,
         text_col,
         shingle_n,
     )
-    sh_verify = pin_frame(
-        delta_sh.unionByName(cand_corpus_sh), reliable=reliable_pins
+    # array-based verify (round 18, see jaccard_verify_arrays): each
+    # doc's grams attach to its pairs as ONE array cell instead of
+    # exploded rows + a count re-aggregate
+    garr_verify = pin_frame(
+        delta_garr.unionByName(cand_corpus_garr), reliable=reliable_pins
     )
-    return jaccard_verify(pairs, sh_verify, id_col).where(
+    return jaccard_verify_arrays(pairs, garr_verify, id_col).where(
         F.col("jaccard") >= threshold
     )
 
@@ -628,12 +676,14 @@ def minhash_dedup_pairs(
         .unionByName(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    sh = shingles(
+    garr = gram_arrays(
         df.join(cand_ids, id_col, "left_semi"), id_col, text_col, shingle_n
     )
-    if persist_shingles and not _plan_already_cached(sh):
-        sh = sh.persist()
-    return jaccard_verify(cands, sh, id_col).where(F.col("jaccard") >= threshold)
+    if persist_shingles and not _plan_already_cached(garr):
+        garr = garr.persist()
+    return jaccard_verify_arrays(cands, garr, id_col).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def incremental_ingest_dedup(
