@@ -255,9 +255,14 @@ def pagerank(
     # equi-join per round instead of two.  The edge frame feeds every
     # iteration, so persist it once -- without this, lineage re-derives the
     # upstream edge construction (often itself a join) iters times.
+    # Round 18 (guide §2.4 "establish the partitioning once"): the edge
+    # frame is repartitioned on the rank-join key BEFORE the persist, so
+    # the cached blocks carry hashpartitioning(u) and every round's
+    # rank join exchanges only the node-sized rank table -- the former
+    # plan re-shuffled the FAT edge side in all ``iters`` rounds.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(deg, "u").persist()
+    ed = e.join(deg, "u").repartition(F.col("u")).persist()
     base = (PR_SCALE * (d_den - d_num)) // d_den
     # Dangling handling without a per-round left join: the set of sources
     # with NO in-edges is FIXED across rounds, and such a node's rank is

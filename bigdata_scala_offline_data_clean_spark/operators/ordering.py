@@ -910,6 +910,13 @@ def grouped_exact_percentiles(
     rows = df.select(*g, F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
+    # spread byte-split-narrow scans before the three internal passes
+    # (r18): a single-split parquet column otherwise runs the sketch,
+    # census and ranking stages 1-3 tasks wide; no-op on cluster-scale
+    # inputs and on already-shuffled lineages (etl.spread_narrow_scan)
+    from .etl import spread_narrow_scan
+
+    rows = spread_narrow_scan(rows, "v")
     # localCheckpoint pins the nondeterministic sketch to ONE evaluation:
     # `binned` feeds both the bucket-count branch and the needed-bucket
     # ranking branch, and divergent re-evaluations of __bnds would give
