@@ -858,6 +858,7 @@ def grouped_exact_percentiles(
     _single_group: bool = False,
     reliable: bool = False,
     small_groups: bool = False,
+    spread_input: bool = True,
 ) -> DataFrame:
     """Exact per-group interpolated percentiles, fully declarative.
 
@@ -914,9 +915,13 @@ def grouped_exact_percentiles(
     # (r18): a single-split parquet column otherwise runs the sketch,
     # census and ranking stages 1-3 tasks wide; no-op on cluster-scale
     # inputs and on already-shuffled lineages (etl.spread_narrow_scan)
-    from .etl import spread_narrow_scan
+    if spread_input:  # callers with tiny PINNED inputs opt out: the
+        # repartition there is pure overhead (r18 bench: a169's 2k-row
+        # norm frame regressed ~0.9s), and at cluster scale their
+        # frames are wide anyway, making False == True == no-op
+        from .etl import spread_narrow_scan
 
-    rows = spread_narrow_scan(rows, "v")
+        rows = spread_narrow_scan(rows, "v")
     # localCheckpoint pins the nondeterministic sketch to ONE evaluation:
     # `binned` feeds both the bucket-count branch and the needed-bucket
     # ranking branch, and divergent re-evaluations of __bnds would give

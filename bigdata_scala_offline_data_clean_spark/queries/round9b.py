@@ -407,7 +407,7 @@ def a169_embedding_norm_outliers(
         )
     )
     med = grouped_exact_percentiles(
-        e, ["label"], "norm", [0.5], small_groups=True
+        e, ["label"], "norm", [0.5], small_groups=True, spread_input=False
     ).select(
         "label", F.col("value").alias("med")
     )
@@ -417,7 +417,7 @@ def a169_embedding_norm_outliers(
         )
     )
     mad = grouped_exact_percentiles(
-        dev, ["label"], "d", [0.5], small_groups=True
+        dev, ["label"], "d", [0.5], small_groups=True, spread_input=False
     ).select(
         "label", F.col("value").alias("mad")
     )
