@@ -297,25 +297,20 @@ def ingest_neardup_dedup(
     Jaccard verify), so both are persisted for the run -- same lifecycle
     pattern as ``minhash_dedup_pairs``.
     """
-    sh_new = shingles(new_df, id_col, text_col, shingle_n)
-    sh_corpus = shingles(corpus_df, id_col, text_col, shingle_n)
-    if not _plan_already_cached(sh_new):
-        sh_new = sh_new.persist()
-    if not _plan_already_cached(sh_corpus):
-        sh_corpus = sh_corpus.persist()
-    bands_new = lsh_bands(
-        minhash_signatures(sh_new, id_col, num_hashes), id_col, num_hashes, bands
+    # Round 18 (same rewrite as minhash_dedup_pairs, guide §2.3/§8):
+    # band rows from the fused zero-shuffle Arrow pass -- the gram
+    # stream never leaves the worker -- and the exact verify
+    # re-tokenizes ONLY candidate-pair documents per side.
+    from .ordering import pin_frame
+
+    bands_new = _minhash_bands_py(
+        new_df, id_col, text_col, shingle_n, num_hashes, bands
     )
-    bands_corpus = lsh_bands(
-        minhash_signatures(sh_corpus, id_col, num_hashes),
-        id_col,
-        num_hashes,
-        bands,
+    bands_corpus = _minhash_bands_py(
+        corpus_df, id_col, text_col, shingle_n, num_hashes, bands
     )
-    cands = (
-        bands_corpus.select(
-            F.col(id_col).alias("a"), "band_id", "band_sig"
-        )
+    cands = pin_frame(  # feeds the verify AND both candidate-id semis
+        bands_corpus.select(F.col(id_col).alias("a"), "band_id", "band_sig")
         .join(
             bands_new.select(F.col(id_col).alias("b"), "band_id", "band_sig"),
             ["band_id", "band_sig"],
@@ -323,7 +318,28 @@ def ingest_neardup_dedup(
         .select("a", "b")
         .distinct()
     )
-    verified = jaccard_verify(cands, sh_corpus.unionByName(sh_new), id_col)
+    garr = gram_arrays(
+        corpus_df.join(
+            cands.select(F.col("a").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        shingle_n,
+    ).unionByName(
+        gram_arrays(
+            new_df.join(
+                cands.select(F.col("b").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            ),
+            id_col,
+            text_col,
+            shingle_n,
+        )
+    )
+    verified = jaccard_verify_arrays(cands, garr, id_col)
     matches = (
         verified.where(F.col("jaccard") >= threshold)
         .groupBy("b")

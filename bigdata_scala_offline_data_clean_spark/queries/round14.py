@@ -48,10 +48,6 @@ _C70_BUCKETS = 8
 def c70_minhash_index_serve(
     spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
-    if reliable_pins is None:  # production default: reliable iff a
-        from ..operators.ordering import auto_reliable_pins
-
-        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     """Build the corpus' banded-MinHash signature index once (bucketed
     table), then dedup the delta against it without re-shingling the
     corpus.  Output: the (a, b, jaccard) near-dup pairs involving at
@@ -66,6 +62,10 @@ def c70_minhash_index_serve(
     is 8 narrow rows per document -- persisting it costs ~1% of the
     corpus text it spares every day.
     """
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     import shutil
     import tempfile
 

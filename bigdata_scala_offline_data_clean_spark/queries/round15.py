@@ -88,10 +88,6 @@ _C71_BUCKETS = 8
 def c71_minhash_index_erase(
     spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
-    if reliable_pins is None:  # production default: reliable iff a
-        from ..operators.ordering import auto_reliable_pins
-
-        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     """The full incremental-index lifecycle including the DELETE verb:
     build the corpus band index, absorb day-1, tombstone-erase a doc
     set, serve day-2 against the live index.  Output: the (a, b,
@@ -105,6 +101,10 @@ def c71_minhash_index_erase(
     runs first so the serve demonstrably honors BOTH pending states --
     multiple file generations AND tombstones -- at once.
     """
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     import shutil
     import tempfile
 
@@ -131,17 +131,26 @@ def c71_minhash_index_erase(
             buckets=_C71_BUCKETS,
             sort_cols=["band_id", "band_sig"],
         )
-        # BUILD (amortized once at 100 TB)
-        wh.write_bucketed(
-            minhash_band_index(day0, **kw), "dwd", "c71_idx", **spec
-        )
-        # ABSORB day 1: append its band rows under the same bucket spec
-        wh.write_bucketed(
-            minhash_band_index(day1, **kw),
-            "dwd", "c71_idx", **spec, mode="append",
-        )
-        # ERASE: O(|erased|) tombstone append -- no index file touched
-        wh.append_tombstones(erased.select("doc_id"), "dwd", "c71_idx")
+        # ERASE overlaps the build+absorb chain (r18, guide §2.6): the
+        # tombstone append writes only the side table, which nothing
+        # reads until the serve below
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_tomb = pool.submit(
+                wh.append_tombstones, erased.select("doc_id"),
+                "dwd", "c71_idx",
+            )
+            # BUILD (amortized once at 100 TB)
+            wh.write_bucketed(
+                minhash_band_index(day0, **kw), "dwd", "c71_idx", **spec
+            )
+            # ABSORB day 1: append band rows under the same bucket spec
+            wh.write_bucketed(
+                minhash_band_index(day1, **kw),
+                "dwd", "c71_idx", **spec, mode="append",
+            )
+            f_tomb.result()
         # SERVE day 2 against the LIVE index (broadcast anti-join over
         # the bucketed scan -- still zero index-side exchanges)
         out = serve_minhash_band_index(
@@ -191,10 +200,6 @@ _C72_BUCKETS = 8
 def c72_phash_index_serve(
     spark: SparkSession, sf_dir: str, *, reliable_pins: bool | None = None
 ) -> DataFrame:
-    if reliable_pins is None:  # production default: reliable iff a
-        from ..operators.ordering import auto_reliable_pins
-
-        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     """Build the corpus' average-hash band index once (bucketed on the
     (band, val) join key), then dedup the delta's images against it:
     (a, b, hamming) near-dup pairs with at least one delta side.
@@ -207,6 +212,10 @@ def c72_phash_index_serve(
     exchanges off its bucket spec; the delta side shuffles its 4 rows
     per new document.
     """
+    if reliable_pins is None:  # production default: reliable iff a
+        from ..operators.ordering import auto_reliable_pins
+
+        reliable_pins = auto_reliable_pins(spark)  # checkpoint dir is set
     import shutil
     import tempfile
 

@@ -338,16 +338,26 @@ def c76_compaction_lifecycle(
     scratch = tempfile.mkdtemp(prefix="ods_spark_c76_")
     try:
         wh = Warehouse(spark, scratch)
-        wh.write_bucketed(
-            one_file_per_bucket(minhash_band_index(day0, **kw)),
-            "dwd", "c76_idx", **spec,
-        )
-        for gen in (gen_a, gen_b):
-            wh.write_bucketed(
-                one_file_per_bucket(minhash_band_index(gen, **kw)),
-                "dwd", "c76_idx", **spec, mode="append",
+        # the tombstone append writes only the side table -- overlap it
+        # with the build + absorb chain (r18, guide §2.6; the c71/c77
+        # pattern), then take the two pre-compaction censuses
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_tomb = pool.submit(
+                wh.append_tombstones, erased.select("doc_id"),
+                "dwd", "c76_idx",
             )
-        wh.append_tombstones(erased.select("doc_id"), "dwd", "c76_idx")
+            wh.write_bucketed(
+                one_file_per_bucket(minhash_band_index(day0, **kw)),
+                "dwd", "c76_idx", **spec,
+            )
+            for gen in (gen_a, gen_b):
+                wh.write_bucketed(
+                    one_file_per_bucket(minhash_band_index(gen, **kw)),
+                    "dwd", "c76_idx", **spec, mode="append",
+                )
+            f_tomb.result()
         files_before = wh.data_file_count("dwd", "c76_idx")
         tomb_before = wh.tombstones("dwd", "c76_idx").count()
         compacted, _, files_after = wh.maybe_compact_bucketed(
