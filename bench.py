@@ -329,14 +329,27 @@ def _detail_name() -> str:
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     n = _round_no()
-    prev = Path(__file__).resolve().parent / f"BENCH_DETAIL_r{n - 1:02d}.json"
-    if cpus and prev.exists():
+    # check round n BEFORE n-1: a re-run before any BENCH_r{n}.json
+    # exists (e.g. the builder's own second run) sees its first run's
+    # detail under round n; the driver's scaling run, which happens
+    # after BENCH_r{n}.json was saved (bumping max()+1), sees it under
+    # n-1.  Either way the plain name belongs to the main run and the
+    # re-run gets the cpu-qualified sibling.
+    for cand in (n, n - 1):
+        prev = (
+            Path(__file__).resolve().parent
+            / f"BENCH_DETAIL_r{cand:02d}.json"
+        )
+        if not (cpus and prev.exists()):
+            continue
         try:
             prev_cpus = str(json.loads(prev.read_text()).get("cpus", ""))
         except (OSError, ValueError):
             prev_cpus = ""
-        if prev_cpus and prev_cpus != cpus:
-            return f"BENCH_DETAIL_r{n - 1:02d}_c{cpus}.json"
+        if prev_cpus:
+            if prev_cpus != cpus:
+                return f"BENCH_DETAIL_r{cand:02d}_c{cpus}.json"
+            break  # same cpus: this IS the main run's detail -- overwrite
     return f"BENCH_DETAIL_r{n:02d}.json"
 
 

@@ -148,14 +148,18 @@ def test_reliable_pins_auto_resolution(spark, tmp_path):
     )
 
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None
-    assert auto_reliable_pins(spark) is False
-    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    prior = sc.getCheckpointDir()  # other tests may have set one
     try:
+        sc._jsc.setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
+        assert auto_reliable_pins(spark) is False
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
         assert auto_reliable_pins(spark) is True
     finally:
-        sc._jsc.setCheckpointDir(None)
-    assert sc.getCheckpointDir() is None
+        if prior is None:
+            sc._jsc.setCheckpointDir(None)
+        else:
+            sc.setCheckpointDir(prior)
 
 
 def test_reliable_pins_lifecycle_same_rows(spark, tmp_path):
@@ -166,14 +170,19 @@ def test_reliable_pins_lifecycle_same_rows(spark, tmp_path):
     specs = all_queries()
     sf = "/root/testdata/sf0.001"
     fn = specs["c70_minhash_index_serve"].spark
-    base = sorted(map(tuple, fn(spark, sf).collect()))
     sc = spark.sparkContext
+    prior = sc.getCheckpointDir()  # other tests may have set one
     ckpt = tmp_path / "ckpt"
-    sc.setCheckpointDir(str(ckpt))
     try:
+        sc._jsc.setCheckpointDir(None)
+        base = sorted(map(tuple, fn(spark, sf).collect()))
+        sc.setCheckpointDir(str(ckpt))
         rel = sorted(map(tuple, fn(spark, sf).collect()))
     finally:
-        sc._jsc.setCheckpointDir(None)
+        if prior is None:
+            sc._jsc.setCheckpointDir(None)
+        else:
+            sc.setCheckpointDir(prior)
     assert rel == base
     # the reliable path really wrote replicated checkpoint data
     assert glob.glob(str(ckpt / "**" / "rdd-*"), recursive=True)
